@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table — the training-data
+  * pipeline extensions (exact hash, MinHash+LSH, SimHash, n-gram Jaccard).
+  *
+  * Design constraint: every hash used is md5 (identical lowercase-hex
+  * semantics in Spark and DuckDB) so each query has a true DuckDB oracle.
+  * md5-as-minhash is slower than xxhash64 but the plan shape — explode →
+  * partial agg → band join — is identical; swapping the hash is a
+  * one-line change at deploy time.
+  *
+  * Scale notes: all flows are explode → groupBy(doc) → (optional band
+  * self-join). The only shuffles are on doc_id (evenly distributed) and
+  * band keys; no O(N²) pairwise stage ever materializes except *within*
+  * an LSH band/bucket, which is the standard linear-scale near-dup design
+  * (the point of banding).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Word-level tokens. */
+  private def toks: Column = split(col("text"), " ")
+
+  /** Distinct word 3-shingles per doc (1-based element_at to mirror
+    * DuckDB's 1-based list indexing — same shingle strings both sides).
+    * Docs under 3 tokens are dropped up front: Spark's sequence(1, n)
+    * REVERSES direction for n < 1 instead of yielding empty. */
+  private def shingles(df: DataFrame): DataFrame =
+    df.filter(size(toks) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ",
+            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
+          .as("s"))
+
+  private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+
+  /** d01: exact dedup — canonical-keeper per content hash. Replaces
+    * nondeterministic dropDuplicates with min(doc_id)-keeper semantics so
+    * the result is stable under any partitioning (a requirement for
+    * reproducible 100 TB dedup runs, not just for the oracle).
+    */
+  val d01_dedup_exact: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keeper"))
+  }
+
+  /** d02: MinHash + LSH near-dup candidates. k=16 hash functions
+    * (md5 salted by index), b=4 bands × r=4 rows. One shuffle to build
+    * signatures (16 partial-min aggregates — map-side combined), one
+    * shuffle for the band self-join. At threshold j≈0.9 the 4×4 banding
+    * catches ≥98% of pairs.
+    */
+  val d02_minhash_lsh: Q = (s, dir) => {
+    val sh = shingles(Tables.documents(s, dir))
+    val mins = (0 until 16).map(i =>
+      min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until 4).map(b =>
+      md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)))
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "h")))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d03: SimHash — 16-bit signature over distinct unigram tokens. Bit j
+    * votes +1/-1 by the top hex nibble of md5(j ++ token); bit set iff the
+    * vote sum is positive. Entirely codegen'd expressions; one shuffle.
+    */
+  val d03_simhash: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
+    val votes = (0 until 16).map(j =>
+      sum(when(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 1)
+        .isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$j"))
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sim = (0 until 16).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** d04: exact n-gram Jaccard pairs ≥ 0.6 — the ground-truth twin of d02.
+    * The shingle self-join only pairs docs sharing ≥1 shingle, so the
+    * pair space stays sparse (inverted-index join, not cross product).
+    */
+  val d04_ngram_jaccard: Q = (s, dir) => {
+    val sh = shingles(Tables.documents(s, dir))
+    val withN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val ex = sh.join(withN, "doc_id")
+    val a = ex.as("a")
+    val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+      .withColumn("jaccard", round(col("inter") /
+        (col("na") + col("nb") - col("inter")), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "d01_dedup_exact" -> d01_dedup_exact,
+    "d02_minhash_lsh" -> d02_minhash_lsh,
+    "d03_simhash" -> d03_simhash,
+    "d04_ngram_jaccard" -> d04_ngram_jaccard,
+  )
+}

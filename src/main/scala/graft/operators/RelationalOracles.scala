@@ -1,0 +1,208 @@
+package graft.operators
+
+/** DuckDB oracle twins of [[RelationalQueries]]. Column aliases match the
+  * Spark side exactly (driver hash-compares after sorting columns by name).
+  */
+object RelationalOracles {
+  val all: Map[String, String] = Map(
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_quantity > 45.0
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-03-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT n_name, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    "q04_join_shuffle" ->
+      """SELECT o_orderpriority, count(*) AS n_late_lines,
+        |  round(sum(l_extendedprice), 2) AS late_value
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_semi_join" ->
+      """SELECT l_orderkey, count(*) AS n_lines, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_orderstatus = 'F' AND o_totalprice > 200000.0)
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q07_full_outer" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NOT NULL AND l.l_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+        |  CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orders_only,
+        |  CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lineitem_only
+        |FROM (SELECT DISTINCT o_orderkey FROM orders) o
+        |FULL OUTER JOIN (SELECT DISTINCT l_orderkey FROM lineitem) l
+        |  ON o.o_orderkey = l.l_orderkey""".stripMargin,
+
+    "q08_dup_check" ->
+      """SELECT l_orderkey, count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |HAVING count(*) > 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q09_window_topk" ->
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
+
+    "q10_window_running" ->
+      """SELECT user_id, event_id,
+        |  round(sum(value) OVER w, 2) AS running_value,
+        |  round(lag(value, 1) OVER w2, 2) AS prev_value,
+        |  round(avg(value) OVER w3, 4) AS mov_avg3
+        |FROM events
+        |WINDOW
+        |  w AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  w2 AS (PARTITION BY user_id ORDER BY event_id),
+        |  w3 AS (PARTITION BY user_id ORDER BY event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q13_topk" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q14_setops" ->
+      """SELECT k FROM (
+        |  SELECT k FROM (
+        |    SELECT DISTINCT o_custkey AS k FROM orders
+        |    INTERSECT
+        |    SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING')
+        |  UNION
+        |  SELECT k FROM (
+        |    SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9000.0
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey AS k FROM orders))
+        |ORDER BY k""".stripMargin,
+
+    "q15_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q16_string_fns" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 12) AS name12,
+        |  length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS bt
+        |FROM part
+        |WHERE p_type LIKE '%AND%' OR p_type IN ('ECONOMY', 'PROMO')
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q17_date_fns" ->
+      """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY yr, mo""".stripMargin,
+
+    "q18_case_when" ->
+      """SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS qty_returned,
+        |  round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS discounted_value,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin,
+
+    "q19_json" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q20_scalar_subquery" ->
+      """SELECT count(*) AS n_above, round(sum(o_totalprice), 2) AS value_above
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+
+    "q21_having" ->
+      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part
+        |GROUP BY p_brand
+        |HAVING count(*) > 5
+        |ORDER BY p_brand""".stripMargin,
+
+    "q22_join_agg_dim" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS qty,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+
+    "q23_window_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+  )
+}

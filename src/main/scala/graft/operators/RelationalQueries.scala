@@ -1,0 +1,354 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Core relational operator surface (SURVEY.md §2.4–§2.9).
+  *
+  * Each query maps a reference capability (or a §2.9 parity category) onto
+  * Catalyst built-ins, and each has a DuckDB oracle twin in
+  * [[graft.SparkEntry.oracleSql]]. Determinism rules: explicit ORDER BY on a
+  * unique key, aggregates rounded where FP accumulation order could differ,
+  * no raw nanosecond timestamps in output.
+  *
+  * Scale notes are inline per query — the plan each produces must survive
+  * a 1000-executor / 100 TB deployment, not just local[32]/sf0.01.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** q01: TPC-H Q1-style scan + hash aggregation (reference A1/A2
+    * par_map_reduce analog — osmpbf/src/reader.rs:119-142).
+    * Partial+final agg: map-side combine keeps the shuffle tiny (4 groups);
+    * the scan reads exactly the 7 needed columns (column pruning).
+    */
+  val q01_agg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q02: filter + projection — predicate pushdown to the parquet scan
+    * (reference F2 tag-predicate analog, indexed.rs:286-297). Both filters
+    * appear in PushedFilters; ReadSchema is exactly 4 columns. At 100 TB
+    * this is the difference between reading 4 columns' row groups that pass
+    * min/max pruning vs. the whole table.
+    */
+  val q02_filter_pushdown: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > lit(45.0) &&
+        col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-03-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** q03: broadcast-hash join chain — small dims (customer, nation) are
+    * broadcast so the big fact (orders) never shuffles. At 100 TB orders,
+    * nation/customer-dim stay broadcastable (dims grow slower than facts);
+    * the explicit broadcast() hint pins the strategy.
+    */
+  val q03_join_broadcast: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_revenue"))
+      .orderBy(col("n_name"))
+  }
+
+  /** q04: big×big shuffle join (sort-merge at scale). Both sides shuffle on
+    * the join key; AQE picks SMJ/shuffled-hash at runtime. The post-join
+    * aggregation is partial+final so only 5 groups cross the second
+    * exchange.
+    */
+  val q04_join_shuffle: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late_lines"),
+        round(sum(col("l_extendedprice")), 2).as("late_value"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** q05: semi-join — the reference's one real query: filter ways by
+    * predicate, fetch dependent nodes (F3, indexed.rs:264-330). Here:
+    * filter orders by predicate, semi-join lineitem on the key set.
+    * The filtered side is aggregated per key; broadcast of the filtered
+    * key set replaces the reference's BTreeSet + zone-map pruning
+    * (Parquet min/max row-group stats give the same skip-scan for free).
+    */
+  val q05_semi_join: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === lit("F") && col("o_totalprice") > lit(200000.0))
+    l.join(o, l("l_orderkey") === o("o_orderkey"), "left_semi")
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_lines"), round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** q06: anti-join (V3 missing-rows check, validate.py:75-91) —
+    * customers that never placed a high-value order. */
+  val q06_anti_join: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir).filter(col("o_totalprice") > lit(400000.0))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** q07: full-outer completeness join (V2, validate.py:66-73) reduced to
+    * its three cardinalities: matched / left-only / right-only. Single-row
+    * output keeps the oracle compare trivial while still exercising the
+    * full-outer executor.
+    */
+  val q07_full_outer: Q = (s, dir) => {
+    val o = Tables.orders(s, dir).select(col("o_orderkey")).distinct()
+    val l = Tables.lineitem(s, dir).select(col("l_orderkey")).distinct()
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "full_outer")
+      .agg(
+        sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull, 1).otherwise(0)).as("matched"),
+        sum(when(col("l_orderkey").isNull, 1).otherwise(0)).as("orders_only"),
+        sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("lineitem_only"))
+  }
+
+  /** q08: duplicate-key audit (V1, validate.py:57-64) — keys with more than
+    * one row. On lineitem the (natural) multi-line orders show up; the same
+    * plan on (id,type) is the reference's dup check.
+    */
+  val q08_dup_check: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .orderBy(col("l_orderkey"))
+  }
+
+  /** q09: window top-k per group — rank with deterministic tie-break.
+    * Shuffles once on the partition key; at scale the per-customer groups
+    * are tiny so no skew concern.
+    */
+  val q09_window_topk: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"), col("rk"))
+  }
+
+  /** q10: window running/lag/moving frames over events per user. Ordering
+    * key is the unique event_id (never the ns timestamp — ns truncation
+    * would make tie order oracle-divergent).
+    */
+  val q10_window_running: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      .withColumn("prev_value", round(lag(col("value"), 1).over(w), 2))
+      .withColumn("mov_avg3", round(avg(col("value")).over(
+        w.rowsBetween(-2, Window.currentRow)), 4))
+      .select(col("user_id"), col("event_id"), col("running_value"),
+        col("prev_value"), col("mov_avg3"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  /** q11: rollup over the region→nation hierarchy with grouping_id so the
+    * oracle can distinguish subtotal rows from NULL data. */
+  val q11_rollup: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .select(col("r_name"), col("n_name"), col("n_cust"), col("bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  /** q12: cube over two low-cardinality dims. */
+  val q12_cube: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** q13: top-k — orderBy+limit plans TakeOrderedAndProject: per-partition
+    * heaps, only k rows reach the driver-side merge. No full sort at scale.
+    */
+  val q13_topk: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+  }
+
+  /** q14: set operations — INTERSECT / EXCEPT / UNION composed on customer
+    * key sets. Catalyst rewrites intersect/except to joins over distinct
+    * inputs.
+    */
+  val q14_setops: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val withOrders = o.select(col("o_custkey").as("k")).distinct()
+    val building = c.filter(col("c_mktsegment") === lit("BUILDING"))
+      .select(col("c_custkey").as("k"))
+    val rich = c.filter(col("c_acctbal") > lit(9000.0)).select(col("c_custkey").as("k"))
+    withOrders.intersect(building)
+      .union(rich.except(withOrders))
+      .distinct()
+      .orderBy(col("k"))
+  }
+
+  /** q15: distinct aggregation — exact count-distinct triggers Catalyst's
+    * expand+two-phase rewrite; at 100 TB approx_count_distinct (HLL) is the
+    * scale path, exercised in the rows-only x-queries.
+    */
+  val q15_distinct_agg: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q16: string scalar functions — all codegen'd built-ins. */
+  val q16_string_fns: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .filter(col("p_type").like("%AND%") || col("p_type").isin("ECONOMY", "PROMO"))
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 12).as("name12"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("bt"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q17: date/time scalar functions + group by calendar month. */
+  val q17_date_fns: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  /** q18: conditional aggregation (CASE WHEN inside agg). */
+  val q18_case_when: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        round(sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)), 2).as("qty_returned"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)), 2).as("discounted_value"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  /** q19: JSON extraction from events.props (reference tags-map analog —
+    * semi-structured payload addressed by path). get_json_object is a
+    * codegen'd built-in; no UDF.
+    */
+  val q19_json: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q20: scalar subquery — orders above the global average price. The
+    * single-row aggregate is cross-joined (broadcast) into the filter.
+    */
+  val q20_scalar_subquery: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val avgPrice = o.agg(avg(col("o_totalprice")).as("ap"))
+    o.join(broadcast(avgPrice))
+      .filter(col("o_totalprice") > col("ap"))
+      .agg(count(lit(1)).as("n_above"), round(sum(col("o_totalprice")), 2).as("value_above"))
+  }
+
+  /** q21: HAVING — group filter after aggregation. */
+  val q21_having: Q = (s, dir) => {
+    Tables.part(s, dir)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .filter(col("n_parts") > 5)
+      .orderBy(col("p_brand"))
+  }
+
+  /** q22: grouped product-mix join: part dim broadcast into lineitem fact,
+    * two-level group by. */
+  val q22_join_agg_dim: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir)
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** q23: batch event-time tumbling window (1 hour) — the batch twin of the
+    * Structured Streaming path (graft.streaming); window() works identically
+    * in both. Output is the window start as an epoch second to stay
+    * timestamp-precision-agnostic vs the oracle.
+    */
+  val q23_window_tumbling: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "q01_agg" -> q01_agg,
+    "q02_filter_pushdown" -> q02_filter_pushdown,
+    "q03_join_broadcast" -> q03_join_broadcast,
+    "q04_join_shuffle" -> q04_join_shuffle,
+    "q05_semi_join" -> q05_semi_join,
+    "q06_anti_join" -> q06_anti_join,
+    "q07_full_outer" -> q07_full_outer,
+    "q08_dup_check" -> q08_dup_check,
+    "q09_window_topk" -> q09_window_topk,
+    "q10_window_running" -> q10_window_running,
+    "q11_rollup" -> q11_rollup,
+    "q12_cube" -> q12_cube,
+    "q13_topk" -> q13_topk,
+    "q14_setops" -> q14_setops,
+    "q15_distinct_agg" -> q15_distinct_agg,
+    "q16_string_fns" -> q16_string_fns,
+    "q17_date_fns" -> q17_date_fns,
+    "q18_case_when" -> q18_case_when,
+    "q19_json" -> q19_json,
+    "q20_scalar_subquery" -> q20_scalar_subquery,
+    "q21_having" -> q21_having,
+    "q22_join_agg_dim" -> q22_join_agg_dim,
+    "q23_window_tumbling" -> q23_window_tumbling,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over `embeddings.embedding` (Array[Float], 64-dim).
+  *
+  * Dot products use zip_with + aggregate (higher-order functions — fully
+  * codegen'd, no UDF), accumulating left-to-right in double after a
+  * float→double cast, which is bit-identical to DuckDB's
+  * list_dot_product over a DOUBLE[] cast — that's what makes an FP oracle
+  * possible. Cosine is computed with one shared formula:
+  * dot / sqrt(normA * normB).
+  *
+  * Scale notes: s01 is the brute-force baseline — broadcast the (small)
+  * query set against the full corpus: one scan, no shuffle of the big
+  * side, per-partition top-k heaps via window-over-qid. s02 is the scale
+  * path: sign-LSH bucketing turns O(N·Q) into O(bucket²) with the
+  * candidate join keyed on the bucket id.
+  */
+object SimilarityQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** embedding as double[] — all arithmetic in double. */
+  private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** cosine(a, b) with pre-computed squared norms. */
+  private def cosine(a: Column, b: Column, na2: Column, nb2: Column): Column =
+    dot(a, b) / sqrt(na2 * nb2)
+
+  /** sign-LSH bucket over the first `bits` dims: bit j set iff v[j] > 0.
+    * Axis-aligned hyperplanes — deterministic, no stored model. */
+  private def signBucket(v: Column, bits: Int): Column =
+    (0 until bits).map(j =>
+      when(element_at(v, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"), vecD(col("embedding")).as("v"))
+      .withColumn("n2", dot(col("v"), col("v")))
+
+  /** s01: brute-force cosine top-k (k=10) for a fixed query set
+    * (vec_id < 10). The query side is tiny and broadcast; the corpus is
+    * scanned exactly once. Ranking uses round(cos, 6) + vec_id so the
+    * order is insensitive to last-ulp FP noise.
+    */
+  val s01_knn_brute: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** s02: LSH-bucketed ANN — the linear-scale variant. 8-bit sign bucket
+    * (256 cells) prunes candidates to the query's own cell; exact cosine
+    * re-ranks within the cell. Recall trades against the bucket width;
+    * at 100 TB you'd multi-probe neighboring cells, same plan shape.
+    */
+  val s02_knn_lsh: Q = (s, dir) => {
+    val e = embs(s, dir).withColumn("bucket", signBucket(col("v"), 8))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("bucket").as("qbucket"))
+    val scored = e.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** d05: embedding-cosine near-dup pairs — LSH-blocked (8-bit sign
+    * bucket) then exact cosine ≥ 0.4 within the block. Blocking keeps the
+    * pair space O(Σ bucket²) instead of O(N²); this is the only way a
+    * pairwise similarity filter survives 100 TB.
+    */
+  val d05_embed_neardup: Q = (s, dir) => {
+    val e = embs(s, dir).withColumn("bucket", signBucket(col("v"), 8))
+    val a = e.select(col("bucket"), col("vec_id").as("ia"),
+      col("v").as("va"), col("n2").as("na2"))
+    val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("n2").as("nb2"))
+    a.join(b, col("bucket") === col("bucket_b") && col("ia") < col("ib"))
+      .withColumn("cos", round(cosine(col("va"), col("vb"), col("na2"), col("nb2")), 4))
+      .filter(col("cos") >= 0.4)
+      .select(col("ia").as("vec_a"), col("ib").as("vec_b"), col("cos"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "s01_knn_brute" -> s01_knn_brute,
+    "s02_knn_lsh" -> s02_knn_lsh,
+    "d05_embed_neardup" -> d05_embed_neardup,
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text analysis + multimodal-metadata operators over `documents`.
+  * All scalar logic is built-in expressions (codegen'd, oracle-matched);
+  * the heavy binary decode path lives in [[graft.operators.Multimodal]]
+  * with a deterministic stub decoder.
+  */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  /** substring-occurrence count via length-difference (identical semantics
+    * in Spark and DuckDB's replace()). */
+  private def occurrences(text: Column, needle: String): Column =
+    ((length(text) - length(replace(text, lit(needle), lit("")))) / needle.length).cast("int")
+
+  /** t01: language-ID by marker-n-gram voting. Real language ID uses the
+    * same shape (per-class n-gram scores → argmax); markers here are picked
+    * for the synthetic corpus. Fixed CASE priority breaks score ties
+    * deterministically.
+    */
+  val t01_lang_id: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+      .withColumn("s_en", occurrences(col("text"), " the "))
+      .withColumn("s_q", occurrences(col("text"), " query "))
+      .withColumn("s_j", occurrences(col("text"), " join "))
+    val pred = when(col("s_en") >= col("s_q") && col("s_en") >= col("s_j"), "en")
+      .when(col("s_q") >= col("s_j"), "qry")
+      .otherwise("jon")
+    d.withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** t02: quality scoring — length / stopword-ratio / mean-token-length
+    * heuristics combined into one score per doc. */
+  val t02_quality_score: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(Stopwords: _*))))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
+      .withColumn("mean_tok_len", round(
+        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens"), 4))
+      .withColumn("quality", round(
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+          col("stop_ratio") * 0.3 +
+          least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2, 4))
+      .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
+        col("mean_tok_len"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t03: token counting per source — corpus-level token statistics
+    * (explode → two-level agg; the distinct count is the expensive path
+    * and Catalyst plans it as expand + two-phase agg).
+    */
+  val t03_token_count: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"), explode(toks).as("tok"))
+    tok.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_distinct"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .withColumn("tokens_per_doc", round(col("n_tokens") / col("n_docs"), 4))
+      .orderBy(col("source"))
+  }
+
+  /** t04: document fingerprint — md5 over whitespace-normalized lowercase
+    * text (the reference's "content identity" idea, S11's validated string
+    * handling). Output keyed by fingerprint for downstream dedup.
+    */
+  val t04_fingerprint: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** m01: multimodal-metadata path — documents' text treated as an opaque
+    * binary payload (the image/audio pattern: binary column + typed
+    * metadata + content hash). The full decode/feature pipeline with a
+    * stub decoder is in [[Multimodal]]; this query verifies the
+    * metadata/checksum plumbing against the oracle.
+    */
+  val m01_media_meta: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .withColumn("n_bytes", length(col("payload")))
+      .withColumn("checksum", md5(col("payload")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        min(col("checksum")).as("min_checksum"))
+      .orderBy(col("source"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "t01_lang_id" -> t01_lang_id,
+    "t02_quality_score" -> t02_quality_score,
+    "t03_token_count" -> t03_token_count,
+    "t04_fingerprint" -> t04_fingerprint,
+    "m01_media_meta" -> m01_media_meta,
+  )
+}

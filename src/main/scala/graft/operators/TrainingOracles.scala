@@ -1,0 +1,182 @@
+package graft.operators
+
+/** DuckDB oracle twins for the dedup / similarity / text / multimodal
+  * packs. The md5-salted hashing scheme is chosen precisely because
+  * Spark and DuckDB md5() agree byte-for-byte (lowercase hex of UTF-8),
+  * so even MinHash/SimHash have true oracles. Repetitive SQL (16 minhash
+  * columns, 16 simhash bits) is generated.
+  */
+object TrainingOracles {
+
+  private val hexHigh = "('8','9','a','b','c','d','e','f')"
+
+  // ---- d02 minhash ----
+  private val mhCols = (0 until 16)
+    .map(i => s"min(md5('$i:' || s)) AS mh$i").mkString(",\n    ")
+  private val bandRows = (0 until 4).map { b =>
+    val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(" || '|' || ")
+    s"SELECT doc_id, $b AS band, md5($cols) AS h FROM sig"
+  }.mkString("\n  UNION ALL\n  ")
+
+  private val minhashSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(
+       |    range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+       |  FROM w),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mhCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandRows)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- d03 simhash ----
+  private val voteCols = (0 until 16).map(j =>
+    s"sum(CASE WHEN substring(md5('$j:' || tok), 1, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j")
+    .mkString(",\n    ")
+  private val bitSum = (0 until 16)
+    .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+
+  private val simhashSql =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+       |  FROM documents),
+       |v AS (
+       |  SELECT doc_id,
+       |    $voteCols
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash
+       |FROM v ORDER BY doc_id""".stripMargin
+
+  // ---- shared embedding prelude ----
+  private val embPrelude =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (
+      |  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e)""".stripMargin
+
+  /** 8-bit axis-aligned sign bucket — bit j from v[j+1] (1-based lists). */
+  private val bucketExpr = (0 until 8)
+    .map(j => s"(CASE WHEN v[${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  private def knnSql(useBucket: Boolean, k: Int): String = {
+    val bucketCol = if (useBucket) s", $bucketExpr AS bucket" else ""
+    val bucketJoin = if (useBucket) "AND n.bucket = q.qbucket" else ""
+    val qBucket = if (useBucket) ", bucket AS qbucket" else ""
+    s"""$embPrelude,
+       |nb AS (
+       |  SELECT vec_id, v, n2$bucketCol FROM n),
+       |q AS (
+       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2$qBucket FROM nb WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT qid, n.vec_id, round(list_dot_product(qv, n.v) / sqrt(qn2 * n.n2), 6) AS cos
+       |  FROM nb n JOIN q ON n.vec_id != q.qid $bucketJoin),
+       |r AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
+       |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+  }
+
+  val all: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    "d02_minhash_lsh" -> minhashSql,
+
+    "d03_simhash" -> simhashSql,
+
+    "d04_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    round(count(*)::DOUBLE /
+        |      (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.6 ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d05_embed_neardup" ->
+      s"""$embPrelude,
+         |nb AS (
+         |  SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos
+         |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) >= 0.4
+         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "s01_knn_brute" -> knnSql(useBucket = false, k = 10),
+    "s02_knn_lsh" -> knnSql(useBucket = true, k = 5),
+
+    "t01_lang_id" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST((length(text) - length(replace(text, ' the ', ''))) / 5 AS INTEGER) AS s_en,
+        |    CAST((length(text) - length(replace(text, ' query ', ''))) / 7 AS INTEGER) AS s_q,
+        |    CAST((length(text) - length(replace(text, ' join ', ''))) / 6 AS INTEGER) AS s_j
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_q AND s_en >= s_j THEN 'en'
+        |       WHEN s_q >= s_j THEN 'qry' ELSE 'jon' END AS predicted,
+        |  count(*) AS n
+        |FROM d GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+
+    "t02_quality_score" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS n_stop,
+        |    length(text) AS n_chars2
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  round(n_stop / n_tokens, 4) AS stop_ratio,
+        |  round((n_chars2 - n_tokens + 1) / n_tokens, 4) AS mean_tok_len,
+        |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
+        |        round(n_stop / n_tokens, 4) * 0.3 +
+        |        least(round((n_chars2 - n_tokens + 1) / n_tokens, 4) / 10.0, 1.0) * 0.2, 4) AS quality
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t03_token_count" ->
+      """WITH tok AS (
+        |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT source, count(*) AS n_tokens,
+        |  count(DISTINCT tok) AS n_distinct,
+        |  count(DISTINCT doc_id) AS n_docs,
+        |  round(count(*) / count(DISTINCT doc_id), 4) AS tokens_per_doc
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT source, count(*) AS n_items,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  min(md5(text)) AS min_checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+  )
+}
