@@ -1,0 +1,111 @@
+package graft.sources.pbf
+
+import java.nio.ByteBuffer
+import java.nio.charset.{CharacterCodingException, StandardCharsets}
+
+/** Minimal hand-rolled protobuf wire-format reader.
+  *
+  * The offline build resolves no protobuf runtime, and the OSM PBF format
+  * (MIT-licensed public spec, mirrored at
+  * /root/reference/osmpbf/src/proto/{fileformat,osmformat}.proto) uses only
+  * a handful of messages, so a cursor-based reader over the blob's byte
+  * array is smaller and faster than a generic runtime: no message objects,
+  * no reflection — the decoder pulls fields straight into primitive arrays.
+  *
+  * Wire types: 0=varint, 1=fixed64, 2=length-delimited, 5=fixed32.
+  */
+final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
+
+  def this(buf: Array[Byte]) = this(buf, 0, buf.length)
+
+  @inline def hasNext: Boolean = pos < end
+
+  /** Reads a base-128 varint (up to 10 bytes). */
+  def readVarint(): Long = {
+    var shift = 0
+    var result = 0L
+    while (shift < 64) {
+      val b = buf(pos)
+      pos += 1
+      result |= (b & 0x7fL) << shift
+      if ((b & 0x80) == 0) return result
+      shift += 7
+    }
+    throw new IllegalArgumentException("varint too long")
+  }
+
+  @inline def readZigzag(): Long = {
+    val v = readVarint()
+    (v >>> 1) ^ -(v & 1)
+  }
+
+  /** Returns the field tag (number << 3 | wireType). */
+  @inline def readTag(): Int = readVarint().toInt
+
+  def skip(wireType: Int): Unit = (wireType: @annotation.switch) match {
+    case 0 => readVarint()
+    case 1 => pos += 8
+    case 2 => val len = readVarint().toInt; pos += len
+    case 5 => pos += 4
+    case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+  }
+
+  /** Enters a length-delimited field: returns a sub-reader over its bytes. */
+  def readMessage(): ProtoReader = {
+    val len = readVarint().toInt
+    val r = new ProtoReader(buf, pos, pos + len)
+    pos += len
+    r
+  }
+
+  /** Copies a length-delimited field's bytes. */
+  def readBytes(): Array[Byte] = {
+    val len = readVarint().toInt
+    val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
+    pos += len
+    out
+  }
+
+  /** Reads a length-delimited field as a (lenient) UTF-8 string. */
+  def readString(): String = {
+    val len = readVarint().toInt
+    val s = new String(buf, pos, len, StandardCharsets.UTF_8)
+    pos += len
+    s
+  }
+
+  /** Reads a length-delimited field as strictly-validated UTF-8, or null on
+    * invalid bytes — callers replicate the reference's silent drop of
+    * invalid tag pairs (osmpbf/src/block.rs:439-456). */
+  def readStringStrict(): String = {
+    val len = readVarint().toInt
+    val s = ProtoReader.strictUtf8(buf, pos, len)
+    pos += len
+    s
+  }
+
+  /** Decodes a packed repeated varint field into a Long array. */
+  def readPackedVarint(): Array[Long] = {
+    val sub = readMessage()
+    val b = scala.collection.mutable.ArrayBuilder.make[Long]
+    while (sub.hasNext) b += sub.readVarint()
+    b.result()
+  }
+
+  /** Decodes a packed repeated sint (zigzag) field. */
+  def readPackedZigzag(): Array[Long] = {
+    val sub = readMessage()
+    val b = scala.collection.mutable.ArrayBuilder.make[Long]
+    while (sub.hasNext) b += sub.readZigzag()
+    b.result()
+  }
+}
+
+object ProtoReader {
+  /** Strict UTF-8 decode; null if the bytes are not valid UTF-8. */
+  def strictUtf8(bytes: Array[Byte], off: Int, len: Int): String = {
+    try StandardCharsets.UTF_8.newDecoder()
+      .decode(ByteBuffer.wrap(bytes, off, len)).toString
+    catch { case _: CharacterCodingException => null }
+  }
+}
