@@ -1,0 +1,394 @@
+package graft.sources.pbf
+
+import java.time.LocalDateTime
+import java.time.ZoneOffset
+import org.apache.spark.sql.Row
+import scala.collection.immutable.ListMap
+import scala.collection.mutable.ArrayBuffer
+
+/** HeaderBlock metadata (osmformat.proto HeaderBlock; decoded like
+  * osmpbf/src/block.rs:15-86). bbox is ×1e-9 degrees.
+  */
+final case class OsmHeader(
+    bboxLeft: Option[Double], bboxRight: Option[Double],
+    bboxTop: Option[Double], bboxBottom: Option[Double],
+    requiredFeatures: Seq[String], optionalFeatures: Seq[String],
+    writingProgram: Option[String], source: Option[String],
+    replicationTimestamp: Option[Long], replicationSequence: Option[Long],
+    replicationBaseUrl: Option[String])
+
+/** Decodes OSM PBF payloads (the uncompressed output of [[Blobs.decode]])
+  * into Spark [[Row]]s of [[OsmSchema.schema]].
+  *
+  * Semantics mirror the reference exactly:
+  *  - coords: degrees = 1e-9 × (offset + granularity × raw)
+  *    (osmpbf/src/elements.rs:84-111, dense.rs:36-63)
+  *  - timestamps: raw × date_granularity milliseconds (elements.rs:583-591)
+  *  - tag pairs with invalid-UTF-8 key or value are silently dropped
+  *    (block.rs:439-456)
+  *  - sparse elements: absent user → "" (sink.rs:183,227,249); visible
+  *    always present, defaulting true (elements.rs:616-619)
+  *  - dense nodes without DenseInfo: every info column null including
+  *    user and visible (sink.rs:203-222)
+  *  - relation member roles with invalid UTF-8 → null role
+  *    (sink.rs:251-260 `.role().ok()`)
+  *  - node id is sint64 (zigzag), way/relation ids are int64 (plain)
+  */
+object BlockDecoder {
+
+  /** PrimitiveBlock → element rows. Field order in the wire format puts
+    * granularity (17-20) after the groups (2), so we collect group spans
+    * first and decode them once the block-level scalars are known.
+    */
+  def decodeBlock(payload: Array[Byte]): Iterator[Row] = {
+    val r = new ProtoReader(payload)
+    var stringTable: Array[String] = Array.empty
+    val groups = ArrayBuffer.empty[ProtoReader]
+    var granularity = 100L
+    var latOffset = 0L
+    var lonOffset = 0L
+    var dateGranularity = 1000L
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag: @annotation.switch) match {
+        case 0x0a => stringTable = decodeStringTable(r.readMessage()) // 1
+        case 0x12 => groups += r.readMessage() // 2
+        case _ =>
+          val field = tag >>> 3
+          val wire = tag & 7
+          field match {
+            case 17 => granularity = r.readVarint()
+            case 18 => dateGranularity = r.readVarint()
+            case 19 => latOffset = r.readVarint()
+            case 20 => lonOffset = r.readVarint()
+            case _ => r.skip(wire)
+          }
+      }
+    }
+    val ctx = new BlockCtx(stringTable, granularity, latOffset, lonOffset, dateGranularity)
+    groups.iterator.flatMap(g => decodeGroup(g, ctx))
+  }
+
+  /** StringTable: repeated bytes s = 1. Invalid UTF-8 entries decode to
+    * null so tag/role lookups can drop them like the reference. */
+  private def decodeStringTable(r: ProtoReader): Array[String] = {
+    val out = ArrayBuffer.empty[String]
+    while (r.hasNext) {
+      val tag = r.readTag()
+      if (tag == 0x0a) out += r.readStringStrict()
+      else r.skip(tag & 7)
+    }
+    out.toArray
+  }
+
+  private final class BlockCtx(
+      val strings: Array[String],
+      val granularity: Long,
+      val latOffset: Long,
+      val lonOffset: Long,
+      val dateGranularity: Long) {
+    @inline def coord(offset: Long, raw: Long): Double =
+      1e-9 * (offset + granularity * raw)
+    @inline def millis(rawTs: Long): Long = rawTs * dateGranularity
+    @inline def string(idx: Int): String =
+      if (idx >= 0 && idx < strings.length) strings(idx) else null
+  }
+
+  private def toTimestamp(millis: Long): LocalDateTime =
+    LocalDateTime.ofEpochSecond(
+      Math.floorDiv(millis, 1000L), Math.floorMod(millis, 1000L).toInt * 1000000,
+      ZoneOffset.UTC)
+
+  /** Ordered tag map; pairs whose key or value is invalid UTF-8 (null in
+    * the string table) are dropped. */
+  private def tags(keys: Array[Long], vals: Array[Long], ctx: BlockCtx): ListMap[String, String] = {
+    var m = ListMap.empty[String, String]
+    val n = math.min(keys.length, vals.length)
+    var i = 0
+    while (i < n) {
+      val k = ctx.string(keys(i).toInt)
+      val v = ctx.string(vals(i).toInt)
+      if (k != null && v != null) m = m.updated(k, v)
+      i += 1
+    }
+    m
+  }
+
+  /** PrimitiveGroup: nodes=1, dense=2, ways=3, relations=4. */
+  private def decodeGroup(r: ProtoReader, ctx: BlockCtx): Iterator[Row] = {
+    val rows = ArrayBuffer.empty[Row]
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag: @annotation.switch) match {
+        case 0x0a => rows += decodeNode(r.readMessage(), ctx)
+        case 0x12 => rows ++= decodeDense(r.readMessage(), ctx)
+        case 0x1a => rows += decodeWay(r.readMessage(), ctx)
+        case 0x22 => rows += decodeRelation(r.readMessage(), ctx)
+        case t => r.skip(t & 7)
+      }
+    }
+    rows.iterator
+  }
+
+  /** Info message: version=1, timestamp=2, changeset=3, uid=4, user_sid=5,
+    * visible=6. Values surface as boxed-or-null per reference Option
+    * semantics; `userOrEmpty` applies the sparse-element "" fallback.
+    */
+  private final class SparseInfo {
+    var version: Integer = null
+    var timestampMs: java.lang.Long = null
+    var changeset: java.lang.Long = null
+    var uid: Integer = null
+    var userSid: Int = -1
+    var visible: Boolean = true
+
+    def user(ctx: BlockCtx): String =
+      if (userSid < 0) "" // absent → "" (sink.rs:183)
+      else { val s = ctx.string(userSid); if (s == null) "" else s }
+  }
+
+  private def decodeInfo(r: ProtoReader, ctx: BlockCtx): SparseInfo = {
+    val info = new SparseInfo
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 => info.version = r.readVarint().toInt
+        case 2 => info.timestampMs = ctx.millis(r.readVarint())
+        case 3 => info.changeset = r.readVarint()
+        case 4 => info.uid = r.readVarint().toInt
+        case 5 => info.userSid = r.readVarint().toInt
+        case 6 => info.visible = r.readVarint() != 0
+        case _ => r.skip(tag & 7)
+      }
+    }
+    info
+  }
+
+  /** Node: id=1 sint64, keys=2, vals=3, info=4, lat=8 sint64, lon=9 sint64. */
+  private def decodeNode(r: ProtoReader, ctx: BlockCtx): Row = {
+    var id = 0L
+    var keys: Array[Long] = Array.empty
+    var vals: Array[Long] = Array.empty
+    var info = new SparseInfo
+    var lat = 0L
+    var lon = 0L
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 => id = r.readZigzag()
+        case 2 => keys = r.readPackedVarint()
+        case 3 => vals = r.readPackedVarint()
+        case 4 => info = decodeInfo(r.readMessage(), ctx)
+        case 8 => lat = r.readZigzag()
+        case 9 => lon = r.readZigzag()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val ts = if (info.timestampMs == null) null else toTimestamp(info.timestampMs)
+    Row(id, tags(keys, vals, ctx), ctx.coord(ctx.latOffset, lat),
+      ctx.coord(ctx.lonOffset, lon), null, null, info.changeset, ts,
+      info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
+      OsmSchema.TypeNode)
+  }
+
+  /** DenseNodes: id=1Δ, denseinfo=5, lat=8Δ, lon=9Δ, keys_vals=10.
+    * The running-sum delta decode is inherently sequential per blob —
+    * exactly why the parallelism unit is the blob (dense.rs:148-151).
+    */
+  private def decodeDense(r: ProtoReader, ctx: BlockCtx): Iterator[Row] = {
+    var ids: Array[Long] = Array.empty
+    var lats: Array[Long] = Array.empty
+    var lons: Array[Long] = Array.empty
+    var keysVals: Array[Long] = Array.empty
+    var di: DenseInfoArrays = null
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 => ids = r.readPackedZigzag()
+        case 5 => di = decodeDenseInfo(r.readMessage())
+        case 8 => lats = r.readPackedZigzag()
+        case 9 => lons = r.readPackedZigzag()
+        case 10 => keysVals = r.readPackedVarint()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val n = ids.length
+    val rows = new ArrayBuffer[Row](n)
+    var id = 0L; var lat = 0L; var lon = 0L
+    var ts = 0L; var cs = 0L; var uid = 0L; var usid = 0L
+    var kv = 0 // cursor into keys_vals
+    val hasInfo = di != null && di.version.length == n
+    var i = 0
+    while (i < n) {
+      id += ids(i); lat += lats(i); lon += lons(i)
+      // 0-delimited (key,val) pairs for this node (dense.rs:153-163)
+      var m = ListMap.empty[String, String]
+      while (kv < keysVals.length && keysVals(kv) != 0L) {
+        val k = ctx.string(keysVals(kv).toInt)
+        val v = if (kv + 1 < keysVals.length) ctx.string(keysVals(kv + 1).toInt) else null
+        if (k != null && v != null) m = m.updated(k, v)
+        kv += 2
+      }
+      if (kv < keysVals.length) kv += 1 // skip the 0 delimiter
+      var row: Row = null
+      if (hasInfo) {
+        ts += di.timestamp(i); cs += di.changeset(i); uid += di.uid(i); usid += di.userSid(i)
+        val user = { val s = ctx.string(usid.toInt); if (s == null) "" else s }
+        val visible = if (di.visible.length > i) di.visible(i) else true
+        row = Row(id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
+          null, null, Long.box(cs), toTimestamp(ctx.millis(ts)), Int.box(uid.toInt),
+          user, Int.box(di.version(i).toInt), Boolean.box(visible), OsmSchema.TypeNode)
+      } else {
+        // no DenseInfo: every info column null, including user & visible
+        row = Row(id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
+          null, null, null, null, null, null, null, null, OsmSchema.TypeNode)
+      }
+      rows += row
+      i += 1
+    }
+    rows.iterator
+  }
+
+  private final class DenseInfoArrays(
+      val version: Array[Long], val timestamp: Array[Long],
+      val changeset: Array[Long], val uid: Array[Long],
+      val userSid: Array[Long], val visible: Array[Boolean])
+
+  /** DenseInfo: version=1 (plain), timestamp=2Δ, changeset=3Δ, uid=4Δ,
+    * user_sid=5Δ, visible=6. */
+  private def decodeDenseInfo(r: ProtoReader): DenseInfoArrays = {
+    var version: Array[Long] = Array.empty
+    var timestamp: Array[Long] = Array.empty
+    var changeset: Array[Long] = Array.empty
+    var uid: Array[Long] = Array.empty
+    var userSid: Array[Long] = Array.empty
+    var visible: Array[Boolean] = Array.empty
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 => version = r.readPackedVarint()
+        case 2 => timestamp = r.readPackedZigzag()
+        case 3 => changeset = r.readPackedZigzag()
+        case 4 => uid = r.readPackedZigzag()
+        case 5 => userSid = r.readPackedZigzag()
+        case 6 => visible = r.readPackedVarint().map(_ != 0L)
+        case _ => r.skip(tag & 7)
+      }
+    }
+    new DenseInfoArrays(version, timestamp, changeset, uid, userSid, visible)
+  }
+
+  /** Way: id=1 int64, keys=2, vals=3, info=4, refs=8Δ (lat/lon 9/10 from
+    * LocationsOnWays are skipped — the reference app ignores them,
+    * sink.rs:235). */
+  private def decodeWay(r: ProtoReader, ctx: BlockCtx): Row = {
+    var id = 0L
+    var keys: Array[Long] = Array.empty
+    var vals: Array[Long] = Array.empty
+    var info = new SparseInfo
+    var refs: Array[Long] = Array.empty
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => keys = r.readPackedVarint()
+        case 3 => vals = r.readPackedVarint()
+        case 4 => info = decodeInfo(r.readMessage(), ctx)
+        case 8 => refs = r.readPackedZigzag()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    // delta decode refs (elements.rs:332-348)
+    val nds = new Array[Row](refs.length)
+    var acc = 0L
+    var i = 0
+    while (i < refs.length) { acc += refs(i); nds(i) = Row(acc); i += 1 }
+    val ts = if (info.timestampMs == null) null else toTimestamp(info.timestampMs)
+    Row(id, tags(keys, vals, ctx), null, null, nds.toSeq, null, info.changeset,
+      ts, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
+      OsmSchema.TypeWay)
+  }
+
+  private val MemberTypes = Array(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
+
+  /** Relation: id=1 int64, keys=2, vals=3, info=4, roles_sid=8, memids=9Δ,
+    * types=10. */
+  private def decodeRelation(r: ProtoReader, ctx: BlockCtx): Row = {
+    var id = 0L
+    var keys: Array[Long] = Array.empty
+    var vals: Array[Long] = Array.empty
+    var info = new SparseInfo
+    var rolesSid: Array[Long] = Array.empty
+    var memids: Array[Long] = Array.empty
+    var types: Array[Long] = Array.empty
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 => id = r.readVarint()
+        case 2 => keys = r.readPackedVarint()
+        case 3 => vals = r.readPackedVarint()
+        case 4 => info = decodeInfo(r.readMessage(), ctx)
+        case 8 => rolesSid = r.readPackedVarint()
+        case 9 => memids = r.readPackedZigzag()
+        case 10 => types = r.readPackedVarint()
+        case _ => r.skip(tag & 7)
+      }
+    }
+    val n = math.min(memids.length, math.min(rolesSid.length, types.length))
+    val members = new Array[Row](n)
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += memids(i)
+      val t = types(i).toInt
+      val typeStr = if (t >= 0 && t < 3) MemberTypes(t) else null
+      members(i) = Row(typeStr, acc, ctx.string(rolesSid(i).toInt)) // invalid role → null
+      i += 1
+    }
+    val ts = if (info.timestampMs == null) null else toTimestamp(info.timestampMs)
+    Row(id, tags(keys, vals, ctx), null, null, null, members.toSeq, info.changeset,
+      ts, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
+      OsmSchema.TypeRelation)
+  }
+
+  /** HeaderBlock: bbox=1, required_features=4, optional_features=5,
+    * writingprogram=16, source=17, replication ts/seq/url=32/33/34. */
+  def decodeHeader(payload: Array[Byte]): OsmHeader = {
+    val r = new ProtoReader(payload)
+    var left, right, top, bottom: Option[Double] = None
+    val req = ArrayBuffer.empty[String]
+    val opt = ArrayBuffer.empty[String]
+    var program: Option[String] = None
+    var source: Option[String] = None
+    var repTs: Option[Long] = None
+    var repSeq: Option[Long] = None
+    var repUrl: Option[String] = None
+    while (r.hasNext) {
+      val tag = r.readTag()
+      (tag >>> 3) match {
+        case 1 =>
+          val b = r.readMessage()
+          while (b.hasNext) {
+            val t2 = b.readTag()
+            (t2 >>> 3) match {
+              case 1 => left = Some(b.readZigzag() * 1e-9)
+              case 2 => right = Some(b.readZigzag() * 1e-9)
+              case 3 => top = Some(b.readZigzag() * 1e-9)
+              case 4 => bottom = Some(b.readZigzag() * 1e-9)
+              case _ => b.skip(t2 & 7)
+            }
+          }
+        case 4 => req += r.readString()
+        case 5 => opt += r.readString()
+        case 16 => program = Some(r.readString())
+        case 17 => source = Some(r.readString())
+        case 32 => repTs = Some(r.readVarint())
+        case 33 => repSeq = Some(r.readVarint())
+        case 34 => repUrl = Some(r.readString())
+        case _ => r.skip(tag & 7)
+      }
+    }
+    OsmHeader(left, right, top, bottom, req.toSeq, opt.toSeq, program, source,
+      repTs, repSeq, repUrl)
+  }
+}

@@ -1,0 +1,116 @@
+package graft.sources.pbf
+
+import java.io.FileInputStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-fixture decode tests against the reference's checked-in PBFs
+  * (read-only at /root/reference/osmpbf/tests/). Expected values come from
+  * osmpbf/tests/read.rs:118-210 and tests/test.osm — this is the same
+  * correctness bar the reference library holds itself to.
+  *
+  * The three test.osm variants deliberately cover both compression paths
+  * (zlib / raw) and both node encodings (dense / sparse).
+  */
+class PbfDecodeSpec extends AnyFunSuite {
+
+  private val fixtures = "/root/reference/osmpbf/tests"
+
+  private def readFile(path: String): Array[Byte] =
+    java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+
+  private def decodeAll(path: String): Seq[org.apache.spark.sql.Row] = {
+    val in = new FileInputStream(path)
+    val spans = try Blobs.enumerate(in) finally in.close()
+    val bytes = readFile(path)
+    spans.filter(_.blobType == Blobs.TypeOsmData).flatMap { s =>
+      val body = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.length)
+      BlockDecoder.decodeBlock(Blobs.decode(body)).toSeq
+    }
+  }
+
+  private def fieldIdx(name: String): Int = OsmSchema.schema.fieldIndex(name)
+
+  for (file <- Seq("test.osm.pbf", "test_nozlib.osm.pbf", "test_nozlib_nodense.osm.pbf")) {
+    test(s"$file decodes to 3 nodes, 1 way, 1 relation with golden values") {
+      val rows = decodeAll(s"$fixtures/$file")
+      val byType = rows.groupBy(_.getString(fieldIdx("type")))
+      assert(byType("node").size === 3)
+      assert(byType("way").size === 1)
+      assert(byType("relation").size === 1)
+
+      val nodes = byType("node").sortBy(_.getLong(0))
+      assert(nodes.map(_.getLong(0)) === Seq(105L, 106L, 108L))
+      // golden coords from read.rs:128-145
+      assert(math.abs(nodes(1).getDouble(fieldIdx("lat")) - 52.11992359584) < 1e-6)
+      assert(math.abs(nodes(1).getDouble(fieldIdx("lon")) - 11.62564468943) < 1e-6)
+      assert(math.abs(nodes(2).getDouble(fieldIdx("lat")) - 52.11989910567) < 1e-6)
+      assert(math.abs(nodes(2).getDouble(fieldIdx("lon")) - 11.63101926915) < 1e-6)
+      // uid 17, visible true, user testuser, version 1 (test.osm)
+      nodes.foreach { n =>
+        assert(n.getInt(fieldIdx("uid")) === 17)
+        assert(n.getBoolean(fieldIdx("visible")))
+        assert(n.getString(fieldIdx("user")) === "testuser")
+        assert(n.getInt(fieldIdx("version")) === 1)
+      }
+      // node timestamps: 2003-04-05T06:07:08/09/10Z (test.osm)
+      val ts = nodes.map(_.getAs[java.time.LocalDateTime](fieldIdx("timestamp")))
+      assert(ts.map(_.getSecond) === Seq(8, 9, 10))
+      assert(ts.head === java.time.LocalDateTime.of(2003, 4, 5, 6, 7, 8))
+
+      val way = byType("way").head
+      assert(way.getLong(0) === 107L)
+      val wayTags = way.getAs[Map[String, String]](fieldIdx("tags"))
+      assert(wayTags === Map("building" -> "yes", "name" -> "triangle"))
+      val nds = way.getAs[Seq[org.apache.spark.sql.Row]](fieldIdx("nds"))
+      assert(nds.map(_.getLong(0)) === Seq(105L, 106L, 108L, 105L))
+      assert(way.isNullAt(fieldIdx("lat")) && way.isNullAt(fieldIdx("lon")))
+
+      val rel = byType("relation").head
+      assert(rel.getLong(0) === 120L)
+      assert(rel.getAs[Map[String, String]](fieldIdx("tags")) === Map("rel_key" -> "rel_value"))
+      val members = rel.getAs[Seq[org.apache.spark.sql.Row]](fieldIdx("members"))
+      assert(members.size === 1)
+      assert(members.head.getString(0) === "way")
+      assert(members.head.getLong(1) === 107L)
+      assert(members.head.getString(2) === "test_role")
+    }
+  }
+
+  test("header block decodes features and bbox") {
+    val path = s"$fixtures/test.osm.pbf"
+    val in = new FileInputStream(path)
+    val spans = try Blobs.enumerate(in) finally in.close()
+    val bytes = readFile(path)
+    val h = spans.find(_.blobType == Blobs.TypeOsmHeader).map { s =>
+      val body = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.length)
+      BlockDecoder.decodeHeader(Blobs.decode(body))
+    }.get
+    assert(h.requiredFeatures.toSet === Set("OsmSchema-V0.6", "DenseNodes"))
+    assert(h.optionalFeatures.isEmpty)
+  }
+
+  test("history file: first node deleted (visible=false), second visible") {
+    val rows = decodeAll(s"$fixtures/deleted_nodes.osh.pbf")
+    val nodes = rows.filter(_.getString(fieldIdx("type")) == "node")
+    // read.rs:370-371: node[0] invisible, node[1] visible
+    assert(nodes.size === 2)
+    assert(!nodes(0).getBoolean(fieldIdx("visible")))
+    assert(nodes(1).getBoolean(fieldIdx("visible")))
+  }
+
+  test("LocationsOnWays file still decodes way refs (locations ignored like the reference app)") {
+    val rows = decodeAll(s"$fixtures/loc_on_ways.osm.pbf")
+    val way = rows.filter(_.getString(fieldIdx("type")) == "way").head
+    val nds = way.getAs[Seq[org.apache.spark.sql.Row]](fieldIdx("nds"))
+    assert(nds.map(_.getLong(0)) === Seq(105L, 106L, 108L, 105L))
+    assert(way.isNullAt(fieldIdx("lat")))
+  }
+
+  test("blob enumeration caps and framing") {
+    val in = new FileInputStream(s"$fixtures/test.osm.pbf")
+    val spans = try Blobs.enumerate(in) finally in.close()
+    assert(spans.size === 2)
+    assert(spans.head.blobType === Blobs.TypeOsmHeader)
+    assert(spans(1).blobType === Blobs.TypeOsmData)
+  }
+}
