@@ -36,11 +36,31 @@ final case class OsmHeader(
   */
 object BlockDecoder {
 
+  /** Column-pruning projection for the scan (DataSourceV2
+    * `SupportsPushDownRequiredColumns`): columns not required skip their
+    * decode-side allocation entirely — the Spark-native version of the
+    * reference's lazy decode (blob.rs:92-113). `types` prunes whole
+    * primitive groups when a `type = …` predicate is pushed down, the
+    * analog of the reference's known-empty blob skip (indexed.rs:275-300).
+    */
+  final case class Projection(
+      tags: Boolean = true,
+      coords: Boolean = true,
+      nds: Boolean = true,
+      members: Boolean = true,
+      info: Boolean = true,
+      types: Set[String] = Set(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation))
+
+  val FullProjection: Projection = Projection()
+
   /** PrimitiveBlock → element rows. Field order in the wire format puts
     * granularity (17-20) after the groups (2), so we collect group spans
     * first and decode them once the block-level scalars are known.
     */
-  def decodeBlock(payload: Array[Byte]): Iterator[Row] = {
+  def decodeBlock(payload: Array[Byte]): Iterator[Row] =
+    decodeBlock(payload, FullProjection)
+
+  def decodeBlock(payload: Array[Byte], proj: Projection): Iterator[Row] = {
     val r = new ProtoReader(payload)
     var stringTable: Array[String] = Array.empty
     val groups = ArrayBuffer.empty[ProtoReader]
@@ -66,7 +86,7 @@ object BlockDecoder {
       }
     }
     val ctx = new BlockCtx(stringTable, granularity, latOffset, lonOffset, dateGranularity)
-    groups.iterator.flatMap(g => decodeGroup(g, ctx))
+    groups.iterator.flatMap(g => decodeGroup(g, ctx, proj))
   }
 
   /** StringTable: repeated bytes s = 1. Invalid UTF-8 entries decode to
@@ -114,16 +134,20 @@ object BlockDecoder {
     m
   }
 
-  /** PrimitiveGroup: nodes=1, dense=2, ways=3, relations=4. */
-  private def decodeGroup(r: ProtoReader, ctx: BlockCtx): Iterator[Row] = {
+  /** PrimitiveGroup: nodes=1, dense=2, ways=3, relations=4. Groups of a
+    * type excluded by a pushed `type` predicate are skipped without decode. */
+  private def decodeGroup(r: ProtoReader, ctx: BlockCtx, proj: Projection): Iterator[Row] = {
     val rows = ArrayBuffer.empty[Row]
+    val wantNode = proj.types(OsmSchema.TypeNode)
+    val wantWay = proj.types(OsmSchema.TypeWay)
+    val wantRel = proj.types(OsmSchema.TypeRelation)
     while (r.hasNext) {
       val tag = r.readTag()
       (tag: @annotation.switch) match {
-        case 0x0a => rows += decodeNode(r.readMessage(), ctx)
-        case 0x12 => rows ++= decodeDense(r.readMessage(), ctx)
-        case 0x1a => rows += decodeWay(r.readMessage(), ctx)
-        case 0x22 => rows += decodeRelation(r.readMessage(), ctx)
+        case 0x0a => if (wantNode) rows += decodeNode(r.readMessage(), ctx, proj) else r.skip(2)
+        case 0x12 => if (wantNode) rows ++= decodeDense(r.readMessage(), ctx, proj) else r.skip(2)
+        case 0x1a => if (wantWay) rows += decodeWay(r.readMessage(), ctx, proj) else r.skip(2)
+        case 0x22 => if (wantRel) rows += decodeRelation(r.readMessage(), ctx, proj) else r.skip(2)
         case t => r.skip(t & 7)
       }
     }
@@ -165,7 +189,7 @@ object BlockDecoder {
   }
 
   /** Node: id=1 sint64, keys=2, vals=3, info=4, lat=8 sint64, lon=9 sint64. */
-  private def decodeNode(r: ProtoReader, ctx: BlockCtx): Row = {
+  private def decodeNode(r: ProtoReader, ctx: BlockCtx, proj: Projection): Row = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
@@ -176,16 +200,17 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => id = r.readZigzag()
-        case 2 => keys = r.readPackedVarint()
-        case 3 => vals = r.readPackedVarint()
-        case 4 => info = decodeInfo(r.readMessage(), ctx)
+        case 2 => if (proj.tags) keys = r.readPackedVarint() else r.skip(2)
+        case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
+        case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
         case 8 => lat = r.readZigzag()
         case 9 => lon = r.readZigzag()
         case _ => r.skip(tag & 7)
       }
     }
     val ts = if (info.timestampMs == null) null else toTimestamp(info.timestampMs)
-    Row(id, tags(keys, vals, ctx), ctx.coord(ctx.latOffset, lat),
+    Row(id, if (proj.tags) tags(keys, vals, ctx) else null,
+      ctx.coord(ctx.latOffset, lat),
       ctx.coord(ctx.lonOffset, lon), null, null, info.changeset, ts,
       info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
       OsmSchema.TypeNode)
@@ -195,7 +220,7 @@ object BlockDecoder {
     * The running-sum delta decode is inherently sequential per blob —
     * exactly why the parallelism unit is the blob (dense.rs:148-151).
     */
-  private def decodeDense(r: ProtoReader, ctx: BlockCtx): Iterator[Row] = {
+  private def decodeDense(r: ProtoReader, ctx: BlockCtx, proj: Projection): Iterator[Row] = {
     var ids: Array[Long] = Array.empty
     var lats: Array[Long] = Array.empty
     var lons: Array[Long] = Array.empty
@@ -205,10 +230,10 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => ids = r.readPackedZigzag()
-        case 5 => di = decodeDenseInfo(r.readMessage())
+        case 5 => if (proj.info) di = decodeDenseInfo(r.readMessage()) else r.skip(2)
         case 8 => lats = r.readPackedZigzag()
         case 9 => lons = r.readPackedZigzag()
-        case 10 => keysVals = r.readPackedVarint()
+        case 10 => if (proj.tags) keysVals = r.readPackedVarint() else r.skip(2)
         case _ => r.skip(tag & 7)
       }
     }
@@ -281,7 +306,7 @@ object BlockDecoder {
   /** Way: id=1 int64, keys=2, vals=3, info=4, refs=8Δ (lat/lon 9/10 from
     * LocationsOnWays are skipped — the reference app ignores them,
     * sink.rs:235). */
-  private def decodeWay(r: ProtoReader, ctx: BlockCtx): Row = {
+  private def decodeWay(r: ProtoReader, ctx: BlockCtx, proj: Projection): Row = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
@@ -291,10 +316,10 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => id = r.readVarint()
-        case 2 => keys = r.readPackedVarint()
-        case 3 => vals = r.readPackedVarint()
-        case 4 => info = decodeInfo(r.readMessage(), ctx)
-        case 8 => refs = r.readPackedZigzag()
+        case 2 => if (proj.tags) keys = r.readPackedVarint() else r.skip(2)
+        case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
+        case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
+        case 8 => if (proj.nds) refs = r.readPackedZigzag() else r.skip(2)
         case _ => r.skip(tag & 7)
       }
     }
@@ -304,7 +329,8 @@ object BlockDecoder {
     var i = 0
     while (i < refs.length) { acc += refs(i); nds(i) = Row(acc); i += 1 }
     val ts = if (info.timestampMs == null) null else toTimestamp(info.timestampMs)
-    Row(id, tags(keys, vals, ctx), null, null, nds.toSeq, null, info.changeset,
+    Row(id, if (proj.tags) tags(keys, vals, ctx) else null, null, null,
+      if (proj.nds) nds.toSeq else null, null, info.changeset,
       ts, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
       OsmSchema.TypeWay)
   }
@@ -313,7 +339,7 @@ object BlockDecoder {
 
   /** Relation: id=1 int64, keys=2, vals=3, info=4, roles_sid=8, memids=9Δ,
     * types=10. */
-  private def decodeRelation(r: ProtoReader, ctx: BlockCtx): Row = {
+  private def decodeRelation(r: ProtoReader, ctx: BlockCtx, proj: Projection): Row = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
@@ -325,12 +351,12 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => id = r.readVarint()
-        case 2 => keys = r.readPackedVarint()
-        case 3 => vals = r.readPackedVarint()
-        case 4 => info = decodeInfo(r.readMessage(), ctx)
-        case 8 => rolesSid = r.readPackedVarint()
-        case 9 => memids = r.readPackedZigzag()
-        case 10 => types = r.readPackedVarint()
+        case 2 => if (proj.tags) keys = r.readPackedVarint() else r.skip(2)
+        case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
+        case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
+        case 8 => if (proj.members) rolesSid = r.readPackedVarint() else r.skip(2)
+        case 9 => if (proj.members) memids = r.readPackedZigzag() else r.skip(2)
+        case 10 => if (proj.members) types = r.readPackedVarint() else r.skip(2)
         case _ => r.skip(tag & 7)
       }
     }
@@ -346,7 +372,8 @@ object BlockDecoder {
       i += 1
     }
     val ts = if (info.timestampMs == null) null else toTimestamp(info.timestampMs)
-    Row(id, tags(keys, vals, ctx), null, null, null, members.toSeq, info.changeset,
+    Row(id, if (proj.tags) tags(keys, vals, ctx) else null, null, null, null,
+      if (proj.members) members.toSeq else null, info.changeset,
       ts, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
       OsmSchema.TypeRelation)
   }

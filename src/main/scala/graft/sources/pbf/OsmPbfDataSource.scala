@@ -1,0 +1,185 @@
+package graft.sources.pbf
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import scala.jdk.CollectionConverters._
+
+/** DataSourceV2 connector: `spark.read.format("osmpbf").load(path)`.
+  *
+  * What Catalyst gets to do through this connector that the bootstrap
+  * `OsmPbf.read` path can't:
+  *  - **column pruning** (`SupportsPushDownRequiredColumns`): unneeded
+  *    columns skip their decode allocations — reading only `id, lat, lon`
+  *    never materializes tag maps or info (the reference's lazy-decode
+  *    idea, blob.rs:92-113, generalized per column);
+  *  - **`type` predicate pushdown** (`SupportsPushDownFilters` on
+  *    `type = / in (…)`): excluded element kinds skip whole primitive
+  *    groups without decoding — the scan-level analog of the reference's
+  *    known-empty blob skip (indexed.rs:275-300);
+  *  - clean split planning: one [[InputPartition]] per ~`splitMb` of
+  *    compressed blobs, so a planet file fans out to a few thousand tasks
+  *    regardless of blob count.
+  *
+  * Options: `splitMb` (task target input size, default 64).
+  */
+class OsmPbfDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "osmpbf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OsmSchema.schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new OsmPbfTable(properties.asScala.toMap)
+}
+
+class OsmPbfTable(properties: Map[String, String]) extends Table with SupportsRead {
+  private val path = properties.getOrElse("path",
+    throw new IllegalArgumentException("osmpbf source requires .load(path)"))
+
+  override def name(): String = s"osmpbf:$path"
+  override def schema(): StructType = OsmSchema.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OsmPbfScanBuilder(path,
+      options.getOrDefault("splitMb", properties.getOrElse("splitMb", "64")).toInt)
+}
+
+class OsmPbfScanBuilder(path: String, splitMb: Int)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requiredSchema: StructType = OsmSchema.schema
+  private var pushedTypeFilters: Array[Filter] = Array.empty
+  private var typeSet: Set[String] =
+    Set(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
+
+  override def pruneColumns(required: StructType): Unit = {
+    // preserve source column order for a stable read schema
+    val names = required.fieldNames.toSet
+    requiredSchema = StructType(OsmSchema.schema.filter(f => names.contains(f.name)))
+  }
+
+  /** Accepts only `type = v` / `type IN (…)`; everything else stays with
+    * Spark. The accepted filter is also re-evaluated by Spark (we return
+    * it from pushedFilters for plan display but keep Spark's copy — group
+    * skip is a pruning optimization, not an exactness contract). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rest) = filters.partition {
+      case EqualTo("type", _: String) => true
+      case In("type", vs) if vs.forall(_.isInstanceOf[String]) => true
+      case _ => false
+    }
+    pushedTypeFilters = accepted
+    if (accepted.nonEmpty) {
+      typeSet = accepted.map {
+        case EqualTo(_, v: String) => Set(v)
+        case In(_, vs) => vs.map(_.asInstanceOf[String]).toSet
+        case _ => Set.empty[String]
+      }.reduce(_ intersect _)
+    }
+    rest
+  }
+
+  override def pushedFilters(): Array[Filter] = pushedTypeFilters
+
+  override def build(): Scan = new OsmPbfScan(path, splitMb, requiredSchema, typeSet)
+}
+
+class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
+                 typeSet: Set[String]) extends Scan with Batch {
+  override def readSchema(): StructType = requiredSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"osmpbf $path types=${typeSet.mkString(",")} cols=${requiredSchema.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val spans = OsmPbf.blobSpans(spark, path).filter(_.blobType == Blobs.TypeOsmData)
+    val target = splitMb.toLong << 20
+    val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Blobs.BlobSpan]]
+    var acc = 0L
+    spans.foreach { s =>
+      if (groups.isEmpty || acc + s.length > target) {
+        groups += scala.collection.mutable.ArrayBuffer(s); acc = s.length.toLong
+      } else { groups.last += s; acc += s.length }
+    }
+    groups.map(g => OsmPbfInputPartition(path, g.toArray): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    OsmPbfReaderFactory(hconf, requiredSchema, typeSet)
+  }
+}
+
+case class OsmPbfInputPartition(path: String, spans: Array[Blobs.BlobSpan])
+    extends InputPartition
+
+case class OsmPbfReaderFactory(hconf: SerializableConfiguration,
+                               requiredSchema: StructType,
+                               typeSet: Set[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[OsmPbfInputPartition]
+    new OsmPbfPartitionReader(p, hconf, requiredSchema, typeSet)
+  }
+}
+
+/** Reads one span group: seek → read → decompress → decode → project to
+  * the pruned schema as InternalRows. */
+class OsmPbfPartitionReader(partition: OsmPbfInputPartition,
+                            hconf: SerializableConfiguration,
+                            requiredSchema: StructType,
+                            typeSet: Set[String]) extends PartitionReader[InternalRow] {
+
+  private val need = requiredSchema.fieldNames.toSet
+  private val proj = BlockDecoder.Projection(
+    tags = need.contains("tags"),
+    coords = need.contains("lat") || need.contains("lon"),
+    nds = need.contains("nds"),
+    members = need.contains("members"),
+    info = Seq("changeset", "timestamp", "uid", "user", "version", "visible").exists(need),
+    types = typeSet)
+  // source-ordinal of each required column
+  private val ordinals = requiredSchema.fieldNames.map(OsmSchema.schema.fieldIndex)
+  private val converters = requiredSchema.fields.map(f =>
+    CatalystTypeConverters.createToCatalystConverter(f.dataType))
+
+  private val fsPath = new Path(partition.path)
+  private val fs = fsPath.getFileSystem(hconf.value)
+  private val in = fs.open(fsPath)
+
+  private val rows: Iterator[InternalRow] = partition.spans.iterator.flatMap { span =>
+    in.seek(span.offset)
+    val buf = new Array[Byte](span.length)
+    in.readFully(buf)
+    BlockDecoder.decodeBlock(Blobs.decode(buf), proj).map { row =>
+      val out = new Array[Any](ordinals.length)
+      var i = 0
+      while (i < ordinals.length) {
+        val v = row.get(ordinals(i))
+        out(i) = if (v == null) null else converters(i)(v)
+        i += 1
+      }
+      InternalRow.fromSeq(out.toSeq)
+    }
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
+}

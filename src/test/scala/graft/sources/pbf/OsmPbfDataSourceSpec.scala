@@ -1,0 +1,68 @@
+package graft.sources.pbf
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSourceV2 connector spec: `format("osmpbf")` with column pruning and
+  * type-predicate pushdown, checked against the same golden fixture values
+  * as the low-level decode specs.
+  */
+class OsmPbfDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val fixture = "/root/reference/osmpbf/tests/test.osm.pbf"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("osmpbf-dsv2-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("format(osmpbf) reads the unified schema") {
+    val df = spark.read.format("osmpbf").load(fixture)
+    assert(df.schema === OsmSchema.schema)
+    assert(df.count() === 5)
+  }
+
+  test("column pruning reaches the scan (ReadSchema shrinks)") {
+    val df = spark.read.format("osmpbf").load(fixture).select("id", "lat", "lon")
+    val plan = df.queryExecution.executedPlan.toString
+    // v2 scan should only carry the 3 required columns
+    assert(df.columns.toSeq === Seq("id", "lat", "lon"))
+    assert(!plan.contains("tags"))
+    val rows = df.filter(col("lat").isNotNull).collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getLong(0)).sorted.toSeq === Seq(105L, 106L, 108L))
+  }
+
+  test("type = 'way' predicate pushes down and prunes other groups") {
+    val df = spark.read.format("osmpbf").load(fixture).filter(col("type") === "way")
+    val rows = df.collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("id") === 107L)
+    // pruned values stay correct under combined prune+filter
+    val tags = spark.read.format("osmpbf").load(fixture)
+      .filter(col("type") === "way").select("tags").collect().head
+      .getAs[Map[String, String]](0)
+    assert(tags === Map("building" -> "yes", "name" -> "triangle"))
+  }
+
+  test("pruned read of members still correct") {
+    val m = spark.read.format("osmpbf").load(fixture)
+      .filter(col("type") === "relation")
+      .select(explode(col("members")).as("m"))
+      .select("m.type", "m.ref", "m.role").collect()
+    assert(m.length === 1)
+    assert(m.head.getString(0) === "way" && m.head.getLong(1) === 107L &&
+      m.head.getString(2) === "test_role")
+  }
+}
