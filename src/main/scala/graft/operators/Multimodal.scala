@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) pipeline plumbing.
+  *
+  * Media are opaque `binary` columns + typed metadata, processed in
+  * batch-shaped partition passes (`mapPartitions` over a typed Dataset —
+  * the JVM analog of a vectorized Python UDF: one iterator per partition,
+  * amortized per-batch setup, no per-row interpreter crossing).
+  *
+  * The actual codec step is STUBBED — this container ships no image/audio
+  * libraries — behind [[StubCodec]], a deterministic fake that derives
+  * "pixels"/"samples" from payload bytes. Everything around it (schema,
+  * partitioning, batch shape, feature aggregation) is real and tested;
+  * swapping `StubCodec.decode` for a real codec is the only deploy-time
+  * change.
+  *
+  * Scale notes: decode is embarrassingly parallel per item; partitions
+  * stay narrow (no shuffle) until the final per-source aggregation, whose
+  * cardinality is tiny. Feature vectors use integer arithmetic so results
+  * are bit-identical under any partitioning — the property that makes a
+  * 100 TB decode run reproducible.
+  */
+object Multimodal {
+
+  final case class MediaItem(media_id: Long, kind: String, source: String,
+                             payload: Array[Byte])
+
+  final case class MediaFeatures(media_id: Long, source: String, n_bytes: Int,
+                                 checksum: Long, features: Array[Long])
+
+  final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int,
+                         checksum: Long)
+
+  /** Deterministic stand-in for a real decoder. `decode` maps payload
+    * bytes → fixed-dim integer feature vector with a rolling polynomial
+    * hash per band. A real implementation would decode pixels and run a
+    * feature extractor here; the signature — bytes in, fixed-length
+    * vector out — is the contract the pipeline tests.
+    */
+  object StubCodec {
+    val Dim = 8
+
+    /** Values stay < 2^31 so ANSI-mode Long aggregation over billions of
+      * items cannot overflow. */
+    def decode(payload: Array[Byte]): Array[Long] = {
+      val f = new Array[Long](Dim)
+      var i = 0
+      while (i < payload.length) {
+        val band = i % Dim
+        f(band) = (f(band) * 31 + (payload(i) & 0xff)) % 2147483647L
+        i += 1
+      }
+      f
+    }
+
+    def checksum(payload: Array[Byte]): Long = {
+      var h = 5381L
+      var i = 0
+      while (i < payload.length) { h = (h * 33 + (payload(i) & 0xff)) % 2147483647L; i += 1 }
+      h
+    }
+  }
+
+  /** Batch decode + feature extraction, one partition pass. */
+  def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
+    import items.sparkSession.implicits._
+    items.mapPartitions { it =>
+      // per-partition setup would initialize the real codec once here
+      it.map { m =>
+        MediaFeatures(m.media_id, m.source, m.payload.length,
+          StubCodec.checksum(m.payload), StubCodec.decode(m.payload))
+      }
+    }
+  }
+
+  /** Frame sampling: split the payload into `n` equal spans ("frames") and
+    * emit one row each — the batch shape of video frame extraction. */
+  def sampleFrames(items: Dataset[MediaItem], n: Int): Dataset[Frame] = {
+    import items.sparkSession.implicits._
+    items.flatMap { m =>
+      val len = m.payload.length
+      (0 until n).iterator.map { i =>
+        val from = (len.toLong * i / n).toInt
+        val until = (len.toLong * (i + 1) / n).toInt
+        val span = java.util.Arrays.copyOfRange(m.payload, from, until)
+        Frame(m.media_id, i, span.length, StubCodec.checksum(span))
+      }
+    }
+  }
+
+  /** documents-as-media: treat text bytes as opaque payloads (the shape a
+    * real corpus would have with image bytes in the payload column). */
+  def documentsAsMedia(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"), lit("text").as("kind"),
+        col("source"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaItem]
+  }
+
+  /** m02: full decode→feature→aggregate pipeline (rows-only check: the
+    * mapPartitions codec stage is not SQL-expressible). Integer features
+    * keep the aggregate partitioning-invariant.
+    */
+  val m02_media_features: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    extractFeatures(documentsAsMedia(s, dir))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(element_at(col("features"), 1)).as("f0_sum"),
+        min(col("checksum")).as("min_checksum"))
+      .orderBy(col("source"))
+  }
+
+  /** m03: frame sampling pipeline (rows-only). 4 frames per doc; output
+    * is per-media frame inventory keyed for downstream joins. */
+  val m03_frame_sample: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    sampleFrames(documentsAsMedia(s, dir), 4)
+      .groupBy(col("frame_idx"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy(col("frame_idx"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m02_media_features" -> m02_media_features,
+    "m03_frame_sample" -> m03_frame_sample,
+  )
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("event-streams-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def ts(hour: Int, minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 $hour%02d:$minute%02d:00")
+
+  test("windowed counts over a memory stream with watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.windowedCounts(input.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      EventStreams.Event(1, ts(1, 5), 10, "click", 1.0),
+      EventStreams.Event(2, ts(1, 15), 11, "click", 2.0),
+      EventStreams.Event(3, ts(1, 30), 10, "view", 5.0))
+    query.processAllAvailable()
+    // advance the watermark far enough to close hour-1 windows
+    input.addData(EventStreams.Event(4, ts(3, 0), 12, "click", 1.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("wc")
+      .select(col("bucket_start"), col("event_type"), col("n"), col("total_value"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(r => (r._1.getTime, r._2))
+    assert(rows.toSeq === Seq(
+      (ts(1, 0), "click", 2L, 3.0),
+      (ts(1, 0), "view", 1L, 5.0)))
+    query.stop()
+  }
+
+  test("streaming transform equals its batch twin (backfill parity)") {
+    val sp = spark; import sp.implicits._
+    val batch = Seq(
+      EventStreams.Event(1, ts(1, 5), 10, "click", 1.0),
+      EventStreams.Event(2, ts(1, 15), 11, "click", 2.0),
+      EventStreams.Event(3, ts(2, 30), 10, "view", 5.0)).toDF()
+    val out = EventStreams.windowedCounts(batch).orderBy("bucket_start", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq(
+      (ts(1, 0), "click", 2L, 3.0),
+      (ts(2, 0), "view", 1L, 5.0)))
+  }
+
+  test("sessionize with flatMapGroupsWithState closes sessions as the watermark passes") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // 30-minute event-time gap, 10-minute watermark delay
+    val query = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(1, 5), 10, "click", 2.0))
+    query.processAllAvailable()
+    // watermark jumps to 3:50 — past 1:05+30min, so user 10's session closes
+    input.addData(EventStreams.Event(3, ts(4, 0), 99, "view", 1.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(4, ts(6, 0), 98, "view", 1.0))
+    query.processAllAvailable()
+
+    val sessions = spark.table("sess").as[EventStreams.SessionOut].collect()
+    val u10 = sessions.find(_.user_id == 10L)
+    assert(u10.isDefined)
+    assert(u10.get.n_events === 2L)
+    assert(u10.get.total_value === 3.0)
+    assert(u10.get.duration_ms === 5 * 60 * 1000L)
+    query.stop()
+  }
+
+  test("file-stream wiring over parquet events") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
+    Seq(
+      EventStreams.Event(1, ts(1, 5), 10, "click", 1.0),
+      EventStreams.Event(2, ts(1, 10), 11, "click", 3.0),
+      EventStreams.Event(3, ts(4, 0), 12, "view", 2.0))
+      .toDF().write.mode("overwrite").parquet(dir)
+    val q = EventStreams.streamEventsToMemory(spark, dir, "filewc")
+    q.processAllAvailable()
+    // append mode: only windows closed by the watermark (hour 1 < 4:00-10m)
+    val rows = spark.table("filewc").collect()
+    assert(rows.map(_.getLong(2)).sum === 2L)
+    q.stop()
+  }
+}
