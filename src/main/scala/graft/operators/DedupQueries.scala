@@ -29,15 +29,32 @@ object DedupQueries {
   /** Distinct word 3-shingles per doc (1-based element_at to mirror
     * DuckDB's 1-based list indexing — same shingle strings both sides).
     * Docs under 3 tokens are dropped up front: Spark's sequence(1, n)
-    * REVERSES direction for n < 1 instead of yielding empty. */
-  private def shingles(df: DataFrame): DataFrame =
-    df.filter(size(toks) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ",
-            element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))))
-          .as("s"))
+    * REVERSES direction for n < 1 instead of yielding empty.
+    *
+    * The token array is materialized as a column FIRST: element_at over an
+    * inlined split() re-splits the string per access, turning shingling
+    * into O(tokens²) string work per document — at 100 TB that's the whole
+    * job's budget. One projection makes it O(tokens).
+    */
+  private def shingles(df: DataFrame): DataFrame = {
+    // explode amplification: input is row-light (one doc) but the output
+    // (shingles × hash functions) is CPU-heavy. A compact source — one
+    // parquet file, few row groups — would pin all that work on 1-2 tasks,
+    // so spread rows across the cluster BEFORE amplifying. The explicit
+    // partition count matters: AQE sizes shuffles by bytes and would
+    // coalesce the tiny pre-explode rows back to one task; a numbered
+    // repartition is exempt from AQE coalescing.
+    val tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+    tok.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => concat_ws(" ",
+          element_at(col("tk"), i), element_at(col("tk"), i + 1),
+          element_at(col("tk"), i + 2)))))
+        .as("s"))
+  }
 
   private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
 
@@ -68,11 +85,15 @@ object DedupQueries {
       md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)))
     val bands = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "h")))
-    val a = bands.as("a")
-    val b = bands.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // bucket → sorted posting list → pairs: the signature pipeline runs
+    // once (a self-join would recompute the whole minhash upstream on both
+    // sides) and candidate pairs never leave their band bucket
+    bands.groupBy(col("band"), col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -94,18 +115,30 @@ object DedupQueries {
   }
 
   /** d04: exact n-gram Jaccard pairs ≥ 0.6 — the ground-truth twin of d02.
-    * The shingle self-join only pairs docs sharing ≥1 shingle, so the
-    * pair space stays sparse (inverted-index join, not cross product).
+    *
+    * Inverted-index shape: group shingle → sorted posting list, emit each
+    * co-occurring pair once from the list, count pairs, then join the
+    * per-doc shingle counts. One explode and two data shuffles total
+    * (vs three + a self-join for the naive exploded self-join), and only
+    * docs sharing ≥1 shingle ever pair — the pair space stays
+    * Σ|posting|², never O(N²). At 100 TB the posting-list groupBy is the
+    * only big shuffle and it's key-uniform.
     */
   val d04_ngram_jaccard: Q = (s, dir) => {
     val sh = shingles(Tables.documents(s, dir))
-    val withN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val ex = sh.join(withN, "doc_id")
-    val a = ex.as("a")
-    val b = ex.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inv = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = inv.select(explode(expr(
+      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val inter = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val na = docN.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = docN.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    // unhinted: AQE broadcasts docN while it fits (it does here) and
+    // falls back to shuffle join when doc count outgrows the threshold
+    inter.join(na, "doc_a").join(nb, "doc_b")
       .withColumn("jaccard", round(col("inter") /
         (col("na") + col("nb") - col("inter")), 4))
       .filter(col("jaccard") >= 0.6)
