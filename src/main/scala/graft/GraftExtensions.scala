@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Spark plugin entry point: enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
+  *
+  * Injects the engine's native Catalyst expressions (currently
+  * [[graft.functions.DotProduct graft_dot]]) into every session's
+  * FunctionRegistry, making them available to DataFrame `expr(...)` and
+  * plain SQL alike.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit =
+    graft.functions.VectorFunctions.functions.foreach { f =>
+      extensions.injectFunction(f)
+    }
+}

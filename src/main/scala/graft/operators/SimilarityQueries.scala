@@ -27,8 +27,14 @@ object SimilarityQueries {
   /** embedding as double[] — all arithmetic in double. */
   private def vecD(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Native codegen'd dot product ([[graft.functions.DotProduct]]) — same
+    * left-to-right double accumulation as the HOF composition
+    * `aggregate(zip_with(a,b,*),0d,+)` it replaces (bit-identical results,
+    * so the DuckDB oracle is unaffected), but whole-stage-codegen'd
+    * instead of CodegenFallback-interpreted in the corpus×queries loop.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
 
   /** cosine(a, b) with pre-computed squared norms. */
   private def cosine(a: Column, b: Column, na2: Column, nb2: Column): Column =
@@ -41,10 +47,12 @@ object SimilarityQueries {
       when(element_at(v, j + 1) > 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  private def embs(s: SparkSession, dir: String): DataFrame =
+  private def embs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables.embeddings(s, dir).select(
       col("vec_id"), vecD(col("embedding")).as("v"))
       .withColumn("n2", dot(col("v"), col("v")))
+  }
 
   /** s01: brute-force cosine top-k (k=10) for a fixed query set
     * (vec_id < 10). The query side is tiny and broadcast; the corpus is
