@@ -1,0 +1,45 @@
+package graft
+
+import graft.sources.pbf.{OsmPbf, PbfConfig}
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the engine's equivalent of the reference's transcode
+  * binary (osm-pbf-parquet/src/main.rs + util.rs:24-64 arg surface):
+  *
+  * {{{
+  * graft.Main --input planet.osm.pbf [--output ./parquet]
+  *   [--compression 3] [--input-buffer-size-mb 16]
+  *   [--max-records-per-file N] [--master local[*]]
+  * }}}
+  *
+  * Reads the PBF through the osmpbf source and writes hive-partitioned
+  * (`type=node/way/relation`) zstd parquet.
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val config = PbfConfig(
+      input = opts.getOrElse("input",
+        { System.err.println("missing required --input"); sys.exit(2) }),
+      output = opts.getOrElse("output", "./parquet"),
+      compression = opts.getOrElse("compression", "3").toInt,
+      inputBufferSizeMb = opts.getOrElse("input-buffer-size-mb", "16").toInt,
+      maxRecordsPerFile = opts.getOrElse("max-records-per-file", "5000000").toLong)
+    config.validate()
+
+    val spark = SparkSession.builder()
+      .master(opts.getOrElse("master", "local[*]"))
+      .appName("graft-osm-pbf-transcode")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    try OsmPbf.transcode(spark, config)
+    finally spark.stop()
+  }
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+    }.toMap
+}

@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Typed UDAF surface (SURVEY.md §2.9 "UDF/UDAF" row) via
+  * `Aggregator[IN, BUF, OUT]` — Spark's preferred custom-aggregate
+  * extension point: the buffer is encoder-serialized, the aggregate runs
+  * partial (map-side) + final like any built-in, and `udaf(...)` lifts it
+  * into untyped DataFrame use.
+  */
+object Aggregators {
+
+  /** Weighted average: Σ(v·w)/Σw. SQL-expressible (its DuckDB oracle twin
+    * is `sum(v*w)/sum(w)`), which is what makes it hash-checkable — the
+    * point here is demonstrating the extension mechanism, with partial
+    * aggregation semantics identical to built-ins.
+    */
+  case class WeightedAvgBuf(var sum: Double, var weight: Double)
+
+  object WeightedAvg extends Aggregator[(Double, Double), WeightedAvgBuf, Double] {
+    override def zero: WeightedAvgBuf = WeightedAvgBuf(0.0, 0.0)
+    override def reduce(b: WeightedAvgBuf, in: (Double, Double)): WeightedAvgBuf = {
+      b.sum += in._1 * in._2; b.weight += in._2; b
+    }
+    override def merge(a: WeightedAvgBuf, b: WeightedAvgBuf): WeightedAvgBuf = {
+      a.sum += b.sum; a.weight += b.weight; a
+    }
+    override def finish(b: WeightedAvgBuf): Double =
+      if (b.weight == 0.0) Double.NaN else b.sum / b.weight
+    override def bufferEncoder: Encoder[WeightedAvgBuf] = Encoders.product[WeightedAvgBuf]
+    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+}

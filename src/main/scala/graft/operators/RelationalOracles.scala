@@ -204,5 +204,13 @@ object RelationalOracles {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+
+    "q24_udaf_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

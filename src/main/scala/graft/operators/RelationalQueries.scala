@@ -326,7 +326,22 @@ object RelationalQueries {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** q24: typed-Aggregator UDAF ([[graft.functions.Aggregators.WeightedAvg]])
+    * lifted into DataFrame use via udaf(). Quantity-weighted mean price per
+    * return flag; partial+final aggregation like any built-in (the buffer
+    * encoder-serializes across the shuffle). Oracle twin: sum(v*w)/sum(w).
+    */
+  val q24_udaf_weighted_avg: Q = (s, dir) => {
+    val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("w_avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q24_udaf_weighted_avg" -> q24_udaf_weighted_avg,
     "q01_agg" -> q01_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
     "q03_join_broadcast" -> q03_join_broadcast,
