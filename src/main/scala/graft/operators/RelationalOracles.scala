@@ -205,6 +205,24 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    "q25_sql_correlated" ->
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |  AND c_acctbal > (SELECT avg(o_totalprice) / 100.0 FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q26_pivot" ->
+      """SELECT year(o_orderdate) AS yr,
+        |  CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS n_f,
+        |  CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_o,
+        |  CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS n_p
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY yr""".stripMargin,
+
     "q24_udaf_weighted_avg" ->
       """SELECT l_returnflag,
         |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,

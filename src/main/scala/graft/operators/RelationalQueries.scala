@@ -340,8 +340,44 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q25: SQL frontend + correlated subqueries — Catalyst decorrelates
+    * the EXISTS and the correlated scalar subquery into joins (no
+    * per-row re-execution, unlike a naive nested-loop interpreter). The
+    * same text runs verbatim in DuckDB as its own oracle.
+    */
+  val q25_sql_correlated: Q = (s, dir) => {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT c_custkey, c_name
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+        |  AND c_acctbal > (SELECT avg(o_totalprice) / 100.0 FROM orders)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** q26: pivot — wide conditional aggregation; Catalyst rewrites it to a
+    * single pass with one aggregate per (group, pivot-value) cell. Missing
+    * cells coalesce to 0 to match COUNT semantics in the oracle.
+    */
+  val q26_pivot: Q = (s, dir) => {
+    Tables.orders(s, dir)
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("yr"))
+  }
+
   val all: Map[String, Q] = Map(
     "q24_udaf_weighted_avg" -> q24_udaf_weighted_avg,
+    "q25_sql_correlated" -> q25_sql_correlated,
+    "q26_pivot" -> q26_pivot,
     "q01_agg" -> q01_agg,
     "q02_filter_pushdown" -> q02_filter_pushdown,
     "q03_join_broadcast" -> q03_join_broadcast,
