@@ -205,6 +205,13 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    "q27_salted_join" ->
+      """SELECT o_orderstatus, count(*) AS n_lines,
+        |  round(sum(l_extendedprice), 2) AS value
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+
     "q25_sql_correlated" ->
       """SELECT c_custkey, c_name
         |FROM customer c

@@ -374,7 +374,29 @@ object RelationalQueries {
       .orderBy(col("yr"))
   }
 
+  /** q27: skew-mitigated salted join — semantically identical to the
+    * plain join (which is exactly what the oracle runs), but the join key
+    * is widened with a deterministic salt: the big side derives salt from
+    * its own unique columns, the dim side explodes ×SALT so every salted
+    * key still matches. A hot orderkey's rows now spread over SALT
+    * reducers instead of one — the standard fix when AQE skew-split isn't
+    * enough. The oracle proves the rewrite changes nothing.
+    */
+  val q27_salted_join: Q = (s, dir) => {
+    val SALT = 8
+    val l = Tables.lineitem(s, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SALT)))
+    val o = Tables.orders(s, dir)
+      .withColumn("salt", explode(array((0 until SALT).map(lit(_)): _*)))
+    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("value"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q27_salted_join" -> q27_salted_join,
     "q24_udaf_weighted_avg" -> q24_udaf_weighted_avg,
     "q25_sql_correlated" -> q25_sql_correlated,
     "q26_pivot" -> q26_pivot,
