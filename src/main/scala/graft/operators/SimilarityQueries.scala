@@ -112,9 +112,60 @@ object SimilarityQueries {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** s03: IVF (inverted-file) ANN — the clustered scale path. Coarse
+    * quantizer: K deterministic seed centroids (lowest vec_ids) refined by
+    * one Lloyd iteration, all as DataFrame ops (no MLlib, no RNG — results
+    * are reproducible under any partitioning). Corpus rows are assigned to
+    * their nearest centroid cell; each query probes only its own cell and
+    * exact cosine re-ranks inside. Rows-only check: nearest-centroid
+    * assignment is not reasonably SQL-expressible in the oracle.
+    *
+    * At 100 TB: centroids are tiny and broadcast; assignment is one narrow
+    * scan; the probe join shuffles only by cell id. Multi-probe (nearest P
+    * cells) raises recall with the same plan shape.
+    */
+  val s03_knn_ivf: Q = (s, dir) => {
+    val e = embs(s, dir)
+    val k = 16
+    // seed centroids: the k lowest vec_ids (deterministic)
+    val seeds = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // one Lloyd step: assign to nearest seed, average per cell
+    def nearest(points: DataFrame, cents: DataFrame): DataFrame = {
+      val joined = points.join(broadcast(cents))
+        .withColumn("d2", col("n2") + dot(col("cv"), col("cv")) -
+          lit(2.0) * dot(col("v"), col("cv")))
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
+      joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+    }
+    val assigned0 = nearest(e, seeds)
+    val refined = assigned0
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+      .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
+    // final assignment against refined centroids; probe = query's own cell
+    val cells = nearest(e, refined)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val q = cells.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cell").as("qcell"))
+    val scored = cells.join(broadcast(q),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
     "s01_knn_brute" -> s01_knn_brute,
     "s02_knn_lsh" -> s02_knn_lsh,
+    "s03_knn_ivf" -> s03_knn_ivf,
     "d05_embed_neardup" -> d05_embed_neardup,
   )
 }
