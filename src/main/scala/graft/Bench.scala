@@ -60,10 +60,32 @@ object Bench {
     pool.awaitTermination(2, TimeUnit.HOURS)
     val total = (System.nanoTime() - t0) / 1e9
 
+    // PBF transcode throughput — the reference's headline metric
+    // (README.md:87-102: planet transcode ≈4-5M elements/s on 6 cores).
+    // Synthesize a 4M-element corpus and run the full read→decode→
+    // partitioned-parquet-write pipeline; 1MB split targets ≈ one task
+    // per few blobs so all cores decode.
+    val transcodeRate: Option[Long] = try {
+      val dir = java.nio.file.Files.createTempDirectory("graftpbf").toString
+      val warmPbf = s"$dir/warm.osm.pbf"
+      graft.sources.pbf.PbfWriter.synthesize(warmPbf, blocks = 2, nodesPerBlock = 5000)
+      graft.sources.pbf.OsmPbf.transcode(spark, // untimed: codegen + writer warmup
+        graft.sources.pbf.PbfConfig(input = warmPbf, output = s"$dir/warmout", inputBufferSizeMb = 1))
+      val pbf = s"$dir/synth.osm.pbf"
+      val n = graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000)
+      val t = System.nanoTime()
+      graft.sources.pbf.OsmPbf.transcode(spark,
+        graft.sources.pbf.PbfConfig(input = pbf, output = s"$dir/out", inputBufferSizeMb = 1))
+      Some((n / ((System.nanoTime() - t) / 1e9)).round)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] transcode failed: ${e.getMessage}"); None
+    }
+
     import scala.jdk.CollectionConverters._
     val qs = times.asScala.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val extra = transcodeRate.map(r => s""","transcode_elems_per_s":$r""").getOrElse("")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra}""")
     spark.stop()
   }
 }

@@ -1,9 +1,8 @@
 package graft.sources.pbf
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Spark-native OSM PBF source: `.osm.pbf` → DataFrame(OsmSchema.schema).
   *
@@ -52,42 +51,20 @@ object OsmPbf {
     }
   }
 
-  /** Full scan → DataFrame. `splitTargetBytes` groups small blobs into one
-    * task (planet files have ~10k blobs of ~4-16MB; 64MB targets keep task
-    * count ~= a few thousand at planet scale — right-sized for 1000
-    * executors without scheduler pressure).
+  /** Full scan → DataFrame via the DataSourceV2 connector
+    * ([[OsmPbfDataSource]]): the decoder emits Catalyst InternalRows
+    * straight into the scan (no external-Row conversion layer) and the
+    * connector adds column pruning + type-predicate pushdown.
+    * `splitTargetBytes` groups small blobs into one task (planet files
+    * have ~10k blobs of ~4-16MB; 64MB targets keep task count ~= a few
+    * thousand at planet scale — right-sized for 1000 executors without
+    * scheduler pressure).
     */
   def read(spark: SparkSession, path: String,
-           splitTargetBytes: Long = 64L << 20): DataFrame = {
-    val spans = blobSpans(spark, path)
-      .filter(_.blobType == Blobs.TypeOsmData)
-    // contiguous grouping preserves blob order within a task and lets the
-    // filesystem read sequentially across a group's blobs
-    val groups = ArrayBuffer.empty[ArrayBuffer[Blobs.BlobSpan]]
-    var acc = 0L
-    spans.foreach { s =>
-      if (groups.isEmpty || acc + s.length > splitTargetBytes) {
-        groups += ArrayBuffer(s); acc = s.length.toLong
-      } else { groups.last += s; acc += s.length }
-    }
-    val sc = spark.sparkContext
-    val hconf = new org.apache.spark.util.SerializableConfiguration(sc.hadoopConfiguration)
-    val nParts = math.max(groups.size, 1)
-    val rdd = sc.parallelize(groups.map(_.toArray).toSeq, nParts)
-      .flatMap { group =>
-        val p = new Path(path)
-        val fs = p.getFileSystem(hconf.value)
-        val in = fs.open(p)
-        val it = group.iterator.flatMap { span =>
-          in.seek(span.offset)
-          val buf = new Array[Byte](span.length)
-          in.readFully(buf)
-          BlockDecoder.decodeBlock(Blobs.decode(buf))
-        }
-        new AutoClosingIterator[Row](it, () => in.close())
-      }
-    spark.createDataFrame(rdd, OsmSchema.schema)
-  }
+           splitTargetBytes: Long = 64L << 20): DataFrame =
+    spark.read.format("osmpbf")
+      .option("splitMb", math.max(1L, splitTargetBytes >> 20).toString)
+      .load(path)
 
   /** The reference's whole CLI pipeline (main.rs → pbf_driver →
     * write parquet): transcode a PBF into hive-partitioned zstd parquet,
@@ -109,17 +86,6 @@ object OsmPbf {
       .parquet(config.output)
   }
 
-  /** Iterator that runs `close` once exhausted (task-scoped file handle). */
-  private final class AutoClosingIterator[T](it: Iterator[T], close: () => Unit)
-      extends Iterator[T] {
-    private var closed = false
-    override def hasNext: Boolean = {
-      val h = it.hasNext
-      if (!h && !closed) { closed = true; close() }
-      h
-    }
-    override def next(): T = it.next()
-  }
 }
 
 /** CLI/config surface mirroring the reference's clap Args

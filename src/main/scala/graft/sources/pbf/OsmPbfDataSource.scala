@@ -152,10 +152,10 @@ class OsmPbfPartitionReader(partition: OsmPbfInputPartition,
     members = need.contains("members"),
     info = Seq("changeset", "timestamp", "uid", "user", "version", "visible").exists(need),
     types = typeSet)
-  // source-ordinal of each required column
+  // source-ordinal of each required column; identity when nothing is pruned
   private val ordinals = requiredSchema.fieldNames.map(OsmSchema.schema.fieldIndex)
-  private val converters = requiredSchema.fields.map(f =>
-    CatalystTypeConverters.createToCatalystConverter(f.dataType))
+  private val fullWidth = ordinals.length == OsmSchema.schema.length
+  private val fieldTypes = ordinals.map(OsmSchema.schema(_).dataType)
 
   private val fsPath = new Path(partition.path)
   private val fs = fsPath.getFileSystem(hconf.value)
@@ -165,15 +165,16 @@ class OsmPbfPartitionReader(partition: OsmPbfInputPartition,
     in.seek(span.offset)
     val buf = new Array[Byte](span.length)
     in.readFully(buf)
-    BlockDecoder.decodeBlock(Blobs.decode(buf), proj).map { row =>
+    val decoded = BlockDecoder.decodeBlockInternal(Blobs.decode(buf), proj)
+    if (fullWidth) decoded
+    else decoded.map { row =>
       val out = new Array[Any](ordinals.length)
       var i = 0
       while (i < ordinals.length) {
-        val v = row.get(ordinals(i))
-        out(i) = if (v == null) null else converters(i)(v)
+        out(i) = row.get(ordinals(i), fieldTypes(i))
         i += 1
       }
-      InternalRow.fromSeq(out.toSeq)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(out)
     }
   }
 

@@ -1,0 +1,184 @@
+package graft.sources.pbf
+
+import java.io.{BufferedOutputStream, DataOutputStream, FileOutputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Minimal OSM PBF encoder — enough of the format (dense nodes with
+  * DenseInfo, ways, relations, zlib blobs, header) to:
+  *
+  *  - round-trip-test the decoder at scale (encode → decode = identity on
+  *    generated corpora, complementing the golden fixtures), and
+  *  - synthesize arbitrarily large inputs for transcode throughput
+  *    benchmarking without shipping a planet file.
+  *
+  * The reference has no encoder; this is test/bench infrastructure, not a
+  * user-facing sink (the engine's sink is partitioned parquet).
+  */
+object PbfWriter {
+
+  final class MessageBuilder {
+    private var buf = new Array[Byte](64)
+    private var len = 0
+
+    private def ensure(n: Int): Unit =
+      if (len + n > buf.length) {
+        var cap = buf.length * 2
+        while (cap < len + n) cap *= 2
+        buf = java.util.Arrays.copyOf(buf, cap)
+      }
+
+    def writeVarint(v: Long): this.type = {
+      ensure(10)
+      var x = v
+      while ((x & ~0x7fL) != 0) { buf(len) = ((x & 0x7f) | 0x80).toByte; len += 1; x >>>= 7 }
+      buf(len) = (x & 0x7f).toByte; len += 1
+      this
+    }
+
+    def writeTag(field: Int, wire: Int): this.type = writeVarint((field << 3) | wire)
+
+    def writeZigzagField(field: Int, v: Long): this.type = {
+      writeTag(field, 0); writeVarint((v << 1) ^ (v >> 63))
+    }
+
+    def writeVarintField(field: Int, v: Long): this.type = {
+      writeTag(field, 0); writeVarint(v)
+    }
+
+    def writeBytesField(field: Int, bytes: Array[Byte]): this.type = {
+      writeTag(field, 2); writeVarint(bytes.length.toLong)
+      ensure(bytes.length)
+      System.arraycopy(bytes, 0, buf, len, bytes.length)
+      len += bytes.length
+      this
+    }
+
+    def writeStringField(field: Int, s: String): this.type =
+      writeBytesField(field, s.getBytes(StandardCharsets.UTF_8))
+
+    def writeMessageField(field: Int, m: MessageBuilder): this.type =
+      writeBytesField(field, m.result())
+
+    def writePackedVarint(field: Int, vs: Iterable[Long]): this.type = {
+      val m = new MessageBuilder
+      vs.foreach(m.writeVarint)
+      writeBytesField(field, m.result())
+    }
+
+    def writePackedZigzag(field: Int, vs: Iterable[Long]): this.type =
+      writePackedVarint(field, vs.map(v => (v << 1) ^ (v >> 63)))
+
+    def result(): Array[Byte] = java.util.Arrays.copyOf(buf, len)
+  }
+
+  final case class DenseNode(id: Long, latNano: Long, lonNano: Long,
+                             tags: Seq[(String, String)],
+                             version: Int, timestampMs: Long, changeset: Long,
+                             uid: Int, user: String)
+
+  final case class WayData(id: Long, refs: Seq[Long], tags: Seq[(String, String)])
+
+  /** Builds one PrimitiveBlock of dense nodes (granularity 100,
+    * date_granularity 1000 — the defaults) plus optional ways. */
+  def primitiveBlock(nodes: Seq[DenseNode], ways: Seq[WayData] = Nil): Array[Byte] = {
+    // string table: index 0 reserved blank
+    val strings = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
+    def sid(s: String): Int = strings.getOrElseUpdate(s, strings.size)
+
+    val dense = new MessageBuilder
+    dense.writePackedZigzag(1, delta(nodes.map(_.id)))
+    val info = new MessageBuilder
+    info.writePackedVarint(1, nodes.map(_.version.toLong))
+    info.writePackedZigzag(2, delta(nodes.map(_.timestampMs / 1000))) // seconds at granularity 1000
+    info.writePackedZigzag(3, delta(nodes.map(_.changeset)))
+    info.writePackedZigzag(4, delta(nodes.map(_.uid.toLong)))
+    info.writePackedZigzag(5, delta(nodes.map(n => sid(n.user).toLong)))
+    dense.writeMessageField(5, info)
+    dense.writePackedZigzag(8, delta(nodes.map(_.latNano / 100)))
+    dense.writePackedZigzag(9, delta(nodes.map(_.lonNano / 100)))
+    dense.writePackedVarint(10, nodes.flatMap(n =>
+      n.tags.flatMap { case (k, v) => Seq(sid(k).toLong, sid(v).toLong) } :+ 0L))
+
+    val group = new MessageBuilder
+    group.writeMessageField(2, dense)
+    ways.foreach { w =>
+      val wm = new MessageBuilder
+      wm.writeVarintField(1, w.id)
+      wm.writePackedVarint(2, w.tags.map(t => sid(t._1).toLong))
+      wm.writePackedVarint(3, w.tags.map(t => sid(t._2).toLong))
+      wm.writePackedZigzag(8, delta(w.refs))
+      group.writeMessageField(3, wm)
+    }
+
+    val st = new MessageBuilder
+    strings.keys.foreach(s => st.writeBytesField(1, s.getBytes(StandardCharsets.UTF_8)))
+
+    val block = new MessageBuilder
+    block.writeMessageField(1, st)
+    block.writeMessageField(2, group)
+    block.result()
+  }
+
+  private def delta(vs: Seq[Long]): Seq[Long] = {
+    var prev = 0L
+    vs.map { v => val d = v - prev; prev = v; d }
+  }
+
+  /** Frames payloads into a PBF file: OSMHeader blob + one OSMData blob per
+    * payload, zlib-compressed. */
+  def writeFile(path: String, blockPayloads: Seq[Array[Byte]]): Unit = {
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path), 1 << 20))
+    try {
+      val header = new MessageBuilder
+      header.writeStringField(4, "OsmSchema-V0.6")
+      header.writeStringField(4, "DenseNodes")
+      header.writeStringField(16, "graft-pbf-writer")
+      writeBlob(out, Blobs.TypeOsmHeader, header.result())
+      blockPayloads.foreach(p => writeBlob(out, Blobs.TypeOsmData, p))
+    } finally out.close()
+  }
+
+  private def writeBlob(out: DataOutputStream, blobType: String, payload: Array[Byte]): Unit = {
+    val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    deflater.setInput(payload); deflater.finish()
+    val comp = new Array[Byte](payload.length + 64)
+    var clen = 0
+    while (!deflater.finished()) clen += deflater.deflate(comp, clen, comp.length - clen)
+    deflater.end()
+
+    val blob = new MessageBuilder
+    blob.writeVarintField(2, payload.length.toLong)
+    blob.writeBytesField(3, java.util.Arrays.copyOf(comp, clen))
+    val blobBytes = blob.result()
+
+    val header = new MessageBuilder
+    header.writeStringField(1, blobType)
+    header.writeVarintField(3, blobBytes.length.toLong)
+    val headerBytes = header.result()
+
+    out.writeInt(headerBytes.length)
+    out.write(headerBytes)
+    out.write(blobBytes)
+  }
+
+  /** Deterministic synthetic corpus: `blocks` blocks of `nodesPerBlock`
+    * dense nodes (every 100th node tagged) + a way per block. */
+  def synthesize(path: String, blocks: Int, nodesPerBlock: Int): Long = {
+    var id = 0L
+    val payloads = (0 until blocks).map { b =>
+      val nodes = (0 until nodesPerBlock).map { i =>
+        id += 1
+        DenseNode(id, 52000000000L + id * 1000, 11000000000L + id * 700,
+          if (i % 100 == 0) Seq("amenity" -> "bench", "ref" -> s"b$b") else Nil,
+          version = 1, timestampMs = 1049522828000L + id * 1000L, changeset = 1000L + b,
+          uid = 17, user = s"user${b % 13}")
+      }
+      val way = WayData(1000000000L + b,
+        nodes.take(16).map(_.id), Seq("highway" -> "residential"))
+      primitiveBlock(nodes, Seq(way))
+    }
+    writeFile(path, payloads)
+    (blocks.toLong * nodesPerBlock) + blocks
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources.pbf
+
+import java.io.FileInputStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Encode → decode identity on generated corpora — the property-based
+  * complement to the golden-fixture specs (delta chains, string tables,
+  * keys_vals splitting, coordinate/timestamp scaling all round-trip).
+  */
+class PbfRoundTripSpec extends AnyFunSuite {
+
+  private def decodeAll(path: String): Seq[org.apache.spark.sql.Row] = {
+    val in = new FileInputStream(path)
+    val spans = try Blobs.enumerate(in) finally in.close()
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    spans.filter(_.blobType == Blobs.TypeOsmData).flatMap { s =>
+      val body = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.length)
+      BlockDecoder.decodeBlock(Blobs.decode(body)).toSeq
+    }
+  }
+
+  private def idx(name: String): Int = OsmSchema.schema.fieldIndex(name)
+
+  test("synthesized corpus round-trips exactly") {
+    val path = java.nio.file.Files.createTempDirectory("pbfrt").toString + "/synth.osm.pbf"
+    val expected = PbfWriter.synthesize(path, blocks = 5, nodesPerBlock = 1000)
+    val rows = decodeAll(path)
+    assert(rows.size.toLong === expected)
+
+    val nodes = rows.filter(_.getString(idx("type")) == "node")
+    val ways = rows.filter(_.getString(idx("type")) == "way")
+    assert(nodes.size === 5000 && ways.size === 5)
+
+    // ids dense 1..5000 (delta decode across the whole block chain)
+    assert(nodes.map(_.getLong(0)).sorted === (1L to 5000L))
+    // coordinates: nano = 52000000000 + id*1000 → degrees
+    val n42 = nodes.find(_.getLong(0) == 42L).get
+    assert(math.abs(n42.getDouble(idx("lat")) - (52.0 + 42e3 * 1e-9)) < 1e-12)
+    assert(math.abs(n42.getDouble(idx("lon")) - (11.0 + 42 * 700e-9)) < 1e-12)
+    // timestamps round-trip at ms granularity (stored as seconds * 1000)
+    val ts = n42.getAs[java.time.LocalDateTime](idx("timestamp"))
+    assert(ts.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli ===
+      1049522828000L + 42 * 1000L)
+    // every 100th node tagged; the rest untagged (0-delimiter handling)
+    assert(nodes.count(r => r.getAs[Map[String, String]](idx("tags")).nonEmpty) === 50)
+    val tagged = nodes.find(_.getLong(0) == 1L).get
+    assert(tagged.getAs[Map[String, String]](idx("tags"))("amenity") === "bench")
+    // dense info round-trip
+    assert(n42.getInt(idx("uid")) === 17)
+    assert(n42.getString(idx("user")).startsWith("user"))
+    assert(n42.getBoolean(idx("visible")))
+    // way refs delta round-trip
+    val w = ways.minBy(_.getLong(0))
+    assert(w.getAs[Seq[org.apache.spark.sql.Row]](idx("nds")).map(_.getLong(0)) === (1L to 16L))
+  }
+}
