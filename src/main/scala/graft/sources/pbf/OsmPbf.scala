@@ -68,22 +68,46 @@ object OsmPbf {
 
   /** The reference's whole CLI pipeline (main.rs → pbf_driver →
     * write parquet): transcode a PBF into hive-partitioned zstd parquet,
-    * `type=node/way/relation` (sink.rs:166-179 path layout via
-    * `partitionBy`).
+    * `type=node/way/relation` (sink.rs:166-179 path layout).
+    *
+    * Three concurrent per-type jobs instead of one
+    * `partitionBy("type")` write:
+    *  - no dynamic-partition sort (the partitionBy writer sorts every
+    *    task's rows by the partition column first — pure overhead when
+    *    there are exactly 3 values);
+    *  - each scan's `type=` pushdown decodes only its own primitive
+    *    groups, so the 3 scans cost ~1 full decode (nodes dominate);
+    *  - the `type` column stays directory-only, exactly like the
+    *    reference (osm_arrow.rs:52-54) — readers get it back through
+    *    partition discovery.
     */
   def transcode(spark: SparkSession, config: PbfConfig): Unit = {
     config.validate()
-    val df = read(spark, config.input, config.inputBufferSizeMb.toLong << 20)
-    val writer = df.write
-      .mode("overwrite")
-      .partitionBy("type")
+    import org.apache.spark.sql.functions.col
     val codec = if (config.compression == 0) "uncompressed" else "zstd"
-    writer
-      .option("compression", codec)
-      // parquet-mr's codec-level knob; 1-22 like the reference (util.rs:100-104)
-      .option("parquet.compression.codec.zstd.level", config.compression.toString)
-      .option("maxRecordsPerFile", config.maxRecordsPerFile)
-      .parquet(config.output)
+    val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(types.size)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    types.foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit =
+          try {
+            read(spark, config.input, config.inputBufferSizeMb.toLong << 20)
+              .filter(col("type") === t)
+              .drop("type")
+              .write
+              .mode("overwrite")
+              .option("compression", codec)
+              // parquet-mr codec-level knob; 1-22 like the reference (util.rs:100-104)
+              .option("parquet.compression.codec.zstd.level", config.compression.toString)
+              .option("maxRecordsPerFile", config.maxRecordsPerFile)
+              .parquet(s"${config.output.stripSuffix("/")}/type=$t")
+          } catch { case e: Throwable => failures.add(e) }
+      })
+    }
+    pool.shutdown()
+    pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
+    if (!failures.isEmpty) throw failures.peek()
   }
 
 }
