@@ -103,7 +103,36 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** t05: BPE-ish regex tokenization — subword-style token classes
+    * (letter runs, digit runs, single punctuation) via regexp extraction,
+    * the standard pre-tokenizer shape for LLM token accounting. Identical
+    * regex semantics in Spark and DuckDB (both RE2-ish for this class).
+    */
+  val t05_regex_tokens: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("toks", expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"))
+      .select(col("doc_id"), size(col("toks")).as("n_subword"),
+        size(filter(col("toks"), t => t.rlike("^[0-9]+$"))).as("n_numeric"),
+        size(filter(col("toks"), t => t.rlike("^[^A-Za-z0-9]$"))).as("n_punct"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t06: rolling-hash document fingerprint — min of the character
+    * 8-gram md5s (winnowing's keep-the-minimum idea collapsed to one
+    * window). Content-defined: stable under doc reordering, shifts only
+    * when the text itself changes.
+    */
+  val t06_rolling_fingerprint: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("grams", expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))"))
+      .select(col("doc_id"), array_min(col("grams")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "t05_regex_tokens" -> t05_regex_tokens,
+    "t06_rolling_fingerprint" -> t06_rolling_fingerprint,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,
     "t03_token_count" -> t03_token_count,

@@ -178,5 +178,22 @@ object TrainingOracles {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  min(md5(text)) AS min_checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t05_regex_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_subword,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS INT) AS n_numeric,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '^[^A-Za-z0-9]$'))) AS INT) AS n_punct
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t06_rolling_fingerprint" ->
+      """SELECT doc_id,
+        |  list_min([md5(substring(text, CAST(i AS INT), 8))
+        |            for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }
