@@ -106,7 +106,13 @@ class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val spans = OsmPbf.blobSpans(spark, path).filter(_.blobType == Blobs.TypeOsmData)
+    val allSpans = OsmPbf.blobSpans(spark, path)
+    // unknown blob types are an error, not a skip — matching the
+    // reference's UnknownBlobType failure (pbf.rs:85-87)
+    allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
+      .foreach(s => throw new PbfFormatException(
+        s"unknown blob type '${s.blobType}' at offset ${s.offset}"))
+    val spans = allSpans.filter(_.blobType == Blobs.TypeOsmData)
     val target = splitMb.toLong << 20
     val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Blobs.BlobSpan]]
     var acc = 0L
