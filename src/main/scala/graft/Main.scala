@@ -24,7 +24,8 @@ object Main {
       output = opts.getOrElse("output", "./parquet"),
       compression = opts.getOrElse("compression", "3").toInt,
       inputBufferSizeMb = opts.getOrElse("input-buffer-size-mb", "16").toInt,
-      maxRecordsPerFile = opts.getOrElse("max-records-per-file", "5000000").toLong)
+      maxRecordsPerFile = opts.getOrElse("max-records-per-file", "5000000").toLong,
+      fileTargetMb = opts.get("file-target-mb").map(_.toInt))
     config.validate()
 
     val spark = SparkSession.builder()

@@ -81,10 +81,42 @@ object OsmPbf {
     *    reference (osm_arrow.rs:52-54) — readers get it back through
     *    partition discovery.
     */
+  /** Estimate of parquet bytes/row from a sample of decoded rows: measure
+    * their UnsafeRow footprint and apply a conservative on-disk factor
+    * (columnar encoding + zstd typically lands well under in-memory row
+    * size). Used to turn the reference's byte-targeted file rotation
+    * (--file-target-mb, sink.rs:82-105) into `maxRecordsPerFile` — Spark's
+    * writer counts rows, not bytes (SURVEY.md §2.3 K4).
+    */
+  def estimateRowBytes(spark: SparkSession, path: String, sampleRows: Int = 10000): Double = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val span = blobSpans(spark, path).find(_.blobType == Blobs.TypeOsmData)
+      .getOrElse(throw new PbfFormatException(s"no data blobs in $path"))
+    val in = fs.open(p)
+    val rows = try {
+      in.seek(span.offset)
+      val buf = new Array[Byte](span.length)
+      in.readFully(buf)
+      BlockDecoder.decodeBlockInternal(Blobs.decode(buf), BlockDecoder.FullProjection)
+        .take(sampleRows).toSeq
+    } finally in.close()
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(OsmSchema.schema)
+    val memBytes = rows.map(r => proj(r).getSizeInBytes.toLong).sum
+    val onDiskFactor = 0.35 // columnar + zstd vs UnsafeRow, conservative
+    math.max(memBytes.toDouble / math.max(rows.size, 1) * onDiskFactor, 8.0)
+  }
+
   def transcode(spark: SparkSession, config: PbfConfig): Unit = {
     config.validate()
     import org.apache.spark.sql.functions.col
     val codec = if (config.compression == 0) "uncompressed" else "zstd"
+    val maxRecords = config.fileTargetMb match {
+      case Some(mb) =>
+        (mb.toLong << 20) / estimateRowBytes(spark, config.input).round
+      case None => config.maxRecordsPerFile
+    }
     val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(types.size)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -100,7 +132,7 @@ object OsmPbf {
               .option("compression", codec)
               // parquet-mr codec-level knob; 1-22 like the reference (util.rs:100-104)
               .option("parquet.compression.codec.zstd.level", config.compression.toString)
-              .option("maxRecordsPerFile", config.maxRecordsPerFile)
+              .option("maxRecordsPerFile", maxRecords)
               .parquet(s"${config.output.stripSuffix("/")}/type=$t")
           } catch { case e: Throwable => failures.add(e) }
       })
@@ -121,7 +153,8 @@ final case class PbfConfig(
     output: String = "./parquet",
     compression: Int = 3,
     inputBufferSizeMb: Int = 16,
-    maxRecordsPerFile: Long = 5000000L) {
+    maxRecordsPerFile: Long = 5000000L,
+    fileTargetMb: Option[Int] = None) {
 
   def validate(): Unit = {
     require(input.endsWith(".pbf") || input.endsWith(".osm.pbf"),
@@ -130,6 +163,7 @@ final case class PbfConfig(
       s"compression must be 0-22 (0 = uncompressed): $compression") // util.rs:100-104
     require(inputBufferSizeMb > 0, "input buffer must be positive")
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
+    require(fileTargetMb.forall(_ > 0), "file target must be positive") // util.rs:121-125
     val scheme = input.takeWhile(_ != ':')
     require(!input.contains("://") || Seq("s3", "s3a", "file", "hdfs").contains(scheme),
       s"unsupported input scheme: $scheme") // util.rs:129-151 (s3/plain only)

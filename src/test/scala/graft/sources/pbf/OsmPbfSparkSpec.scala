@@ -70,11 +70,21 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.requiredFeatures.toSet === Set("OsmSchema-V0.6", "DenseNodes"))
   }
 
+  test("file-target-mb derives maxRecordsPerFile from sampled row size") {
+    val est = OsmPbf.estimateRowBytes(spark, fixture)
+    assert(est >= 8.0 && est < 10000.0)
+    val out = java.nio.file.Files.createTempDirectory("osmft").toString
+    OsmPbf.transcode(spark, PbfConfig(input = fixture, output = out, fileTargetMb = Some(500)))
+    assert(spark.read.parquet(out).count() === 5)
+  }
+
   test("config validation mirrors util.rs rules") {
     assertThrows[IllegalArgumentException](
       PbfConfig(input = "/x/data.txt").validate())
     assertThrows[IllegalArgumentException](
       PbfConfig(input = "/x/a.pbf", compression = 23).validate())
+    assertThrows[IllegalArgumentException](
+      PbfConfig(input = "/x/a.pbf", fileTargetMb = Some(0)).validate())
     PbfConfig(input = "/x/a.osm.pbf").validate() // ok
   }
 }
