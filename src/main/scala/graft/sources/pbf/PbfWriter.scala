@@ -79,9 +79,13 @@ object PbfWriter {
 
   final case class WayData(id: Long, refs: Seq[Long], tags: Seq[(String, String)])
 
-  /** Builds one PrimitiveBlock of dense nodes (granularity 100,
-    * date_granularity 1000 — the defaults) plus optional ways. */
-  def primitiveBlock(nodes: Seq[DenseNode], ways: Seq[WayData] = Nil): Array[Byte] = {
+  /** Builds one PrimitiveBlock of dense nodes plus optional ways.
+    * Non-default granularity/offsets exercise the decoder's coordinate
+    * formula (degrees = 1e-9 × (offset + granularity × raw)) beyond what
+    * the reference fixtures cover (they only use the defaults). */
+  def primitiveBlock(nodes: Seq[DenseNode], ways: Seq[WayData] = Nil,
+                     granularity: Int = 100, latOffset: Long = 0, lonOffset: Long = 0,
+                     dateGranularity: Int = 1000): Array[Byte] = {
     // string table: index 0 reserved blank
     val strings = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def sid(s: String): Int = strings.getOrElseUpdate(s, strings.size)
@@ -90,13 +94,13 @@ object PbfWriter {
     dense.writePackedZigzag(1, delta(nodes.map(_.id)))
     val info = new MessageBuilder
     info.writePackedVarint(1, nodes.map(_.version.toLong))
-    info.writePackedZigzag(2, delta(nodes.map(_.timestampMs / 1000))) // seconds at granularity 1000
+    info.writePackedZigzag(2, delta(nodes.map(_.timestampMs / dateGranularity)))
     info.writePackedZigzag(3, delta(nodes.map(_.changeset)))
     info.writePackedZigzag(4, delta(nodes.map(_.uid.toLong)))
     info.writePackedZigzag(5, delta(nodes.map(n => sid(n.user).toLong)))
     dense.writeMessageField(5, info)
-    dense.writePackedZigzag(8, delta(nodes.map(_.latNano / 100)))
-    dense.writePackedZigzag(9, delta(nodes.map(_.lonNano / 100)))
+    dense.writePackedZigzag(8, delta(nodes.map(n => (n.latNano - latOffset) / granularity)))
+    dense.writePackedZigzag(9, delta(nodes.map(n => (n.lonNano - lonOffset) / granularity)))
     dense.writePackedVarint(10, nodes.flatMap(n =>
       n.tags.flatMap { case (k, v) => Seq(sid(k).toLong, sid(v).toLong) } :+ 0L))
 
@@ -117,6 +121,10 @@ object PbfWriter {
     val block = new MessageBuilder
     block.writeMessageField(1, st)
     block.writeMessageField(2, group)
+    if (granularity != 100) block.writeVarintField(17, granularity.toLong)
+    if (dateGranularity != 1000) block.writeVarintField(18, dateGranularity.toLong)
+    if (latOffset != 0) block.writeVarintField(19, latOffset)
+    if (lonOffset != 0) block.writeVarintField(20, lonOffset)
     block.result()
   }
 

@@ -21,6 +21,28 @@ class PbfRoundTripSpec extends AnyFunSuite {
 
   private def idx(name: String): Int = OsmSchema.schema.fieldIndex(name)
 
+  test("non-default granularity, offsets and date granularity round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("pbfgran").toString
+    val path = s"$dir/gran.osm.pbf"
+    // granularity 1000 nanodeg, offsets 5e9/-2e9 nanodeg, dates in 500ms units
+    val nodes = Seq(
+      PbfWriter.DenseNode(1, 5000000000L + 7000L, -2000000000L + 13000L,
+        Seq("k" -> "v"), 2, 1600000000500L, 42L, 9, "u"),
+      PbfWriter.DenseNode(2, 5000000000L - 3000L, -2000000000L + 21000L,
+        Nil, 3, 1600000001000L, 43L, 9, "u"))
+    PbfWriter.writeFile(path, Seq(PbfWriter.primitiveBlock(nodes,
+      granularity = 1000, latOffset = 5000000000L, lonOffset = -2000000000L,
+      dateGranularity = 500)))
+    val rows = decodeAll(path).sortBy(_.getLong(0))
+    assert(rows.size === 2)
+    assert(math.abs(rows(0).getDouble(idx("lat")) - (5.0 + 7e3 * 1e-9)) < 1e-12)
+    assert(math.abs(rows(0).getDouble(idx("lon")) - (-2.0 + 13e3 * 1e-9)) < 1e-12)
+    assert(math.abs(rows(1).getDouble(idx("lat")) - (5.0 - 3e3 * 1e-9)) < 1e-12)
+    val ts0 = rows(0).getAs[java.time.LocalDateTime](idx("timestamp"))
+    assert(ts0.atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli === 1600000000500L)
+    assert(rows(0).getAs[Map[String, String]](idx("tags")) === Map("k" -> "v"))
+  }
+
   test("synthesized corpus round-trips exactly") {
     val path = java.nio.file.Files.createTempDirectory("pbfrt").toString + "/synth.osm.pbf"
     val expected = PbfWriter.synthesize(path, blocks = 5, nodesPerBlock = 1000)
