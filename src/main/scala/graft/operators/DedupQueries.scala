@@ -139,8 +139,10 @@ object DedupQueries {
     // unhinted: AQE broadcasts docN while it fits (it does here) and
     // falls back to shuffle join when doc count outgrows the threshold
     inter.join(na, "doc_a").join(nb, "doc_b")
-      .withColumn("jaccard", round(col("inter") /
-        (col("na") + col("nb") - col("inter")), 4))
+      // explicit half-up: integer-ratio jaccards land exactly on .00005
+      // boundaries where Spark (half-up) and DuckDB (half-even) diverge
+      .withColumn("jaccard", floor(col("inter") /
+        (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

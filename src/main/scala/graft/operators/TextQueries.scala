@@ -47,13 +47,17 @@ object TextQueries {
     Tables.documents(s, dir)
       .withColumn("n_tokens", size(toks))
       .withColumn("n_stop", size(filter(toks, t => t.isin(Stopwords: _*))))
-      .withColumn("stop_ratio", round(col("n_stop") / col("n_tokens"), 4))
-      .withColumn("mean_tok_len", round(
-        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens"), 4))
-      .withColumn("quality", round(
+      .withColumn("stop_ratio", floor(col("n_stop") / col("n_tokens") * 10000 + 0.5) / 10000)
+      .withColumn("mean_tok_len", floor(
+        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens") * 10000 + 0.5) / 10000)
+      // explicit half-up quantization instead of round(): the score's
+      // fixed-decimal inputs land exactly on .00005 boundaries, where
+      // Spark rounds half-up but DuckDB half-even — floor(x*1e4 + 0.5)
+      // forces the same rule in both engines
+      .withColumn("quality", floor((
         least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
           col("stop_ratio") * 0.3 +
-          least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2, 4))
+          least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
       .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
         col("mean_tok_len"), col("quality"))
       .orderBy(col("doc_id"))

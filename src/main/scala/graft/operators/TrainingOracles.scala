@@ -109,8 +109,8 @@ object TrainingOracles {
         |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    round(count(*)::DOUBLE /
-        |      (any_value(a.n) + any_value(b.n) - count(*)), 4) AS jaccard
+        |    floor(count(*)::DOUBLE /
+        |      (any_value(a.n) + any_value(b.n) - count(*)) * 10000 + 0.5) / 10000 AS jaccard
         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, jaccard FROM pairs
@@ -151,11 +151,12 @@ object TrainingOracles {
         |    length(text) AS n_chars2
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  round(n_stop / n_tokens, 4) AS stop_ratio,
-        |  round((n_chars2 - n_tokens + 1) / n_tokens, 4) AS mean_tok_len,
-        |  round(least(n_tokens / 100.0, 1.0) * 0.5 +
-        |        round(n_stop / n_tokens, 4) * 0.3 +
-        |        least(round((n_chars2 - n_tokens + 1) / n_tokens, 4) / 10.0, 1.0) * 0.2, 4) AS quality
+        |  floor(n_stop / n_tokens * 10000 + 0.5) / 10000 AS stop_ratio,
+        |  floor((n_chars2 - n_tokens + 1) / n_tokens * 10000 + 0.5) / 10000 AS mean_tok_len,
+        |  floor((least(n_tokens / 100.0, 1.0) * 0.5 +
+        |         (floor(n_stop / n_tokens * 10000 + 0.5) / 10000) * 0.3 +
+        |         least((floor((n_chars2 - n_tokens + 1) / n_tokens * 10000 + 0.5) / 10000) / 10.0, 1.0) * 0.2)
+        |        * 10000 + 0.5) / 10000 AS quality
         |FROM d ORDER BY doc_id""".stripMargin,
 
     "t03_token_count" ->
