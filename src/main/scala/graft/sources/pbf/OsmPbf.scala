@@ -66,6 +66,14 @@ object OsmPbf {
       .option("splitMb", math.max(1L, splitTargetBytes >> 20).toString)
       .load(path)
 
+  /** Typed view: same scan (pruning/pushdown included — the typed fields
+    * Catalyst sees unused still prune), `Dataset[OsmElement]` on top. */
+  def readTyped(spark: SparkSession, path: String,
+                splitTargetBytes: Long = 64L << 20): org.apache.spark.sql.Dataset[OsmElement] = {
+    import spark.implicits._
+    read(spark, path, splitTargetBytes).as[OsmElement]
+  }
+
   /** The reference's whole CLI pipeline (main.rs → pbf_driver →
     * write parquet): transcode a PBF into hive-partitioned zstd parquet,
     * `type=node/way/relation` (sink.rs:166-179 path layout).

@@ -65,6 +65,19 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     df.unpersist()
   }
 
+  test("typed Dataset[OsmElement] view") {
+    val ds = OsmPbf.readTyped(spark, fixture)
+    val way = ds.filter(_.isWay).collect().head
+    assert(way.id === 107L)
+    assert(way.tag("building") === Some("yes"))
+    assert(way.nds.get.map(_.ref) === Seq(105L, 106L, 108L, 105L))
+    val nodeIds = ds.filter(_.isNode).map(_.id)(org.apache.spark.sql.Encoders.scalaLong)
+      .collect().sorted
+    assert(nodeIds.toSeq === Seq(105L, 106L, 108L))
+    val rel = ds.filter(_.isRelation).collect().head
+    assert(rel.members.get.head.role === Some("test_role"))
+  }
+
   test("header metadata surface (S6)") {
     val h = OsmPbf.header(spark, fixture).get
     assert(h.requiredFeatures.toSet === Set("OsmSchema-V0.6", "DenseNodes"))
