@@ -85,6 +85,17 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact dedup — the streaming twin of the batch d01 exact
+    * dedup: drops events whose `event_id` was already seen, with state
+    * bounded by the watermark (a duplicate arriving later than the
+    * watermark delay is passed through rather than held forever — the
+    * standard correctness/state tradeoff for infinite-stream dedup).
+    */
+  def dedupeStream(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Convenience: run `windowedCounts` over a rate-limited file stream of
     * the events table and deliver to an in-memory sink — the wiring a
     * production deployment would point at kafka/files + a real sink.

@@ -94,6 +94,26 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("streaming dedup drops duplicate event_ids within the watermark") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.dedupeStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "click", 1.0),
+      EventStreams.Event(1, ts(1, 0), 10, "click", 1.0), // exact dup
+      EventStreams.Event(2, ts(1, 5), 11, "view", 2.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(1, ts(1, 6), 10, "click", 1.0)) // late dup, still in state
+    query.processAllAvailable()
+
+    val ids = spark.table("dedup").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq === Seq(1L, 2L))
+    query.stop()
+  }
+
   test("file-stream wiring over parquet events") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
