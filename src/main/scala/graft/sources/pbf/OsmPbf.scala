@@ -116,9 +116,13 @@ object OsmPbf {
     math.max(memBytes.toDouble / math.max(rows.size, 1) * onDiskFactor, 8.0)
   }
 
-  def transcode(spark: SparkSession, config: PbfConfig): Unit = {
+  /** Returns per-type element counts (the reference's A1 global element
+    * counter, util.rs:20 / pbf.rs:192-210, via the Observation API — the
+    * counts ride the write jobs for free, no extra pass).
+    */
+  def transcode(spark: SparkSession, config: PbfConfig): Map[String, Long] = {
     config.validate()
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, lit}
     val codec = if (config.compression == 0) "uncompressed" else "zstd"
     val maxRecords = config.fileTargetMb match {
       case Some(mb) =>
@@ -126,15 +130,18 @@ object OsmPbf {
       case None => config.maxRecordsPerFile
     }
     val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
+    val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(types.size)
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     types.foreach { t =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try {
+            val obs = org.apache.spark.sql.Observation(s"transcode_$t")
             read(spark, config.input, config.inputBufferSizeMb.toLong << 20)
               .filter(col("type") === t)
               .drop("type")
+              .observe(obs, count(lit(1)).as("n"))
               .write
               .mode("overwrite")
               .option("compression", codec)
@@ -142,12 +149,15 @@ object OsmPbf {
               .option("parquet.compression.codec.zstd.level", config.compression.toString)
               .option("maxRecordsPerFile", maxRecords)
               .parquet(s"${config.output.stripSuffix("/")}/type=$t")
+            counts.put(t, obs.get("n").asInstanceOf[Long])
           } catch { case e: Throwable => failures.add(e) }
       })
     }
     pool.shutdown()
     pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
     if (!failures.isEmpty) throw failures.peek()
+    import scala.jdk.CollectionConverters._
+    counts.asScala.toMap
   }
 
 }

@@ -96,6 +96,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: match each click to the same user's
+    * view within the preceding `joinWindow`. Both sides are watermarked so
+    * the join state is bounded — Spark drops buffered rows once the
+    * watermark passes the interval condition's reach. The canonical
+    * attribution-join shape at stream scale.
+    */
+  def clickViewJoin(events: DataFrame, watermark: String = "10 minutes",
+                    joinWindow: String = "1 hour"): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val clicks = events.filter(col("event_type") === "click")
+      .withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    clicks.join(views,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $joinWindow"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** Convenience: run `windowedCounts` over a rate-limited file stream of
     * the events table and deliver to an in-memory sink — the wiring a
     * production deployment would point at kafka/files + a real sink.

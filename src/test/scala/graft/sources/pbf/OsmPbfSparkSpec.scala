@@ -38,7 +38,9 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("transcode writes hive-partitioned parquet routed by type (K1/K6)") {
     val out = java.nio.file.Files.createTempDirectory("osmparq").toString
-    OsmPbf.transcode(spark, PbfConfig(input = fixture, output = out, compression = 3))
+    val counts = OsmPbf.transcode(spark, PbfConfig(input = fixture, output = out, compression = 3))
+    // A1 element counters ride the write jobs (Observation API)
+    assert(counts === Map("node" -> 3L, "way" -> 1L, "relation" -> 1L))
     val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
     assert(dirs === Set("type=node", "type=way", "type=relation"))
 

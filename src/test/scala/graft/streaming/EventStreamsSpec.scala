@@ -114,6 +114,28 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("stream-stream interval join matches clicks to preceding views") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.clickViewJoin(input.toDF())
+      .writeStream.format("memory").queryName("cvj").outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "view", 1.0),
+      EventStreams.Event(2, ts(1, 30), 10, "click", 1.0), // joins view 1 (30min gap)
+      EventStreams.Event(3, ts(1, 0), 11, "view", 1.0),
+      EventStreams.Event(4, ts(3, 0), 11, "click", 1.0))  // 2h gap: outside window
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(5, ts(6, 0), 99, "view", 1.0)) // advance watermark
+    query.processAllAvailable()
+
+    val rows = spark.table("cvj").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"), r.getAs[Long]("view_id")))
+    assert(rows.toSeq === Seq((10L, 2L, 1L)))
+    query.stop()
+  }
+
   test("file-stream wiring over parquet events") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("events-stream").toString
