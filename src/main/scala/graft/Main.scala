@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * {{{
   * graft.Main --input planet.osm.pbf [--output ./parquet]
   *   [--compression 3] [--input-buffer-size-mb 16]
-  *   [--max-records-per-file N] [--master local[*]]
+  *   [--max-records-per-file N] [--file-target-mb 500]
+ *   [--row-group-target-mb 128] [--max-row-group-count N]
+ *   [--master local[*]]
   * }}}
   *
   * Reads the PBF through the osmpbf source and writes hive-partitioned
@@ -25,7 +27,9 @@ object Main {
       compression = opts.getOrElse("compression", "3").toInt,
       inputBufferSizeMb = opts.getOrElse("input-buffer-size-mb", "16").toInt,
       maxRecordsPerFile = opts.getOrElse("max-records-per-file", "5000000").toLong,
-      fileTargetMb = opts.get("file-target-mb").map(_.toInt))
+      fileTargetMb = opts.get("file-target-mb").map(_.toInt),
+      rowGroupTargetMb = opts.getOrElse("row-group-target-mb", "128").toInt,
+      maxRowGroupRows = opts.get("max-row-group-count").map(_.toInt))
     config.validate()
 
     val spark = SparkSession.builder()

@@ -74,21 +74,29 @@ object OsmPbf {
     read(spark, path, splitTargetBytes).as[OsmElement]
   }
 
-  /** The reference's whole CLI pipeline (main.rs → pbf_driver →
-    * write parquet): transcode a PBF into hive-partitioned zstd parquet,
-    * `type=node/way/relation` (sink.rs:166-179 path layout).
+  /** Groups data-blob spans into ~`targetBytes` chunks of compressed input
+    * so task count scales with file size, not blob count. Shared by the
+    * DataSourceV2 scan planner and the transcode sink.
     *
-    * Three concurrent per-type jobs instead of one
-    * `partitionBy("type")` write:
-    *  - no dynamic-partition sort (the partitionBy writer sorts every
-    *    task's rows by the partition column first — pure overhead when
-    *    there are exactly 3 values);
-    *  - each scan's `type=` pushdown decodes only its own primitive
-    *    groups, so the 3 scans cost ~1 full decode (nodes dominate);
-    *  - the `type` column stays directory-only, exactly like the
-    *    reference (osm_arrow.rs:52-54) — readers get it back through
-    *    partition discovery.
+    * Compressed bytes under-measure decode work when blobs compress
+    * extremely well (delta-coded dense nodes can zlib 100:1+), so a group
+    * is also capped at `targetBytes / 8MB` blobs — 8MB being the typical
+    * planet-file blob body. Grouping then only engages when the target
+    * exceeds a typical blob, and a many-tiny-blob file still fans out to
+    * one task per blob, the reference's own parallelism unit (pbf.rs:79).
     */
+  def groupSpans(spans: Seq[Blobs.BlobSpan], targetBytes: Long): Seq[Array[Blobs.BlobSpan]] = {
+    val maxBlobs = math.max(1L, targetBytes / (8L << 20))
+    val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Blobs.BlobSpan]]
+    var acc = 0L
+    spans.foreach { s =>
+      if (groups.isEmpty || acc + s.length > targetBytes || groups.last.size >= maxBlobs) {
+        groups += scala.collection.mutable.ArrayBuffer(s); acc = s.length.toLong
+      } else { groups.last += s; acc += s.length }
+    }
+    groups.map(_.toArray).toSeq
+  }
+
   /** Estimate of parquet bytes/row from a sample of decoded rows: measure
     * their UnsafeRow footprint and apply a conservative on-disk factor
     * (columnar encoding + zstd typically lands well under in-memory row
@@ -116,48 +124,146 @@ object OsmPbf {
     math.max(memBytes.toDouble / math.max(rows.size, 1) * onDiskFactor, 8.0)
   }
 
-  /** Returns per-type element counts (the reference's A1 global element
-    * counter, util.rs:20 / pbf.rs:192-210, via the Observation API — the
-    * counts ride the write jobs for free, no extra pass).
+  /** Progress snapshot surfaced by the transcode monitor (the reference's
+    * 60s element-counter tick, pbf.rs:100-126 / util.rs:20). One final
+    * event always fires at job end so short jobs still report. */
+  final case class TranscodeProgress(elements: Long, inputBytes: Long, seconds: Double)
+
+  private def defaultProgressLog(p: TranscodeProgress): Unit = {
+    val e = if (p.elements >= 1000000000L) f"${p.elements / 1e9}%.2fB"
+      else if (p.elements >= 1000000L) f"${p.elements / 1e6}%.2fM"
+      else p.elements.toString
+    System.err.println(f"[graft.transcode] processed $e elements " +
+      f"(${p.inputBytes >> 20} MB compressed input) in ${p.seconds}%.0f s")
+  }
+
+  /** The reference's whole CLI pipeline (main.rs → pbf_driver → parquet):
+    * transcode a PBF into hive-partitioned zstd parquet,
+    * `type=node/way/relation` (sink.rs:166-179 path layout).
+    *
+    * Single pass, task-owned columnar writers — the Spark re-expression of
+    * the reference's worker→sink-pool architecture (pbf.rs:51-98,
+    * sink.rs:29-44):
+    *  - ONE narrow job over blob-span groups: each task seeks, inflates and
+    *    decodes its blobs exactly once and routes rows by type to up to 3
+    *    parquet-mr writers it owns ([[DirectParquet.RotatingWriter]]). No
+    *    shuffle, no dynamic-partition sort, no re-inflation per type.
+    *  - the decoder's InternalRows feed the parquet RecordConsumer
+    *    directly — no DataFrame-writer conversion layer (the round-1
+    *    throughput floor).
+    *  - file rotation is byte-accurate from the writer's own size feedback
+    *    (`--file-target-mb`, default 500 like util.rs:62-63), replacing the
+    *    sampled bytes/row heuristic.
+    *  - the `type` column stays directory-only, exactly like the reference
+    *    (osm_arrow.rs:52-54) — readers get it back via partition discovery.
+    *  - PBF files sort nodes→ways→relations, so almost every task opens a
+    *    single writer; only type-boundary tasks hold 2-3.
+    *
+    * Returns per-type element counts (the reference's A1 global counter,
+    * util.rs:20 / pbf.rs:192-210). `onProgress` is invoked every
+    * `progressIntervalMs` from a driver-side monitor (C4 parity) and once
+    * at completion.
     */
-  def transcode(spark: SparkSession, config: PbfConfig): Map[String, Long] = {
+  def transcode(spark: SparkSession, config: PbfConfig,
+                onProgress: TranscodeProgress => Unit = defaultProgressLog,
+                progressIntervalMs: Long = 60000L): Map[String, Long] = {
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
     config.validate()
-    import org.apache.spark.sql.functions.{col, count, lit}
-    val codec = if (config.compression == 0) "uncompressed" else "zstd"
-    val maxRecords = config.fileTargetMb match {
-      case Some(mb) =>
-        (mb.toLong << 20) / estimateRowBytes(spark, config.input).round
-      case None => config.maxRecordsPerFile
-    }
+    val sc = spark.sparkContext
+    val allSpans = blobSpans(spark, config.input)
+    // unknown blob types fail typed, matching pbf.rs:85-87
+    allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
+      .foreach(s => throw new PbfFormatException(
+        s"unknown blob type '${s.blobType}' at offset ${s.offset}"))
+    val groups = groupSpans(allSpans.filter(_.blobType == Blobs.TypeOsmData),
+      config.inputBufferSizeMb.toLong << 20)
+
+    val hc = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
+    // parquet-mr codec-level knob; 1-22 like the reference (util.rs:100-104)
+    hc.setInt("parquet.compression.codec.zstd.level", math.max(config.compression, 1))
+    val hconf = new org.apache.spark.util.SerializableConfiguration(hc)
+    val codec = if (config.compression == 0) CompressionCodecName.UNCOMPRESSED
+      else CompressionCodecName.ZSTD
+
+    val outRoot = config.output.stripSuffix("/")
     val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
-    val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(types.size)
-    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    types.foreach { t =>
-      pool.submit(new Runnable {
-        override def run(): Unit =
-          try {
-            val obs = org.apache.spark.sql.Observation(s"transcode_$t")
-            read(spark, config.input, config.inputBufferSizeMb.toLong << 20)
-              .filter(col("type") === t)
-              .drop("type")
-              .observe(obs, count(lit(1)).as("n"))
-              .write
-              .mode("overwrite")
-              .option("compression", codec)
-              // parquet-mr codec-level knob; 1-22 like the reference (util.rs:100-104)
-              .option("parquet.compression.codec.zstd.level", config.compression.toString)
-              .option("maxRecordsPerFile", maxRecords)
-              .parquet(s"${config.output.stripSuffix("/")}/type=$t")
-            counts.put(t, obs.get("n").asInstanceOf[Long])
-          } catch { case e: Throwable => failures.add(e) }
-      })
+    val outPath = new Path(outRoot)
+    val ofs = outPath.getFileSystem(hc)
+    types.foreach(t => ofs.mkdirs(new Path(outPath, s"type=$t"))) // stable hive layout
+
+    val elemAcc = sc.longAccumulator("graft.transcode.elements")
+    val byteAcc = sc.longAccumulator("graft.transcode.inputBytes")
+    val t0 = System.nanoTime()
+    @volatile var running = true
+    val monitor = new Thread(() => {
+      while (running) {
+        try Thread.sleep(progressIntervalMs)
+        catch { case _: InterruptedException => () }
+        if (running)
+          onProgress(TranscodeProgress(elemAcc.value, byteAcc.value, (System.nanoTime() - t0) / 1e9))
+      }
+    }, "graft-transcode-monitor")
+    monitor.setDaemon(true)
+    monitor.start()
+
+    val input = config.input
+    val fileTargetBytes = config.fileTargetMb.getOrElse(500).toLong << 20
+    val maxRecords = config.maxRecordsPerFile
+    val rowGroupBytes = config.rowGroupTargetMb.toLong << 20
+    val rowGroupRows = config.maxRowGroupRows
+    try {
+      val perTask = sc.parallelize(groups, groups.size).mapPartitions { groupIter =>
+        val conf = hconf.value
+        val taskId = org.apache.spark.TaskContext.getPartitionId()
+        val fsPath = new Path(input)
+        val fs = fsPath.getFileSystem(conf)
+        val in = fs.open(fsPath)
+        val nodeU = org.apache.spark.unsafe.types.UTF8String.fromString(OsmSchema.TypeNode)
+        val wayU = org.apache.spark.unsafe.types.UTF8String.fromString(OsmSchema.TypeWay)
+        val writers = new Array[DirectParquet.RotatingWriter](3)
+        def writerFor(i: Int, t: String): DirectParquet.RotatingWriter = {
+          if (writers(i) == null)
+            writers(i) = new DirectParquet.RotatingWriter(
+              new Path(s"$outRoot/type=$t"), conf, codec, taskId,
+              fileTargetBytes, maxRecords, rowGroupBytes, rowGroupRows)
+          writers(i)
+        }
+        try {
+          var batched = 0L
+          groupIter.foreach { group =>
+            group.foreach { span =>
+              in.seek(span.offset)
+              val buf = new Array[Byte](span.length)
+              in.readFully(buf)
+              byteAcc.add(span.length)
+              BlockDecoder.decodeBlockInternal(Blobs.decode(buf), BlockDecoder.FullProjection)
+                .foreach { row =>
+                  val t = row.getUTF8String(12)
+                  val w =
+                    if (t.equals(nodeU)) writerFor(0, OsmSchema.TypeNode)
+                    else if (t.equals(wayU)) writerFor(1, OsmSchema.TypeWay)
+                    else writerFor(2, OsmSchema.TypeRelation)
+                  w.write(row)
+                  batched += 1
+                }
+              elemAcc.add(batched); batched = 0L
+            }
+          }
+        } finally {
+          writers.foreach(w => if (w != null) w.close())
+          in.close()
+        }
+        Iterator.single(Array(
+          if (writers(0) != null) writers(0).total else 0L,
+          if (writers(1) != null) writers(1).total else 0L,
+          if (writers(2) != null) writers(2).total else 0L))
+      }.collect()
+      types.zipWithIndex.map { case (t, i) => t -> perTask.map(_(i)).sum }.toMap
+    } finally {
+      running = false
+      monitor.interrupt()
+      onProgress(TranscodeProgress(elemAcc.value, byteAcc.value, (System.nanoTime() - t0) / 1e9))
     }
-    pool.shutdown()
-    pool.awaitTermination(24, java.util.concurrent.TimeUnit.HOURS)
-    if (!failures.isEmpty) throw failures.peek()
-    import scala.jdk.CollectionConverters._
-    counts.asScala.toMap
   }
 
 }
@@ -172,7 +278,13 @@ final case class PbfConfig(
     compression: Int = 3,
     inputBufferSizeMb: Int = 16,
     maxRecordsPerFile: Long = 5000000L,
-    fileTargetMb: Option[Int] = None) {
+    fileTargetMb: Option[Int] = None,
+    /** parquet row-group byte target (`parquet.block.size` analog);
+      * controls scan parallelism of the output. */
+    rowGroupTargetMb: Int = 128,
+    /** max rows per row group — `--max-row-group-count`
+      * (util.rs:57-59, sink.rs:146-148) parity. */
+    maxRowGroupRows: Option[Int] = None) {
 
   def validate(): Unit = {
     require(input.endsWith(".pbf") || input.endsWith(".osm.pbf"),
@@ -182,6 +294,8 @@ final case class PbfConfig(
     require(inputBufferSizeMb > 0, "input buffer must be positive")
     require(maxRecordsPerFile > 0, "maxRecordsPerFile must be positive")
     require(fileTargetMb.forall(_ > 0), "file target must be positive") // util.rs:121-125
+    require(rowGroupTargetMb > 0, "row group target must be positive")
+    require(maxRowGroupRows.forall(_ > 0), "max row group count must be positive") // util.rs:57-59
     val scheme = input.takeWhile(_ != ':')
     require(!input.contains("://") || Seq("s3", "s3a", "file", "hdfs").contains(scheme),
       s"unsupported input scheme: $scheme") // util.rs:129-151 (s3/plain only)

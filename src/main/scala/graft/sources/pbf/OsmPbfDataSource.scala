@@ -113,15 +113,8 @@ class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
       .foreach(s => throw new PbfFormatException(
         s"unknown blob type '${s.blobType}' at offset ${s.offset}"))
     val spans = allSpans.filter(_.blobType == Blobs.TypeOsmData)
-    val target = splitMb.toLong << 20
-    val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Blobs.BlobSpan]]
-    var acc = 0L
-    spans.foreach { s =>
-      if (groups.isEmpty || acc + s.length > target) {
-        groups += scala.collection.mutable.ArrayBuffer(s); acc = s.length.toLong
-      } else { groups.last += s; acc += s.length }
-    }
-    groups.map(g => OsmPbfInputPartition(path, g.toArray): InputPartition).toArray
+    OsmPbf.groupSpans(spans, splitMb.toLong << 20)
+      .map(g => OsmPbfInputPartition(path, g): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -53,6 +53,63 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(way.getAs[Map[String, String]]("tags") === Map("building" -> "yes", "name" -> "triangle"))
   }
 
+  test("transcode round-trips every column exactly (direct parquet writer fidelity)") {
+    val out = java.nio.file.Files.createTempDirectory("osmfid").toString
+    OsmPbf.transcode(spark, PbfConfig(input = fixture, output = out))
+    val cols = OsmSchema.schema.fieldNames
+    val src = OsmPbf.read(spark, fixture).select(cols.head, cols.tail: _*)
+      .collect().sortBy(r => (r.getAs[String]("type"), r.getAs[Long]("id")))
+    val back = spark.read.parquet(out).select(cols.head, cols.tail: _*)
+      .collect().sortBy(r => (r.getAs[String]("type"), r.getAs[Long]("id")))
+    assert(src.length === back.length)
+    src.zip(back).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("transcode progress monitor fires periodic + final events (C4)") {
+    val dir = java.nio.file.Files.createTempDirectory("osmprog").toString
+    val pbf = s"$dir/prog.osm.pbf"
+    val n = PbfWriter.synthesize(pbf, blocks = 20, nodesPerBlock = 5000)
+    val events = new java.util.concurrent.ConcurrentLinkedQueue[OsmPbf.TranscodeProgress]()
+    OsmPbf.transcode(spark, PbfConfig(input = pbf, output = s"$dir/out"),
+      onProgress = events.add(_), progressIntervalMs = 25L)
+    assert(!events.isEmpty) // at least the guaranteed completion event
+    import scala.jdk.CollectionConverters._
+    val last = events.asScala.last
+    assert(last.elements === n)
+    assert(last.inputBytes > 0L)
+  }
+
+  test("row-group sizing: --max-row-group-count bounds rows per row group") {
+    val dir = java.nio.file.Files.createTempDirectory("osmrg").toString
+    val pbf = s"$dir/rg.osm.pbf"
+    PbfWriter.synthesize(pbf, blocks = 1, nodesPerBlock = 1000)
+    OsmPbf.transcode(spark, PbfConfig(input = pbf, output = s"$dir/out",
+      maxRowGroupRows = Some(300)))
+    val nodeDir = new java.io.File(s"$dir/out/type=node")
+    val files = nodeDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(files.head.getAbsolutePath))
+    import scala.jdk.CollectionConverters._
+    val groups = footer.getBlocks.asScala
+    assert(groups.size >= 3) // 1000 rows / 300-cap => at least 4 groups in-file
+    assert(groups.forall(_.getRowCount <= 300L))
+  }
+
+  test("file rotation by actual bytes (--file-target-mb feedback loop)") {
+    val dir = java.nio.file.Files.createTempDirectory("osmrot").toString
+    val pbf = s"$dir/rot.osm.pbf"
+    val n = PbfWriter.synthesize(pbf, blocks = 10, nodesPerBlock = 20000)
+    OsmPbf.transcode(spark, PbfConfig(input = pbf, output = s"$dir/out",
+      compression = 0, fileTargetMb = Some(1)))
+    val files = new java.io.File(s"$dir/out/type=node").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    // 200k nodes are ~10MB uncompressed; a 1MB byte target must rotate
+    assert(files.length > 5, s"expected rotation, got ${files.length} files")
+    assert(spark.read.parquet(s"$dir/out").count() === n)
+  }
+
   test("F2/F3: tag predicate filter + broadcast semi-join for dependent nodes") {
     val df = OsmPbf.read(spark, fixture).cache()
     // F2: ways with building=yes (indexed.rs:286-297)
