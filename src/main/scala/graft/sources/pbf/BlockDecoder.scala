@@ -413,6 +413,82 @@ object BlockDecoder {
       TypeRelationU)
   }
 
+  /** Per-blob min/max element ids — the zone map the reference's
+    * IndexedReader records per blob (indexed.rs:36-44, 174-225).
+    * `min > max` means the type is absent from the blob. */
+  final case class BlobIdRanges(
+      nodeMin: Long, nodeMax: Long,
+      wayMin: Long, wayMax: Long,
+      relMin: Long, relMax: Long) {
+    def hasNodes: Boolean = nodeMin <= nodeMax
+    def hasWays: Boolean = wayMin <= wayMax
+    def hasRelations: Boolean = relMin <= relMax
+  }
+
+  /** Id-only decode of a PrimitiveBlock: visits just the id field of every
+    * element (nodes field 1 sint64, dense field 1 packed-delta, way/rel
+    * field 1 int64) and skips everything else — building the zone map costs
+    * a fraction of a full decode (the reference builds its index while
+    * already decoding pass-1 blocks, indexed.rs:174-225; a pruned scan has
+    * to pay only this). */
+  def idRanges(payload: Array[Byte]): BlobIdRanges = {
+    var nodeMin = Long.MaxValue; var nodeMax = Long.MinValue
+    var wayMin = Long.MaxValue; var wayMax = Long.MinValue
+    var relMin = Long.MaxValue; var relMax = Long.MinValue
+    @inline def see(id: Long, kind: Int): Unit = (kind: @annotation.switch) match {
+      case 0 => if (id < nodeMin) nodeMin = id; if (id > nodeMax) nodeMax = id
+      case 1 => if (id < wayMin) wayMin = id; if (id > wayMax) wayMax = id
+      case 2 => if (id < relMin) relMin = id; if (id > relMax) relMax = id
+    }
+    val r = new ProtoReader(payload)
+    while (r.hasNext) {
+      val tag = r.readTag()
+      if (tag == 0x12) { // PrimitiveGroup
+        val g = r.readMessage()
+        while (g.hasNext) {
+          val gt = g.readTag()
+          (gt: @annotation.switch) match {
+            case 0x0a => // Node: id = 1 sint64
+              val m = g.readMessage()
+              var done = false
+              while (m.hasNext && !done) {
+                val t = m.readTag()
+                if ((t >>> 3) == 1) { see(m.readZigzag(), 0); done = true }
+                else m.skip(t & 7)
+              }
+            case 0x12 => // DenseNodes: id = 1 packed sint64 delta
+              val m = g.readMessage()
+              while (m.hasNext) {
+                val t = m.readTag()
+                if ((t >>> 3) == 1) {
+                  var acc = 0L
+                  m.readPackedZigzag().foreach { d => acc += d; see(acc, 0) }
+                } else m.skip(t & 7)
+              }
+            case 0x1a => // Way: id = 1 int64
+              val m = g.readMessage()
+              var done = false
+              while (m.hasNext && !done) {
+                val t = m.readTag()
+                if ((t >>> 3) == 1) { see(m.readVarint(), 1); done = true }
+                else m.skip(t & 7)
+              }
+            case 0x22 => // Relation: id = 1 int64
+              val m = g.readMessage()
+              var done = false
+              while (m.hasNext && !done) {
+                val t = m.readTag()
+                if ((t >>> 3) == 1) { see(m.readVarint(), 2); done = true }
+                else m.skip(t & 7)
+              }
+            case t => g.skip(t & 7)
+          }
+        }
+      } else r.skip(tag & 7)
+    }
+    BlobIdRanges(nodeMin, nodeMax, wayMin, wayMax, relMin, relMax)
+  }
+
   /** HeaderBlock: bbox=1, required_features=4, optional_features=5,
     * writingprogram=16, source=17, replication ts/seq/url=32/33/34. */
   def decodeHeader(payload: Array[Byte]): OsmHeader = {

@@ -54,10 +54,11 @@ class OsmPbfTable(properties: Map[String, String]) extends Table with SupportsRe
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OsmPbfScanBuilder(path,
-      options.getOrDefault("splitMb", properties.getOrElse("splitMb", "64")).toInt)
+      options.getOrDefault("splitMb", properties.getOrElse("splitMb", "64")).toInt,
+      Option(options.getOrDefault("spans", properties.getOrElse("spans", null))))
 }
 
-class OsmPbfScanBuilder(path: String, splitMb: Int)
+class OsmPbfScanBuilder(path: String, splitMb: Int, spansOpt: Option[String] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var requiredSchema: StructType = OsmSchema.schema
@@ -94,25 +95,37 @@ class OsmPbfScanBuilder(path: String, splitMb: Int)
 
   override def pushedFilters(): Array[Filter] = pushedTypeFilters
 
-  override def build(): Scan = new OsmPbfScan(path, splitMb, requiredSchema, typeSet)
+  override def build(): Scan = new OsmPbfScan(path, splitMb, requiredSchema, typeSet, spansOpt)
 }
 
 class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
-                 typeSet: Set[String]) extends Scan with Batch {
+                 typeSet: Set[String], spansOpt: Option[String] = None) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
-    s"osmpbf $path types=${typeSet.mkString(",")} cols=${requiredSchema.fieldNames.mkString(",")}"
+    s"osmpbf $path types=${typeSet.mkString(",")} cols=${requiredSchema.fieldNames.mkString(",")}" +
+      spansOpt.map(s => s" spans=${s.count(_ == ':')}").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val allSpans = OsmPbf.blobSpans(spark, path)
-    // unknown blob types are an error, not a skip — matching the
-    // reference's UnknownBlobType failure (pbf.rs:85-87)
-    allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
-      .foreach(s => throw new PbfFormatException(
-        s"unknown blob type '${s.blobType}' at offset ${s.offset}"))
-    val spans = allSpans.filter(_.blobType == Blobs.TypeOsmData)
+    // `spans` option = pre-planned pruned subset (IndexedPbf zone-map
+    // pruning): skip enumeration entirely, scan only what the caller chose.
+    val spans = spansOpt match {
+      case Some(enc) if enc.nonEmpty =>
+        enc.split(',').toSeq.map { s =>
+          val i = s.indexOf(':')
+          Blobs.BlobSpan(s.substring(0, i).toLong, s.substring(i + 1).toInt, Blobs.TypeOsmData)
+        }
+      case Some(_) => Seq.empty
+      case None =>
+        val allSpans = OsmPbf.blobSpans(spark, path)
+        // unknown blob types are an error, not a skip — matching the
+        // reference's UnknownBlobType failure (pbf.rs:85-87)
+        allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
+          .foreach(s => throw new PbfFormatException(
+            s"unknown blob type '${s.blobType}' at offset ${s.offset}"))
+        allSpans.filter(_.blobType == Blobs.TypeOsmData)
+    }
     OsmPbf.groupSpans(spans, splitMb.toLong << 20)
       .map(g => OsmPbfInputPartition(path, g): InputPartition).toArray
   }
