@@ -11,12 +11,13 @@ import org.apache.spark.sql.functions._
   * the JVM analog of a vectorized Python UDF: one iterator per partition,
   * amortized per-batch setup, no per-row interpreter crossing).
   *
-  * The actual codec step is STUBBED — this container ships no image/audio
-  * libraries — behind [[StubCodec]], a deterministic fake that derives
-  * "pixels"/"samples" from payload bytes. Everything around it (schema,
-  * partitioning, batch shape, feature aggregation) is real and tested;
-  * swapping `StubCodec.decode` for a real codec is the only deploy-time
-  * change.
+  * The decode stage is REAL for image kinds: [[ImageCodec]] decodes
+  * PNG/BMP/GIF/JPEG through the JDK's `javax.imageio` and extracts
+  * pixel-derived integer features. Non-image kinds (audio/video — no
+  * pure-JVM codec exists in this container) fall back to [[StubCodec]],
+  * a deterministic fake that derives "samples" from payload bytes, so the
+  * pipeline stays total; swapping the stub for a native codec is the only
+  * deploy-time change for those kinds.
   *
   * Scale notes: decode is embarrassingly parallel per item; partitions
   * stay narrow (no shuffle) until the final per-source aggregation, whose
@@ -29,8 +30,8 @@ object Multimodal {
   final case class MediaItem(media_id: Long, kind: String, source: String,
                              payload: Array[Byte])
 
-  final case class MediaFeatures(media_id: Long, source: String, n_bytes: Int,
-                                 checksum: Long, features: Array[Long])
+  final case class MediaFeatures(media_id: Long, kind: String, source: String,
+                                 n_bytes: Int, checksum: Long, features: Array[Long])
 
   final case class Frame(media_id: Long, frame_idx: Int, n_bytes: Int,
                          checksum: Long)
@@ -65,14 +66,22 @@ object Multimodal {
     }
   }
 
-  /** Batch decode + feature extraction, one partition pass. */
+  /** Batch decode + feature extraction, one partition pass. Image kinds go
+    * through the real `javax.imageio` decoder; an undecodable image payload
+    * or a non-image kind takes the stub path (total function, no row loss).
+    */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
     items.mapPartitions { it =>
-      // per-partition setup would initialize the real codec once here
+      // per-partition setup of heavyweight codec state would happen once here
       it.map { m =>
-        MediaFeatures(m.media_id, m.source, m.payload.length,
-          StubCodec.checksum(m.payload), StubCodec.decode(m.payload))
+        val features =
+          if (m.kind.startsWith("image/"))
+            ImageCodec.decode(m.payload).map(ImageCodec.features)
+              .getOrElse(StubCodec.decode(m.payload))
+          else StubCodec.decode(m.payload)
+        MediaFeatures(m.media_id, m.kind, m.source, m.payload.length,
+          StubCodec.checksum(m.payload), features)
       }
     }
   }
@@ -102,19 +111,44 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** m02: full decode→feature→aggregate pipeline (rows-only check: the
-    * mapPartitions codec stage is not SQL-expressible). Integer features
-    * keep the aggregate partitioning-invariant.
+  /** images-as-media: render each document into a real PNG (pixels derived
+    * deterministically from the text bytes) so the image decode path runs
+    * at corpus scale — the encode happens in the same narrow partition pass
+    * that a real corpus would spend reading image bytes from the payload
+    * column. */
+  def imagesFromDocs(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    documentsAsMedia(s, dir).mapPartitions { it =>
+      it.map { m =>
+        val side = 16
+        val rgb = new Array[Int](side * side)
+        var i = 0
+        while (i < rgb.length) {
+          val b = if (m.payload.isEmpty) 0 else m.payload(i % m.payload.length) & 0xff
+          rgb(i) = (b << 16) | (((b * 7) & 0xff) << 8) | ((b * 13) & 0xff)
+          i += 1
+        }
+        MediaItem(m.media_id, "image/png", m.source, ImageCodec.encodePng(side, side, rgb))
+      }
+    }
+  }
+
+  /** m02: full decode→feature→aggregate pipeline over BOTH media kinds —
+    * real PNG decode (javax.imageio) for images, stub for text — grouped by
+    * (kind, source). Rows-only check: the mapPartitions codec stage is not
+    * SQL-expressible. Image features come from decoded pixels, so the
+    * aggregate is encoder- and partitioning-invariant.
     */
   val m02_media_features: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    extractFeatures(documentsAsMedia(s, dir))
-      .groupBy(col("source"))
+    val media = documentsAsMedia(s, dir).unionByName(imagesFromDocs(s, dir))
+    extractFeatures(media)
+      .groupBy(col("kind"), col("source"))
       .agg(count(lit(1)).as("n_items"),
         sum(col("n_bytes")).as("total_bytes"),
         sum(element_at(col("features"), 1)).as("f0_sum"),
         min(col("checksum")).as("min_checksum"))
-      .orderBy(col("source"))
+      .orderBy(col("kind"), col("source"))
   }
 
   /** m03: frame sampling pipeline (rows-only). 4 frames per doc; output

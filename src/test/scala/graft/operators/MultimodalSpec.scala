@@ -48,9 +48,49 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = Multimodal.m02_media_features(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
     assert(rows.nonEmpty)
-    assert(df.columns.toSeq === Seq("source", "n_items", "total_bytes", "f0_sum", "min_checksum"))
+    assert(df.columns.toSeq === Seq("kind", "source", "n_items", "total_bytes", "f0_sum", "min_checksum"))
+    // both the stub (text) and real (image/png) decode paths contribute
+    assert(rows.map(_.getString(0)).toSet === Set("text", "image/png"))
+    // all image payloads decoded: f0 = width = 16 for every synthesized PNG
+    rows.filter(_.getString(0) == "image/png").foreach { r =>
+      assert(r.getAs[Long]("f0_sum") === 16L * r.getAs[Long]("n_items"))
+    }
     // deterministic under re-run
     val again = Multimodal.m02_media_features(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("ImageCodec decodes real PNG and BMP with exact pixel-derived features") {
+    // 4x3 solid red
+    val red = Array.fill(12)(0xff0000)
+    for (payload <- Seq(ImageCodec.encodePng(4, 3, red), ImageCodec.encodeBmp(4, 3, red))) {
+      val img = ImageCodec.decode(payload)
+      assert(img.isDefined)
+      val f = ImageCodec.features(img.get)
+      // [w, h, meanR, meanG, meanB, dark, mid, bright]; red luma = 2126*255/10000 = 54 → dark
+      assert(f.toSeq === Seq(4L, 3L, 255L, 0L, 0L, 12L, 0L, 0L))
+    }
+    // gradient: half black, half white → dark/bright tercile split
+    val bw = Array.tabulate(16)(i => if (i < 8) 0x000000 else 0xffffff)
+    val f2 = ImageCodec.features(ImageCodec.decode(ImageCodec.encodePng(4, 4, bw)).get)
+    assert(f2.toSeq === Seq(4L, 4L, 127L, 127L, 127L, 8L, 0L, 8L))
+  }
+
+  test("undecodable image payload falls back to the stub (total pipeline)") {
+    val sp = spark; import sp.implicits._
+    val broken = Seq(
+      Multimodal.MediaItem(1L, "image/png", "s", Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaItem(2L, "image/png", "s",
+        ImageCodec.encodePng(2, 2, Array(0x102030, 0x405060, 0x708090, 0xa0b0c0)))).toDS()
+    val out = Multimodal.extractFeatures(broken).collect().sortBy(_.media_id)
+    assert(out(0).features.toSeq === Multimodal.StubCodec.decode(Array[Byte](1, 2, 3, 4)).toSeq)
+    assert(out(1).features(0) === 2L && out(1).features(1) === 2L) // real decode
+  }
+
+  test("image features are encoder-invariant: PNG and BMP of same pixels agree") {
+    val rgb = Array.tabulate(64)(i => (i * 997) & 0xffffff)
+    val fPng = ImageCodec.features(ImageCodec.decode(ImageCodec.encodePng(8, 8, rgb)).get)
+    val fBmp = ImageCodec.features(ImageCodec.decode(ImageCodec.encodeBmp(8, 8, rgb)).get)
+    assert(fPng.toSeq === fBmp.toSeq)
   }
 }
