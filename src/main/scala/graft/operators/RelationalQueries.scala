@@ -374,21 +374,38 @@ object RelationalQueries {
       .orderBy(col("yr"))
   }
 
-  /** q27: skew-mitigated salted join — semantically identical to the
-    * plain join (which is exactly what the oracle runs), but the join key
-    * is widened with a deterministic salt: the big side derives salt from
-    * its own unique columns, the dim side explodes ×SALT so every salted
-    * key still matches. A hot orderkey's rows now spread over SALT
-    * reducers instead of one — the standard fix when AQE skew-split isn't
-    * enough. The oracle proves the rewrite changes nothing.
+  /** q27: skew-mitigated salted join, HOT KEYS ONLY — semantically
+    * identical to the plain join (which is exactly what the oracle runs).
+    * AQE's skew-join split is the first-line tool; this is the explicit
+    * fallback pattern for when it isn't enough (e.g. the skew survives
+    * into an aggregation, or stats mislead AQE).
+    *
+    * Canonical shape: a cheap first pass detects keys above a frequency
+    * threshold; ONLY rows with those keys take the salted path (big side
+    * salts from its own unique columns, the matching slice of the other
+    * side explodes ×SALT); everything else joins plainly. Replication is
+    * therefore bounded by SALT × |hot slice|, not SALT × |table| — the
+    * property that keeps the rewrite linear at 100× scale. The hot-key set
+    * is a broadcast DataFrame, never a driver collect.
     */
   val q27_salted_join: Q = (s, dir) => {
     val SALT = 8
+    val HOT = 6 // lines-per-key threshold; production: reducer-capacity based
     val l = Tables.lineitem(s, dir)
-      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SALT)))
     val o = Tables.orders(s, dir)
+    val hotKeys = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= HOT).select(col("l_orderkey").as("hot_key"))
+    val lHot = l.join(broadcast(hotKeys), col("l_orderkey") === col("hot_key"), "left_semi")
+      .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SALT)))
+    val lCold = l.join(broadcast(hotKeys), col("l_orderkey") === col("hot_key"), "left_anti")
+    val oHot = o.join(broadcast(hotKeys), col("o_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", explode(array((0 until SALT).map(lit(_)): _*)))
-    l.join(o, l("l_orderkey") === o("o_orderkey") && l("salt") === o("salt"))
+    val hot = lHot.join(oHot,
+        lHot("l_orderkey") === oHot("o_orderkey") && lHot("salt") === oHot("salt"))
+      .select(col("o_orderstatus"), col("l_extendedprice"))
+    val cold = lCold.join(o, lCold("l_orderkey") === o("o_orderkey"))
+      .select(col("o_orderstatus"), col("l_extendedprice"))
+    hot.unionByName(cold)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_lines"),
         round(sum(col("l_extendedprice")), 2).as("value"))
