@@ -23,10 +23,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      TextQueries.all ++ Multimodal.all ++ ScaleQueries.all ++ PbfQueries.all
+      TextQueries.all ++ Multimodal.all ++ ScaleQueries.all ++ PbfQueries.all ++
+      CurationQueries.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalOracles.all ++ TrainingOracles.all
+    RelationalOracles.all ++ TrainingOracles.all ++ CurationQueries.oracles
 }

@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Dataset-curation operators — the pieces a large-scale training-data
+  * pipeline runs between raw corpus and training shards: PII redaction,
+  * deterministic sampling/splitting, context-window chunking, sequence
+  * packing, TF-IDF weighting. All are narrow or single-shuffle plans over
+  * `documents`, each with a DuckDB oracle twin.
+  *
+  * Determinism conventions (shared with the dedup/text operators):
+  *  - sampling/splitting keys on an md5 HEX-PREFIX STRING compare, not a
+  *    numeric hash — both engines produce identical md5 hex, and string
+  *    comparison sidesteps engine-specific hash functions entirely;
+  *  - float outputs go through the explicit half-up guard
+  *    `floor(x*1e4 + 0.5)/1e4` on BOTH sides (Spark rounds half-up, DuckDB
+  *    half-even — they diverge exactly at .00005 boundaries).
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** t07: PII-style regex redaction (scrubbing pass). The pattern is a
+    * stand-in for email/phone patterns — same plan shape: one narrow
+    * projection, regexp evaluated once per row inside codegen, no shuffle.
+    */
+  val t07_pii_redaction: Q = (s, dir) => {
+    val pat = "\\b(customer|supplier|key)\\b"
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), pat, "<REDACTED>").as("redacted"),
+        regexp_count(col("text"), lit(pat)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** c01: deterministic stratified-style sample — keep a doc iff the hex
+    * prefix of md5(doc_id) falls under the threshold (~16% expected). Rank-
+    * stable under any partitioning and any engine; at 100 TB this is a
+    * pure narrow filter, no shuffle, no RNG state to coordinate. */
+  val c01_sampled_docs: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <= "28")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** c02: group-stable train/val/test split (~80/10/10) by md5 prefix —
+    * a document lands in the same split forever, regardless of corpus
+    * growth or partitioning, the property that prevents test-set leakage
+    * across pipeline re-runs. */
+  val c02_train_test_split: Q = (s, dir) => {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("split"))
+  }
+
+  /** c03: context-window chunking — fixed 100-char windows per document
+    * (the pre-tokenization shard step). Narrow explode; output cardinality
+    * is sum(ceil(len/100)), no shuffle until a downstream consumer. */
+  val c03_context_chunks: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0L),
+          ceil(length(col("text")) / 100.0).cast("long") - 1)).as("chunk_idx"),
+        col("text"))
+      .select(col("doc_id"), col("chunk_idx"),
+        substring(col("text"), (col("chunk_idx") * 100 + 1).cast("int"), lit(100)).as("chunk"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** c04: sequence packing — assign docs (in stable doc_id order per
+    * source) to training-batch bins by running token budget. The running
+    * sum is one window per source partition; bin assignment is pure
+    * arithmetic on it, so packing parallelizes per source at 100 TB
+    * (sources are the natural shard key; a skewed source would be salted
+    * upstream). */
+  val c04_seq_packing: Q = (s, dir) => {
+    val budget = 500
+    val toks = size(split(col("text"), " "))
+    val before = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("toks", toks)
+      .withColumn("bin", floor(coalesce(sum(col("toks")).over(before), lit(0L)) / budget))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** c05: TF-IDF weights per (doc, term) — explode once, two aggregations
+    * (term-frequency per doc; document-frequency per term), broadcast the
+    * tiny doc-count scalar. The df side aggregates to vocabulary size, so
+    * the join back is vocab-sized, not corpus-sized. */
+  val c05_tfidf: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // corpus size: one scalar, computed once
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(df, "tok")
+      .select(col("doc_id"), col("tok"),
+        (floor((col("tf") * log(lit(n.toDouble) / col("df"))) * 1e4 + 0.5) / 1e4).as("tfidf"))
+      .filter(col("tfidf") > 0)
+      .orderBy(col("doc_id"), col("tok"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "t07_pii_redaction" -> t07_pii_redaction,
+    "c01_sampled_docs" -> c01_sampled_docs,
+    "c02_train_test_split" -> c02_train_test_split,
+    "c03_context_chunks" -> c03_context_chunks,
+    "c04_seq_packing" -> c04_seq_packing,
+    "c05_tfidf" -> c05_tfidf,
+  )
+
+  /** DuckDB oracle twins (driver hash-compares values column-sorted). */
+  val oracles: Map[String, String] = Map(
+    "t07_pii_redaction" ->
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(customer|supplier|key)\b', '<REDACTED>', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '\b(customer|supplier|key)\b')) AS n_hits
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "c01_sampled_docs" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
+        |ORDER BY doc_id""".stripMargin,
+    "c02_train_test_split" ->
+      """WITH h AS (
+        |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx, n_chars FROM documents)
+        |SELECT CASE WHEN hx <= 'cb' THEN 'train' WHEN hx <= 'e5' THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM h GROUP BY 1 ORDER BY split""".stripMargin,
+    "c03_context_chunks" ->
+      """WITH e AS (
+        |  SELECT doc_id, text,
+        |    unnest(generate_series(0, CAST(ceil(length(text)/100.0) AS BIGINT) - 1)) AS chunk_idx
+        |  FROM documents WHERE length(text) > 0)
+        |SELECT doc_id, chunk_idx,
+        |  substr(text, CAST(chunk_idx*100+1 AS INT), 100) AS chunk
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "c04_seq_packing" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS toks FROM documents),
+        |b AS (
+        |  SELECT source, toks,
+        |    CAST(floor(coalesce(sum(toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 500) AS BIGINT) AS bin
+        |  FROM t)
+        |SELECT source, bin, count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "c05_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.doc_id, tf.tok,
+        |  floor((tf.tf * ln(n.n / df.df)) * 1e4 + 0.5) / 1e4 AS tfidf
+        |FROM tf JOIN df USING (tok) CROSS JOIN n
+        |WHERE floor((tf.tf * ln(n.n / df.df)) * 1e4 + 0.5) / 1e4 > 0
+        |ORDER BY doc_id, tok""".stripMargin,
+  )
+}
