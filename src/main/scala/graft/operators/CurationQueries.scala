@@ -111,6 +111,47 @@ object CurationQueries {
       .orderBy(col("doc_id"), col("tok"))
   }
 
+  /** c06: benchmark-contamination detection — for every doc in the `test`
+    * split (same md5-prefix split as c02), count the distinct 5-gram
+    * shingles it shares with ANY `train` doc. The scale shape is the
+    * inverted-index equi-join (d04's): shingles explode once per side, the
+    * train posting list is `distinct`ed down to vocabulary size with
+    * map-side combine before the join, so shuffle volume is bounded by
+    * distinct-shingle cardinality — never test×train pairs.
+    */
+  val c06_contamination: Q = (s, dir) => {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val docs = Tables.documents(s, dir)
+      .withColumn("bucket", when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test"))
+      .filter(col("bucket") =!= "val")
+      .withColumn("w", split(col("text"), " ")) // materialized once (split-in-lambda re-evaluates)
+      .filter(size(col("w")) >= 5)
+    val shingles = docs.select(col("doc_id"), col("bucket"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("w")) - 4),
+        i => concat_ws(" ", (0 to 4).map(k => element_at(col("w"), i + k)): _*)))).as("s"))
+    val train = shingles.filter(col("bucket") === "train").select(col("s")).distinct()
+    val test = shingles.filter(col("bucket") === "test").select(col("doc_id"), col("s"))
+    test.join(train, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** c07: repetition-ratio quality filter (Gopher-style "fraction of
+    * duplicated tokens"): dup_ratio = 1 - distinct_tokens/total_tokens,
+    * keep docs at or above 0.6. Pure narrow projection — array ops inside
+    * codegen, zero shuffles; at 100 TB this is scan-bound by design. */
+  val c07_repetition_filter: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " "))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        (floor((lit(1.0) - size(array_distinct(col("w"))).cast("double") / size(col("w"))) * 1e4 + 0.5) / 1e4)
+          .as("dup_ratio"))
+      .filter(col("dup_ratio") >= 0.6)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t07_pii_redaction" -> t07_pii_redaction,
     "c01_sampled_docs" -> c01_sampled_docs,
@@ -118,6 +159,8 @@ object CurationQueries {
     "c03_context_chunks" -> c03_context_chunks,
     "c04_seq_packing" -> c04_seq_packing,
     "c05_tfidf" -> c05_tfidf,
+    "c06_contamination" -> c06_contamination,
+    "c07_repetition_filter" -> c07_repetition_filter,
   )
 
   /** DuckDB oracle twins (driver hash-compares values column-sorted). */
@@ -167,5 +210,31 @@ object CurationQueries {
         |FROM tf JOIN df USING (tok) CROSS JOIN n
         |WHERE floor((tf.tf * ln(n.n / df.df)) * 1e4 + 0.5) / 1e4 > 0
         |ORDER BY doc_id, tok""".stripMargin,
+    "c06_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+        |         ELSE 'test' END AS bucket,
+        |    string_split(text, ' ') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 3),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))) AS s
+        |  FROM d WHERE bucket <> 'val' AND len(w) >= 5),
+        |train AS (SELECT DISTINCT s FROM sh WHERE bucket = 'train')
+        |SELECT t.doc_id, count(*) AS n_shared_shingles
+        |FROM sh t JOIN train USING (s) WHERE t.bucket = 'test'
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "c07_repetition_filter" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |r AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    floor((1.0 - len(list_distinct(w))::DOUBLE / len(w)) * 1e4 + 0.5) / 1e4 AS dup_ratio
+        |  FROM w)
+        |SELECT doc_id, n_tokens, dup_ratio FROM r
+        |WHERE dup_ratio >= 0.6 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -65,9 +65,55 @@ object EventJoins {
       .orderBy(col("s_id"), col("p_id"))
   }
 
+  /** a03: batch sessionization — a new session starts after a >30 min gap
+    * in a user's event stream. One sort-shuffle by user feeds BOTH window
+    * passes (gap flag, running session counter) and the per-session
+    * aggregate reuses the same rows — classic single-exchange event
+    * analytics. The batch twin of `EventStreams`' event-time sessions.
+    */
+  val a03_sessionize: Q = (s, dir) => {
+    val gapUs = 1800000000L // 30 min in micros
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("new_sess",
+        when(lag(col("us"), 1).over(wOrd).isNull
+          || col("us") - lag(col("us"), 1).over(wOrd) > gapUs, 1).otherwise(0))
+      .withColumn("session_no", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchases"))
+      .orderBy(col("user_id"), col("session_no"))
+  }
+
+  /** a04: ordered funnel — users reaching signup → view-after-signup →
+    * purchase-after-that-view. Three chained whole-partition window mins
+    * over the SAME partitioning (Catalyst keeps them in one exchange; each
+    * stage's threshold is the previous stage's column), then a one-row
+    * global rollup. No self-joins: at 100 TB the per-user state is three
+    * timestamps, not an events×events product.
+    */
+  val a04_funnel: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("s1", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("v1", min(when(col("event_type") === "view" && col("ts") >= col("s1"), col("ts"))).over(w))
+      .withColumn("p1", min(when(col("event_type") === "purchase" && col("ts") >= col("v1"), col("ts"))).over(w))
+      .select(col("user_id"), col("s1"), col("v1"), col("p1")).distinct()
+      .agg(count(col("s1")).as("n_signup"),
+        count(col("v1")).as("n_view_after_signup"),
+        count(col("p1")).as("n_purchase_after_view"))
+  }
+
   val all: Map[String, Q] = Map(
     "a01_asof_join" -> a01_asof_join,
     "a02_range_join" -> a02_range_join,
+    "a03_sessionize" -> a03_sessionize,
+    "a04_funnel" -> a04_funnel,
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +133,36 @@ object EventJoins {
         |  ON s.user_id = p.user_id
         | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 24 HOURS
         |ORDER BY s_id, p_id""".stripMargin,
+    "a03_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM o)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+    "a04_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(ts) FILTER (WHERE event_type = 'signup') AS s1
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(e.ts) AS v1 FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts >= s.s1 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS p1 FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.v1 GROUP BY e.user_id)
+        |SELECT (SELECT count(s1) FROM s) AS n_signup,
+        |       (SELECT count(*) FROM v) AS n_view_after_signup,
+        |       (SELECT count(*) FROM p) AS n_purchase_after_view""".stripMargin,
   )
 }
