@@ -102,7 +102,12 @@ object DedupQueries {
     * votes +1/-1 by the top hex nibble of md5(j ++ token); bit set iff the
     * vote sum is positive. Entirely codegen'd expressions; one shuffle.
     */
-  val d03_simhash: Q = (s, dir) => {
+  val d03_simhash: Q = (s, dir) =>
+    simhashes(s, dir).orderBy(col("doc_id"))
+
+  /** (doc_id, simhash) — shared by d03 (the signatures) and d06 (the
+    * near-dup pairing over them). */
+  private def simhashes(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
     val votes = (0 until 16).map(j =>
@@ -111,7 +116,7 @@ object DedupQueries {
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sim = (0 until 16).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sim.as("simhash")).orderBy(col("doc_id"))
+    agg.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** d04: exact n-gram Jaccard pairs ≥ 0.6 — the ground-truth twin of d02.
@@ -148,10 +153,49 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d06: SimHash near-dup PAIRS — docs whose 16-bit signatures differ in
+    * ≤3 bits. Banded exactly like d02: split the signature into 4 nibble
+    * bands; by pigeonhole any pair within hamming 3 shares at least one
+    * intact band, so the band equi-join is a LOSSLESS candidate generator
+    * (not probabilistic like MinHash banding). Candidates pair only within
+    * a (band_idx, band_value) bucket — Σ bucket² work, never all-pairs —
+    * then `bit_count(xor)` (both codegen'd built-ins) verifies exactly.
+    * At 100 TB: wider signatures (64/128-bit) mean more, smaller bands —
+    * same plan; a pathological hot bucket (e.g. empty-ish docs all hashing
+    * alike) would be salted or capped upstream like any skewed join key.
+    *
+    * Output is the hamming HISTOGRAM of the deduped pair set (4 rows at
+    * any scale) rather than the pairs themselves: a 16-bit signature over
+    * a small vocabulary collides heavily, so the raw pair list is
+    * quadratic-ish in corpus size — a fine intermediate, a bad result set.
+    */
+  val d06_simhash_pairs: Q = (s, dir) => {
+    val sim = simhashes(s, dir)
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 4 * b).bitwiseAND(15).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .distinct() // a pair can share several bands; count once
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
+  }
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
+    "d06_simhash_pairs" -> d06_simhash_pairs,
   )
 }

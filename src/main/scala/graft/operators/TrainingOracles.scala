@@ -45,16 +45,30 @@ object TrainingOracles {
   private val bitSum = (0 until 16)
     .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
 
-  private val simhashSql =
+  private val simhashCte =
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
        |  FROM documents),
        |v AS (
        |  SELECT doc_id,
        |    $voteCols
-       |  FROM tok GROUP BY doc_id)
-       |SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash
-       |FROM v ORDER BY doc_id""".stripMargin
+       |  FROM tok GROUP BY doc_id),
+       |sim AS (
+       |  SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM v)""".stripMargin
+
+  private val simhashSql =
+    s"""$simhashCte
+       |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin
+
+  /** d06: all-pairs over the tiny signature table is fine for the oracle
+    * (the engine's banded join is the scale path, not a semantics change). */
+  private val simhashPairsSql =
+    s"""$simhashCte
+       |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
+       |  count(*) AS n_pairs
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |GROUP BY 1 ORDER BY hamming""".stripMargin
 
   // ---- shared embedding prelude ----
   private val embPrelude =
@@ -96,6 +110,8 @@ object TrainingOracles {
     "d02_minhash_lsh" -> minhashSql,
 
     "d03_simhash" -> simhashSql,
+
+    "d06_simhash_pairs" -> simhashPairsSql,
 
     "d04_ngram_jaccard" ->
       """WITH w AS (
