@@ -62,7 +62,28 @@ object Bench {
       ((System.nanoTime() - t0) / 1e9, times)
     }
     // best of 2 sweeps: transient system load otherwise dominates the total
-    val (total, times) = Seq(sweep(), sweep()).minBy(_._1)
+    val (total, _) = Seq(sweep(), sweep()).minBy(_._1)
+
+    // Per-query seconds are measured SOLO (one query at a time, each still
+    // parallel across all cores) — concurrent-sweep wall times include
+    // FAIR-pool queueing, so they swing with how many queries the suite
+    // happens to contain that round and made round-over-round diffs
+    // meaningless. The concurrent total above stays the headline (it is
+    // the production driver shape); the solo numbers are the comparable
+    // per-query signal. Best of 2, per query.
+    def solo(): Map[String, Double] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val s = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - s) / 1e9 else -1.0)
+      }.toMap
+    val times: Map[String, Double] = {
+      val (a, b) = (solo(), solo())
+      a.map { case (k, v) =>
+        val w = b.getOrElse(k, -1.0)
+        k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+      }
+    }
 
     // PBF transcode throughput — the reference's headline metric
     // (README.md:87-102: planet transcode ≈4-5M elements/s on 6 cores).
@@ -113,8 +134,7 @@ object Bench {
         }.getOrElse(Map.empty)
     } catch { case _: Throwable => Map.empty }
 
-    import scala.jdk.CollectionConverters._
-    val cur = times.asScala.toMap
+    val cur = times
     val qs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val extra = transcodeRate.map(r => s""","transcode_elems_per_s":$r""").getOrElse("")
@@ -128,7 +148,7 @@ object Bench {
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       s""","bench_diff":{"delta_pct_vs_prev":$deltas,"regressions":$regressions}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$extra$diff}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"total=concurrent sweep (best of 2); queries=solo per-query (best of 2)","queries":$qs,"sf":"$sfDir"$extra$diff}""")
     spark.stop()
   }
 }
