@@ -58,6 +58,59 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** Decode every frame of a (possibly animated) image payload. A still
+    * PNG/BMP/JPEG yields one frame; an animated GIF yields all of them.
+    * None when no installed reader claims the bytes or decode fails. */
+  def decodeFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val rd = readers.next()
+        rd.setInput(iis)
+        try Some((0 until rd.getNumImages(true)).map(rd.read))
+        finally rd.dispose()
+      }
+    } catch { case _: Exception => None }
+
+  /** Rolling hash over decoded RGB pixels — the frame identity used by the
+    * sampling pipeline. Bounded < 2^31 so Long sums over billions of frames
+    * can't overflow under ANSI mode. */
+  def pixelChecksum(img: BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+    var hsh = 5381L
+    var i = 0
+    while (i < rgb.length) { hsh = (hsh * 33 + (rgb(i) & 0xffffff)) % 2147483647L; i += 1 }
+    hsh
+  }
+
+  /** Multi-frame animated GIF encode of 8-bit grayscale frames. A GIF
+    * palette holds 256 entries, so grayscale round-trips EXACTLY through
+    * the JDK writer (verified in MultimodalSpec) — which is what lets the
+    * frame-sampling pipeline assert on decoded pixel values rather than
+    * container bytes. */
+  def encodeGif(width: Int, height: Int, frames: Seq[Array[Int]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val wr = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(out)
+    wr.setOutput(ios)
+    wr.prepareWriteSequence(null)
+    frames.foreach { gray =>
+      val img = new BufferedImage(width, height, BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var i = 0
+      while (i < gray.length) { raster.setSample(i % width, i / width, 0, gray(i) & 0xff); i += 1 }
+      wr.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    wr.endWriteSequence()
+    ios.close()
+    wr.dispose()
+    out.toByteArray
+  }
+
   /** Same, as BMP — a second real container format for coverage. */
   def encodeBmp(width: Int, height: Int, rgb: Array[Int]): Array[Byte] = {
     val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)

@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * The decode stage is REAL for image kinds: [[ImageCodec]] decodes
   * PNG/BMP/GIF/JPEG through the JDK's `javax.imageio` and extracts
-  * pixel-derived integer features. Non-image kinds (audio/video — no
-  * pure-JVM codec exists in this container) fall back to [[StubCodec]],
+  * pixel-derived integer features; frame sampling decodes multi-frame
+  * animated GIFs (the pure-JVM stand-in for a video stream) and samples
+  * uniformly across the real timeline. Non-image kinds (audio, true video
+  * containers — no pure-JVM codec exists here) fall back to [[StubCodec]],
   * a deterministic fake that derives "samples" from payload bytes, so the
   * pipeline stays total; swapping the stub for a native codec is the only
   * deploy-time change for those kinds.
@@ -86,17 +88,46 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling: split the payload into `n` equal spans ("frames") and
-    * emit one row each — the batch shape of video frame extraction. */
+  /** Frame sampling — the batch shape of video frame extraction.
+    *
+    * Image kinds take the REAL path: `javax.imageio` decodes every frame of
+    * the container (animated GIF = the pure-JVM stand-in for a video
+    * stream), then at most `n` frames are sampled uniformly across the
+    * timeline (indices `i*total/n` — first frame always kept, stride grows
+    * with clip length, the standard uniform-temporal-sampling rule).
+    * `frame_idx` is the index IN THE SOURCE, `n_bytes` the decoded pixel
+    * count, `checksum` a pixel-derived rolling hash — all encoder- and
+    * partitioning-invariant.
+    *
+    * Other kinds (and undecodable payloads) fall back to the byte-span
+    * stub: payload split into `n` equal spans, one row each — the pipeline
+    * stays total and the row shape identical, so swapping in a native
+    * video codec at deploy time changes no schema.
+    */
   def sampleFrames(items: Dataset[MediaItem], n: Int): Dataset[Frame] = {
     import items.sparkSession.implicits._
     items.flatMap { m =>
-      val len = m.payload.length
-      (0 until n).iterator.map { i =>
-        val from = (len.toLong * i / n).toInt
-        val until = (len.toLong * (i + 1) / n).toInt
-        val span = java.util.Arrays.copyOfRange(m.payload, from, until)
-        Frame(m.media_id, i, span.length, StubCodec.checksum(span))
+      val real =
+        if (m.kind.startsWith("image/")) ImageCodec.decodeFrames(m.payload)
+        else None
+      real match {
+        case Some(frames) if frames.nonEmpty =>
+          val total = frames.length
+          val picks = if (total <= n) 0 until total
+                      else (0 until n).map(i => i * total / n)
+          picks.iterator.map { fi =>
+            val img = frames(fi)
+            Frame(m.media_id, fi, img.getWidth * img.getHeight,
+              ImageCodec.pixelChecksum(img))
+          }
+        case _ =>
+          val len = m.payload.length
+          (0 until n).iterator.map { i =>
+            val from = (len.toLong * i / n).toInt
+            val until = (len.toLong * (i + 1) / n).toInt
+            val span = java.util.Arrays.copyOfRange(m.payload, from, until)
+            Frame(m.media_id, i, span.length, StubCodec.checksum(span))
+          }
       }
     }
   }
@@ -133,6 +164,29 @@ object Multimodal {
     }
   }
 
+  /** gifs-as-media: render each document into a real multi-frame animated
+    * GIF (2-6 grayscale frames derived deterministically from the text
+    * bytes) — the pure-JVM stand-in for a video column, giving the frame
+    * sampler true multi-frame containers to decode at corpus scale. */
+  def gifsFromDocs(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    documentsAsMedia(s, dir).mapPartitions { it =>
+      it.map { m =>
+        val side = 8
+        val nFrames = 2 + (m.media_id % 5).toInt
+        val frames = (0 until nFrames).map { f =>
+          Array.tabulate(side * side) { i =>
+            val b = if (m.payload.isEmpty) 0
+                    else m.payload((i + f * 7) % m.payload.length) & 0xff
+            (b + f * 31) & 0xff
+          }
+        }
+        MediaItem(m.media_id, "image/gif", m.source,
+          ImageCodec.encodeGif(side, side, frames))
+      }
+    }
+  }
+
   /** m02: full decode→feature→aggregate pipeline over BOTH media kinds —
     * real PNG decode (javax.imageio) for images, stub for text — grouped by
     * (kind, source). Rows-only check: the mapPartitions codec stage is not
@@ -151,13 +205,18 @@ object Multimodal {
       .orderBy(col("kind"), col("source"))
   }
 
-  /** m03: frame sampling pipeline (rows-only). 4 frames per doc; output
-    * is per-media frame inventory keyed for downstream joins. */
+  /** m03: frame sampling pipeline (rows-only — the imageio decode stage is
+    * not SQL-expressible). Real animated-GIF containers (multi-frame
+    * decode + uniform temporal sampling, pixel-derived checksums) union'd
+    * with the byte-span stub path over raw text payloads; ≤4 frames per
+    * item; aggregate per source frame index. */
   val m03_frame_sample: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    sampleFrames(documentsAsMedia(s, dir), 4)
+    val media = documentsAsMedia(s, dir).unionByName(gifsFromDocs(s, dir))
+    sampleFrames(media, 4)
       .groupBy(col("frame_idx"))
-      .agg(count(lit(1)).as("n_frames"), sum(col("n_bytes")).as("total_bytes"))
+      .agg(count(lit(1)).as("n_frames"), sum(col("n_bytes")).as("total_bytes"),
+        sum(col("checksum")).as("checksum_sum"))
       .orderBy(col("frame_idx"))
   }
 

@@ -93,4 +93,51 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val fBmp = ImageCodec.features(ImageCodec.decode(ImageCodec.encodeBmp(8, 8, rgb)).get)
     assert(fPng.toSeq === fBmp.toSeq)
   }
+
+  test("animated GIF round-trips every grayscale frame exactly") {
+    val frames = (0 until 5).map(f => Array.tabulate(64)(i => (f * 37 + i * 3) % 256))
+    val gif = ImageCodec.encodeGif(8, 8, frames)
+    val decoded = ImageCodec.decodeFrames(gif)
+    assert(decoded.isDefined && decoded.get.length === 5)
+    decoded.get.zip(frames).foreach { case (img, want) =>
+      val got = (0 until 64).map(i => img.getRGB(i % 8, i / 8) & 0xff)
+      assert(got === want.toSeq)
+    }
+    // a still PNG is a 1-frame container through the same reader
+    assert(ImageCodec.decodeFrames(ImageCodec.encodePng(2, 2,
+      Array(1, 2, 3, 4))).get.length === 1)
+  }
+
+  test("frame sampling decodes real GIF frames with uniform temporal picks") {
+    val sp = spark; import sp.implicits._
+    // 7 frames, each a distinct solid gray — identity survives the sampler
+    val gray = (f: Int) => Array.fill(16)(f * 30)
+    val gif = ImageCodec.encodeGif(4, 4, (0 until 7).map(gray))
+    val items = Seq(Multimodal.MediaItem(9L, "image/gif", "s", gif)).toDS()
+    val out = Multimodal.sampleFrames(items, 4).collect().sortBy(_.frame_idx)
+    // uniform rule i*total/n over 7 frames: indices 0,1,3,5
+    assert(out.map(_.frame_idx).toSeq === Seq(0, 1, 3, 5))
+    assert(out.forall(_.n_bytes === 16)) // decoded pixel count, not container bytes
+    val expect = out.map { fr =>
+      val img = ImageCodec.decodeFrames(gif).get(fr.frame_idx)
+      ImageCodec.pixelChecksum(img)
+    }
+    assert(out.map(_.checksum).toSeq === expect.toSeq)
+    // short clip (2 frames < n=4): all frames kept, no padding rows
+    val short = Seq(Multimodal.MediaItem(10L, "image/gif", "s",
+      ImageCodec.encodeGif(4, 4, (0 until 2).map(gray)))).toDS()
+    assert(Multimodal.sampleFrames(short, 4).collect()
+      .map(_.frame_idx).sorted.toSeq === Seq(0, 1))
+  }
+
+  test("m03 pipeline: real GIF frames + stub byte-spans, partitioning-invariant") {
+    val a = Multimodal.m03_frame_sample(spark, "/root/testdata/sf0.001").collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.getInt(0)).toSeq === a.map(_.getInt(0)).toSeq.sorted)
+    // GIF clips have 2-6 frames sampled to ≤4 source indices 0..5; stub
+    // spans contribute only 0..3 — so indices beyond 3 prove real decode
+    assert(a.map(_.getInt(0)).max > 3)
+    val again = Multimodal.m03_frame_sample(spark, "/root/testdata/sf0.001").collect()
+    assert(a.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
 }
