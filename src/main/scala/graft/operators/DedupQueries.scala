@@ -76,7 +76,12 @@ object DedupQueries {
     * shuffle for the band self-join. At threshold j≈0.9 the 4×4 banding
     * catches ≥98% of pairs.
     */
-  val d02_minhash_lsh: Q = (s, dir) => {
+  val d02_minhash_lsh: Q = (s, dir) =>
+    minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** (doc_a, doc_b) candidate pairs, doc_a < doc_b — shared by d02 (the
+    * listing) and d07 (the clustering over them). */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
@@ -95,7 +100,60 @@ object DedupQueries {
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d07: near-dup CLUSTERS — connected components over the MinHash pair
+    * graph; cluster id = min doc_id of the component (so "keep the cluster
+    * representative" is `WHERE doc_id = cluster_id`). This is the step that
+    * turns pairwise near-dup evidence into an actual dedup decision.
+    *
+    * Algorithm: iterative min-label propagation with POINTER JUMPING —
+    * each round (a) takes the min label over direct neighbors, then
+    * (b) replaces every label by its label's label (path halving). The
+    * jump step is what makes long chains converge in O(log diameter)
+    * rounds instead of O(diameter) — the property that matters when a
+    * 100 TB corpus contains million-doc duplicate chains. Labels are
+    * min-monotone, so the fixpoint is exact, not approximate.
+    *
+    * Per round: two shuffles (neighbor join + jump join) over the EDGE
+    * set only — the corpus itself is never re-scanned (pairs are computed
+    * once and persisted). `localCheckpoint` truncates the growing lineage
+    * each round (on a cluster: `checkpoint` to reliable storage). The
+    * driver-side loop carries no data — only a converged? flag per round,
+    * the standard shape of iterative graph algorithms on Spark.
+    */
+  val d07_dedup_clusters: Q = (s, dir) =>
+    connectedComponents(minhashPairs(s, dir)).orderBy(col("doc_id"))
+
+  /** Connected components over an undirected pair list `(doc_a, doc_b)` →
+    * `(doc_id, cluster_id)` with cluster_id = component min. See
+    * [[d07_dedup_clusters]] for the algorithm discussion. Returns the
+    * exact fixpoint; rounds = O(log diameter). */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint() // materialize once; every round reuses it
+    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val viaNbr = edges
+        .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
+        .select(col("u").as("doc_id"), col("lbl"))
+      val hop = labels.unionByName(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+      val jumped = hop
+        .join(hop.select(col("doc_id").as("d2"), col("lbl").as("l2")),
+          col("lbl") === col("d2"), "left")
+        .select(col("doc_id"), least(col("lbl"), coalesce(col("l2"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      converged = jumped
+        .join(labels.withColumnRenamed("lbl", "prev"), "doc_id")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = jumped
+    }
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
   /** d03: SimHash — 16-bit signature over distinct unigram tokens. Bit j
@@ -197,5 +255,6 @@ object DedupQueries {
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d06_simhash_pairs" -> d06_simhash_pairs,
+    "d07_dedup_clusters" -> d07_dedup_clusters,
   )
 }

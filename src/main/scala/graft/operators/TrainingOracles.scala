@@ -18,8 +18,8 @@ object TrainingOracles {
     s"SELECT doc_id, $b AS band, md5($cols) AS h FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val minhashSql =
-    s"""WITH w AS (
+  private val minhashCte =
+    s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),
        |sh AS (
@@ -32,11 +32,30 @@ object TrainingOracles {
        |    $mhCols
        |  FROM sh GROUP BY doc_id),
        |bands AS (
-       |  $bandRows)
-       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |  $bandRows),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.h = b.h AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val minhashSql =
+    s"""WITH $minhashCte
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin
+
+  /** d07: transitive closure by recursive CTE — exact on the oracle's small
+    * graph; the engine's pointer-jumping label propagation is the scale
+    * path for the same fixpoint. */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE $minhashCte,
+       |edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   // ---- d03 simhash ----
   private val voteCols = (0 until 16).map(j =>
@@ -112,6 +131,8 @@ object TrainingOracles {
     "d03_simhash" -> simhashSql,
 
     "d06_simhash_pairs" -> simhashPairsSql,
+
+    "d07_dedup_clusters" -> dedupClustersSql,
 
     "d04_ngram_jaccard" ->
       """WITH w AS (
