@@ -152,8 +152,71 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** c08: PMI collocation mining — pointwise mutual information of every
+    * adjacent token bigram occurring ≥ 5 times:
+    * `pmi = ln p(xy) − ln p(x) − ln p(y)` with unigram/bigram totals as
+    * the denominators. The plan: one bigram explode + one unigram explode,
+    * each map-side-combined to its frequency table; the join back is
+    * VOCABULARY-sized on both probes (bigram table ⋈ unigram counts twice),
+    * never corpus-sized, so shuffle volume is bounded by distinct-gram
+    * cardinality. The two corpus totals ride along as 1-row cross joins
+    * (broadcast), not driver-side collects.
+    */
+  val c08_pmi_bigrams: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w", split(col("text"), " ")) // materialized once
+    val uni = docs.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val big = docs.filter(size(col("w")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
+        i => struct(element_at(col("w"), i).as("x"),
+          element_at(col("w"), i + 1).as("y")))).as("b"))
+      .select(col("b.x").as("x"), col("b.y").as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      .filter(col("n_xy") >= 5)
+    val nUni = uni.agg(sum(col("c")).as("n_u"))
+    val nBig = big.agg(sum(col("n_xy")).as("n_b"))
+    big
+      .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
+      .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
+      .crossJoin(nUni).crossJoin(nBig)
+      .select(col("x"), col("y"), col("n_xy"),
+        (floor((log(col("n_xy").cast("double")) - log(col("n_b").cast("double"))
+          - log(col("c_x").cast("double")) - log(col("c_y").cast("double"))
+          + lit(2.0) * log(col("n_u").cast("double"))) * 1e4 + 0.5) / 1e4).as("pmi"))
+      .orderBy(col("x"), col("y"))
+  }
+
+  /** c09: domain-uniform importance resampling — downsample every source
+    * to ≈ the smallest source's size (the "flatten the domain mix" step of
+    * a training-data pipeline). The keep-rule is a deterministic md5-hex
+    * threshold per source: keep iff the first 4 hex chars of md5(doc_id)
+    * sort below `floor(65536·target/count)` rendered as 4-digit hex — no
+    * RNG state, stable under partitioning, re-runs, and corpus appends
+    * (a doc's fate flips only if its source's count changes). Source
+    * counts are a source-cardinality aggregate broadcast back onto a
+    * narrow filter scan — the corpus itself shuffles nothing.
+    */
+  val c09_domain_resample: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+    val target = counts.agg(min(col("n_total")).as("tgt"))
+    val thr = counts.crossJoin(target)
+      .withColumn("t16", floor(lit(65536.0) * col("tgt") / col("n_total")).cast("long"))
+      .select(col("source"), col("n_total"),
+        when(col("t16") >= 65536L, lit("zzzz"))
+          .otherwise(lpad(lower(hex(col("t16"))), 4, "0")).as("thr"))
+    docs.join(broadcast(thr), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+      .groupBy(col("source"), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val all: Map[String, Q] = Map(
     "t07_pii_redaction" -> t07_pii_redaction,
+    "c08_pmi_bigrams" -> c08_pmi_bigrams,
+    "c09_domain_resample" -> c09_domain_resample,
     "c01_sampled_docs" -> c01_sampled_docs,
     "c02_train_test_split" -> c02_train_test_split,
     "c03_context_chunks" -> c03_context_chunks,
@@ -165,6 +228,42 @@ object CurationQueries {
 
   /** DuckDB oracle twins (driver hash-compares values column-sorted). */
   val oracles: Map[String, String] = Map(
+    "c08_pmi_bigrams" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents),
+        |uni AS (
+        |  SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
+        |big AS (
+        |  SELECT b['x'] AS x, b['y'] AS y, count(*) AS n_xy FROM (
+        |    SELECT unnest(list_transform(range(1, len(w)),
+        |      i -> struct_pack(x := w[i], y := w[i+1]))) AS b
+        |    FROM d WHERE len(w) >= 2)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_u FROM uni),
+        |nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_b FROM big)
+        |SELECT big.x, big.y, n_xy,
+        |  floor((ln(CAST(n_xy AS DOUBLE)) - ln(CAST(n_b AS DOUBLE))
+        |    - ln(CAST(cx.c AS DOUBLE)) - ln(CAST(cy.c AS DOUBLE))
+        |    + 2.0 * ln(CAST(n_u AS DOUBLE))) * 1e4 + 0.5) / 1e4 AS pmi
+        |FROM big JOIN uni cx ON big.x = cx.t JOIN uni cy ON big.y = cy.t
+        |CROSS JOIN nu CROSS JOIN nb
+        |ORDER BY big.x, big.y""".stripMargin,
+    "c09_domain_resample" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        |tgt AS (SELECT min(n_total) AS tgt FROM counts),
+        |thr AS (
+        |  SELECT source, n_total,
+        |    CASE WHEN CAST(floor(65536.0 * tgt / n_total) AS BIGINT) >= 65536
+        |         THEN 'zzzz'
+        |         ELSE lpad(lower(hex(CAST(floor(65536.0 * tgt / n_total) AS BIGINT))), 4, '0')
+        |    END AS thr
+        |  FROM counts CROSS JOIN tgt)
+        |SELECT d.source, thr.n_total, count(*) AS n_kept
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thr
+        |GROUP BY d.source, thr.n_total
+        |ORDER BY d.source""".stripMargin,
     "t07_pii_redaction" ->
       """SELECT doc_id,
         |  regexp_replace(text, '\b(customer|supplier|key)\b', '<REDACTED>', 'g') AS redacted,

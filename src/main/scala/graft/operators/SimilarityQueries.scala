@@ -162,10 +162,33 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** e01: symmetric int8 quantization + norm stats per vector — the
+    * compression step an embedding store runs before ANN serving
+    * (scale = max|v|/127; q_i = half-up(v_i/scale)). Output is the audit
+    * row: dim, L2 norm, scale, and the quantized component sum (a cheap
+    * whole-vector integrity check — any decode drift changes it).
+    * Pure narrow projection: array HOFs per row, zero shuffles; the L2
+    * comes from the codegen'd `graft_dot`. Quantized values are exact
+    * small integers in double, so the sum is partitioning- and
+    * engine-invariant (no FP-order hazard).
+    */
+  val e01_embedding_quantize: Q = (s, dir) => {
+    embs(s, dir)
+      .withColumn("scale0", array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .select(col("vec_id"), size(col("v")).as("dim"),
+        (floor(sqrt(col("n2")) * 1e4 + 0.5) / 1e4).as("l2"),
+        (floor(col("scale0") * 1e4 + 0.5) / 1e4).as("scale"),
+        when(col("scale0") === 0.0, lit(0L)).otherwise(
+          aggregate(col("v"), lit(0.0),
+            (acc, x) => acc + floor(x / col("scale0") + 0.5)).cast("long")).as("q_sum"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "s01_knn_brute" -> s01_knn_brute,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "d05_embed_neardup" -> d05_embed_neardup,
+    "e01_embedding_quantize" -> e01_embedding_quantize,
   )
 }

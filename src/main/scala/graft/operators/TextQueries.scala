@@ -134,8 +134,41 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t08: quality-decile binning — ntile(10) over the t02 quality score
+    * with (quality, doc_id) ordering so ties break deterministically, then
+    * per-decile stats. The curation use: pick a score threshold by
+    * inspecting decile boundaries before filtering a corpus.
+    *
+    * Scale note: a global ntile is a total sort — fine for reporting
+    * output (10 rows), but at 100 TB the same decision comes from
+    * approx_percentile boundaries (x02's sketch path) without the sort;
+    * this operator is the exact twin that validates those boundaries.
+    */
+  val t08_quality_bins: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(toks))
+      .withColumn("n_stop", size(filter(toks, t => t.isin(Stopwords: _*))))
+      .withColumn("stop_ratio", floor(col("n_stop") / col("n_tokens") * 10000 + 0.5) / 10000)
+      .withColumn("mean_tok_len", floor(
+        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens") * 10000 + 0.5) / 10000)
+      .withColumn("quality", floor((
+        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
+          col("stop_ratio") * 0.3 +
+          least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
+    scored
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("quality"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("decile"))
+  }
+
   val all: Map[String, Q] = Map(
     "t05_regex_tokens" -> t05_regex_tokens,
+    "t08_quality_bins" -> t08_quality_bins,
     "t06_rolling_fingerprint" -> t06_rolling_fingerprint,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,

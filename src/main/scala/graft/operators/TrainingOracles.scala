@@ -134,6 +134,20 @@ object TrainingOracles {
 
     "d07_dedup_clusters" -> dedupClustersSql,
 
+    "e01_embedding_quantize" ->
+      s"""$embPrelude,
+         |sc AS (
+         |  SELECT vec_id, v, n2,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale0
+         |  FROM n)
+         |SELECT vec_id, len(v) AS dim,
+         |  floor(sqrt(n2) * 1e4 + 0.5) / 1e4 AS l2,
+         |  floor(scale0 * 1e4 + 0.5) / 1e4 AS scale,
+         |  CASE WHEN scale0 = 0 THEN 0
+         |       ELSE CAST(list_sum(list_transform(v, x -> floor(x / scale0 + 0.5))) AS BIGINT)
+         |  END AS q_sum
+         |FROM sc ORDER BY vec_id""".stripMargin,
+
     "d04_ngram_jaccard" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -195,6 +209,30 @@ object TrainingOracles {
         |         least((floor((n_chars2 - n_tokens + 1) / n_tokens * 10000 + 0.5) / 10000) / 10.0, 1.0) * 0.2)
         |        * 10000 + 0.5) / 10000 AS quality
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "t08_quality_bins" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in'))) AS n_stop,
+        |    length(text) AS n_chars2
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, n_tokens,
+        |    floor((least(n_tokens / 100.0, 1.0) * 0.5 +
+        |           (floor(n_stop / n_tokens * 10000 + 0.5) / 10000) * 0.3 +
+        |           least((floor((n_chars2 - n_tokens + 1) / n_tokens * 10000 + 0.5) / 10000) / 10.0, 1.0) * 0.2)
+        |          * 10000 + 0.5) / 10000 AS quality
+        |  FROM d),
+        |b AS (
+        |  SELECT n_tokens, quality,
+        |    ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+        |  FROM q)
+        |SELECT decile, count(*) AS n_docs,
+        |  min(quality) AS min_q, max(quality) AS max_q,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
 
     "t03_token_count" ->
       """WITH tok AS (
