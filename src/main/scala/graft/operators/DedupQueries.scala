@@ -228,7 +228,15 @@ object DedupQueries {
     * quadratic-ish in corpus size — a fine intermediate, a bad result set.
     */
   val d06_simhash_pairs: Q = (s, dir) => {
-    val sim = simhashes(s, dir)
+    // materialize the signature table once: a naive self-join re-runs the
+    // whole 16×md5 corpus aggregation on BOTH probe sides (visible in the
+    // physical plan as two identical HashAggregate subtrees). The banded
+    // self-join then reads the tiny (doc_id, simhash) table twice instead.
+    // The JOIN shape (not a collect_list posting list like d02) is
+    // deliberate: nibble bands have only 16 values × 4 bands = 64 buckets,
+    // so pair generation must stream against the bucket, not explode from
+    // 64 giant grouped rows.
+    val sim = simhashes(s, dir).localCheckpoint()
     val banded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
