@@ -117,8 +117,16 @@ object SimilarityQueries {
     * one Lloyd iteration, all as DataFrame ops (no MLlib, no RNG — results
     * are reproducible under any partitioning). Corpus rows are assigned to
     * their nearest centroid cell; each query probes only its own cell and
-    * exact cosine re-ranks inside. Rows-only check: nearest-centroid
-    * assignment is not reasonably SQL-expressible in the oracle.
+    * exact cosine re-ranks inside.
+    *
+    * The Lloyd-step centroid mean is computed from PRE-QUANTIZED integer
+    * sums (x → round(x·2^20) as long, summed exactly, divided back once at
+    * the end): double `avg` depends on partial-aggregation order, so the
+    * same corpus could yield last-ulp-different centroids — and near-tie
+    * cell assignments that flip — between runs. Integer sums are
+    * associative, making the trained quantizer BIT-IDENTICAL under any
+    * partitioning (what a reproducible 100 TB index build needs) — and,
+    * as a consequence, exactly hash-checkable against the DuckDB oracle.
     *
     * At 100 TB: centroids are tiny and broadcast; assignment is one narrow
     * scan; the probe join shuffles only by cell id. Multi-probe (nearest P
@@ -141,7 +149,9 @@ object SimilarityQueries {
     val assigned0 = nearest(e, seeds)
     val refined = assigned0
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"), col("dim"))
+      .agg((sum(floor(col("x") * 1048576.0 + 0.5).cast("long")).cast("double")
+        / count(lit(1)) / 1048576.0).as("m"))
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))

@@ -121,7 +121,55 @@ object TrainingOracles {
        |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
+  /** s03: the full IVF build re-expressed in SQL — seed pick, assignment
+    * by (d2, cid) window, QUANTIZED-integer-sum Lloyd means (exactly the
+    * engine's arithmetic — see SimilarityQueries.s03 for why that makes
+    * the centroids engine- and partitioning-invariant), re-assignment,
+    * own-cell probe, cosine re-rank. */
+  private val ivfSql =
+    s"""$embPrelude,
+       |seeds AS (
+       |  SELECT vec_id AS cid, v AS cv FROM n ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  SELECT n.vec_id, n.v, n.cid FROM (
+       |    SELECT n.vec_id, n.v, s.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.n2 + list_dot_product(s.cv, s.cv)
+       |          - 2.0 * list_dot_product(n.v, s.cv), s.cid) AS rk
+       |    FROM n CROSS JOIN seeds s) n WHERE rk = 1),
+       |dims AS (
+       |  SELECT cid, d['dim'] AS dim,
+       |    CAST(floor(d['x'] * 1048576.0 + 0.5) AS BIGINT) AS xi
+       |  FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+       |          i -> struct_pack(dim := i, x := v[i]))) AS d FROM a0)),
+       |cm AS (
+       |  SELECT cid, dim, CAST(sum(xi) AS DOUBLE) / count(*) / 1048576.0 AS m
+       |  FROM dims GROUP BY cid, dim),
+       |cents AS (
+       |  SELECT cid, list(m ORDER BY dim) AS cv FROM cm GROUP BY cid),
+       |cells AS (
+       |  SELECT vec_id, v, n2, cid AS cell FROM (
+       |    SELECT n.vec_id, n.v, n.n2, c.cid,
+       |      row_number() OVER (PARTITION BY n.vec_id
+       |        ORDER BY n.n2 + list_dot_product(c.cv, c.cv)
+       |          - 2.0 * list_dot_product(n.v, c.cv), c.cid) AS rk
+       |    FROM n CROSS JOIN cents c) WHERE rk = 1),
+       |q AS (
+       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell AS qcell
+       |  FROM cells WHERE vec_id < 10),
+       |sc AS (
+       |  SELECT qid, c.vec_id,
+       |    round(list_dot_product(qv, c.v) / sqrt(qn2 * c.n2), 6) AS cos
+       |  FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id != q.qid),
+       |r AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
+       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val all: Map[String, String] = Map(
+    "s03_knn_ivf" -> ivfSql,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
