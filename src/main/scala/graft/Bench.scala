@@ -103,7 +103,11 @@ object Bench {
         graft.sources.pbf.OsmPbf.transcode(spark, // untimed: codegen + writer warmup
           graft.sources.pbf.PbfConfig(input = warmPbf, output = s"$dir/warmout", inputBufferSizeMb = 1))
         val pbf = s"$dir/synth.osm.pbf"
-        val n = graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000)
+        // planet-like element mix (~89% dense nodes, ~10% ways, ~0.1%
+        // relations) — the reference's headline rate is measured on planet
+        // proportions, so ours is too
+        val n = graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = 200,
+          nodesPerBlock = 20000, waysPerBlock = 2250, relationsPerBlock = 29)
         // best of 3: transient system load otherwise dominates the metric
         val rates = (1 to 3).map { i =>
           val t = System.nanoTime()

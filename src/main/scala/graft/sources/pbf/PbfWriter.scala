@@ -79,13 +79,18 @@ object PbfWriter {
 
   final case class WayData(id: Long, refs: Seq[Long], tags: Seq[(String, String)])
 
+  /** members: (memid, type 0=node/1=way/2=relation, role). */
+  final case class RelationData(id: Long, members: Seq[(Long, Int, String)],
+                                tags: Seq[(String, String)])
+
   /** Builds one PrimitiveBlock of dense nodes plus optional ways.
     * Non-default granularity/offsets exercise the decoder's coordinate
     * formula (degrees = 1e-9 × (offset + granularity × raw)) beyond what
     * the reference fixtures cover (they only use the defaults). */
   def primitiveBlock(nodes: Seq[DenseNode], ways: Seq[WayData] = Nil,
                      granularity: Int = 100, latOffset: Long = 0, lonOffset: Long = 0,
-                     dateGranularity: Int = 1000): Array[Byte] = {
+                     dateGranularity: Int = 1000,
+                     relations: Seq[RelationData] = Nil): Array[Byte] = {
     // string table: index 0 reserved blank
     val strings = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def sid(s: String): Int = strings.getOrElseUpdate(s, strings.size)
@@ -113,6 +118,18 @@ object PbfWriter {
       wm.writePackedVarint(3, w.tags.map(t => sid(t._2).toLong))
       wm.writePackedZigzag(8, delta(w.refs))
       group.writeMessageField(3, wm)
+    }
+    relations.foreach { r =>
+      // osmformat.proto Relation: roles_sid=8, memids=9 (delta sint64),
+      // types=10 (enum NODE=0/WAY=1/RELATION=2) — parallel arrays
+      val rm = new MessageBuilder
+      rm.writeVarintField(1, r.id)
+      rm.writePackedVarint(2, r.tags.map(t => sid(t._1).toLong))
+      rm.writePackedVarint(3, r.tags.map(t => sid(t._2).toLong))
+      rm.writePackedVarint(8, r.members.map(m => sid(m._3).toLong))
+      rm.writePackedZigzag(9, delta(r.members.map(_._1)))
+      rm.writePackedVarint(10, r.members.map(_._2.toLong))
+      group.writeMessageField(4, rm)
     }
 
     val st = new MessageBuilder
@@ -171,8 +188,15 @@ object PbfWriter {
   }
 
   /** Deterministic synthetic corpus: `blocks` blocks of `nodesPerBlock`
-    * dense nodes (every 100th node tagged) + a way per block. */
-  def synthesize(path: String, blocks: Int, nodesPerBlock: Int): Long = {
+    * dense nodes (every 100th node tagged) + `waysPerBlock` ways (16 refs
+    * into the block's nodes) + `relationsPerBlock` relations (3 members:
+    * two nodes and a way). Defaults keep the original 1-way/0-relation
+    * shape the decode specs pin; the transcode BENCHMARK requests a
+    * planet-like mix (~89% nodes / ~10% ways / ~0.1% relations) so the
+    * headline elem/s is measured on representative element proportions,
+    * not on the cheapest element type. */
+  def synthesize(path: String, blocks: Int, nodesPerBlock: Int,
+                 waysPerBlock: Int = 1, relationsPerBlock: Int = 0): Long = {
     var id = 0L
     val payloads = (0 until blocks).map { b =>
       val nodes = (0 until nodesPerBlock).map { i =>
@@ -182,11 +206,21 @@ object PbfWriter {
           version = 1, timestampMs = 1049522828000L + id * 1000L, changeset = 1000L + b,
           uid = 17, user = s"user${b % 13}")
       }
-      val way = WayData(1000000000L + b,
-        nodes.take(16).map(_.id), Seq("highway" -> "residential"))
-      primitiveBlock(nodes, Seq(way))
+      val ways = (0 until waysPerBlock).map { w =>
+        val at = (w * 16) % math.max(nodesPerBlock - 16, 1)
+        WayData(1000000000L + b.toLong * waysPerBlock + w,
+          nodes.slice(at, at + 16).map(_.id), Seq("highway" -> "residential"))
+      }
+      val rels = (0 until relationsPerBlock).map { r =>
+        RelationData(2000000000L + b.toLong * relationsPerBlock + r,
+          Seq((nodes(r % nodesPerBlock).id, 0, "outer"),
+            (nodes((r + 1) % nodesPerBlock).id, 0, "inner")) ++
+            (if (waysPerBlock > 0) Seq((ways(r % waysPerBlock).id, 1, "")) else Nil),
+          Seq("type" -> "multipolygon"))
+      }
+      primitiveBlock(nodes, ways, relations = rels)
     }
     writeFile(path, payloads)
-    (blocks.toLong * nodesPerBlock) + blocks
+    blocks.toLong * (nodesPerBlock + waysPerBlock + relationsPerBlock)
   }
 }

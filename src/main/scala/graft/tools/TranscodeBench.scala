@@ -24,7 +24,8 @@ object TranscodeBench {
     OsmPbf.transcode(spark,
       PbfConfig(input = warmPbf, output = s"$dir/warmout", inputBufferSizeMb = 1))
     val pbf = s"$dir/synth.osm.pbf"
-    val n = PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000)
+    val n = PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000,
+      waysPerBlock = 2250, relationsPerBlock = 29) // planet-like mix, as in Bench
     (1 to reps).foreach { i =>
       val t = System.nanoTime()
       OsmPbf.transcode(spark,

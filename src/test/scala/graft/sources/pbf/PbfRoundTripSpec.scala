@@ -75,4 +75,29 @@ class PbfRoundTripSpec extends AnyFunSuite {
     val w = ways.minBy(_.getLong(0))
     assert(w.getAs[Seq[org.apache.spark.sql.Row]](idx("nds")).map(_.getLong(0)) === (1L to 16L))
   }
+
+  test("planet-mix corpus (ways + relations per block) round-trips exactly") {
+    val path = java.nio.file.Files.createTempDirectory("pbfmix").toString + "/mix.osm.pbf"
+    val expected = PbfWriter.synthesize(path, blocks = 3, nodesPerBlock = 890,
+      waysPerBlock = 100, relationsPerBlock = 2)
+    val rows = decodeAll(path)
+    assert(rows.size.toLong === expected)
+    val byType = rows.groupBy(_.getString(idx("type")))
+    assert(byType("node").size === 2670)
+    assert(byType("way").size === 300)
+    assert(byType("relation").size === 6)
+    // every way carries 16 in-block refs
+    byType("way").foreach { w =>
+      assert(w.getAs[Seq[org.apache.spark.sql.Row]](idx("nds")).size === 16)
+    }
+    // relation members decode with delta-decoded memids, roles, and
+    // enum→string types in input order
+    val r0 = byType("relation").minBy(_.getLong(0))
+    val members = r0.getAs[Seq[org.apache.spark.sql.Row]](idx("members"))
+    assert(members.map(_.getString(0)) === Seq("node", "node", "way"))
+    assert(members.map(_.getString(2)) === Seq("outer", "inner", ""))
+    assert(members(0).getLong(1) === 1L && members(1).getLong(1) === 2L)
+    assert(members(2).getLong(1) === 1000000000L)
+    assert(r0.getAs[Map[String, String]](idx("tags")) === Map("type" -> "multipolygon"))
+  }
 }
