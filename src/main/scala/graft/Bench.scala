@@ -101,7 +101,7 @@ object Bench {
         val warmPbf = s"$dir/warm.osm.pbf"
         graft.sources.pbf.PbfWriter.synthesize(warmPbf, blocks = 2, nodesPerBlock = 5000)
         graft.sources.pbf.OsmPbf.transcode(spark, // untimed: codegen + writer warmup
-          graft.sources.pbf.PbfConfig(input = warmPbf, output = s"$dir/warmout", inputBufferSizeMb = 1))
+          graft.sources.pbf.PbfConfig(input = warmPbf, output = s"$dir/warmout"))
         val pbf = s"$dir/synth.osm.pbf"
         // planet-like element mix (~89% dense nodes, ~10% ways, ~0.1%
         // relations) — the reference's headline rate is measured on planet
@@ -112,7 +112,7 @@ object Bench {
         val rates = (1 to 3).map { i =>
           val t = System.nanoTime()
           graft.sources.pbf.OsmPbf.transcode(spark,
-            graft.sources.pbf.PbfConfig(input = pbf, output = s"$dir/out$i", inputBufferSizeMb = 1))
+            graft.sources.pbf.PbfConfig(input = pbf, output = s"$dir/out$i"))
           (n / ((System.nanoTime() - t) / 1e9)).round
         }
         Some(rates.max)

@@ -24,11 +24,18 @@ object Blobs {
 
   /** One blob's coordinates within the file: `offset` points at the Blob
     * message body (after the BlobHeader), `length` is its byte size.
+    * `rawSize` is the DECODED payload size (Blob.raw_size, or the raw
+    * field's length for uncompressed blobs; -1 when unknown) — the right
+    * weight for sizing decode tasks: compressed length under-weights
+    * highly-compressible blobs by 100×+.
     */
-  final case class BlobSpan(offset: Long, length: Int, blobType: String)
+  final case class BlobSpan(offset: Long, length: Int, blobType: String,
+                            rawSize: Int = -1)
 
   /** Streams over `in`, returning the span of every blob. `in` must be
-    * positioned at file start; bodies are skipped, not read.
+    * positioned at file start. Bodies are shallow-parsed (tags + varints
+    * only, a few bytes per blob; payload bytes are skipped, never read
+    * whole or decompressed) to capture `raw_size` for task weighting.
     */
   def enumerate(in: InputStream): Seq[BlobSpan] = {
     val din = new DataInputStream(in)
@@ -48,19 +55,57 @@ object Blobs {
         if (datasize < 0 || datasize > MaxBodyBytes)
           throw new PbfFormatException(s"Blob size $datasize exceeds $MaxBodyBytes")
         val bodyOffset = offset + 4 + headerLen
-        spans += BlobSpan(bodyOffset, datasize, blobType)
-        var toSkip = datasize.toLong
-        while (toSkip > 0) {
-          val skipped = din.skip(toSkip)
-          if (skipped <= 0) {
-            if (din.read() < 0) throw new EOFException("truncated blob body")
-            toSkip -= 1
-          } else toSkip -= skipped
-        }
+        spans += BlobSpan(bodyOffset, datasize, blobType,
+          scanRawSize(din, datasize))
         offset = bodyOffset + datasize
       }
     }
     spans.result()
+  }
+
+  /** Shallow Blob-body scan: consumes exactly `datasize` bytes, skipping
+    * payload fields and reading only `raw_size` (field 2). For an
+    * uncompressed blob (`raw`, field 1) the payload length IS the raw
+    * size. Returns -1 if neither is present (unknown codec layouts still
+    * enumerate fine — they fail later, at decode, like the reference). */
+  private def scanRawSize(din: DataInputStream, datasize: Int): Int = {
+    var consumed = 0L
+    var rawSize = -1
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0
+      var b = 0
+      do {
+        b = din.read()
+        if (b < 0) throw new EOFException("truncated blob body")
+        consumed += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    def skipBytes(n: Long): Unit = {
+      var toSkip = n
+      while (toSkip > 0) {
+        val skipped = din.skip(toSkip)
+        if (skipped <= 0) {
+          if (din.read() < 0) throw new EOFException("truncated blob body")
+          toSkip -= 1
+        } else toSkip -= skipped
+      }
+      consumed += n
+    }
+    while (consumed < datasize) {
+      val tag = readVarint().toInt
+      tag match {
+        case 0x10 => rawSize = readVarint().toInt // field 2 raw_size
+        case t if (t & 7) == 2 =>
+          val len = readVarint()
+          if ((t >> 3) == 1 && rawSize < 0) rawSize = len.toInt // raw payload
+          skipBytes(len)
+        case t if (t & 7) == 0 => readVarint()
+        case t => throw new PbfFormatException(s"unexpected Blob wire type ${t & 7}")
+      }
+    }
+    rawSize
   }
 
   /** BlobHeader: type=1 (string), indexdata=2, datasize=3 (int32). */

@@ -74,25 +74,34 @@ object OsmPbf {
     read(spark, path, splitTargetBytes).as[OsmElement]
   }
 
-  /** Groups data-blob spans into ~`targetBytes` chunks of compressed input
-    * so task count scales with file size, not blob count. Shared by the
+  /** Groups data-blob spans into ~`targetBytes` chunks of DECODED input so
+    * task count scales with decode work, not blob count. Shared by the
     * DataSourceV2 scan planner and the transcode sink.
     *
-    * Compressed bytes under-measure decode work when blobs compress
-    * extremely well (delta-coded dense nodes can zlib 100:1+), so a group
-    * is also capped at `targetBytes / 8MB` blobs — 8MB being the typical
-    * planet-file blob body. Grouping then only engages when the target
-    * exceeds a typical blob, and a many-tiny-blob file still fans out to
-    * one task per blob, the reference's own parallelism unit (pbf.rs:79).
+    * Each blob is weighted by its decoded payload size (`Blob.raw_size`,
+    * captured during enumeration): compressed bytes under-measure decode
+    * work when blobs compress extremely well (delta-coded dense nodes can
+    * zlib 100:1+), which previously forced a blobs-per-group cap that
+    * serialized many-tiny-blob files into undersized tasks. A blob with
+    * unknown raw_size is weighted at the format's worst case. A group
+    * never splits a single blob, so a many-huge-blob file still fans out
+    * to one task per blob, the reference's own parallelism unit
+    * (pbf.rs:79).
     */
+  /** Decode-work weight of one blob: decoded payload bytes when known,
+    * else the format's 32MB worst case. */
+  def spanWeight(s: Blobs.BlobSpan): Long =
+    if (s.rawSize >= 0) math.max(s.rawSize, s.length).toLong
+    else Blobs.MaxBodyBytes.toLong
+
   def groupSpans(spans: Seq[Blobs.BlobSpan], targetBytes: Long): Seq[Array[Blobs.BlobSpan]] = {
-    val maxBlobs = math.max(1L, targetBytes / (8L << 20))
+    def weight(s: Blobs.BlobSpan): Long = spanWeight(s)
     val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Blobs.BlobSpan]]
     var acc = 0L
     spans.foreach { s =>
-      if (groups.isEmpty || acc + s.length > targetBytes || groups.last.size >= maxBlobs) {
-        groups += scala.collection.mutable.ArrayBuffer(s); acc = s.length.toLong
-      } else { groups.last += s; acc += s.length }
+      if (groups.isEmpty || acc + weight(s) > targetBytes) {
+        groups += scala.collection.mutable.ArrayBuffer(s); acc = weight(s)
+      } else { groups.last += s; acc += weight(s) }
     }
     groups.map(_.toArray).toSeq
   }
@@ -175,8 +184,14 @@ object OsmPbf {
     allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
       .foreach(s => throw new PbfFormatException(
         s"unknown blob type '${s.blobType}' at offset ${s.offset}"))
-    val groups = groupSpans(allSpans.filter(_.blobType == Blobs.TypeOsmData),
-      config.inputBufferSizeMb.toLong << 20)
+    val dataSpans = allSpans.filter(_.blobType == Blobs.TypeOsmData)
+    // split target: the configured buffer size is the CAP (memory bound per
+    // task); small inputs auto-shrink toward ~2 waves per core so a modest
+    // file still uses the whole cluster instead of a handful of tasks
+    val totalWeight = dataSpans.iterator.map(spanWeight).sum
+    val autoTarget = math.max(1L << 20, totalWeight / (2L * math.max(sc.defaultParallelism, 1)))
+    val groups = groupSpans(dataSpans,
+      math.min(config.inputBufferSizeMb.toLong << 20, autoTarget))
 
     val hc = new org.apache.hadoop.conf.Configuration(sc.hadoopConfiguration)
     // parquet-mr codec-level knob; 1-22 like the reference (util.rs:100-104)

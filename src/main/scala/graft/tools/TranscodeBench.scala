@@ -22,14 +22,14 @@ object TranscodeBench {
     val warmPbf = s"$dir/warm.osm.pbf"
     PbfWriter.synthesize(warmPbf, blocks = 2, nodesPerBlock = 5000)
     OsmPbf.transcode(spark,
-      PbfConfig(input = warmPbf, output = s"$dir/warmout", inputBufferSizeMb = 1))
+      PbfConfig(input = warmPbf, output = s"$dir/warmout"))
     val pbf = s"$dir/synth.osm.pbf"
     val n = PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000,
       waysPerBlock = 2250, relationsPerBlock = 29) // planet-like mix, as in Bench
     (1 to reps).foreach { i =>
       val t = System.nanoTime()
       OsmPbf.transcode(spark,
-        PbfConfig(input = pbf, output = s"$dir/out$i", inputBufferSizeMb = 1))
+        PbfConfig(input = pbf, output = s"$dir/out$i"))
       val rate = (n / ((System.nanoTime() - t) / 1e9)).round
       println(s"run $i: $rate elem/s")
     }
