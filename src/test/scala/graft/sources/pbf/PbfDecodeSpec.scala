@@ -112,5 +112,31 @@ class PbfDecodeSpec extends AnyFunSuite {
     assert(spans.size === 2)
     assert(spans.head.blobType === Blobs.TypeOsmHeader)
     assert(spans(1).blobType === Blobs.TypeOsmData)
+    // shallow body scan captures the decoded size without decompressing
+    assert(spans(1).rawSize > spans(1).length) // zlib'd fixture: raw > compressed
+    assert(spans(1).rawSize === Blobs.decode({
+      val f = new java.io.RandomAccessFile(s"$fixtures/test.osm.pbf", "r")
+      try {
+        f.seek(spans(1).offset)
+        val b = new Array[Byte](spans(1).length); f.readFully(b); b
+      } finally f.close()
+    }).length)
+  }
+
+  test("task groups are weighted by decoded size, not blob count") {
+    def span(i: Int, raw: Int): Blobs.BlobSpan =
+      Blobs.BlobSpan(i * 100L, 10, Blobs.TypeOsmData, rawSize = raw)
+    // 100 tiny-compressed blobs decoding to 1MB each, 4MB target → 4/group:
+    // the old 8MB-per-blob assumption would have serialized these 12×
+    val even = OsmPbf.groupSpans((0 until 100).map(span(_, 1 << 20)), 4L << 20)
+    assert(even.size === 25)
+    assert(even.forall(_.length === 4))
+    // unknown raw size falls back to the format's 32MB worst case → 1/group
+    val unknown = OsmPbf.groupSpans(
+      (0 until 10).map(i => Blobs.BlobSpan(i * 100L, 10, Blobs.TypeOsmData)), 64L << 20)
+    assert(unknown.size === 5)
+    // a single blob never splits, however large its decoded payload
+    val huge = OsmPbf.groupSpans(Seq(span(0, 32 << 20)), 1L << 20)
+    assert(huge.size === 1 && huge.head.length === 1)
   }
 }
