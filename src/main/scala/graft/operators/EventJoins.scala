@@ -109,14 +109,45 @@ object EventJoins {
         count(col("p1")).as("n_purchase_after_view"))
   }
 
+  /** a05: cohort retention — users grouped by first-seen week (cohort),
+    * counted per week-offset k of later activity; the classic retention
+    * triangle. Weeks are epoch-microsecond integer division (no calendar
+    * fns — identical arithmetic in any engine/timezone). The plan dedups
+    * to (user, week) FIRST (map-side combine cuts event volume to
+    * user-week cardinality), aggregates the cohort per user, and joins
+    * back on user_id — both sides already user-keyed, so at 100 TB the
+    * join co-partitions and the only corpus-sized pass is the initial
+    * distinct.
+    */
+  val a05_cohort_retention: Q = (s, dir) => {
+    val wk = Tables.events(s, dir)
+      .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
+    wk.join(cohort, "user_id")
+      .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("k"))
+      .groupBy(col("cohort_week"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_week"), col("k"))
+  }
+
   val all: Map[String, Q] = Map(
     "a01_asof_join" -> a01_asof_join,
     "a02_range_join" -> a02_range_join,
     "a03_sessionize" -> a03_sessionize,
     "a04_funnel" -> a04_funnel,
+    "a05_cohort_retention" -> a05_cohort_retention,
   )
 
   val oracles: Map[String, String] = Map(
+    "a05_cohort_retention" ->
+      """WITH wk AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |c AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id)
+        |SELECT c.cohort_week, wk.wk - c.cohort_week AS k, count(*) AS n_users
+        |FROM wk JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_week, k""".stripMargin,
     "a01_asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
         |     e AS (SELECT * FROM events WHERE event_type = 'error')
