@@ -66,11 +66,15 @@ object Blobs {
   /** Shallow Blob-body scan: consumes exactly `datasize` bytes, skipping
     * payload fields and reading only `raw_size` (field 2). For an
     * uncompressed blob (`raw`, field 1) the payload length IS the raw
-    * size. Returns -1 if neither is present (unknown codec layouts still
-    * enumerate fine — they fail later, at decode, like the reference). */
+    * size. Returns -1 when the field is absent or the body doesn't parse —
+    * enumeration stays lazy about body validity (a malformed blob fails at
+    * DECODE, in the task that owns it, like the reference; blob.rs:426-448
+    * never looks inside bodies at all). Only truncation (EOF) throws:
+    * stream position must stay exact for the blobs that follow. */
   private def scanRawSize(din: DataInputStream, datasize: Int): Int = {
     var consumed = 0L
     var rawSize = -1
+    var bad = false
     def readVarint(): Long = {
       var v = 0L; var shift = 0
       var b = 0
@@ -93,19 +97,23 @@ object Blobs {
       }
       consumed += n
     }
-    while (consumed < datasize) {
+    while (consumed < datasize && !bad) {
       val tag = readVarint().toInt
       tag match {
         case 0x10 => rawSize = readVarint().toInt // field 2 raw_size
         case t if (t & 7) == 2 =>
           val len = readVarint()
-          if ((t >> 3) == 1 && rawSize < 0) rawSize = len.toInt // raw payload
-          skipBytes(len)
+          if (len < 0 || consumed + len > datasize) bad = true
+          else {
+            if ((t >> 3) == 1 && rawSize < 0) rawSize = len.toInt // raw payload
+            skipBytes(len)
+          }
         case t if (t & 7) == 0 => readVarint()
-        case t => throw new PbfFormatException(s"unexpected Blob wire type ${t & 7}")
+        case _ => bad = true // unknown wire type: stop parsing, skip the rest
       }
     }
-    rawSize
+    if (consumed < datasize) skipBytes(datasize - consumed)
+    if (bad) -1 else rawSize
   }
 
   /** BlobHeader: type=1 (string), indexdata=2, datasize=3 (int32). */
