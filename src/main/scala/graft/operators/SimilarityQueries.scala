@@ -132,21 +132,30 @@ object SimilarityQueries {
     * scan; the probe join shuffles only by cell id. Multi-probe (nearest P
     * cells) raises recall with the same plan shape.
     */
-  val s03_knn_ivf: Q = (s, dir) => {
+  val s03_knn_ivf: Q = (s, dir) => ivfKnn(s, dir, nProbe = 1)
+
+  /** s04: the multi-probe variant — each query searches its `nProbe`=2
+    * nearest cells. Same build, same plan shape (the candidate join fans
+    * out by a constant factor); recall rises because near-boundary
+    * neighbors living in the runner-up cell become reachable. */
+  val s04_knn_ivf_multiprobe: Q = (s, dir) => ivfKnn(s, dir, nProbe = 2)
+
+  private def ivfKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     val e = embs(s, dir)
     val k = 16
     // seed centroids: the k lowest vec_ids (deterministic)
     val seeds = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // one Lloyd step: assign to nearest seed, average per cell
-    def nearest(points: DataFrame, cents: DataFrame): DataFrame = {
+    // assignment: rank cells per point by (d2, cid); rk=1 = membership
+    def ranked(points: DataFrame, cents: DataFrame): DataFrame = {
       val joined = points.join(broadcast(cents))
         .withColumn("d2", col("n2") + dot(col("cv"), col("cv")) -
           lit(2.0) * dot(col("v"), col("cv")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      joined.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      joined.withColumn("rk", row_number().over(w))
     }
-    val assigned0 = nearest(e, seeds)
+    // one Lloyd step: assign to nearest seed, average per cell
+    val assigned0 = ranked(e, seeds).filter(col("rk") === 1)
     val refined = assigned0
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim"))
@@ -155,12 +164,14 @@ object SimilarityQueries {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
-    // final assignment against refined centroids; probe = query's own cell
-    val cells = nearest(e, refined)
+    // final ranking against refined centroids: rk=1 is corpus membership,
+    // rk<=nProbe are the cells each query searches
+    val finalRanked = ranked(e, refined)
+    val cells = finalRanked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-    val q = cells.filter(col("vec_id") < 10)
+    val q = finalRanked.filter(col("rk") <= nProbe && col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
-        col("n2").as("qn2"), col("cell").as("qcell"))
+        col("n2").as("qn2"), col("cid").as("qcell"))
     val scored = cells.join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
@@ -198,6 +209,7 @@ object SimilarityQueries {
     "s01_knn_brute" -> s01_knn_brute,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
+    "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,
     "d05_embed_neardup" -> d05_embed_neardup,
     "e01_embedding_quantize" -> e01_embedding_quantize,
   )

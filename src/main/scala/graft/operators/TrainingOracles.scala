@@ -121,12 +121,14 @@ object TrainingOracles {
        |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
-  /** s03: the full IVF build re-expressed in SQL — seed pick, assignment
-    * by (d2, cid) window, QUANTIZED-integer-sum Lloyd means (exactly the
-    * engine's arithmetic — see SimilarityQueries.s03 for why that makes
-    * the centroids engine- and partitioning-invariant), re-assignment,
-    * own-cell probe, cosine re-rank. */
-  private val ivfSql =
+  /** s03/s04: the full IVF build re-expressed in SQL — seed pick,
+    * assignment by (d2, cid) window, QUANTIZED-integer-sum Lloyd means
+    * (exactly the engine's arithmetic — see SimilarityQueries.s03 for why
+    * that makes the centroids engine- and partitioning-invariant),
+    * re-assignment, NPROBE-cell probe, cosine re-rank. */
+  private def ivfSql(nProbe: Int): String = ivfSqlTemplate.replace("NPROBE", nProbe.toString)
+
+  private val ivfSqlTemplate =
     s"""$embPrelude,
        |seeds AS (
        |  SELECT vec_id AS cid, v AS cv FROM n ORDER BY vec_id LIMIT 16),
@@ -147,16 +149,17 @@ object TrainingOracles {
        |  FROM dims GROUP BY cid, dim),
        |cents AS (
        |  SELECT cid, list(m ORDER BY dim) AS cv FROM cm GROUP BY cid),
+       |fr AS (
+       |  SELECT n.vec_id, n.v, n.n2, c.cid,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |      ORDER BY n.n2 + list_dot_product(c.cv, c.cv)
+       |        - 2.0 * list_dot_product(n.v, c.cv), c.cid) AS rk
+       |  FROM n CROSS JOIN cents c),
        |cells AS (
-       |  SELECT vec_id, v, n2, cid AS cell FROM (
-       |    SELECT n.vec_id, n.v, n.n2, c.cid,
-       |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY n.n2 + list_dot_product(c.cv, c.cv)
-       |          - 2.0 * list_dot_product(n.v, c.cv), c.cid) AS rk
-       |    FROM n CROSS JOIN cents c) WHERE rk = 1),
+       |  SELECT vec_id, v, n2, cid AS cell FROM fr WHERE rk = 1),
        |q AS (
-       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, cell AS qcell
-       |  FROM cells WHERE vec_id < 10),
+       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid AS qcell
+       |  FROM fr WHERE rk <= NPROBE AND vec_id < 10),
        |sc AS (
        |  SELECT qid, c.vec_id,
        |    round(list_dot_product(qv, c.v) / sqrt(qn2 * c.n2), 6) AS cos
@@ -169,7 +172,8 @@ object TrainingOracles {
        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   val all: Map[String, String] = Map(
-    "s03_knn_ivf" -> ivfSql,
+    "s03_knn_ivf" -> ivfSql(1),
+    "s04_knn_ivf_multiprobe" -> ivfSql(2),
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
