@@ -187,7 +187,12 @@ object DedupQueries {
     * Σ|posting|², never O(N²). At 100 TB the posting-list groupBy is the
     * only big shuffle and it's key-uniform.
     */
-  val d04_ngram_jaccard: Q = (s, dir) => {
+  val d04_ngram_jaccard: Q = (s, dir) =>
+    jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+
+  /** (doc_a, doc_b, jaccard ≥ 0.6) — shared by d04 (the listing) and d08
+    * (the recall audit against d02's candidates). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
     val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inv = sh.groupBy(col("s"))
@@ -208,7 +213,26 @@ object DedupQueries {
         (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** d08: LSH recall audit — what fraction of the exact Jaccard-≥0.6
+    * ground-truth pairs (d04) do the MinHash banding candidates (d02)
+    * actually reach? The number every production LSH deployment needs
+    * before trusting its banding parameters: b/r tuning is a theoretical
+    * S-curve; this measures the realized recall on THIS corpus. One audit
+    * row out; both inputs are the linear-scale pipelines they audit, so
+    * the check itself runs at corpus scale (sampled in practice).
+    */
+  val d08_lsh_recall: Q = (s, dir) => {
+    val exact = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val cand = minhashPairs(s, dir)
+    val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        when(col("n_exact") === 0, lit(0.0)).otherwise(
+          floor(col("n_hit") / col("n_exact") * 10000 + 0.5) / 10000).as("recall"))
   }
 
   /** d06: SimHash near-dup PAIRS — docs whose 16-bit signatures differ in
@@ -264,5 +288,6 @@ object DedupQueries {
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d06_simhash_pairs" -> d06_simhash_pairs,
     "d07_dedup_clusters" -> d07_dedup_clusters,
+    "d08_lsh_recall" -> d08_lsh_recall,
   )
 }

@@ -186,6 +186,32 @@ object TrainingOracles {
 
     "d07_dedup_clusters" -> dedupClustersSql,
 
+    "d08_lsh_recall" ->
+      s"""WITH $minhashCte,
+         |jsh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, len(w) - 1),
+         |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+         |  FROM w),
+         |jex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM jsh),
+         |exact AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM jex a JOIN jex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING floor(count(*)::DOUBLE /
+         |    (any_value(a.n) + any_value(b.n) - count(*)) * 10000 + 0.5) / 10000 >= 0.6),
+         |hit AS (
+         |  SELECT exact.doc_a FROM exact JOIN pairs
+         |    ON exact.doc_a = pairs.doc_a AND exact.doc_b = pairs.doc_b)
+         |SELECT
+         |  (SELECT count(*) FROM exact) AS n_exact,
+         |  (SELECT count(*) FROM pairs) AS n_candidates,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM exact) = 0 THEN 0.0
+         |       ELSE floor((SELECT count(*) FROM hit)::DOUBLE /
+         |         (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
+         |  END AS recall""".stripMargin,
+
     "e01_embedding_quantize" ->
       s"""$embPrelude,
          |sc AS (
