@@ -112,19 +112,21 @@ object EventJoins {
   /** a05: cohort retention — users grouped by first-seen week (cohort),
     * counted per week-offset k of later activity; the classic retention
     * triangle. Weeks are epoch-microsecond integer division (no calendar
-    * fns — identical arithmetic in any engine/timezone). The plan dedups
-    * to (user, week) FIRST (map-side combine cuts event volume to
-    * user-week cardinality), aggregates the cohort per user, and joins
-    * back on user_id — both sides already user-keyed, so at 100 TB the
-    * join co-partitions and the only corpus-sized pass is the initial
-    * distinct.
+    * fns — identical arithmetic in any engine/timezone).
+    *
+    * ONE corpus-scale shuffle: `collect_set(week)` per user both dedups
+    * (user, week) AND carries the cohort (its min) in the same
+    * aggregation — a distinct + cohort-join formulation would shuffle the
+    * corpus twice and re-join it. The per-user set is bounded by the
+    * corpus's week span (a few hundred entries after decades), so state
+    * can't blow up and the partial aggregation combines map-side. The
+    * final (cohort, k) rollup is triangle-sized.
     */
   val a05_cohort_retention: Q = (s, dir) => {
-    val wk = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select(col("user_id"), expr("unix_micros(ts) div 604800000000").as("wk"))
-      .distinct()
-    val cohort = wk.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_week"))
-    wk.join(cohort, "user_id")
+      .groupBy(col("user_id")).agg(collect_set(col("wk")).as("wks"))
+      .select(array_min(col("wks")).as("cohort_week"), explode(col("wks")).as("wk"))
       .select(col("cohort_week"), (col("wk") - col("cohort_week")).as("k"))
       .groupBy(col("cohort_week"), col("k"))
       .agg(count(lit(1)).as("n_users"))
