@@ -205,6 +205,29 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    "q28_quality_checks" ->
+      """SELECT 'lineitem_quantity_1_to_50' AS check,
+        |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  count(*) AS n_checked
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_discount_0_to_0.1',
+        |  CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_totalprice_not_null',
+        |  CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(*)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |  (SELECT count(*) FROM orders o
+        |   WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+        |  count(*)
+        |FROM orders
+        |ORDER BY "check"""".stripMargin,
+
     "q27_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
         |  round(sum(l_extendedprice), 2) AS value

@@ -412,7 +412,40 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q28: data-quality expectation report — the validation gate a pipeline
+    * runs before promoting a dataset (null rates, domain ranges,
+    * referential integrity). Each check is a single aggregate over its
+    * table — partial+final agg, one pass per table — and the FK check is
+    * the q06 anti-join shape aggregated to a count. Output: one row per
+    * expectation with violation count and checked-row count, so a gate can
+    * alert on `violations > threshold · n_checked`.
+    */
+  val q28_quality_checks: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val qtyRange = l.agg(
+      lit("lineitem_quantity_1_to_50").as("check"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("violations"),
+      count(lit(1)).as("n_checked"))
+    val discRange = l.agg(
+      lit("lineitem_discount_0_to_0.1").as("check"),
+      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("violations"),
+      count(lit(1)).as("n_checked"))
+    val priceNull = o.agg(
+      lit("orders_totalprice_not_null").as("check"),
+      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("violations"),
+      count(lit(1)).as("n_checked"))
+    val fk = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(lit("orders_custkey_fk").as("check"),
+        count(lit(1)).as("violations"))
+      .crossJoin(o.agg(count(lit(1)).as("n_checked")))
+    qtyRange.unionByName(discRange).unionByName(priceNull).unionByName(fk)
+      .orderBy(col("check"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q28_quality_checks" -> q28_quality_checks,
     "q27_salted_join" -> q27_salted_join,
     "q24_udaf_weighted_avg" -> q24_udaf_weighted_avg,
     "q25_sql_correlated" -> q25_sql_correlated,
