@@ -414,34 +414,39 @@ object RelationalQueries {
 
   /** q28: data-quality expectation report — the validation gate a pipeline
     * runs before promoting a dataset (null rates, domain ranges,
-    * referential integrity). Each check is a single aggregate over its
-    * table — partial+final agg, one pass per table — and the FK check is
-    * the q06 anti-join shape aggregated to a count. Output: one row per
-    * expectation with violation count and checked-row count, so a gate can
-    * alert on `violations > threshold · n_checked`.
+    * referential integrity). ALL of a table's expectations evaluate in ONE
+    * scan (one partial+final aggregate computing every violation counter),
+    * then unpivot into one row per check — at 100 TB adding a tenth
+    * lineitem expectation costs an extra counter, not an extra scan. The
+    * FK check folds the q06 anti-join shape into the same orders pass via
+    * a broadcast of the (dimension-sized) customer key set. Output: one
+    * row per expectation with violation and checked-row counts, so a gate
+    * alerts on `violations > threshold · n_checked`.
     */
   val q28_quality_checks: Q = (s, dir) => {
-    val l = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
-    val c = Tables.customer(s, dir)
-    val qtyRange = l.agg(
-      lit("lineitem_quantity_1_to_50").as("check"),
-      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("violations"),
-      count(lit(1)).as("n_checked"))
-    val discRange = l.agg(
-      lit("lineitem_discount_0_to_0.1").as("check"),
-      sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("violations"),
-      count(lit(1)).as("n_checked"))
-    val priceNull = o.agg(
-      lit("orders_totalprice_not_null").as("check"),
-      sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("violations"),
-      count(lit(1)).as("n_checked"))
-    val fk = o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")
-      .agg(lit("orders_custkey_fk").as("check"),
-        count(lit(1)).as("violations"))
-      .crossJoin(o.agg(count(lit(1)).as("n_checked")))
-    qtyRange.unionByName(discRange).unionByName(priceNull).unionByName(fk)
-      .orderBy(col("check"))
+    def unpivot(agg: DataFrame, checks: (String, String)*): DataFrame =
+      agg.select(explode(array(checks.map { case (name, vcol) =>
+        struct(lit(name).as("check"), col(vcol).as("violations"),
+          col("n").as("n_checked")) }: _*)).as("r"))
+        .select(col("r.check"), col("r.violations"), col("r.n_checked"))
+    val lChecks = unpivot(
+      Tables.lineitem(s, dir).agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v_qty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L).otherwise(0L)).as("v_disc"),
+        count(lit(1)).as("n")),
+      "lineitem_quantity_1_to_50" -> "v_qty",
+      "lineitem_discount_0_to_0.1" -> "v_disc")
+    val custKeys = Tables.customer(s, dir).select(col("c_custkey"))
+    val oChecks = unpivot(
+      Tables.orders(s, dir)
+        .join(broadcast(custKeys), col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L)).as("v_null"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L)).as("v_fk"),
+          count(lit(1)).as("n")),
+      "orders_totalprice_not_null" -> "v_null",
+      "orders_custkey_fk" -> "v_fk")
+    lChecks.unionByName(oChecks).orderBy(col("check"))
   }
 
   val all: Map[String, Q] = Map(
