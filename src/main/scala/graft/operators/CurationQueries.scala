@@ -100,13 +100,16 @@ object CurationQueries {
     * the join back is vocab-sized, not corpus-sized. */
   val c05_tfidf: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-    val n = docs.count() // corpus size: one scalar, computed once
+    // corpus size as a 1-row aggregate broadcast into the plan (same
+    // pattern as c08/c09) — an eager .count() here would be a driver-side
+    // action scanning the corpus a second time at every invocation
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
-    tf.join(df, "tok")
+    tf.join(df, "tok").crossJoin(n)
       .select(col("doc_id"), col("tok"),
-        (floor((col("tf") * log(lit(n.toDouble) / col("df"))) * 1e4 + 0.5) / 1e4).as("tfidf"))
+        (floor((col("tf") * log(col("n_docs") / col("df"))) * 1e4 + 0.5) / 1e4).as("tfidf"))
       .filter(col("tfidf") > 0)
       .orderBy(col("doc_id"), col("tok"))
   }

@@ -75,10 +75,14 @@ object Blobs {
     var consumed = 0L
     var rawSize = -1
     var bad = false
+    // a varint whose continuation bits run into the body boundary would
+    // otherwise consume the NEXT blob's framing — stop at the boundary and
+    // mark the body unparseable instead (bad → weight-only fallback)
     def readVarint(): Long = {
       var v = 0L; var shift = 0
       var b = 0
       do {
+        if (consumed >= datasize) { bad = true; return -1L }
         b = din.read()
         if (b < 0) throw new EOFException("truncated blob body")
         consumed += 1

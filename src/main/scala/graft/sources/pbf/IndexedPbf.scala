@@ -28,13 +28,18 @@ import org.apache.spark.sql.functions._
   */
 object IndexedPbf {
 
-  /** Zone map for one data blob (indexed.rs:36-52). */
-  final case class ZoneMap(offset: Long, length: Int, ids: BlockDecoder.BlobIdRanges) {
-    def span: Blobs.BlobSpan = Blobs.BlobSpan(offset, length, Blobs.TypeOsmData)
+  /** Zone map for one data blob (indexed.rs:36-52). `rawSize` rides along
+    * so pruned scans keep the decoded-size task weighting. */
+  final case class ZoneMap(offset: Long, length: Int, ids: BlockDecoder.BlobIdRanges,
+                           rawSize: Int = -1) {
+    def span: Blobs.BlobSpan =
+      Blobs.BlobSpan(offset, length, Blobs.TypeOsmData, rawSize)
   }
 
+  // keyed by (path, mtime, length): a file replaced in place gets a fresh
+  // index instead of stale offsets/ranges pruning the wrong blobs
   private val indexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[ZoneMap]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[ZoneMap]]()
 
   /** Builds (or returns the cached) blob index: distributed id-only decode
     * of every data blob. Equivalent of create_index + the lazily-recorded
@@ -42,7 +47,11 @@ object IndexedPbf {
     * parallel pass instead of piggybacked on the first query. */
   def index(spark: SparkSession, path: String,
             splitTargetBytes: Long = 64L << 20): Seq[ZoneMap] = {
-    val cached = indexCache.get(path)
+    val fsPath = new Path(path)
+    val status = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(fsPath)
+    val key = (path, status.getModificationTime, status.getLen)
+    val cached = indexCache.get(key)
     if (cached != null) return cached
     val spans = OsmPbf.blobSpans(spark, path).filter(_.blobType == Blobs.TypeOsmData)
     val groups = OsmPbf.groupSpans(spans, splitTargetBytes)
@@ -58,11 +67,12 @@ object IndexedPbf {
           in.seek(span.offset)
           val buf = new Array[Byte](span.length)
           in.readFully(buf)
-          out += ZoneMap(span.offset, span.length, BlockDecoder.idRanges(Blobs.decode(buf)))
+          out += ZoneMap(span.offset, span.length,
+            BlockDecoder.idRanges(Blobs.decode(buf)), span.rawSize)
         }) finally in.close()
         out.iterator
       }.collect().sortBy(_.offset).toSeq
-    indexCache.put(path, built)
+    indexCache.put(key, built)
     built
   }
 
@@ -72,7 +82,8 @@ object IndexedPbf {
   def readSpans(spark: SparkSession, path: String,
                 spans: Seq[Blobs.BlobSpan]): DataFrame =
     spark.read.format("osmpbf")
-      .option("spans", spans.map(s => s"${s.offset}:${s.length}").mkString(","))
+      .option("spans",
+        spans.map(s => s"${s.offset}:${s.length}:${s.rawSize}").mkString(","))
       .load(path)
 
   /** `read_ways_and_deps`: DataFrame of the matching ways plus their
@@ -100,21 +111,29 @@ object IndexedPbf {
     val nodeBlobs = idx.filter(_.ids.hasNodes).sortBy(_.ids.nodeMin)
     val mins = nodeBlobs.map(_.ids.nodeMin).toArray
     val maxs = nodeBlobs.map(_.ids.nodeMax).toArray
+    // prefix-max of nodeMax: pmx(i) = max(maxs(0..i)). The left walk can
+    // stop exactly when pmx(i) < ref — no blob at or before i can contain
+    // ref — which is correct even for NESTED ranges ([0,1000] followed by
+    // [100,150]): stopping on the first non-overlapping mx(i) alone would
+    // hide the wide earlier range.
+    val pmaxs = maxs.scanLeft(Long.MinValue)(math.max).drop(1)
     val bMins = spark.sparkContext.broadcast(mins)
     val bMaxs = spark.sparkContext.broadcast(maxs)
+    val bPmax = spark.sparkContext.broadcast(pmaxs)
     val neededOrdinals = refs.select(col("ref")).as(Encoders.scalaLong)
       .mapPartitions { it =>
-        val mn = bMins.value; val mx = bMaxs.value
+        val mn = bMins.value; val mx = bMaxs.value; val pm = bPmax.value
         val hit = new java.util.TreeSet[Int]()
         it.foreach { ref =>
-          // last blob with min <= ref, then walk left across overlaps
+          // last blob with min <= ref, then walk left while any earlier
+          // blob can still reach ref (prefix max)
           var lo = 0; var hi = mn.length - 1; var ub = -1
           while (lo <= hi) {
             val mid = (lo + hi) >>> 1
             if (mn(mid) <= ref) { ub = mid; lo = mid + 1 } else hi = mid - 1
           }
           var i = ub
-          while (i >= 0 && (i == ub || mx(i) >= ref)) {
+          while (i >= 0 && pm(i) >= ref) {
             if (mn(i) <= ref && ref <= mx(i)) hit.add(i)
             i -= 1
           }

@@ -204,7 +204,15 @@ object OsmPbf {
     val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
     val outPath = new Path(outRoot)
     val ofs = outPath.getFileSystem(hc)
-    types.foreach(t => ofs.mkdirs(new Path(outPath, s"type=$t"))) // stable hive layout
+    types.foreach { t =>
+      val typeDir = new Path(outPath, s"type=$t")
+      // task filenames are deterministic per (task, rotation); a previous
+      // run with more tasks would leave part files no new task overwrites,
+      // so re-running into the same --output must start from empty type=
+      // dirs (only ours — nothing else under the output root is touched)
+      if (ofs.exists(typeDir)) ofs.delete(typeDir, true)
+      ofs.mkdirs(typeDir) // stable hive layout
+    }
 
     val elemAcc = sc.longAccumulator("graft.transcode.elements")
     val byteAcc = sc.longAccumulator("graft.transcode.inputBytes")

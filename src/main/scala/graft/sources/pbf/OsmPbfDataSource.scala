@@ -104,7 +104,7 @@ class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
   override def toBatch: Batch = this
   override def description(): String =
     s"osmpbf $path types=${typeSet.mkString(",")} cols=${requiredSchema.fieldNames.mkString(",")}" +
-      spansOpt.map(s => s" spans=${s.count(_ == ':')}").getOrElse("")
+      spansOpt.map(s => s" spans=${if (s.isEmpty) 0 else s.split(',').length}").getOrElse("")
 
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
@@ -112,9 +112,12 @@ class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
     // pruning): skip enumeration entirely, scan only what the caller chose.
     val spans = spansOpt match {
       case Some(enc) if enc.nonEmpty =>
+        // "offset:length[:rawSize]" — rawSize keeps decoded-size task
+        // weighting on pruned scans; absent (legacy 2-part) = unknown
         enc.split(',').toSeq.map { s =>
-          val i = s.indexOf(':')
-          Blobs.BlobSpan(s.substring(0, i).toLong, s.substring(i + 1).toInt, Blobs.TypeOsmData)
+          val parts = s.split(':')
+          Blobs.BlobSpan(parts(0).toLong, parts(1).toInt, Blobs.TypeOsmData,
+            if (parts.length > 2) parts(2).toInt else -1)
         }
       case Some(_) => Seq.empty
       case None =>

@@ -141,13 +141,14 @@ object EventStreams {
 
   /** The foreachBatch body: overwrite exactly this batch's partition.
     * Public so the idempotence property is directly testable. */
-  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
+      // writer-scoped: a session-conf set here would silently change
+      // overwrite semantics for every other write in the application
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(outDir)
-  }
 
   /** Convenience: run `windowedCounts` over a rate-limited file stream of
     * the events table and deliver to an in-memory sink — the wiring a

@@ -98,4 +98,27 @@ class IndexedPbfSpec extends AnyFunSuite with BeforeAndAfterAll {
     val nodeScan = scans.find(d => d.contains("spans=1"))
     assert(nodeScan.isDefined, s"expected a single-span pruned node scan, got: $scans")
   }
+
+  test("nested/overlapping node-id ranges: the wide earlier blob is still found") {
+    import PbfWriter._
+    val dir = java.nio.file.Files.createTempDirectory("idxnested").toString
+    val pbf = s"$dir/nested.osm.pbf"
+    // blob A spans [1..4000] (wide), blob B [1100..1149], blob C [2000..2049]:
+    // sorted by nodeMin the ranges NEST — a left-walk that stops at the
+    // first non-overlapping neighbor (B for ref 4000) would never check A
+    // and silently drop the node
+    def block(ids: Seq[Long]): Array[Byte] = primitiveBlock(
+      ids.map(id => DenseNode(id, 52000000000L + id, 11000000000L + id,
+        Nil, 1, 0L, 1L, 1, "u")))
+    val wide = block((1L to 500L) :+ 4000L)
+    val wayBlock = primitiveBlock(Nil,
+      Seq(WayData(900001L, Seq(4000L, 1100L, 2000L), Seq("highway" -> "primary"))))
+    writeFile(pbf, Seq(wide, block(1100L to 1149L), block(2000L to 2049L), wayBlock))
+
+    val df = IndexedPbf.readWaysAndDeps(spark, pbf,
+      col("tags").getItem("highway") === "primary")
+    val nodeIds = df.filter(col("type") === "node")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(nodeIds === Seq(1100L, 2000L, 4000L)) // 4000 lives only in blob A
+  }
 }

@@ -65,6 +65,20 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     src.zip(back).foreach { case (a, b) => assert(a === b) }
   }
 
+  test("re-running transcode into the same output leaves no stale part files") {
+    val dir = java.nio.file.Files.createTempDirectory("osmrerun").toString
+    val big = s"$dir/big.osm.pbf"
+    val small = s"$dir/small.osm.pbf"
+    PbfWriter.synthesize(big, blocks = 8, nodesPerBlock = 2000)
+    val nSmall = PbfWriter.synthesize(small, blocks = 1, nodesPerBlock = 100)
+    val out = s"$dir/out"
+    // first run fans out to more tasks/files than the second: without
+    // cleanup the second run's read-back would mix generations
+    OsmPbf.transcode(spark, PbfConfig(input = big, output = out))
+    OsmPbf.transcode(spark, PbfConfig(input = small, output = out))
+    assert(spark.read.parquet(out).count() === nSmall)
+  }
+
   test("transcode progress monitor fires periodic + final events (C4)") {
     val dir = java.nio.file.Files.createTempDirectory("osmprog").toString
     val pbf = s"$dir/prog.osm.pbf"
