@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   *   [--max-records-per-file N] [--file-target-mb 500]
  *   [--row-group-target-mb 128] [--max-row-group-count N]
  *   [--master local[*]]
+  *
+  * graft.Main --validate <expectedParquet> --against <actualParquet>
+  *   # the reference's validate.py as a CLI verb: prints the V1-V5
+  *   # report and exits non-zero on any violation
   * }}}
   *
   * Reads the PBF through the osmpbf source and writes hive-partitioned
@@ -20,6 +24,26 @@ import org.apache.spark.sql.SparkSession
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    // validate mode — the reference's validate.py as a CLI verb:
+    //   graft.Main --validate <expectedParquet> --against <actualParquet>
+    if (opts.contains("validate")) {
+      val expected = opts("validate")
+      val actual = opts.getOrElse("against",
+        { System.err.println("missing required --against"); sys.exit(2) })
+      val spark = SparkSession.builder()
+        .master(opts.getOrElse("master", "local[*]"))
+        .appName("graft-osm-validate")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      try {
+        val rep = graft.sources.pbf.OsmValidate.report(
+          spark.read.parquet(expected), spark.read.parquet(actual))
+        rep.show(100, truncate = false)
+        val bad = rep.filter(org.apache.spark.sql.functions.col("violations") > 0).count()
+        if (bad > 0) sys.exit(1)
+      } finally spark.stop()
+      return
+    }
     val config = PbfConfig(
       input = opts.getOrElse("input",
         { System.err.println("missing required --input"); sys.exit(2) }),
