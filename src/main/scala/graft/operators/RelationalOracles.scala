@@ -205,6 +205,16 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    "q29_topk_custom_operator" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rn <= 2
+        |ORDER BY l_suppkey, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
     "q28_quality_checks" ->
       """SELECT 'lineitem_quantity_1_to_50' AS check,
         |  CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS violations,

@@ -449,7 +449,25 @@ object RelationalQueries {
     lChecks.unionByName(oChecks).orderBy(col("check"))
   }
 
+  /** q29: top-2 lineitems per supplier through the CUSTOM OPERATOR
+    * [[graft.plans.TopKPerKey]] (logical node + planner strategy +
+    * bounded-heap physical exec with a map-side partial stage) — the
+    * same answer q09's window formulation gives, but the shuffle carries
+    * ≤ k rows per key per input partition instead of the whole table.
+    * Oracle = the window+rank SQL, so the hash check proves the custom
+    * operator's semantics equal the declarative formulation. */
+  val q29_topk_custom_operator: Q = (s, dir) => {
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    graft.plans.TopKPerKey.perKey(l, Seq("l_suppkey"),
+        Seq("l_extendedprice" -> false, "l_orderkey" -> true, "l_linenumber" -> true), 2)
+      .orderBy(col("l_suppkey"), col("l_extendedprice").desc,
+        col("l_orderkey"), col("l_linenumber"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q29_topk_custom_operator" -> q29_topk_custom_operator,
     "q28_quality_checks" -> q28_quality_checks,
     "q27_salted_join" -> q27_salted_join,
     "q24_udaf_weighted_avg" -> q24_udaf_weighted_avg,

@@ -1,0 +1,128 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator extension demo: per-key top-k with BOUNDED HEAPS — the
+  * full custom-operator stack (logical node → planner `Strategy` →
+  * physical `SparkPlan`), the (c) tier of the extension preference order
+  * (compose built-ins < custom Expression < custom operator).
+  *
+  * Why a custom operator is justified HERE: the built-in formulation
+  * (`row_number().over(Window.partitionBy(k).orderBy(o)) <= k`) must
+  * fully SORT every key group before it can rank — at 100 TB that is a
+  * total shuffle of the corpus followed by a per-key sort of everything,
+  * even though only k rows per key survive. This operator keeps a
+  * k-bounded heap per key:
+  *
+  *  - a PARTIAL stage before the exchange prunes each input partition to
+  *    ≤ k rows per key (map-side, like partial aggregation), so the
+  *    shuffle moves at most `k × keys-per-partition` rows, not the corpus;
+  *  - the FINAL stage (after `EnsureRequirements` inserts the clustered
+  *    exchange it demands) merges the partials with the same bounded heap;
+  *  - no sort ever sees more than the k kept rows per key.
+  *
+  * Registered through `spark.experimental.extraStrategies` (the public
+  * runtime hook) by [[TopKPerKey.perKey]]; no session-construction-time
+  * extension wiring needed.
+  */
+final case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
+                                order: Seq[SortOrder], child: LogicalPlan)
+  extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(k, keys, order, child) =>
+      // final-over-partial, like partial aggregation: EnsureRequirements
+      // inserts the key-clustered exchange between the two stages
+      TopKPerKeyExec(k, keys, order, partial = false,
+        TopKPerKeyExec(k, keys, order, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
+                                order: Seq[SortOrder], partial: Boolean,
+                                child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val keyExprs = keys
+    val sortOrder = order
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      val rowProj = UnsafeProjection.create(schema, schema)
+      val ordering = RowOrdering.create(sortOrder, schema)
+      // heap head = WORST kept row (reverse ordering) so eviction is O(log k)
+      val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
+      val cmp: java.util.Comparator[UnsafeRow] =
+        (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a)
+      it.foreach { row =>
+        val key = keyProj(row)
+        var pq = heaps.get(key)
+        if (pq == null) {
+          pq = new java.util.PriorityQueue[UnsafeRow](limit + 1, cmp)
+          heaps.put(key.copy(), pq)
+        }
+        if (pq.size < limit) pq.add(rowProj(row).copy())
+        else if (ordering.compare(row, pq.peek()) < 0) {
+          pq.poll()
+          pq.add(rowProj(row).copy())
+        }
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+      heaps.values.forEach { pq =>
+        val rows = new Array[UnsafeRow](pq.size)
+        var i = rows.length - 1
+        while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain worst-first → best-first array
+        out ++= rows
+      }
+      out.iterator.map(_.asInstanceOf[InternalRow])
+    }
+  }
+}
+
+object TopKPerKey {
+
+  /** Public API: top `k` rows per `keyCols` group, ranked by `orderBy`
+    * (column name → ascending?). Appends nothing — output schema is the
+    * input schema, at most k rows per key, best-first within a key's
+    * run. Tie-safe only if `orderBy` is a total order (add a unique
+    * id as the last sort column, exactly as a window formulation would).
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String],
+             orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val analyzed = df.queryExecution.analyzed
+    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(s"no column '$n' in ${analyzed.output.map(_.name)}"))
+    val keys = keyCols.map(attr)
+    val order = orderBy.map { case (n, asc) =>
+      SortOrder(attr(n), if (asc) Ascending else Descending) }
+    org.apache.spark.sql.GraftBridge.ofRows(spark,
+      TopKPerKeyNode(k, keys, order, analyzed))
+  }
+}
