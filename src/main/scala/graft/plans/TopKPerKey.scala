@@ -30,6 +30,14 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * Registered through `spark.experimental.extraStrategies` (the public
   * runtime hook) by [[TopKPerKey.perKey]]; no session-construction-time
   * extension wiring needed.
+  *
+  * Measured crossover (30M rows, local[32]): at 1k keys the bounded heap
+  * wins ~2× (0.8s vs 1.4-4.5s — the partial stage drops >99% of shuffle
+  * volume); at 100k keys the window formulation wins (pruning is weak at
+  * ~9 rows/key/partition and its codegen'd radix sort out-runs per-row
+  * heap maintenance). Pick this operator when keys-per-partition ≪
+  * rows-per-partition — e.g. top documents per DOMAIN over a web corpus —
+  * and the window when key cardinality approaches row count.
   */
 final case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
                                 order: Seq[SortOrder], child: LogicalPlan)
