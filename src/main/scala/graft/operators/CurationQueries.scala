@@ -216,10 +216,60 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** c10: BPE tokenizer training — the first 3 merge rules learned from
+    * the corpus (byte-pair encoding, the tokenizer-training core step).
+    *
+    * Exactly the real BPE training shape: train on the WORD-FREQUENCY
+    * table, not the corpus (the `groupBy(word)` first line collapses
+    * 100 TB of text to vocabulary size — this is why BPE training is
+    * tractable at all); per merge, one pair-count aggregate (bounded by
+    * pair-vocabulary) + a broadcast 1-row argmax rewriting the sequences
+    * in place. Merge application is ONE left-to-right non-overlapping
+    * replace pass per rule — `replace()` semantics are identical in the
+    * JVM and DuckDB, which is what makes the whole training loop
+    * hash-checkable. Sequences carry `|` token delimiters on BOTH sides
+    * of every token so a pair pattern can never match a token suffix or
+    * prefix. Driver-side loop = 3 unrolled iterations, each a 1-row
+    * `localCheckpoint` (the d07 iterative pattern).
+    */
+  val c10_bpe_merges: Q = (s, dir) => {
+    val words = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    val w1 = words.withColumn("seq",
+      concat(lit("|"), concat_ws("|", split(col("word"), "")), lit("|")))
+    def bestPair(w: DataFrame): DataFrame =
+      w.select(col("n"), filter(split(col("seq"), "\\|"), t => t =!= "").as("tk"))
+        .filter(size(col("tk")) >= 2) // sequence(1, 0) would REVERSE
+        .select(col("n"), explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> named_struct('x', element_at(tk, i), 'y', element_at(tk, i + 1)))")).as("p"))
+        .groupBy(col("p.x").as("x"), col("p.y").as("y"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
+    def rewrite(w: DataFrame, b: DataFrame): DataFrame =
+      w.crossJoin(broadcast(b))
+        .withColumn("seq", replace(col("seq"),
+          concat(lit("|"), col("x"), lit("|"), col("y"), lit("|")),
+          concat(lit("|"), col("x"), col("y"), lit("|"))))
+        .select(col("word"), col("n"), col("seq"))
+    val b1 = bestPair(w1).localCheckpoint()
+    val w2 = rewrite(w1, b1)
+    val b2 = bestPair(w2).localCheckpoint()
+    val w3 = rewrite(w2, b2)
+    val b3 = bestPair(w3).localCheckpoint()
+    b1.withColumn("step", lit(1))
+      .unionByName(b2.withColumn("step", lit(2)))
+      .unionByName(b3.withColumn("step", lit(3)))
+      .select(col("step"), col("x"), col("y"), col("cnt"))
+      .orderBy(col("step"))
+  }
+
   val all: Map[String, Q] = Map(
     "t07_pii_redaction" -> t07_pii_redaction,
     "c08_pmi_bigrams" -> c08_pmi_bigrams,
     "c09_domain_resample" -> c09_domain_resample,
+    "c10_bpe_merges" -> c10_bpe_merges,
     "c01_sampled_docs" -> c01_sampled_docs,
     "c02_train_test_split" -> c02_train_test_split,
     "c03_context_chunks" -> c03_context_chunks,
@@ -229,8 +279,37 @@ object CurationQueries {
     "c07_repetition_filter" -> c07_repetition_filter,
   )
 
+  private val bpeIter = (i: Int) =>
+    s"""p$i AS (
+       |  SELECT p['x'] AS x, p['y'] AS y, CAST(sum(n) AS BIGINT) AS cnt FROM (
+       |    SELECT n, unnest(list_transform(range(1, len(tk)),
+       |      j -> struct_pack(x := tk[j], y := tk[j+1]))) AS p
+       |    FROM (SELECT n, list_filter(string_split(seq, '|'), t -> t <> '') AS tk FROM w$i)
+       |    WHERE len(tk) >= 2)
+       |  GROUP BY 1, 2),
+       |b$i AS (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+       |w${i + 1} AS (
+       |  SELECT word, n, replace(seq, '|' || x || '|' || y || '|', '|' || x || y || '|') AS seq
+       |  FROM w$i CROSS JOIN b$i)""".stripMargin
+
   /** DuckDB oracle twins (driver hash-compares values column-sorted). */
   val oracles: Map[String, String] = Map(
+    "c10_bpe_merges" ->
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' GROUP BY word),
+         |w1 AS (
+         |  SELECT word, n,
+         |    '|' || array_to_string(regexp_split_to_array(word, ''), '|') || '|' AS seq
+         |  FROM words),
+         |${bpeIter(1)},
+         |${bpeIter(2)},
+         |${bpeIter(3)}
+         |SELECT 1 AS step, x, y, cnt FROM b1
+         |UNION ALL SELECT 2, x, y, cnt FROM b2
+         |UNION ALL SELECT 3, x, y, cnt FROM b3
+         |ORDER BY step""".stripMargin,
     "c08_pmi_bigrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS w FROM documents),
