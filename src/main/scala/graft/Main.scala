@@ -35,13 +35,17 @@ object Main {
         .appName("graft-osm-validate")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
-      try {
-        val rep = graft.sources.pbf.OsmValidate.report(
-          spark.read.parquet(expected), spark.read.parquet(actual))
-        rep.show(100, truncate = false)
-        val bad = rep.filter(org.apache.spark.sql.functions.col("violations") > 0).count()
-        if (bad > 0) sys.exit(1)
-      } finally spark.stop()
+      // collect the handful of report rows ONCE (show + filter would each
+      // re-run the full scan-and-join suite), and exit only after
+      // spark.stop() — sys.exit inside try skips finally
+      val bad =
+        try {
+          val rows = graft.sources.pbf.OsmValidate.report(
+            spark.read.parquet(expected), spark.read.parquet(actual)).collect()
+          rows.foreach(r => println(f"${r.getString(0)}%-22s ${r.getLong(1)}%d"))
+          rows.exists(_.getLong(1) > 0)
+        } finally spark.stop()
+      if (bad) sys.exit(1)
       return
     }
     val config = PbfConfig(

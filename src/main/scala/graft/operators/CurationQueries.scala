@@ -229,13 +229,23 @@ object CurationQueries {
     * JVM and DuckDB, which is what makes the whole training loop
     * hash-checkable. Sequences carry `|` token delimiters on BOTH sides
     * of every token so a pair pattern can never match a token suffix or
-    * prefix. Driver-side loop = 3 unrolled iterations, each a 1-row
+    * prefix; words containing a literal `|` are excluded up front (the
+    * delimiter must be outside the corpus alphabet — both sides filter
+    * identically). Driver-side loop = 3 unrolled iterations, each a 1-row
     * `localCheckpoint` (the d07 iterative pattern).
+    *
+    * Semantics note: single-pass replace merges GREEDILY left-to-right —
+    * in a back-to-back run like `abab` the second `(a,b)` occurrence
+    * keeps its consumed delimiter and merges on the NEXT rule
+    * application, not this one. That greedy-single-pass variant (used by
+    * several fast BPE implementations) is the declared semantics here,
+    * bit-identical in both engines; textbook BPE's within-rule fixpoint
+    * would need a per-rule loop.
     */
   val c10_bpe_merges: Q = (s, dir) => {
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
-      .filter(col("word") =!= "")
+      .filter(col("word") =!= "" && !col("word").contains("|"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
     val w1 = words.withColumn("seq",
       concat(lit("|"), concat_ws("|", split(col("word"), "")), lit("|")))
@@ -298,7 +308,7 @@ object CurationQueries {
       s"""WITH words AS (
          |  SELECT word, count(*) AS n FROM (
          |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-         |  WHERE word <> '' GROUP BY word),
+         |  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word),
          |w1 AS (
          |  SELECT word, n,
          |    '|' || array_to_string(regexp_split_to_array(word, ''), '|') || '|' AS seq

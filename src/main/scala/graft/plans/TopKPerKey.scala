@@ -38,6 +38,11 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * heap maintenance). Pick this operator when keys-per-partition ≪
   * rows-per-partition — e.g. top documents per DOMAIN over a web corpus —
   * and the window when key cardinality approaches row count.
+  *
+  * Memory model: the final stage holds k rows per DISTINCT KEY of its
+  * partition on heap with no spill path — another reason the
+  * near-unique-key regime belongs to the window formulation (external
+  * sort spills; this operator would not).
   */
 final case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
                                 order: Seq[SortOrder], child: LogicalPlan)
@@ -118,16 +123,37 @@ object TopKPerKey {
     * run. Tie-safe only if `orderBy` is a total order (add a unique
     * id as the last sort column, exactly as a window formulation would).
     */
+  private val registrationLock = new Object
+
   def perKey(df: DataFrame, keyCols: Seq[String],
              orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
     val spark = df.sparkSession
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    // extraStrategies is a plain var: check-then-append must not race with
+    // a concurrent first call (lost update → 'no plan for TopKPerKeyNode')
+    registrationLock.synchronized {
+      if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
     val analyzed = df.queryExecution.analyzed
-    def attr(n: String): Attribute = analyzed.output.find(_.name == n)
-      .getOrElse(throw new IllegalArgumentException(s"no column '$n' in ${analyzed.output.map(_.name)}"))
+    val caseSensitive =
+      spark.conf.get("spark.sql.caseSensitive", "false").toBoolean
+    def attr(n: String): Attribute =
+      analyzed.output.filter(a =>
+        if (caseSensitive) a.name == n else a.name.equalsIgnoreCase(n)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"no column '$n' in ${analyzed.output.map(_.name)}")
+        case many => throw new IllegalArgumentException(
+          s"ambiguous column '$n': matches ${many.map(_.name)}")
+      }
     val keys = keyCols.map(attr)
+    keys.find(a => a.dataType == org.apache.spark.sql.types.DoubleType
+        || a.dataType == org.apache.spark.sql.types.FloatType)
+      .foreach(a => throw new IllegalArgumentException(
+        s"float-typed grouping key '${a.name}': raw-byte key comparison would " +
+          "split -0.0/0.0 and NaN variants into separate groups (the window " +
+          "formulation normalizes them); cast or normalize the key first"))
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
     org.apache.spark.sql.GraftBridge.ofRows(spark,

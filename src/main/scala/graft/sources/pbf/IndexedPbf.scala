@@ -53,6 +53,9 @@ object IndexedPbf {
     val key = (path, status.getModificationTime, status.getLen)
     val cached = indexCache.get(key)
     if (cached != null) return cached
+    // a replaced file gets a fresh entry — drop the unreachable old
+    // generation(s) so a long-lived session can't accumulate dead indexes
+    indexCache.keySet.removeIf(k => k._1 == path && k != key)
     val spans = OsmPbf.blobSpans(spark, path).filter(_.blobType == Blobs.TypeOsmData)
     val groups = OsmPbf.groupSpans(spans, splitTargetBytes)
     val hconf = new org.apache.spark.util.SerializableConfiguration(

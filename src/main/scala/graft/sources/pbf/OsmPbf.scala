@@ -204,15 +204,15 @@ object OsmPbf {
     val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
     val outPath = new Path(outRoot)
     val ofs = outPath.getFileSystem(hc)
-    types.foreach { t =>
-      val typeDir = new Path(outPath, s"type=$t")
-      // task filenames are deterministic per (task, rotation); a previous
-      // run with more tasks would leave part files no new task overwrites,
-      // so re-running into the same --output must start from empty type=
-      // dirs (only ours — nothing else under the output root is touched)
-      if (ofs.exists(typeDir)) ofs.delete(typeDir, true)
-      ofs.mkdirs(typeDir) // stable hive layout
-    }
+    // Tasks write into a `_staging` dir (underscore-prefixed: invisible to
+    // parquet partition discovery even if a crashed run leaves it behind);
+    // type= dirs swap into place only after the job SUCCEEDS. Two
+    // invariants fall out: a mid-run failure leaves the previous good
+    // output untouched, and a re-run with fewer tasks can't inherit stale
+    // deterministic-named part files from a wider previous run.
+    val staging = new Path(outPath, "_staging")
+    if (ofs.exists(staging)) ofs.delete(staging, true)
+    types.foreach(t => ofs.mkdirs(new Path(staging, s"type=$t")))
 
     val elemAcc = sc.longAccumulator("graft.transcode.elements")
     val byteAcc = sc.longAccumulator("graft.transcode.inputBytes")
@@ -247,7 +247,7 @@ object OsmPbf {
         def writerFor(i: Int, t: String): DirectParquet.RotatingWriter = {
           if (writers(i) == null)
             writers(i) = new DirectParquet.RotatingWriter(
-              new Path(s"$outRoot/type=$t"), conf, codec, taskId,
+              new Path(s"$outRoot/_staging/type=$t"), conf, codec, taskId,
               fileTargetBytes, maxRecords, rowGroupBytes, rowGroupRows)
           writers(i)
         }
@@ -281,6 +281,14 @@ object OsmPbf {
           if (writers(1) != null) writers(1).total else 0L,
           if (writers(2) != null) writers(2).total else 0L))
       }.collect()
+      // job succeeded: swap staging type= dirs into place (per-dir rename;
+      // the failure window is the swap itself, not the whole job)
+      types.foreach { t =>
+        val live = new Path(outPath, s"type=$t")
+        if (ofs.exists(live)) ofs.delete(live, true)
+        ofs.rename(new Path(staging, s"type=$t"), live)
+      }
+      ofs.delete(staging, true)
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_(i)).sum }.toMap
     } finally {
       running = false

@@ -79,6 +79,24 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(spark.read.parquet(out).count() === nSmall)
   }
 
+  test("failed transcode leaves the previous good output untouched (staging swap)") {
+    val dir = java.nio.file.Files.createTempDirectory("osmstage").toString
+    val good = s"$dir/good.osm.pbf"
+    val n = PbfWriter.synthesize(good, blocks = 2, nodesPerBlock = 500)
+    val out = s"$dir/out"
+    OsmPbf.transcode(spark, PbfConfig(input = good, output = out))
+    // corrupt a copy's zlib payload mid-blob: framing stays parseable,
+    // decode fails inside the task, the job aborts
+    val bad = s"$dir/bad.osm.pbf"
+    java.nio.file.Files.copy(java.nio.file.Paths.get(good), java.nio.file.Paths.get(bad))
+    val raf = new java.io.RandomAccessFile(bad, "rw")
+    try { raf.seek(raf.length() - 40); raf.write(new Array[Byte](20)) } finally raf.close()
+    intercept[Exception] {
+      OsmPbf.transcode(spark, PbfConfig(input = bad, output = out))
+    }
+    assert(spark.read.parquet(out).count() === n) // old output intact
+  }
+
   test("transcode progress monitor fires periodic + final events (C4)") {
     val dir = java.nio.file.Files.createTempDirectory("osmprog").toString
     val pbf = s"$dir/prog.osm.pbf"
