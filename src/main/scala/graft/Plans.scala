@@ -1,21 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit main: prints the load-bearing physical-plan lines
+  * (pushdown, joins, exchanges, codegen) for the queries whose SCALE
+  * behavior the engine stakes claims on. Args override the default list
+  * (see also tools/PlanAudit for ad-hoc use).
+  */
 object Plans {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.VectorFunctions.register(spark)
     val dir = "/root/testdata/sf0.01"
-    for (name <- Seq("q02_filter_pushdown", "q03_join_broadcast", "q04_join_shuffle", "q05_semi_join", "q13_topk")) {
+    val defaults = Seq(
+      // r1 relational fundamentals
+      "q02_filter_pushdown", "q03_join_broadcast", "q04_join_shuffle",
+      "q05_semi_join", "q13_topk", "q27_salted_join",
+      // r2 scale-claim carriers
+      "q28_quality_checks", "q29_topk_custom_operator",
+      "d02_minhash_lsh", "d06_simhash_pairs", "c08_pmi_bigrams",
+      "c09_domain_resample", "a05_cohort_retention", "s03_knn_ivf")
+    val names = if (args.nonEmpty) args.toSeq else defaults
+    for (name <- names) {
       println(s"===== $name =====")
       val plan = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
       println(plan.split("\n").filter(l =>
         l.contains("PushedFilters") || l.contains("ReadSchema") ||
         l.contains("Join") || l.contains("TakeOrdered") || l.contains("Exchange") ||
-        l.contains("WholeStageCodegen")).take(12).mkString("\n"))
+        l.contains("TopKPerKey") || l.contains("WholeStageCodegen")).take(16).mkString("\n"))
     }
     spark.stop()
   }

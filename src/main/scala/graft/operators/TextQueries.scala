@@ -166,9 +166,39 @@ object TextQueries {
       .orderBy(col("decile"))
   }
 
+  /** t09: unigram language-model scoring — per-doc mean token log-prob
+    * under the corpus's own unigram distribution (the CCNet-style
+    * perplexity quality signal: gibberish and boilerplate score far from
+    * the corpus mode). Plan: one token-count aggregate (vocab-sized),
+    * totals as a broadcast 1-row cross join, then a vocab-sized join back
+    * onto the exploded corpus and one per-doc aggregate.
+    *
+    * Determinism: per-token log-probs are QUANTIZED TO INTEGERS (×1e6,
+    * half-up) before the per-doc sum — double addition is
+    * partial-agg-order dependent, so summing raw `ln` values would make
+    * the 4-decimal output flip at rounding boundaries between runs and
+    * engines; integer sums are exact and associative (same technique as
+    * s03's Lloyd means).
+    */
+  val t09_unigram_logprob: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast("double").as("n_total"))
+    tok.join(cnt, "tok").crossJoin(total)
+      .select(col("doc_id"),
+        floor(log(col("cnt") / col("n_total")) * 1e6 + 0.5).cast("long").as("lp_q"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum(col("lp_q")).cast("double") / count(lit(1)) / 1e6 * 1e4 + 0.5) / 1e4)
+          .as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t05_regex_tokens" -> t05_regex_tokens,
     "t08_quality_bins" -> t08_quality_bins,
+    "t09_unigram_logprob" -> t09_unigram_logprob,
     "t06_rolling_fingerprint" -> t06_rolling_fingerprint,
     "t01_lang_id" -> t01_lang_id,
     "t02_quality_score" -> t02_quality_score,

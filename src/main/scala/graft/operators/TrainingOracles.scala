@@ -312,6 +312,18 @@ object TrainingOracles {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
 
+    "t09_unigram_logprob" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total FROM cnt),
+        |lp AS (
+        |  SELECT doc_id, CAST(floor(ln(cnt / n_total) * 1e6 + 0.5) AS BIGINT) AS lp_q
+        |  FROM tok JOIN cnt USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  floor(CAST(sum(lp_q) AS DOUBLE) / count(*) / 1e6 * 1e4 + 0.5) / 1e4 AS avg_logprob
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "t03_token_count" ->
       """WITH tok AS (
         |  SELECT source, doc_id, unnest(string_split(text, ' ')) AS tok
