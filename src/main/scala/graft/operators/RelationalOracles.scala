@@ -238,6 +238,13 @@ object RelationalOracles {
         |FROM orders
         |ORDER BY "check"""".stripMargin,
 
+    "q30_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+
     "q27_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
         |  round(sum(l_extendedprice), 2) AS value

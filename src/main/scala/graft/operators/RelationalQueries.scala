@@ -187,6 +187,21 @@ object RelationalQueries {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** q30: arbitrary GROUPING SETS — the grouping combinations rollup/cube
+    * can't express (here: by-status, by-priority, and grand total, but NOT
+    * the cross product). SQL-frontend surface; Catalyst plans it as one
+    * Expand + single aggregate, the same shape as q11/q12. */
+  val q30_grouping_sets: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        count(*) AS n, round(sum(o_totalprice), 2) AS total
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """)
+  }
+
   /** q12: cube over two low-cardinality dims. */
   val q12_cube: Q = (s, dir) => {
     Tables.lineitem(s, dir)
@@ -484,6 +499,7 @@ object RelationalQueries {
     "q09_window_topk" -> q09_window_topk,
     "q10_window_running" -> q10_window_running,
     "q11_rollup" -> q11_rollup,
+    "q30_grouping_sets" -> q30_grouping_sets,
     "q12_cube" -> q12_cube,
     "q13_topk" -> q13_topk,
     "q14_setops" -> q14_setops,

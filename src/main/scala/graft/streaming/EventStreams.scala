@@ -37,6 +37,21 @@ object EventStreams {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** SLIDING event-time windows (window length > slide): each event lands
+    * in `length/slide` overlapping windows — Spark expands rows into
+    * every window they belong to, then aggregates like tumbling. State
+    * still watermark-bounded; output cardinality is `length/slide` × the
+    * tumbling equivalent, the standard smoothed-rate view.
+    */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
+                    windowLen: String = "1 hour", slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("bucket_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

@@ -152,6 +152,28 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     q.stop()
   }
 
+  test("sliding windows: each event lands in length/slide overlapping windows") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.slidingCounts(input.toDF(),
+        watermark = "10 minutes", windowLen = "1 hour", slide = "15 minutes")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(EventStreams.Event(1, ts(1, 20), 10, "click", 2.0))
+    input.addData(EventStreams.Event(99, ts(5, 0), 11, "view", 1.0)) // advance watermark
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slide")
+      .filter(col("event_type") === "click").collect()
+    // 1:20 event → windows starting 0:30, 0:45, 1:00, 1:15 (4 = 60/15)
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[java.sql.Timestamp]("bucket_start").toString).sorted.toSeq ===
+      Seq("2026-01-01 00:30:00.0", "2026-01-01 00:45:00.0",
+        "2026-01-01 01:00:00.0", "2026-01-01 01:15:00.0"))
+    assert(rows.forall(_.getAs[Long]("n") === 1L))
+  }
+
   test("exactly-once parquet sink: batch replay is idempotent") {
     val sp = spark; import sp.implicits._
     val out = java.nio.file.Files.createTempDirectory("eo-sink").toString + "/out"
