@@ -189,17 +189,19 @@ object RelationalQueries {
 
   /** q30: arbitrary GROUPING SETS — the grouping combinations rollup/cube
     * can't express (here: by-status, by-priority, and grand total, but NOT
-    * the cross product). SQL-frontend surface; Catalyst plans it as one
-    * Expand + single aggregate, the same shape as q11/q12. */
+    * the cross product). Catalyst plans it as one Expand + single
+    * aggregate, the same shape as q11/q12. Uses the Dataset
+    * `groupingSets` API rather than SQL-over-a-temp-view: registering a
+    * view inside a query function would mutate the caller's session
+    * catalog. */
   val q30_grouping_sets: Q = (s, dir) => {
-    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
-    s.sql("""
-      SELECT o_orderstatus, o_orderpriority,
-        count(*) AS n, round(sum(o_totalprice), 2) AS total
-      FROM orders_gs
-      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
-    """)
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
   }
 
   /** q12: cube over two low-cardinality dims. */
