@@ -231,46 +231,53 @@ object CurationQueries {
     * of every token so a pair pattern can never match a token suffix or
     * prefix; words containing a literal `|` are excluded up front (the
     * delimiter must be outside the corpus alphabet — both sides filter
-    * identically). Driver-side loop = 3 unrolled iterations, each a 1-row
-    * `localCheckpoint` (the d07 iterative pattern).
+    * identically).
     *
-    * Semantics note: single-pass replace merges GREEDILY left-to-right —
-    * in a back-to-back run like `abab` the second `(a,b)` occurrence
-    * keeps its consumed delimiter and merges on the NEXT rule
-    * application, not this one. That greedy-single-pass variant (used by
-    * several fast BPE implementations) is the declared semantics here,
-    * bit-identical in both engines; textbook BPE's within-rule fixpoint
-    * would need a per-rule loop.
+    * Each learned rule is applied TO FIXPOINT (repeat the single-pass
+    * replace until no sequence changes — textbook BPE's within-rule
+    * semantics; a back-to-back run like `abab` fully merges before the
+    * next rule is learned). The engine loops on the driver over the tiny
+    * word table with a total-length convergence check (replace strictly
+    * shortens, so the fixpoint is finite); the oracle reaches the same
+    * fixpoint with a recursive CTE. The merge rule itself is collected to
+    * the driver — it IS the training output, exactly what a BPE trainer
+    * materializes.
     */
   val c10_bpe_merges: Q = (s, dir) => {
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains("|"))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    val w1 = words.withColumn("seq",
+    var w = words.withColumn("seq",
       concat(lit("|"), concat_ws("|", split(col("word"), "")), lit("|")))
-    def bestPair(w: DataFrame): DataFrame =
-      w.select(col("n"), filter(split(col("seq"), "\\|"), t => t =!= "").as("tk"))
+      .localCheckpoint()
+    def bestPair(wd: DataFrame): (String, String, Long) = {
+      val r = wd.select(col("n"), filter(split(col("seq"), "\\|"), t => t =!= "").as("tk"))
         .filter(size(col("tk")) >= 2) // sequence(1, 0) would REVERSE
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(tk) - 1), i -> named_struct('x', element_at(tk, i), 'y', element_at(tk, i + 1)))")).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
-    def rewrite(w: DataFrame, b: DataFrame): DataFrame =
-      w.crossJoin(broadcast(b))
-        .withColumn("seq", replace(col("seq"),
-          concat(lit("|"), col("x"), lit("|"), col("y"), lit("|")),
-          concat(lit("|"), col("x"), col("y"), lit("|"))))
-        .select(col("word"), col("n"), col("seq"))
-    val b1 = bestPair(w1).localCheckpoint()
-    val w2 = rewrite(w1, b1)
-    val b2 = bestPair(w2).localCheckpoint()
-    val w3 = rewrite(w2, b2)
-    val b3 = bestPair(w3).localCheckpoint()
-    b1.withColumn("step", lit(1))
-      .unionByName(b2.withColumn("step", lit(2)))
-      .unionByName(b3.withColumn("step", lit(3)))
+        .head()
+      (r.getString(0), r.getString(1), r.getLong(2))
+    }
+    val rules = (1 to 3).map { step =>
+      val (x, y, cnt) = bestPair(w)
+      val (pat, rep) = (s"|$x|$y|", s"|$x$y|")
+      var len = w.agg(sum(length(col("seq")))).head().getLong(0)
+      var converged = false
+      while (!converged) { // fixpoint: one replace pass per round
+        w = w.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
+          .localCheckpoint()
+        val newLen = w.agg(sum(length(col("seq")))).head().getLong(0)
+        converged = newLen == len
+        len = newLen
+      }
+      (step, x, y, cnt)
+    }
+    import s.implicits._
+    rules.toDF("step", "x", "y", "cnt")
       .select(col("step"), col("x"), col("y"), col("cnt"))
       .orderBy(col("step"))
   }
@@ -298,14 +305,20 @@ object CurationQueries {
        |    WHERE len(tk) >= 2)
        |  GROUP BY 1, 2),
        |b$i AS (SELECT x, y, cnt FROM p$i ORDER BY cnt DESC, x, y LIMIT 1),
+       |r$i AS (
+       |  SELECT word, n, seq FROM w$i
+       |  UNION
+       |  SELECT word, n, replace(seq, '|' || x || '|' || y || '|', '|' || x || y || '|')
+       |  FROM r$i CROSS JOIN b$i
+       |  WHERE replace(seq, '|' || x || '|' || y || '|', '|' || x || y || '|') <> seq),
        |w${i + 1} AS (
-       |  SELECT word, n, replace(seq, '|' || x || '|' || y || '|', '|' || x || y || '|') AS seq
-       |  FROM w$i CROSS JOIN b$i)""".stripMargin
+       |  SELECT r.word, r.n, r.seq FROM r$i r CROSS JOIN b$i
+       |  WHERE replace(r.seq, '|' || x || '|' || y || '|', '|' || x || y || '|') = r.seq)""".stripMargin
 
   /** DuckDB oracle twins (driver hash-compares values column-sorted). */
   val oracles: Map[String, String] = Map(
     "c10_bpe_merges" ->
-      s"""WITH words AS (
+      s"""WITH RECURSIVE words AS (
          |  SELECT word, count(*) AS n FROM (
          |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          |  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word),
