@@ -205,6 +205,16 @@ object RelationalOracles {
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 
+    "q31_window_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - 900 * j AS bucket_start
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
+        |SELECT bucket_start, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM e GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
+
     "q29_topk_custom_operator" ->
       """WITH r AS (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,

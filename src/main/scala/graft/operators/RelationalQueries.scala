@@ -343,6 +343,21 @@ object RelationalQueries {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** q31: SLIDING windows in batch (1-hour length, 15-minute slide) —
+    * each event expands into length/slide = 4 overlapping buckets before
+    * one ordinary partial+final aggregate; the batch twin of the
+    * streaming `slidingCounts`. Oracle expands the same 4 starts with
+    * integer epoch arithmetic.
+    */
+  val q31_window_sliding: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_timestamp(col("w.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
   /** q24: typed-Aggregator UDAF ([[graft.functions.Aggregators.WeightedAvg]])
     * lifted into DataFrame use via udaf(). Quantity-weighted mean price per
     * return flag; partial+final aggregation like any built-in (the buffer
@@ -514,5 +529,6 @@ object RelationalQueries {
     "q21_having" -> q21_having,
     "q22_join_agg_dim" -> q22_join_agg_dim,
     "q23_window_tumbling" -> q23_window_tumbling,
+    "q31_window_sliding" -> q31_window_sliding,
   )
 }
