@@ -142,11 +142,13 @@ object Multimodal {
       .as[MediaItem]
   }
 
-  /** images-as-media: render each document into a real PNG (pixels derived
-    * deterministically from the text bytes) so the image decode path runs
-    * at corpus scale — the encode happens in the same narrow partition pass
-    * that a real corpus would spend reading image bytes from the payload
-    * column. */
+  /** images-as-media: render each document into a real image (pixels
+    * derived deterministically from the text bytes) so the image decode
+    * path runs at corpus scale — the encode happens in the same narrow
+    * partition pass that a real corpus would spend reading image bytes
+    * from the payload column. Containers alternate PNG/BMP by id so BOTH
+    * real decoders run end-to-end; features come from decoded pixels, so
+    * the per-kind aggregates are container-invariant by construction. */
   def imagesFromDocs(s: SparkSession, dir: String): Dataset[MediaItem] = {
     import s.implicits._
     documentsAsMedia(s, dir).mapPartitions { it =>
@@ -159,7 +161,10 @@ object Multimodal {
           rgb(i) = (b << 16) | (((b * 7) & 0xff) << 8) | ((b * 13) & 0xff)
           i += 1
         }
-        MediaItem(m.media_id, "image/png", m.source, ImageCodec.encodePng(side, side, rgb))
+        if (m.media_id % 2 == 0)
+          MediaItem(m.media_id, "image/png", m.source, ImageCodec.encodePng(side, side, rgb))
+        else
+          MediaItem(m.media_id, "image/bmp", m.source, ImageCodec.encodeBmp(side, side, rgb))
       }
     }
   }

@@ -49,10 +49,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(df.columns.toSeq === Seq("kind", "source", "n_items", "total_bytes", "f0_sum", "min_checksum"))
-    // both the stub (text) and real (image/png) decode paths contribute
-    assert(rows.map(_.getString(0)).toSet === Set("text", "image/png"))
-    // all image payloads decoded: f0 = width = 16 for every synthesized PNG
-    rows.filter(_.getString(0) == "image/png").foreach { r =>
+    // the stub (text) and BOTH real decoders (PNG even ids, BMP odd ids)
+    assert(rows.map(_.getString(0)).toSet === Set("text", "image/png", "image/bmp"))
+    // all image payloads decoded: f0 = width = 16 for every synthesized image
+    rows.filter(_.getString(0).startsWith("image/")).foreach { r =>
       assert(r.getAs[Long]("f0_sum") === 16L * r.getAs[Long]("n_items"))
     }
     // deterministic under re-run
