@@ -251,35 +251,42 @@ object CurationQueries {
     var w = words.withColumn("seq",
       concat(lit("|"), concat_ws("|", split(col("word"), "")), lit("|")))
       .localCheckpoint()
-    def bestPair(wd: DataFrame): (String, String, Long) = {
-      val r = wd.select(col("n"), filter(split(col("seq"), "\\|"), t => t =!= "").as("tk"))
+    // Option: a degenerate corpus (all 1-char words, or no words at all)
+    // has no pairs — learning just stops early, emitting fewer rules,
+    // exactly as the oracle's empty b_i rows do
+    def bestPair(wd: DataFrame): Option[(String, String, Long)] =
+      wd.select(col("n"), filter(split(col("seq"), "\\|"), t => t =!= "").as("tk"))
         .filter(size(col("tk")) >= 2) // sequence(1, 0) would REVERSE
         .select(col("n"), explode(expr(
           "transform(sequence(1, size(tk) - 1), i -> named_struct('x', element_at(tk, i), 'y', element_at(tk, i + 1)))")).as("p"))
         .groupBy(col("p.x").as("x"), col("p.y").as("y"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("x"), col("y")).limit(1)
-        .head()
-      (r.getString(0), r.getString(1), r.getLong(2))
-    }
-    val rules = (1 to 3).map { step =>
-      val (x, y, cnt) = bestPair(w)
-      val (pat, rep) = (s"|$x|$y|", s"|$x$y|")
-      var len = w.agg(sum(length(col("seq")))).head().getLong(0)
-      var converged = false
-      while (!converged) { // fixpoint: one replace pass per round
-        w = w.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
-          .localCheckpoint()
-        val newLen = w.agg(sum(length(col("seq")))).head().getLong(0)
-        converged = newLen == len
-        len = newLen
+        .collect().headOption
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= 3 && !done) {
+      bestPair(w) match {
+        case None => done = true
+        case Some((x, y, cnt)) =>
+          val (pat, rep) = (s"|$x|$y|", s"|$x$y|")
+          var len = w.agg(sum(length(col("seq")))).head().getLong(0)
+          var converged = false
+          while (!converged) { // fixpoint: one replace pass per round
+            w = w.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
+              .localCheckpoint()
+            val newLen = w.agg(sum(length(col("seq")))).head().getLong(0)
+            converged = newLen == len
+            len = newLen
+          }
+          rules += ((step, x, y, cnt))
+          step += 1
       }
-      (step, x, y, cnt)
     }
     import s.implicits._
-    rules.toDF("step", "x", "y", "cnt")
-      .select(col("step"), col("x"), col("y"), col("cnt"))
-      .orderBy(col("step"))
+    rules.toSeq.toDF("step", "x", "y", "cnt").orderBy(col("step"))
   }
 
   val all: Map[String, Q] = Map(

@@ -192,11 +192,12 @@ object Multimodal {
     }
   }
 
-  /** m02: full decode→feature→aggregate pipeline over BOTH media kinds —
-    * real PNG decode (javax.imageio) for images, stub for text — grouped by
-    * (kind, source). Rows-only check: the mapPartitions codec stage is not
-    * SQL-expressible. Image features come from decoded pixels, so the
-    * aggregate is encoder- and partitioning-invariant.
+  /** m02: full decode→feature→aggregate pipeline over three media kinds —
+    * real PNG and BMP decode (javax.imageio; containers alternate by id)
+    * plus the stub path for text — grouped by (kind, source). Rows-only
+    * check: the mapPartitions codec stage is not SQL-expressible. Image
+    * features come from decoded pixels, so the aggregate is encoder- and
+    * partitioning-invariant.
     */
   val m02_media_features: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._

@@ -329,19 +329,22 @@ object RelationalQueries {
       .orderBy(col("p_brand"))
   }
 
-  /** q23: batch event-time tumbling window (1 hour) — the batch twin of the
-    * Structured Streaming path (graft.streaming); window() works identically
-    * in both. Output is the window start as an epoch second to stay
-    * timestamp-precision-agnostic vs the oracle.
-    */
-  val q23_window_tumbling: Q = (s, dir) => {
+  /** Shared body of q23/q31: event-time window aggregation (tumbling =
+    * slide == length). Output is the window start as an epoch second to
+    * stay timestamp-precision-agnostic vs the oracle. */
+  private def windowAgg(s: SparkSession, dir: String,
+                        len: String, slide: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), len, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(unix_timestamp(col("w.start")).as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("bucket_start"), col("event_type"))
-  }
+
+  /** q23: batch event-time tumbling window (1 hour) — the batch twin of the
+    * Structured Streaming path (graft.streaming); window() works identically
+    * in both. */
+  val q23_window_tumbling: Q = (s, dir) => windowAgg(s, dir, "1 hour", "1 hour")
 
   /** q31: SLIDING windows in batch (1-hour length, 15-minute slide) —
     * each event expands into length/slide = 4 overlapping buckets before
@@ -349,14 +352,7 @@ object RelationalQueries {
     * streaming `slidingCounts`. Oracle expands the same 4 starts with
     * integer epoch arithmetic.
     */
-  val q31_window_sliding: Q = (s, dir) => {
-    Tables.events(s, dir)
-      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      .select(unix_timestamp(col("w.start")).as("bucket_start"),
-        col("event_type"), col("n"), col("total_value"))
-      .orderBy(col("bucket_start"), col("event_type"))
-  }
+  val q31_window_sliding: Q = (s, dir) => windowAgg(s, dir, "1 hour", "15 minutes")
 
   /** q24: typed-Aggregator UDAF ([[graft.functions.Aggregators.WeightedAvg]])
     * lifted into DataFrame use via udaf(). Quantity-weighted mean price per

@@ -26,16 +26,12 @@ object EventStreams {
 
   /** Tumbling 1-hour event-time windows with a 10-minute watermark.
     * Append-mode compatible: late rows beyond the watermark are dropped,
-    * closed windows emit exactly once.
+    * closed windows emit exactly once. (Tumbling = sliding with
+    * slide == length.)
     */
   def windowedCounts(events: DataFrame, watermark: String = "10 minutes",
                      windowLen: String = "1 hour"): DataFrame =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
-      .select(col("w.start").as("bucket_start"), col("event_type"),
-        col("n"), col("total_value"))
+    slidingCounts(events, watermark, windowLen, slide = windowLen)
 
   /** SLIDING event-time windows (window length > slide): each event lands
     * in `length/slide` overlapping windows — Spark expands rows into
