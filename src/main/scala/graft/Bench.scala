@@ -74,7 +74,11 @@ object Bench {
     def solo(): Map[String, Double] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val s = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+        }
         name -> (if (ok) (System.nanoTime() - s) / 1e9 else -1.0)
       }.toMap
     val times: Map[String, Double] = {
@@ -121,38 +125,71 @@ object Bench {
       System.err.println(s"[bench] transcode failed: ${e.getMessage}"); None
     }
 
-    // Per-query regression diff vs the previous round's recorded bench
-    // (BENCH_r{N}.json in cwd, written by the driver; its "tail" field
-    // carries our own JSON line).
-    val prevQueries: Map[String, Double] = try {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      new java.io.File(".").getCanonicalFile.listFiles()
-        .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
-        .map { f =>
-          val tail = om.readTree(f).path("tail").asText("")
-          val line = tail.linesIterator.find(_.contains("\"metric\""))
-            .map(l => l.substring(l.indexOf('{'))).getOrElse("{}")
-          val q = om.readTree(line).path("queries")
-          import scala.jdk.CollectionConverters._
-          q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
-        }.getOrElse(Map.empty)
-    } catch { case _: Throwable => Map.empty }
+    // Per-query regression diff vs the previous round. Primary source:
+    // BENCH_DETAIL.json (full query names, written by us each run and
+    // committed per round). Fallback: the driver's BENCH_r{N}.json tail,
+    // which carries our stdout line — but only the last 2000 chars, so the
+    // parse can fail on older rounds' long lines.
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    import scala.jdk.CollectionConverters._
+    val prevQueries: Map[String, Double] = {
+      def fromDetail: Option[Map[String, Double]] = try {
+        val f = new java.io.File("BENCH_DETAIL.json")
+        if (!f.exists()) None else {
+          val q = om.readTree(f).path("queries_solo_sec")
+          Some(q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap)
+        }
+      } catch { case _: Throwable => None }
+      def fromDriverTail: Option[Map[String, Double]] = try {
+        new java.io.File(".").getCanonicalFile.listFiles()
+          .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
+          .map { f =>
+            val tail = om.readTree(f).path("tail").asText("")
+            val line = tail.linesIterator.find(_.contains("\"metric\""))
+              .map(l => l.substring(l.indexOf('{'))).getOrElse("{}")
+            val q = om.readTree(line).path("queries")
+            q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+          }.filter(_.nonEmpty)
+      } catch { case _: Throwable => None }
+      fromDetail.orElse(fromDriverTail).getOrElse(Map.empty)
+    }
 
+    // Failed queries carry a -1.0 sentinel: kept visible in the detail
+    // file, excluded from deltas/regressions (a crash is not a speedup).
     val cur = times
-    val qs = cur.toSeq.sortBy(_._1)
+    val comparable = cur.keySet.intersect(prevQueries.keySet).toSeq.sorted
+      .filter(k => cur(k) >= 0 && prevQueries(k) >= 0)
+    val deltas = comparable.map { k =>
+      val pct = (cur(k) - prevQueries(k)) / math.max(prevQueries(k), 0.001) * 100
+      "\"" + k + "\":" + f"$pct%.0f"
+    }.mkString("{", ",", "}")
+    val regressions = comparable
+      .filter(k => cur(k) > prevQueries(k) * 1.5 && cur(k) > 1.0)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failed = cur.toSeq.sortBy(_._1).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val fullQs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val extra = transcodeRate.map(r => s""","transcode_elems_per_s":$r""").getOrElse("")
-    val diff = if (prevQueries.isEmpty) "" else {
-      val deltas = cur.keySet.intersect(prevQueries.keySet).toSeq.sorted.map { k =>
-        val pct = (cur(k) - prevQueries(k)) / math.max(prevQueries(k), 0.001) * 100
-        "\"" + k + "\":" + f"$pct%.0f"
-      }.mkString("{", ",", "}")
-      val regressions = cur.keySet.intersect(prevQueries.keySet).toSeq.sorted
-        .filter(k => cur(k) > prevQueries(k) * 1.5 && cur(k) > 1.0)
-        .map("\"" + _ + "\"").mkString("[", ",", "]")
-      s""","bench_diff":{"delta_pct_vs_prev":$deltas,"regressions":$regressions}"""
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","timing":"total=concurrent sweep (best of 2); queries=solo per-query (best of 2)","queries":$qs,"sf":"$sfDir"$extra$diff}""")
+    val diff = if (prevQueries.isEmpty) ""
+      else s""","bench_diff":{"delta_pct_vs_prev":$deltas,"regressions":$regressions}"""
+
+    // Full detail (long names, diffs, failures) goes to a file the round
+    // commits; stdout gets ONE compact line. The driver records only the
+    // last 2000 chars of output, so the line must stay well under that —
+    // per-query keys are shortened to their unique code prefix (q01_agg →
+    // q01), which keeps ~80 queries around 1 KB.
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
+         |"timing":"total=concurrent sweep (best of 2); queries=solo per-query (best of 2)",
+         |"queries_solo_sec":$fullQs,"failed":$failed$extra$diff}""".stripMargin.replace("\n", "")
+    try {
+      val w = new java.io.PrintWriter("BENCH_DETAIL.json"); try w.println(detail) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val shortQs = cur.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra,"full_names_and_diff":"BENCH_DETAIL.json"}""")
     spark.stop()
   }
 }

@@ -23,6 +23,12 @@ object EventJoins {
     * inequality join is a BNL cartesian per user; even a binned range join
     * does 2× build reads). Ordering puts side=0 (error) before side=1
     * (purchase) on ts ties, matching ASOF's `p.ts >= e.ts` inclusivity.
+    *
+    * Tie rule: among several error events at the SAME (user, ts), the one
+    * with the largest event_id wins — `e_in` is the final sort key, so it
+    * is what the running `last` sees latest. Without the tiebreaker the
+    * pick would depend on partitioning (nondeterministic across runs).
+    * ASOF engines leave this tie implementation-defined; ours is declared.
     */
   val a01_asof_join: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
@@ -33,7 +39,7 @@ object EventJoins {
       .select(col("user_id"), col("ts"), lit(null).cast("long").as("p_id"),
         lit(0).as("side"), col("event_id").as("e_in"))
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("side"))
+      .orderBy(col("ts"), col("side"), col("e_in"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     p.unionByName(e)
       .withColumn("asof_error_id", last(col("e_in"), ignoreNulls = true).over(w))

@@ -64,14 +64,17 @@ object ImageCodec {
   def decodeFrames(payload: Array[Byte]): Option[IndexedSeq[BufferedImage]] =
     try {
       val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
-      val readers = ImageIO.getImageReaders(iis)
-      if (!readers.hasNext) None
-      else {
-        val rd = readers.next()
-        rd.setInput(iis)
-        try Some((0 until rd.getNumImages(true)).map(rd.read))
-        finally rd.dispose()
-      }
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val rd = readers.next()
+          rd.setInput(iis)
+          try Some((0 until rd.getNumImages(true)).map(rd.read))
+          finally rd.dispose()
+        }
+      } finally iis.close() // memory-backed (setUseCache(false)), but this
+                            // runs once per media item — don't lean on GC
     } catch { case _: Exception => None }
 
   /** Rolling hash over decoded RGB pixels — the frame identity used by the

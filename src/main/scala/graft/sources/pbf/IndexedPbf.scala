@@ -92,9 +92,15 @@ object IndexedPbf {
   /** `read_ways_and_deps`: DataFrame of the matching ways plus their
     * dependent nodes, in [[OsmSchema.schema]].
     *
-    * The returned plan persists the pass-1 ways (they feed both the output
-    * union and the ref-set) — call `.unpersist()` on the result's way
-    * subtree via `spark.catalog.clearCache()` if running many of these.
+    * The pass-1 ways feed three consumers (the ref-set collect, the pass-2
+    * semi-join, the output union), so they are materialized ONCE via
+    * `localCheckpoint`: unlike `Dataset.persist`, whose cache entry lives
+    * in the session's CacheManager until explicitly unpersisted, a local
+    * checkpoint's blocks are dropped by the ContextCleaner as soon as the
+    * returned DataFrame becomes unreachable — repeated calls don't
+    * accumulate session-lifetime cache. Tradeoff (documented): local
+    * checkpoints are not executor-loss tolerant; losing one fails the job
+    * and the caller re-runs — acceptable for a bounded pruned subset.
     */
   def readWaysAndDeps(spark: SparkSession, path: String, wayPredicate: Column): DataFrame = {
     val idx = index(spark, path)
@@ -104,7 +110,7 @@ object IndexedPbf {
     val ways = readSpans(spark, path, wayBlobs)
       .filter(col("type") === OsmSchema.TypeWay)
       .filter(wayPredicate)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(eager = true)
 
     val refs = ways.select(explode(col("nds.ref")).as("ref")).distinct()
 

@@ -179,6 +179,14 @@ object OsmPbf {
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     config.validate()
     val sc = spark.sparkContext
+    // This sink has no commit protocol by design (deterministic filenames,
+    // staging-dir swap): that is only safe when each task runs at most one
+    // attempt at a time. Speculative execution launches duplicate attempts
+    // that would race on the same staging file — refuse up front.
+    require(!sc.getConf.getBoolean("spark.speculation", defaultValue = false),
+      "transcode requires spark.speculation=false: tasks write deterministic " +
+        "filenames with no commit protocol, so duplicate speculative attempts " +
+        "would corrupt staging output")
     val allSpans = blobSpans(spark, config.input)
     // unknown blob types fail typed, matching pbf.rs:85-87
     allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
@@ -282,11 +290,17 @@ object OsmPbf {
           if (writers(2) != null) writers(2).total else 0L))
       }.collect()
       // job succeeded: swap staging type= dirs into place (per-dir rename;
-      // the failure window is the swap itself, not the whole job)
+      // the failure window is the swap itself, not the whole job). Hadoop
+      // FileSystem.rename reports failure by returning false, not
+      // throwing — a silently-ignored false would report success while the
+      // type= dir is missing.
       types.foreach { t =>
         val live = new Path(outPath, s"type=$t")
-        if (ofs.exists(live)) ofs.delete(live, true)
-        ofs.rename(new Path(staging, s"type=$t"), live)
+        if (ofs.exists(live) && !ofs.delete(live, true))
+          throw new java.io.IOException(s"transcode commit: failed to remove previous $live")
+        if (!ofs.rename(new Path(staging, s"type=$t"), live))
+          throw new java.io.IOException(
+            s"transcode commit: rename ${new Path(staging, s"type=$t")} -> $live failed")
       }
       ofs.delete(staging, true)
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_(i)).sum }.toMap
