@@ -69,8 +69,9 @@ object Multimodal {
   }
 
   /** Batch decode + feature extraction, one partition pass. Image kinds go
-    * through the real `javax.imageio` decoder; an undecodable image payload
-    * or a non-image kind takes the stub path (total function, no row loss).
+    * through the real `javax.imageio` decoder, audio kinds through the real
+    * `javax.sound.sampled` WAV decoder; an undecodable payload or any other
+    * kind takes the stub path (total function, no row loss).
     */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
@@ -80,6 +81,9 @@ object Multimodal {
         val features =
           if (m.kind.startsWith("image/"))
             ImageCodec.decode(m.payload).map(ImageCodec.features)
+              .getOrElse(StubCodec.decode(m.payload))
+          else if (m.kind.startsWith("audio/"))
+            AudioCodec.decode(m.payload).map(AudioCodec.features)
               .getOrElse(StubCodec.decode(m.payload))
           else StubCodec.decode(m.payload)
         MediaFeatures(m.media_id, m.kind, m.source, m.payload.length,
@@ -192,6 +196,25 @@ object Multimodal {
     }
   }
 
+  /** audio-as-media: render each document into a real PCM16 mono WAV clip
+    * (samples derived deterministically from the text bytes — a short
+    * sawtooth-modulated waveform) so the audio decode path runs at corpus
+    * scale, same pattern as [[imagesFromDocs]]. */
+  def audioFromDocs(s: SparkSession, dir: String): Dataset[MediaItem] = {
+    import s.implicits._
+    documentsAsMedia(s, dir).mapPartitions { it =>
+      it.map { m =>
+        val n = 400 + (m.media_id % 7).toInt * 100 // 50-135 ms at 8 kHz
+        val samples = Array.tabulate(n) { i =>
+          val b = if (m.payload.isEmpty) 0 else m.payload(i % m.payload.length) & 0xff
+          // byte-seeded sawtooth: full 16-bit dynamic range, sign changes
+          (((b * 257) - 32768) * (if ((i / 8) % 2 == 0) 1 else -1) / 2).toShort
+        }
+        MediaItem(m.media_id, "audio/wav", m.source, AudioCodec.encodeWav(8000, samples))
+      }
+    }
+  }
+
   /** m02: full decode→feature→aggregate pipeline over three media kinds —
     * real PNG and BMP decode (javax.imageio; containers alternate by id)
     * plus the stub path for text — grouped by (kind, source). Rows-only
@@ -226,8 +249,29 @@ object Multimodal {
       .orderBy(col("frame_idx"))
   }
 
+  /** m04: audio decode→feature→aggregate pipeline — real WAV decode
+    * (javax.sound.sampled) beside the text stub path, grouped by kind.
+    * Rows-only check: the mapPartitions codec stage is not SQL-expressible.
+    * Audio features come from decoded PCM samples, so the aggregate is
+    * container-invariant (same signal in any valid PCM16 WAV → same
+    * numbers) and partitioning-invariant (integer sums only).
+    */
+  val m04_audio_features: (SparkSession, String) => DataFrame = (s, dir) => {
+    import s.implicits._
+    val media = documentsAsMedia(s, dir).unionByName(audioFromDocs(s, dir))
+    extractFeatures(media)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(element_at(col("features"), 3)).as("frames_sum"),      // nFrames band
+        sum(element_at(col("features"), 7)).as("zero_cross_sum"),  // zc band
+        max(element_at(col("features"), 6)).as("peak_max"))
+      .orderBy(col("kind"))
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m02_media_features" -> m02_media_features,
     "m03_frame_sample" -> m03_frame_sample,
+    "m04_audio_features" -> m04_audio_features,
   )
 }

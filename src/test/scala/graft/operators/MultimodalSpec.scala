@@ -130,6 +130,53 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(_.frame_idx).sorted.toSeq === Seq(0, 1))
   }
 
+  test("WAV round-trips PCM16 samples exactly through the JDK codec") {
+    val samples = Array.tabulate(500)(i => ((i * 131 - 250 * 131) % 32768).toShort)
+    val wav = AudioCodec.encodeWav(8000, samples)
+    val clip = AudioCodec.decode(wav)
+    assert(clip.isDefined)
+    assert(clip.get.sampleRate === 8000 && clip.get.channels === 1)
+    assert(clip.get.samples.toSeq === samples.toSeq)
+  }
+
+  test("AudioCodec features are exact on a hand-computed signal") {
+    val clip = AudioCodec.AudioClip(8000, 1, Array[Short](0, 16384, -16384, 32767))
+    // [rate, ch, frames, durMs, meanAbs, peak, zeroCross, meanSquare]
+    assert(AudioCodec.features(clip).toSeq ===
+      Seq(8000L, 1L, 4L, 0L, 16383L, 32767L, 2L, 402636800L))
+  }
+
+  test("undecodable audio payload falls back to the stub (total pipeline)") {
+    val sp = spark; import sp.implicits._
+    val garbage = Array[Byte](9, 8, 7, 6, 5)
+    val real = AudioCodec.encodeWav(8000, Array[Short](100, -100, 100, -100))
+    val ds = Seq(
+      Multimodal.MediaItem(1L, "audio/wav", "s", garbage),
+      Multimodal.MediaItem(2L, "audio/wav", "s", real)).toDS()
+    val out = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
+    assert(out(0).features.toSeq === Multimodal.StubCodec.decode(garbage).toSeq)
+    assert(out(1).features.toSeq === Seq(8000L, 1L, 4L, 0L, 100L, 100L, 3L, 10000L))
+  }
+
+  test("m04 pipeline: real WAV decode over testdata, exact frame accounting") {
+    val df = Multimodal.m04_audio_features(spark, "/root/testdata/sf0.001")
+    val rows = df.collect()
+    assert(df.columns.toSeq ===
+      Seq("kind", "n_items", "total_bytes", "frames_sum", "zero_cross_sum", "peak_max"))
+    assert(rows.map(_.getString(0)).toSet === Set("text", "audio/wav"))
+    val audio = rows.find(_.getString(0) == "audio/wav").get
+    // every clip decoded: frames_sum must equal the synthesized sample
+    // counts Σ(400 + (doc_id % 7) * 100) — provable only via real decode
+    val sp = spark
+    val expected = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+      .select(org.apache.spark.sql.functions.expr("sum(400 + (doc_id % 7) * 100)"))
+      .head().getLong(0)
+    assert(audio.getAs[Long]("frames_sum") === expected)
+    assert(audio.getAs[Long]("peak_max") > 0 && audio.getAs[Long]("peak_max") <= 32767)
+    val again = Multimodal.m04_audio_features(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("m03 pipeline: real GIF frames + stub byte-spans, partitioning-invariant") {
     val a = Multimodal.m03_frame_sample(spark, "/root/testdata/sf0.001").collect()
     assert(a.nonEmpty)
