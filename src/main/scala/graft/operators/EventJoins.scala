@@ -139,12 +139,36 @@ object EventJoins {
       .orderBy(col("cohort_week"), col("k"))
   }
 
+  /** a06: WINDOWED funnel — like a04 but each later stage must land within
+    * 24h of the user's earliest signup (conversion-within-window, the shape
+    * streaming funnels use since it lets the window CLOSE). Same
+    * single-exchange plan as a04: three chained window mins over one
+    * partitioning, then a one-row rollup. The batch twin of
+    * `EventStreams.funnelWindow`.
+    */
+  val a06_funnel_windowed: Q = (s, dir) => {
+    val W = 86400000000L // 24h in micros
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("s1", min(when(col("event_type") === "signup", col("us"))).over(w))
+      .withColumn("v1", min(when(col("event_type") === "view"
+        && col("us") >= col("s1") && col("us") <= col("s1") + W, col("us"))).over(w))
+      .withColumn("p1", min(when(col("event_type") === "purchase"
+        && col("us") >= col("v1") && col("us") <= col("s1") + W, col("us"))).over(w))
+      .select(col("user_id"), col("s1"), col("v1"), col("p1")).distinct()
+      .agg(count(col("s1")).as("n_signup"),
+        count(col("v1")).as("n_view_24h"),
+        count(col("p1")).as("n_purchase_24h"))
+  }
+
   val all: Map[String, Q] = Map(
     "a01_asof_join" -> a01_asof_join,
     "a02_range_join" -> a02_range_join,
     "a03_sessionize" -> a03_sessionize,
     "a04_funnel" -> a04_funnel,
     "a05_cohort_retention" -> a05_cohort_retention,
+    "a06_funnel_windowed" -> a06_funnel_windowed,
   )
 
   val oracles: Map[String, String] = Map(
@@ -203,5 +227,23 @@ object EventJoins {
         |SELECT (SELECT count(s1) FROM s) AS n_signup,
         |       (SELECT count(*) FROM v) AS n_view_after_signup,
         |       (SELECT count(*) FROM p) AS n_purchase_after_view""".stripMargin,
+    "a06_funnel_windowed" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts)) FILTER (WHERE event_type = 'signup') AS s1
+        |  FROM events GROUP BY user_id),
+        |v AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS v1
+        |  FROM events e JOIN s USING (user_id)
+        |  WHERE e.event_type = 'view' AND epoch_us(e.ts) >= s.s1
+        |    AND epoch_us(e.ts) <= s.s1 + 86400000000 GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS p1
+        |  FROM events e JOIN v USING (user_id) JOIN s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= v.v1
+        |    AND epoch_us(e.ts) <= s.s1 + 86400000000 GROUP BY e.user_id)
+        |SELECT (SELECT count(s1) FROM s) AS n_signup,
+        |       (SELECT count(*) FROM v) AS n_view_24h,
+        |       (SELECT count(*) FROM p) AS n_purchase_24h""".stripMargin,
   )
 }

@@ -131,6 +131,128 @@ object EventStreams {
         col("c_ts"), col("v_ts"))
   }
 
+  final case class FEv(ts: Long, tpe: String)
+  final case class FunnelState(s1: Long, buf: List[FEv])
+  final case class FunnelResult(user_id: Long, signup_ms: Long,
+                                view_ms: Option[Long], purchase_ms: Option[Long])
+
+  /** Streaming windowed conversion funnel — the streaming twin of batch
+    * a06: for each user who signs up, did a view and then a purchase follow
+    * within `windowMs` of the (earliest) signup? Emits exactly one row per
+    * converting-or-not signed-up user when the window CLOSES (watermark
+    * passes signup + window), so results are deterministic and replayable:
+    * a backfill emits the same rows as live ingestion.
+    *
+    * Out-of-order safety: candidate views/purchases are BUFFERED, not
+    * folded, so a signup arriving later than a view it claims (event-time
+    * earlier, arrival later — within the watermark) still counts the view.
+    * The stage mins are computed over the full buffer at close, so results
+    * don't depend on arrival order at all — only watermark-late drops can
+    * differ from batch.
+    *
+    * State bounds: per user, the buffer holds only view/purchase events
+    * with ts ≤ signup+window (pruned on insert; the window end only moves
+    * left since the signup min only decreases); users with no signup hold
+    * candidates only while a yet-unseen signup could still claim them —
+    * such a signup's event time must be ≥ the current watermark, so once
+    * the watermark passes the candidates they are dropped via timeout.
+    */
+  def funnelWindow(events: Dataset[Event], windowMs: Long = 24 * 3600 * 1000L,
+                   watermark: String = "10 minutes"): Dataset[FunnelResult] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("event_type").isin("signup", "view", "purchase"))
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelResult](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.s1 == Long.MaxValue) Iterator.empty // unclaimed candidates expired
+            else {
+              val end = st.s1 + windowMs
+              val v1 = st.buf.iterator
+                .filter(e => e.tpe == "view" && e.ts >= st.s1 && e.ts <= end)
+                .map(_.ts).minOption
+              val p1 = v1.flatMap(v => st.buf.iterator
+                .filter(e => e.tpe == "purchase" && e.ts >= v && e.ts <= end)
+                .map(_.ts).minOption)
+              Iterator.single(FunnelResult(userId, st.s1, v1, p1))
+            }
+          } else {
+            val batch = rows.toList
+            val prev = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil))
+            val s1 = math.min(prev.s1, batch.iterator
+              .filter(_.event_type == "signup").map(_.ts.getTime)
+              .minOption.getOrElse(Long.MaxValue))
+            val buf = (prev.buf ++ batch.iterator.filter(_.event_type != "signup")
+                .map(e => FEv(e.ts.getTime, e.event_type)))
+              .filter(e => s1 == Long.MaxValue || e.ts <= s1 + windowMs)
+            if (s1 == Long.MaxValue && buf.isEmpty) state.remove()
+            else {
+              state.update(FunnelState(s1, buf))
+              // a timeout timestamp must sit beyond the current watermark
+              val closeAt = if (s1 != Long.MaxValue) s1 + windowMs else buf.map(_.ts).max
+              state.setTimeoutTimestamp(math.max(closeAt, state.getCurrentWatermarkMs() + 1))
+            }
+            Iterator.empty
+          }
+      }
+  }
+
+  final case class CohortState(cohort: Long, seen: List[Long])
+  final case class CohortHit(user_id: Long, cohort_week: Long, k: Long)
+
+  /** Streaming cohort tracker — the streaming twin of batch a05 (cohort
+    * retention): emits one (user, cohort_week, k) row the first time each
+    * user is active in week cohort+k. Downstream `groupBy(cohort_week, k)
+    * .count` (update mode — aggregation after append-mode
+    * flatMapGroupsWithState is supported) yields the live retention
+    * triangle.
+    *
+    * Declared semantics: the cohort week is FIXED at first observation
+    * (the minimum week in the user's first-seen batch). An out-of-order
+    * event from an EARLIER week arriving in a later batch emits a negative
+    * k — an honest correction marker rather than a silent retraction,
+    * since append mode can't un-emit prior rows. Backfill parity: in batch
+    * execution each user's whole history arrives in one invocation, so the
+    * cohort is the true minimum and the result equals a05 exactly.
+    *
+    * State per user is the seen-week set — bounded by the corpus's week
+    * span (a few hundred after decades), the same bound the batch
+    * formulation's collect_set carries.
+    */
+  def cohortUpdates(events: Dataset[Event], watermark: String = "10 minutes"): Dataset[CohortHit] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortHit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[CohortState]) =>
+          val weeks = rows.map(_.ts.getTime / 604800000L).toList.distinct.sorted
+          if (weeks.isEmpty) Iterator.empty
+          else {
+            val prev = state.getOption
+            val cohort = prev.map(_.cohort).getOrElse(weeks.min)
+            val seen = prev.map(_.seen.toSet).getOrElse(Set.empty[Long])
+            val fresh = weeks.filterNot(seen)
+            state.update(CohortState(cohort, (seen ++ fresh).toList))
+            fresh.iterator.map(wk => CohortHit(userId, cohort, wk - cohort))
+          }
+      }
+  }
+
+  /** The live retention triangle over [[cohortUpdates]] — run with
+    * update/complete output mode streaming, or directly on a batch
+    * Dataset for backfill (equals a05 exactly there; see above). */
+  def cohortCounts(events: Dataset[Event], watermark: String = "10 minutes"): DataFrame =
+    cohortUpdates(events, watermark)
+      .groupBy(col("cohort_week"), col("k"))
+      .agg(count(lit(1)).as("n_users"))
+
   /** Exactly-once parquet delivery via `foreachBatch`: each micro-batch
     * overwrites its OWN `batch_id=<id>` partition, so replaying a batch
     * after a failure (Spark's at-least-once `foreachBatch` contract)

@@ -174,6 +174,109 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Long]("n") === 1L))
   }
 
+  test("streaming windowed funnel: conversion, window cutoff, out-of-order signup claim") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.funnelWindow(input.toDS(),
+        windowMs = 3600 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel").outputMode(OutputMode.Append()).start()
+
+    // batch 1 — keep max ts at 1:10 so the watermark (1:00) still admits
+    // user 13's LATER-ARRIVING signup with EARLIER event time
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "signup", 0.0),
+      EventStreams.Event(2, ts(1, 10), 12, "view", 0.0), // user 12: never signs up
+      EventStreams.Event(3, ts(1, 10), 13, "view", 0.0)) // arrives BEFORE its signup
+    query.processAllAvailable()
+    // batch 2 — the out-of-order signup (1:05 ≥ watermark 1:00) plus the rest
+    input.addData(
+      EventStreams.Event(4, ts(1, 5), 13, "signup", 0.0),
+      EventStreams.Event(5, ts(1, 20), 10, "view", 0.0),
+      EventStreams.Event(6, ts(1, 40), 10, "purchase", 0.0),
+      EventStreams.Event(7, ts(1, 10), 11, "signup", 0.0),
+      EventStreams.Event(8, ts(1, 30), 11, "view", 0.0),
+      EventStreams.Event(9, ts(2, 35), 11, "purchase", 0.0)) // 2:35 > 1:10+1h — outside
+    query.processAllAvailable()
+    // advance the watermark past every signup+window so windows close
+    input.addData(EventStreams.Event(90, ts(5, 0), 99, "view", 0.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(91, ts(6, 0), 99, "view", 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("funnel").as[EventStreams.FunnelResult].collect()
+      .sortBy(_.user_id)
+    assert(out.map(_.user_id).toSeq === Seq(10L, 11L, 13L)) // 12 never signed up
+    val u10 = out(0)
+    assert(u10.signup_ms === ts(1, 0).getTime)
+    assert(u10.view_ms === Some(ts(1, 20).getTime))
+    assert(u10.purchase_ms === Some(ts(1, 40).getTime))
+    val u11 = out(1)
+    assert(u11.view_ms === Some(ts(1, 30).getTime))
+    assert(u11.purchase_ms === None) // purchase fell outside the window
+    val u13 = out(2)
+    assert(u13.signup_ms === ts(1, 5).getTime)
+    assert(u13.view_ms === Some(ts(1, 10).getTime)) // claimed by the late signup
+    query.stop()
+  }
+
+  test("streaming cohort tracker: first-week cohorts, honest negative-k corrections") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def dts(day: Int): Timestamp = Timestamp.valueOf(f"2026-01-$day%02d 12:00:00")
+    def wk(t: Timestamp): Long = t.getTime / 604800000L
+    val input = MemoryStream[EventStreams.Event]
+    // 30-day watermark so cross-week out-of-order arrivals are admitted
+    val query = EventStreams.cohortUpdates(input.toDS(), watermark = "30 days")
+      .writeStream.format("memory").queryName("cohort").outputMode(OutputMode.Append()).start()
+
+    input.addData(
+      EventStreams.Event(1, dts(1), 1, "view", 0.0),
+      EventStreams.Event(2, dts(15), 2, "view", 0.0)) // user 2 first seen LATE week
+    query.processAllAvailable()
+    input.addData(
+      EventStreams.Event(3, dts(8), 1, "view", 0.0),   // next week → k=+1
+      EventStreams.Event(4, dts(1), 1, "click", 0.0),  // same week dup → no new row
+      EventStreams.Event(5, dts(1), 2, "view", 0.0))   // EARLIER week → negative k
+    query.processAllAvailable()
+
+    val hits = spark.table("cohort").as[EventStreams.CohortHit].collect()
+      .map(h => (h.user_id, h.cohort_week, h.k)).sortBy(h => (h._1, h._3))
+    assert(hits.filter(_._1 == 1L).toSeq ===
+      Seq((1L, wk(dts(1)), 0L), (1L, wk(dts(1)), wk(dts(8)) - wk(dts(1)))))
+    // user 2's cohort stays fixed at first observation; the earlier week
+    // surfaces as a negative-k correction row
+    assert(hits.filter(_._1 == 2L).toSeq ===
+      Seq((2L, wk(dts(15)), wk(dts(1)) - wk(dts(15))), (2L, wk(dts(15)), 0L)))
+    query.stop()
+  }
+
+  test("cohortCounts backfill (batch mode) equals the a05 retention triangle") {
+    val sp = spark; import sp.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val events = graft.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventStreams.Event]
+    val streamTwin = EventStreams.cohortCounts(events)
+      .collect().map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("k"), r.getAs[Long]("n_users")))
+      .sortBy(t => (t._1, t._2))
+    val batch = graft.operators.EventJoins.a05_cohort_retention(spark, dir)
+      .collect().map(r => (r.getAs[Long]("cohort_week"), r.getAs[Long]("k"), r.getAs[Long]("n_users")))
+      .sortBy(t => (t._1, t._2))
+    assert(streamTwin.toSeq === batch.toSeq)
+  }
+
+  test("a06 windowed funnel: monotone stages, signup count matches a04") {
+    val dir = "/root/testdata/sf0.001"
+    val a06 = graft.operators.EventJoins.a06_funnel_windowed(spark, dir).head()
+    val a04 = graft.operators.EventJoins.a04_funnel(spark, dir).head()
+    assert(a06.getAs[Long]("n_signup") === a04.getAs[Long]("n_signup"))
+    assert(a06.getAs[Long]("n_signup") >= a06.getAs[Long]("n_view_24h"))
+    assert(a06.getAs[Long]("n_view_24h") >= a06.getAs[Long]("n_purchase_24h"))
+    // windowing can only shrink the unwindowed funnel stages
+    assert(a04.getAs[Long]("n_view_after_signup") >= a06.getAs[Long]("n_view_24h"))
+  }
+
   test("exactly-once parquet sink: batch replay is idempotent") {
     val sp = spark; import sp.implicits._
     val out = java.nio.file.Files.createTempDirectory("eo-sink").toString + "/out"
