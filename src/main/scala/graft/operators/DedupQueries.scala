@@ -163,18 +163,52 @@ object DedupQueries {
   val d03_simhash: Q = (s, dir) =>
     simhashes(s, dir).orderBy(col("doc_id"))
 
-  /** (doc_id, simhash) — shared by d03 (the signatures) and d06 (the
-    * near-dup pairing over them). */
-  private def simhashes(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) over `bits` signature bits — shared by d03/d06
+    * (16-bit) and d09 (64-bit). Bit 63 is the sign bit: `1L << 63` is
+    * Long.MinValue, the correct two's-complement value on both engines,
+    * and it is added LAST (ascending reduce) so no intermediate partial
+    * sum can overflow under ANSI mode. */
+  private def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-    val votes = (0 until 16).map(j =>
+    val votes = (0 until bits).map(j =>
       sum(when(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 1)
         .isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$j"))
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
-    val sim = (0 until 16).map(j =>
+    val sim = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** Banded signature self-join → hamming histogram of pairs within
+    * `maxHamming` — shared by d06 (4×4-bit bands) and d09 (4×16-bit).
+    * By pigeonhole, any pair within hamming `bands - 1` shares an intact
+    * band, so with maxHamming ≤ bands - 1 the equi-join is LOSSLESS.
+    * Candidates pair only within a (band, value) bucket — Σ bucket² work,
+    * never all-pairs — then codegen'd `bit_count(xor)` verifies exactly.
+    */
+  private def bandedHammingHistogram(sim: DataFrame, bands: Int, bandBits: Int,
+                                     maxHamming: Int): DataFrame = {
+    require(maxHamming <= bands - 1, "pigeonhole losslessness needs maxHamming <= bands-1")
+    val mask = (1L << bandBits) - 1
+    val banded = sim.select(col("doc_id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), bandBits * b).bitwiseAND(mask).as("bv"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
+    val a = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = banded.select(col("band"), col("bv"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can share several bands; count once
+      .groupBy(col("hamming"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming"))
   }
 
   /** d04: exact n-gram Jaccard pairs ≥ 0.6 — the ground-truth twin of d02.
@@ -260,26 +294,22 @@ object DedupQueries {
     // deliberate: nibble bands have only 16 values × 4 bands = 64 buckets,
     // so pair generation must stream against the bucket, not explode from
     // 64 giant grouped rows.
-    val sim = simhashes(s, dir).localCheckpoint()
-    val banded = sim.select(col("doc_id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), 4 * b).bitwiseAND(15).as("bv"))): _*)).as("bk"))
-      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
-    val a = banded.select(col("band"), col("bv"),
-      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val b = banded.select(col("band"), col("bv"),
-      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
-      .filter(col("hamming") <= 3)
-      .distinct() // a pair can share several bands; count once
-      .groupBy(col("hamming"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy(col("hamming"))
+    bandedHammingHistogram(simhashes(s, dir).localCheckpoint(),
+      bands = 4, bandBits = 4, maxHamming = 3)
   }
+
+  /** d09: 64-bit SimHash near-dup pairs — the production-width signature
+    * (d06's own scale note made real: wider signature → more, larger
+    * bands, same plan). 4×16-bit bands give 65 536 values per band, so
+    * bucket occupancy — the Σ bucket² cost driver — drops by ~4096× vs
+    * d06's nibble bands while the pigeonhole guarantee (hamming ≤ 3 pairs
+    * always share an intact band) is unchanged. A 64-bit signature also
+    * collides orders of magnitude less on big corpora, so the surviving
+    * pairs are true near-dups rather than small-vocabulary accidents.
+    */
+  val d09_simhash64_pairs: Q = (s, dir) =>
+    bandedHammingHistogram(simhashes(s, dir, bits = 64).localCheckpoint(),
+      bands = 4, bandBits = 16, maxHamming = 3)
 
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01_dedup_exact,
@@ -289,5 +319,6 @@ object DedupQueries {
     "d06_simhash_pairs" -> d06_simhash_pairs,
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_lsh_recall" -> d08_lsh_recall,
+    "d09_simhash64_pairs" -> d09_simhash64_pairs,
   )
 }

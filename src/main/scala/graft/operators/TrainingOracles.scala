@@ -57,14 +57,15 @@ object TrainingOracles {
        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
-  // ---- d03 simhash ----
-  private val voteCols = (0 until 16).map(j =>
-    s"sum(CASE WHEN substring(md5('$j:' || tok), 1, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j")
-    .mkString(",\n    ")
-  private val bitSum = (0 until 16)
-    .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-
-  private val simhashCte =
+  // ---- d03 simhash (16-bit) / d09 (64-bit) ----
+  // bit 63 term is ${1L << 63} = -9223372036854775808, the two's-complement
+  // sign bit — both engines agree on the BIGINT value
+  private def simhashCteBits(bits: Int): String = {
+    val voteCols = (0 until bits).map(j =>
+      s"sum(CASE WHEN substring(md5('$j:' || tok), 1, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val bitSum = (0 until bits)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")
     s"""WITH tok AS (
        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
        |  FROM documents),
@@ -74,6 +75,8 @@ object TrainingOracles {
        |  FROM tok GROUP BY doc_id),
        |sim AS (
        |  SELECT doc_id, CAST($bitSum AS BIGINT) AS simhash FROM v)""".stripMargin
+  }
+  private val simhashCte = simhashCteBits(16)
 
   private val simhashSql =
     s"""$simhashCte
@@ -81,13 +84,14 @@ object TrainingOracles {
 
   /** d06: all-pairs over the tiny signature table is fine for the oracle
     * (the engine's banded join is the scale path, not a semantics change). */
-  private val simhashPairsSql =
-    s"""$simhashCte
+  private def simhashPairsSqlBits(bits: Int): String =
+    s"""${simhashCteBits(bits)}
        |SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming,
        |  count(*) AS n_pairs
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |GROUP BY 1 ORDER BY hamming""".stripMargin
+  private val simhashPairsSql = simhashPairsSqlBits(16)
 
   // ---- shared embedding prelude ----
   private val embPrelude =
@@ -183,6 +187,7 @@ object TrainingOracles {
     "d03_simhash" -> simhashSql,
 
     "d06_simhash_pairs" -> simhashPairsSql,
+    "d09_simhash64_pairs" -> simhashPairsSqlBits(64),
 
     "d07_dedup_clusters" -> dedupClustersSql,
 
