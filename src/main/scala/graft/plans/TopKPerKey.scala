@@ -31,21 +31,33 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * runtime hook) by [[TopKPerKey.perKey]]; no session-construction-time
   * extension wiring needed.
   *
-  * Measured crossover (30M rows, local[32]): at 1k keys the bounded heap
-  * wins ~2× (0.8s vs 1.4-4.5s — the partial stage drops >99% of shuffle
-  * volume); at 100k keys the window formulation wins (pruning is weak at
-  * ~9 rows/key/partition and its codegen'd radix sort out-runs per-row
-  * heap maintenance). Pick this operator when keys-per-partition ≪
-  * rows-per-partition — e.g. top documents per DOMAIN over a web corpus —
-  * and the window when key cardinality approaches row count.
+  * Measured crossover (30M rows, local[32], k=5, sort-based final — see
+  * `graft.tools.TopKBench`): at 1k keys the bounded heap wins ~1.5-2×
+  * (0.7-1.0s vs 1.3-1.5s — the partial stage drops >99% of shuffle
+  * volume); at 100k+ keys the window formulation wins ~3× (pruning is
+  * weak at ~9 rows/key/partition and its codegen'd radix sort out-runs
+  * per-row heap maintenance). Pick this operator when keys-per-partition
+  * ≪ rows-per-partition — e.g. top documents per DOMAIN over a web
+  * corpus — and the window when key cardinality approaches row count.
   *
-  * Memory model: the final stage holds k rows per DISTINCT KEY of its
-  * partition on heap with no spill path — another reason the
-  * near-unique-key regime belongs to the window formulation (external
-  * sort spills; this operator would not).
+  * Memory model — bounded at EVERY stage, any key cardinality:
+  *  - the partial stage's heap map FLUSHES itself (emit current heaps,
+  *    reset) when it exceeds `FlushKeyThreshold` distinct keys. Emitting
+  *    several ≤k-row partials for the same key is harmless — the final
+  *    stage re-prunes their union, exactly like re-aggregation of partial
+  *    aggregates;
+  *  - the final stage demands child ordering (keys, then order), so
+  *    EnsureRequirements plans Spark's EXTERNAL sort (spills to disk,
+  *    codegen'd radix) over the already-pruned ≤k-rows-per-key-per-
+  *    partition stream, and the stage itself is a constant-memory
+  *    streaming group scan emitting the first k rows of each key run.
+  * The sort only ever sees pruned data, so the no-corpus-sort property
+  * that justifies the operator is preserved. Keys must be orderable
+  * (sort-based final); float keys are rejected below anyway.
   */
 final case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
-                                order: Seq[SortOrder], child: LogicalPlan)
+                                order: Seq[SortOrder], child: LogicalPlan,
+                                flushKeyThreshold: Int = TopKPerKeyPartialExec.FlushKeyThreshold)
   extends UnaryNode {
   override def output: Seq[Attribute] = child.output
   override def maxRows: Option[Long] = child.maxRows
@@ -55,26 +67,30 @@ final case class TopKPerKeyNode(k: Int, keys: Seq[Expression],
 
 object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(k, keys, order, child) =>
+    case TopKPerKeyNode(k, keys, order, child, flushAt) =>
       // final-over-partial, like partial aggregation: EnsureRequirements
-      // inserts the key-clustered exchange between the two stages
-      TopKPerKeyExec(k, keys, order, partial = false,
-        TopKPerKeyExec(k, keys, order, partial = true, planLater(child))) :: Nil
+      // inserts the key-clustered exchange (and the final stage's external
+      // sort) between the two stages
+      TopKPerKeyFinalExec(k, keys, order,
+        TopKPerKeyPartialExec(k, keys, order, flushAt, planLater(child))) :: Nil
     case _ => Nil
   }
 }
 
-final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
-                                order: Seq[SortOrder], partial: Boolean,
-                                child: SparkPlan)
+/** Map-side prune: ≤ k rows per key per partition via bounded heaps.
+  * Memory is bounded by [[TopKPerKeyPartialExec.FlushKeyThreshold]]
+  * distinct keys × k rows: past that the stage emits its current heaps
+  * and resets — several partials per key are fine, the final stage
+  * re-prunes their union. */
+final case class TopKPerKeyPartialExec(k: Int, keys: Seq[Expression],
+                                       order: Seq[SortOrder], flushKeyThreshold: Int,
+                                       child: SparkPlan)
   extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
-
   override def requiredChildDistribution: Seq[Distribution] =
-    if (partial) UnspecifiedDistribution :: Nil
-    else ClusteredDistribution(keys) :: Nil
+    UnspecifiedDistribution :: Nil
 
-  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
     copy(child = newChild)
 
   override protected def doExecute(): RDD[InternalRow] = {
@@ -82,6 +98,7 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
     val keyExprs = keys
     val sortOrder = order
     val limit = k
+    val flushAt = flushKeyThreshold
     child.execute().mapPartitions { it =>
       val keyProj = UnsafeProjection.create(keyExprs, schema)
       val rowProj = UnsafeProjection.create(schema, schema)
@@ -90,7 +107,18 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
       val heaps = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[UnsafeRow]]()
       val cmp: java.util.Comparator[UnsafeRow] =
         (a: UnsafeRow, b: UnsafeRow) => ordering.compare(b, a)
-      it.foreach { row =>
+      def drain(): Iterator[UnsafeRow] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
+        heaps.values.forEach { pq =>
+          val rows = new Array[UnsafeRow](pq.size)
+          var i = rows.length - 1
+          while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // worst-first → best-first
+          out ++= rows
+        }
+        heaps.clear()
+        out.iterator
+      }
+      val flushed = it.flatMap { row =>
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
@@ -102,15 +130,58 @@ final case class TopKPerKeyExec(k: Int, keys: Seq[Expression],
           pq.poll()
           pq.add(rowProj(row).copy())
         }
+        if (heaps.size > flushAt) drain() else Iterator.empty
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[UnsafeRow]
-      heaps.values.forEach { pq =>
-        val rows = new Array[UnsafeRow](pq.size)
-        var i = rows.length - 1
-        while (i >= 0) { rows(i) = pq.poll(); i -= 1 } // drain worst-first → best-first array
-        out ++= rows
+      (flushed ++ drain()).map(_.asInstanceOf[InternalRow])
+    }
+  }
+}
+
+object TopKPerKeyPartialExec {
+  /** Max distinct keys held by one partial-stage partition before it
+    * flushes. Sized for MANY CONCURRENT tasks: 2^17 keys × k=5 rows ×
+    * ~64 B ≈ 40 MB per task, ~1.3 GB across 32 task slots (2^20 measured
+    * as an 8 GB-heap OOM at 1M keys × 32 slots). A flush only costs extra
+    * shuffle rows when a key recurs across flush epochs — and in the
+    * high-cardinality regime where that happens, pruning is weak anyway
+    * and the window formulation is the right pick (see class doc). */
+  val FlushKeyThreshold: Int = 1 << 17
+}
+
+/** Reduce side: demands (keys, order) child ordering, so the planner
+  * inserts Spark's external spilling sort over the pruned partials; the
+  * stage itself is a constant-memory streaming scan emitting the first k
+  * rows of each key run (sorted within key by `order` — best first). */
+final case class TopKPerKeyFinalExec(k: Int, keys: Seq[Expression],
+                                     order: Seq[SortOrder], child: SparkPlan)
+  extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    (keys.map(SortOrder(_, Ascending)) ++ order) :: Nil
+  override def outputOrdering: Seq[SortOrder] = child.outputOrdering
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val schema = child.output
+    val keyExprs = keys
+    val limit = k
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(keyExprs, schema)
+      var currentKey: UnsafeRow = null
+      var emitted = 0
+      it.filter { row =>
+        val key = keyProj(row)
+        if (currentKey == null || !currentKey.equals(key)) {
+          currentKey = key.copy()
+          emitted = 0
+        }
+        emitted += 1
+        emitted <= limit
       }
-      out.iterator.map(_.asInstanceOf[InternalRow])
     }
   }
 }
@@ -126,7 +197,8 @@ object TopKPerKey {
   private val registrationLock = new Object
 
   def perKey(df: DataFrame, keyCols: Seq[String],
-             orderBy: Seq[(String, Boolean)], k: Int): DataFrame = {
+             orderBy: Seq[(String, Boolean)], k: Int,
+             flushKeyThreshold: Int = TopKPerKeyPartialExec.FlushKeyThreshold): DataFrame = {
     val spark = df.sparkSession
     // extraStrategies is a plain var: check-then-append must not race with
     // a concurrent first call (lost update → 'no plan for TopKPerKeyNode')
@@ -157,6 +229,6 @@ object TopKPerKey {
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
     org.apache.spark.sql.GraftBridge.ofRows(spark,
-      TopKPerKeyNode(k, keys, order, analyzed))
+      TopKPerKeyNode(k, keys, order, analyzed, flushKeyThreshold))
   }
 }

@@ -48,21 +48,34 @@ class TopKPerKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(got) === sortedRows(df))
   }
 
-  test("plan shape: partial stage, clustered exchange, final stage") {
+  test("plan shape: partial stage, clustered exchange, external sort, final stage") {
     val got = TopKPerKey.perKey(data(1000, 7), Seq("k"),
       Seq("score" -> false, "id" -> true), 2)
     val plan = got.queryExecution.executedPlan.toString
-    val execs = "TopKPerKey ".r.findAllIn(plan).length
-    assert(execs === 2, s"expected partial+final TopKPerKey stages, plan:\n$plan")
     assert(plan.contains("Exchange hashpartitioning(k#"), s"expected key exchange:\n$plan")
-    // the exchange must sit BETWEEN the stages: final (partial=false) above
-    // it, partial (partial=true, map-side pruning) below it
+    // stage order top-down: final (streaming group scan) over the
+    // planner-inserted EXTERNAL sort (the spill path) over the exchange
+    // over the partial (map-side pruning)
     val lines = plan.linesIterator.toSeq
-    val finalIdx = lines.indexWhere(l => l.contains("TopKPerKey ") && l.endsWith("false"))
+    val finalIdx = lines.indexWhere(_.contains("TopKPerKeyFinal"))
+    val sortIdx = lines.indexWhere(_.contains("Sort ["))
     val exIdx = lines.indexWhere(_.contains("Exchange hashpartitioning"))
-    val partialIdx = lines.indexWhere(l => l.contains("TopKPerKey ") && l.endsWith("true"))
-    assert(finalIdx >= 0 && partialIdx >= 0 && finalIdx < exIdx && exIdx < partialIdx,
+    val partialIdx = lines.indexWhere(_.contains("TopKPerKeyPartial"))
+    assert(finalIdx >= 0 && sortIdx >= 0 && partialIdx >= 0
+      && finalIdx < sortIdx && sortIdx < exIdx && exIdx < partialIdx,
       s"stage order wrong:\n$plan")
+  }
+
+  test("partial-stage flush keeps results exact under a tiny key budget") {
+    // threshold of 3 distinct keys forces many flush epochs over 23 keys —
+    // several ≤k partials per key reach the final stage and must re-prune
+    val df = data(5000, 23)
+    val got = TopKPerKey.perKey(df, Seq("k"),
+      Seq("score" -> false, "id" -> true), k = 3, flushKeyThreshold = 3)
+    val w = Window.partitionBy(col("k")).orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).drop("rn")
+    assert(sortedRows(got) === sortedRows(want))
   }
 
   test("result is partitioning-invariant") {
