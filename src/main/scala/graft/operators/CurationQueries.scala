@@ -98,7 +98,12 @@ object CurationQueries {
     * (term-frequency per doc; document-frequency per term), broadcast the
     * tiny doc-count scalar. The df side aggregates to vocabulary size, so
     * the join back is vocab-sized, not corpus-sized. */
-  val c05_tfidf: Q = (s, dir) => {
+  val c05_tfidf: Q = (s, dir) =>
+    tfidf(s, dir).orderBy(col("doc_id"), col("tok"))
+
+  /** The (doc_id, tok, tfidf) table — shared by c05 (the listing) and
+    * t10 (per-doc top-k keyword extraction over it). */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     // corpus size as a 1-row aggregate broadcast into the plan (same
     // pattern as c08/c09) — an eager .count() here would be a driver-side
@@ -111,7 +116,28 @@ object CurationQueries {
       .select(col("doc_id"), col("tok"),
         (floor((col("tf") * log(col("n_docs") / col("df"))) * 1e4 + 0.5) / 1e4).as("tfidf"))
       .filter(col("tfidf") > 0)
-      .orderBy(col("doc_id"), col("tok"))
+  }
+
+  /** c11: deterministic training-order shuffle + sharding — the "global
+    * shuffle" step every epoch of LLM training needs, with no RNG state:
+    * a doc's position is md5(epoch_salt ++ doc_id), its shard the key's
+    * first hex char (16 balanced shards). Changing the salt reshuffles;
+    * re-runs, partitioning, and corpus appends never move existing docs
+    * relative to each other within a shard. At 100 TB each shard orders
+    * independently (the window partitions by shard — 16 parallel sorts of
+    * 1/16th each, or one writer per shard); no global total order is ever
+    * materialized. Output: the first 3 docs of each shard's reading order.
+    */
+  val c11_shuffle_shard: Q = (s, dir) => {
+    val key = md5(concat(lit("epoch1:"), col("doc_id").cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), key.as("k"))
+      .withColumn("shard", substring(col("k"), 1, 1))
+      .withColumn("ord", row_number().over(w))
+      .filter(col("ord") <= 3)
+      .select(col("shard"), col("ord"), col("doc_id"))
+      .orderBy(col("shard"), col("ord"))
   }
 
   /** c06: benchmark-contamination detection — for every doc in the `test`
@@ -301,6 +327,7 @@ object CurationQueries {
     "c05_tfidf" -> c05_tfidf,
     "c06_contamination" -> c06_contamination,
     "c07_repetition_filter" -> c07_repetition_filter,
+    "c11_shuffle_shard" -> c11_shuffle_shard,
   )
 
   private val bpeIter = (i: Int) =>
@@ -438,6 +465,33 @@ object CurationQueries {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM sh t JOIN train USING (s) WHERE t.bucket = 'test'
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "c11_shuffle_shard" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT substr(k, 1, 1) AS shard, doc_id,
+        |    row_number() OVER (PARTITION BY substr(k, 1, 1) ORDER BY k) AS ord
+        |  FROM d)
+        |SELECT shard, ord, doc_id FROM r WHERE ord <= 3
+        |ORDER BY shard, ord""".stripMargin,
+    "t10_keywords" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |base AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    floor((tf.tf * ln(n.n / df.df)) * 1e4 + 0.5) / 1e4 AS tfidf
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |  WHERE floor((tf.tf * ln(n.n / df.df)) * 1e4 + 0.5) / 1e4 > 0),
+        |r AS (
+        |  SELECT doc_id, tok, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS rn
+        |  FROM base)
+        |SELECT doc_id, tok, tfidf FROM r WHERE rn <= 3
+        |ORDER BY doc_id, tfidf DESC, tok""".stripMargin,
     "c07_repetition_filter" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -121,6 +121,25 @@ object RelationalOracles {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    "q32_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+        |     b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     ea AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b),
+        |     ia AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |SELECT 'except_all' AS op, o_custkey, count(*) AS n
+        |FROM ea GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
+        |FROM ia GROUP BY o_custkey
+        |ORDER BY op, o_custkey""".stripMargin,
+    "q33_lateral_join" ->
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
     "q14_setops" ->
       """SELECT k FROM (
         |  SELECT k FROM (

@@ -494,7 +494,49 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q32: MULTISET set ops — EXCEPT ALL / INTERSECT ALL (q14 covers the
+    * DISTINCT variants; the ALL forms preserve multiplicity, which is what
+    * "orders placed more often under status F than O per customer" needs).
+    * Catalyst plans both as a single aggregate computing per-row
+    * multiplicities then replicating — one shuffle each, no join. Output
+    * is the grouped multiset (key, multiplicity) so the result is
+    * deterministic at any scale.
+    */
+  val q32_setops_all: Q = (s, dir) => {
+    val o = Tables.orders(s, dir)
+    val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val ea = a.exceptAll(b).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val ia = a.intersectAll(b).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ea.unionByName(ia)
+      .select(col("op"), col("o_custkey"), col("n"))
+      .orderBy(col("op"), col("o_custkey"))
+  }
+
+  /** q33: LATERAL correlated table subquery — top-2 customers by account
+    * balance per nation, written as `FROM nation, LATERAL (...)`. Catalyst
+    * decorrelates the per-nation ORDER BY ... LIMIT into a window+filter
+    * over ONE customer scan (DomainJoin rewrite) — not a per-nation
+    * re-execution. Same text runs verbatim in DuckDB as the oracle.
+    */
+  val q33_lateral_join: Q = (s, dir) => {
+    Tables.nation(s, dir).createOrReplaceTempView("nation")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    s.sql(
+      """SELECT n.n_name, c.c_name, c.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q32_setops_all" -> q32_setops_all,
+    "q33_lateral_join" -> q33_lateral_join,
     "q29_topk_custom_operator" -> q29_topk_custom_operator,
     "q28_quality_checks" -> q28_quality_checks,
     "q27_salted_join" -> q27_salted_join,

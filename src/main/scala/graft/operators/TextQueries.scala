@@ -195,7 +195,21 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t10: per-document keyword extraction — top 3 terms by TF-IDF weight,
+    * ranked through the CUSTOM OPERATOR [[graft.plans.TopKPerKey]] over
+    * the shared c05 pipeline. Exactly the operator's sweet spot: keys
+    * (documents) carry ~vocabulary-sized value lists, and the map-side
+    * partial prunes each to 3 rows before the exchange — the shuffle
+    * moves 3 rows per doc per partition, not the whole (doc, term) table.
+    * Ties on the rounded weight break by term (total order, oracle-safe).
+    */
+  val t10_keywords: Q = (s, dir) =>
+    graft.plans.TopKPerKey.perKey(CurationQueries.tfidf(s, dir),
+        Seq("doc_id"), Seq("tfidf" -> false, "tok" -> true), k = 3)
+      .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
+
   val all: Map[String, Q] = Map(
+    "t10_keywords" -> t10_keywords,
     "t05_regex_tokens" -> t05_regex_tokens,
     "t08_quality_bins" -> t08_quality_bins,
     "t09_unigram_logprob" -> t09_unigram_logprob,
