@@ -24,7 +24,10 @@ object Plans {
       // r2 scale-claim carriers
       "q28_quality_checks", "q29_topk_custom_operator",
       "d02_minhash_lsh", "d06_simhash_pairs", "c08_pmi_bigrams",
-      "c09_domain_resample", "a05_cohort_retention", "s03_knn_ivf")
+      "c09_domain_resample", "a05_cohort_retention", "s03_knn_ivf",
+      // r3 additions
+      "q32_setops_all", "q33_lateral_join", "t10_keywords",
+      "d09_simhash64_pairs", "c11_shuffle_shard", "a06_funnel_windowed")
     val names = if (args.nonEmpty) args.toSeq else defaults
     for (name <- names) {
       println(s"===== $name =====")

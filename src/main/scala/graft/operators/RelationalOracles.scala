@@ -121,6 +121,18 @@ object RelationalOracles {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    "q34_recursive_cte" ->
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT CAST('1995-01-01' AS DATE) AS d
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+        |  WHERE d < CAST('1995-01-31' AS DATE))
+        |SELECT CAST(days.d AS STRING) AS day, coalesce(o.n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM days LEFT JOIN (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |  FROM orders GROUP BY 1) o
+        |ON days.d = o.d
+        |ORDER BY day""".stripMargin,
     "q32_setops_all" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
         |     b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),

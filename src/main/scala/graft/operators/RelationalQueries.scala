@@ -534,7 +534,33 @@ object RelationalQueries {
         |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
   }
 
+  /** q34: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — calendar
+    * densification, the canonical gap-filling report: generate every day
+    * of a window, left-join the daily order counts so zero-order days
+    * appear explicitly. The recursion materializes only the 31-row date
+    * spine (each iteration is one tiny union step, bounded by the
+    * recursion-level limit); the corpus contributes through an ordinary
+    * partial+final date aggregate — the spine join is broadcast-sized at
+    * any corpus scale. Same text runs verbatim in DuckDB as the oracle.
+    */
+  val q34_recursive_cte: Q = (s, dir) => {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT CAST('1995-01-01' AS DATE) AS d
+        |  UNION ALL
+        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+        |  WHERE d < CAST('1995-01-31' AS DATE))
+        |SELECT CAST(days.d AS STRING) AS day, coalesce(o.n, CAST(0 AS BIGINT)) AS n_orders
+        |FROM days LEFT JOIN (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+        |  FROM orders GROUP BY 1) o
+        |ON days.d = o.d
+        |ORDER BY day""".stripMargin)
+  }
+
   val all: Map[String, Q] = Map(
+    "q34_recursive_cte" -> q34_recursive_cte,
     "q32_setops_all" -> q32_setops_all,
     "q33_lateral_join" -> q33_lateral_join,
     "q29_topk_custom_operator" -> q29_topk_custom_operator,

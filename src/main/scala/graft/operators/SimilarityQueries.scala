@@ -205,6 +205,44 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** e02: label-centroid cosine similarity matrix — "how confusable are
+    * my classes in embedding space", the audit an embedding-quality
+    * pipeline runs per training snapshot.
+    *
+    * Exactness trick: per-dim values are quantized to integers (×2^10,
+    * half-up) and only SUMMED per (label, dim) — and since
+    * cos(Σv/n_a, Σw/n_b) = cos(Σv, Σw) (the counts cancel in the ratio),
+    * the centroid cosine is computed entirely from exact integer sum
+    * vectors. No double ever enters a multi-row aggregation, so the
+    * result is partitioning-invariant and engine-exact (the FP-order
+    * hazard that makes naive centroid averages unreproducible at scale).
+    * Magnitudes stay far under 2^63: |q| ≤ ~2^12, corpus sums ≤ n·2^12,
+    * dot terms ≤ n²·2^24 × 64 dims.
+    *
+    * Plan shape: one explode + one (label, dim)-keyed partial+final
+    * aggregate collapses the corpus to labels×64 rows; everything
+    * pairwise after that is label-cardinality-sized.
+    */
+  val e02_centroid_sim: Q = (s, dir) => {
+    val dims = Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("label"), col("d"),
+        floor(col("x").cast("double") * 1024.0 + 0.5).cast("long").as("qx"))
+    val cent = dims.groupBy(col("label"), col("d")).agg(sum(col("qx")).as("sx"))
+    val norms = cent.groupBy(col("label")).agg(sum(col("sx") * col("sx")).as("n2"))
+    val a = cent.select(col("label").as("label_a"), col("d"), col("sx").as("xa"))
+    val b = cent.select(col("label").as("label_b"), col("d"), col("sx").as("xb"))
+    a.join(b, Seq("d")).filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("xa") * col("xb")).as("dq"))
+      .join(norms.select(col("label").as("label_a"), col("n2").as("na2")), "label_a")
+      .join(norms.select(col("label").as("label_b"), col("n2").as("nb2")), "label_b")
+      .select(col("label_a"), col("label_b"),
+        (floor(col("dq") / sqrt(col("na2").cast("double") * col("nb2").cast("double")) * 1e4 + 0.5) / 1e4)
+          .as("cos"))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   val all: Map[String, Q] = Map(
     "s01_knn_brute" -> s01_knn_brute,
     "s02_knn_lsh" -> s02_knn_lsh,
@@ -212,5 +250,6 @@ object SimilarityQueries {
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,
     "d05_embed_neardup" -> d05_embed_neardup,
     "e01_embedding_quantize" -> e01_embedding_quantize,
+    "e02_centroid_sim" -> e02_centroid_sim,
   )
 }

@@ -217,6 +217,27 @@ object TrainingOracles {
          |         (SELECT count(*) FROM exact) * 10000 + 0.5) / 10000
          |  END AS recall""".stripMargin,
 
+    "e02_centroid_sim" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dm AS (
+        |  SELECT label, s['d'] AS d, s['qx'] AS qx FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(v) + 1),
+        |      i -> struct_pack(d := i, qx := CAST(floor(v[i] * 1024.0 + 0.5) AS BIGINT)))) AS s
+        |    FROM e)),
+        |c AS (
+        |  SELECT label, d, CAST(sum(qx) AS BIGINT) AS sx FROM dm GROUP BY label, d),
+        |n AS (
+        |  SELECT label, CAST(sum(sx * sx) AS BIGINT) AS n2 FROM c GROUP BY label),
+        |p AS (
+        |  SELECT a.label AS label_a, b.label AS label_b,
+        |    CAST(sum(a.sx * b.sx) AS BIGINT) AS dq
+        |  FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
+        |  GROUP BY 1, 2)
+        |SELECT label_a, label_b,
+        |  floor(CAST(dq AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS cos
+        |FROM p JOIN n na ON p.label_a = na.label JOIN n nb ON p.label_b = nb.label
+        |ORDER BY label_a, label_b""".stripMargin,
     "e01_embedding_quantize" ->
       s"""$embPrelude,
          |sc AS (
