@@ -39,6 +39,20 @@ def main(sf_dir, out_dir):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # a query that threw during the dump must fail the gate loudly, not
+    # silently vanish from the result dirs (queries.json is Verify's
+    # per-query outcome manifest; older dumps may not have one)
+    mpath = f"{out_dir}/queries.json"
+    if os.path.exists(mpath):
+        manifest = json.load(open(mpath))
+        for name, st in sorted(manifest.items()):
+            if st != "ok":
+                print(f"✗ {name}: query dump failed ({st})")
+                n_fail += 1
+        missing = [n for n in oracle if n not in manifest]
+        if missing:
+            print(f"✗ oracle entries with no matching query: {missing}")
+            n_fail += len(missing)
     for name in sorted(os.listdir(out_dir)):
         d = f"{out_dir}/{name}"
         if not os.path.isdir(d):

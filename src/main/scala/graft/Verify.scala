@@ -20,18 +20,28 @@ object Verify {
     // dump queries concurrently (independent jobs on one session) — halves
     // the driver's correctness-gate wall time vs sequential
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val status = new java.util.concurrent.ConcurrentHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          try {
+            fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            status.put(name, "ok")
+          } catch { case e: Throwable =>
+            System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+            status.put(name, s"error: ${e.getClass.getSimpleName}")
           }
       })
     }
     pool.shutdown()
     pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    val failed = {
+      import scala.jdk.CollectionConverters._
+      status.asScala.filter(_._2 != "ok").keys.toSeq.sorted
+    }
+    if (failed.nonEmpty)
+      System.err.println(s"[verify] ${failed.size} queries FAILED to dump: ${failed.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -47,6 +57,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of EVERY query's dump outcome — a query that throws must
+    // fail the gate loudly, not silently vanish from the result dirs
+    val manifest = {
+      import scala.jdk.CollectionConverters._
+      status.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    }
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
   }
 }
