@@ -136,8 +136,14 @@ object Bench {
       def fromDetail: Option[Map[String, Double]] = try {
         val f = new java.io.File("BENCH_DETAIL.json")
         if (!f.exists()) None else {
-          val q = om.readTree(f).path("queries_solo_sec")
-          Some(q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap)
+          val tree = om.readTree(f)
+          // only diff same-scale-factor runs: a quick sf0.01 dev run must
+          // not become the baseline that makes an sf0.1 run look regressed
+          if (tree.path("sf").asText("") != sfDir) None
+          else {
+            val q = tree.path("queries_solo_sec")
+            Some(q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap)
+          }
         }
       } catch { case _: Throwable => None }
       def fromDriverTail: Option[Map[String, Double]] = try {
