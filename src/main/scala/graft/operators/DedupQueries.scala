@@ -176,14 +176,37 @@ object DedupQueries {
     * (16-bit) and d09 (64-bit). Bit 63 is the sign bit: `1L << 63` is
     * Long.MinValue, the correct two's-complement value on both engines,
     * and it is added LAST (ascending reduce) so no intermediate partial
-    * sum can overflow under ANSI mode. */
+    * sum can overflow under ANSI mode.
+    *
+    * Hash budget: ONE md5 yields 32 hex nibbles, so bit j votes by the
+    * high bit of nibble `j % 32` of md5 number `j / 32` — a 64-bit
+    * signature costs 2 md5 calls per token, not 64 (measured 4.2s → ~1s
+    * for d09 at sf0.1; the digest, not the substring, is the cost).
+    * d03/d06 keep their original per-bit-salt scheme (their 16 bits were
+    * specified and oracle-frozen in round 1); d09's wider family is
+    * defined nibble-indexed from the start. */
   private def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
-    val votes = (0 until bits).map(j =>
-      sum(when(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 1)
-        .isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$j"))
-    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val (rows, votes) =
+      if (bits <= 16)
+        (tok, (0 until bits).map(j =>
+          sum(when(substring(md5(concat(lit(s"$j:"), col("tok"))), 1, 1)
+            .isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$j")))
+      else {
+        // digests are PROJECTED once per token row (not repeated inside
+        // each aggregate expression), so the hash cost is exactly
+        // ceil(bits/32) md5 per token
+        val nDigests = (bits + 31) / 32
+        val withDigests = tok.select(col("doc_id") +:
+          (0 until nDigests).map(g =>
+            md5(concat(lit(s"g$g:"), col("tok"))).as(s"dg$g")): _*)
+        (withDigests, (0 until bits).map { j =>
+          sum(when(substring(col(s"dg${j / 32}"), j % 32 + 1, 1)
+            .isin(HexHigh: _*), 1).otherwise(-1)).as(s"v$j")
+        })
+      }
+    val agg = rows.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sim = (0 until bits).map(j =>
       when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
     agg.select(col("doc_id"), sim.as("simhash"))

@@ -59,11 +59,20 @@ object TrainingOracles {
 
   // ---- d03 simhash (16-bit) / d09 (64-bit) ----
   // bit 63 term is ${1L << 63} = -9223372036854775808, the two's-complement
-  // sign bit — both engines agree on the BIGINT value
+  // sign bit — both engines agree on the BIGINT value. 16-bit keeps the
+  // round-1 per-bit-salt family; the 64-bit family is nibble-indexed
+  // (bit j = high bit of nibble j%32 of digest j/32) so a token costs
+  // 2 md5 calls, not 64 — mirrored exactly in the engine.
   private def simhashCteBits(bits: Int): String = {
-    val voteCols = (0 until bits).map(j =>
-      s"sum(CASE WHEN substring(md5('$j:' || tok), 1, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j")
-      .mkString(",\n    ")
+    val voteCols =
+      if (bits <= 16)
+        (0 until bits).map(j =>
+          s"sum(CASE WHEN substring(md5('$j:' || tok), 1, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j")
+          .mkString(",\n    ")
+      else
+        (0 until bits).map(j =>
+          s"sum(CASE WHEN substring(md5('g${j / 32}:' || tok), ${j % 32 + 1}, 1) IN $hexHigh THEN 1 ELSE -1 END) AS v$j")
+          .mkString(",\n    ")
     val bitSum = (0 until bits)
       .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")
     s"""WITH tok AS (
