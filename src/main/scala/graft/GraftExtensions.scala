@@ -8,11 +8,16 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Injects the engine's native Catalyst expressions (currently
   * [[graft.functions.DotProduct graft_dot]]) into every session's
   * FunctionRegistry, making them available to DataFrame `expr(...)` and
-  * plain SQL alike.
+  * plain SQL alike, and the [[graft.plans.TopKPerKeyStrategy]] planner
+  * strategy so [[graft.plans.TopKPerKeyNode]] plans without the per-call
+  * `experimental.extraStrategies` registration (`TopKPerKey.perKey`
+  * still self-registers for sessions built without the extension).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     graft.functions.VectorFunctions.functions.foreach { f =>
       extensions.injectFunction(f)
     }
+    extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+  }
 }

@@ -57,6 +57,23 @@ class VectorExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(withNullElem.collect().head.isNullAt(0))
   }
 
+  test("extension injects the TopKPerKey planner strategy (no self-registration needed)") {
+    val sp = spark; import sp.implicits._
+    // build the logical node DIRECTLY (not via perKey, which would
+    // self-register the strategy) — planning succeeds only if the
+    // extension injected TopKPerKeyStrategy into this session
+    assert(!spark.experimental.extraStrategies.contains(graft.plans.TopKPerKeyStrategy))
+    val df = (1 to 100).map(i => (i % 5, i)).toDF("k", "v")
+    val analyzed = df.queryExecution.analyzed
+    val keys = analyzed.output.filter(_.name == "k")
+    val ord = analyzed.output.filter(_.name == "v").map(a =>
+      org.apache.spark.sql.catalyst.expressions.SortOrder(a,
+        org.apache.spark.sql.catalyst.expressions.Descending))
+    val out = org.apache.spark.sql.GraftBridge.ofRows(spark,
+      graft.plans.TopKPerKeyNode(2, keys, ord, analyzed))
+    assert(out.count() === 10) // 5 keys × top 2
+  }
+
   test("available in plain SQL via extensions and stays in codegen") {
     val d = spark.sql("SELECT graft_dot(array(1.0d,2.0d,3.0d), array(4.0d,5.0d,6.0d)) AS d")
     assert(d.collect().head.getDouble(0) === 32.0)
