@@ -31,7 +31,12 @@ object Tables {
     * truncates when comparing at lower precision.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // conf mutation is surprising in a library, so it is (a) idempotent —
+    // checked first — and (b) required: without it the ns-precision read
+    // below throws PARQUET_TYPE_ILLEGAL. Session builders in this repo
+    // (Verify/Bench/specs) also set it up front.
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -202,6 +202,54 @@ object EventStreams {
       }
   }
 
+  final case class TopKState(counts: Map[String, Long])
+  final case class WindowTopK(window_start_ms: Long, rank: Int,
+                              event_type: String, n: Long)
+
+  /** Streaming windowed TOP-K — the streaming twin of the q29/TopKPerKey
+    * semantics: for each tumbling event-time window, the k most frequent
+    * event types, emitted ONCE when the watermark closes the window.
+    *
+    * Why flatMapGroupsWithState and not `windowedCounts` + rank: ranking
+    * within a window needs the window COMPLETE (a rank over partial
+    * counts is wrong, and Spark disallows a second stateful agg over an
+    * append-mode windowed aggregate's output within one query). Keyed
+    * state per window holds the count map (bounded by event-type
+    * cardinality × windows-in-watermark), the event-time timeout at
+    * window end is exactly "the watermark closed this window", and the
+    * emitted ranking is deterministic (count desc, type asc).
+    */
+  def topKPerWindow(events: Dataset[Event], k: Int = 3,
+                    windowMs: Long = 3600 * 1000L,
+                    watermark: String = "10 minutes"): Dataset[WindowTopK] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(e => math.floorDiv(e.ts.getTime, windowMs))
+      .flatMapGroupsWithState[TopKState, WindowTopK](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (winIdx: Long, rows: Iterator[Event], state: GroupState[TopKState]) =>
+          if (state.hasTimedOut) {
+            val counts = state.get.counts
+            state.remove()
+            counts.toSeq.sortBy { case (t, n) => (-n, t) }.take(k)
+              .iterator.zipWithIndex.map { case ((t, n), i) =>
+                WindowTopK(winIdx * windowMs, i + 1, t, n)
+              }
+          } else {
+            val prev = state.getOption.map(_.counts).getOrElse(Map.empty[String, Long])
+            val merged = rows.foldLeft(prev) { (m, e) =>
+              m.updated(e.event_type, m.getOrElse(e.event_type, 0L) + 1L)
+            }
+            state.update(TopKState(merged))
+            // close when the watermark passes the window end
+            state.setTimeoutTimestamp(
+              math.max((winIdx + 1) * windowMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   final case class CohortState(cohort: Long, seen: List[Long])
   final case class CohortHit(user_id: Long, cohort_week: Long, k: Long)
 

@@ -220,6 +220,40 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("streaming windowed top-k emits complete-window rankings at watermark close") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.topKPerWindow(input.toDS(), k = 2,
+        windowMs = 3600 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wtopk").outputMode(OutputMode.Append()).start()
+
+    // hour-1 window: click×3, view×2, error×1 → top2 = click, view
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "click", 0.0),
+      EventStreams.Event(2, ts(1, 5), 11, "click", 0.0),
+      EventStreams.Event(3, ts(1, 10), 12, "view", 0.0),
+      EventStreams.Event(4, ts(1, 20), 13, "error", 0.0))
+    query.processAllAvailable()
+    // counts accumulate ACROSS batches within the window
+    input.addData(
+      EventStreams.Event(5, ts(1, 40), 14, "click", 0.0),
+      EventStreams.Event(6, ts(1, 50), 15, "view", 0.0))
+    query.processAllAvailable()
+    assert(spark.table("wtopk").isEmpty) // window still open: nothing emitted
+    // advance watermark past 2:00 + 10min → hour-1 window closes
+    input.addData(EventStreams.Event(7, ts(3, 0), 99, "purchase", 0.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(8, ts(4, 0), 99, "purchase", 0.0))
+    query.processAllAvailable()
+
+    val out = spark.table("wtopk").as[EventStreams.WindowTopK].collect()
+      .filter(_.window_start_ms == ts(1, 0).getTime).sortBy(_.rank)
+    assert(out.map(r => (r.rank, r.event_type, r.n)).toSeq ===
+      Seq((1, "click", 3L), (2, "view", 2L)))
+    query.stop()
+  }
+
   test("streaming cohort tracker: first-week cohorts, honest negative-k corrections") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
