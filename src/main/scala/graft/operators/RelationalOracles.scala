@@ -121,6 +121,17 @@ object RelationalOracles {
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    "q35_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price,
+        |    round(sum(l_discount), 2) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, measure, value
+        |FROM agg
+        |UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
+        |ORDER BY l_returnflag, measure""".stripMargin,
     "q34_recursive_cte" ->
       """WITH RECURSIVE days(d) AS (
         |  SELECT CAST('1995-01-01' AS DATE) AS d

@@ -559,7 +559,26 @@ object RelationalQueries {
         |ORDER BY day""".stripMargin)
   }
 
+  /** q35: UNPIVOT/melt — wide metric columns → long (metric, value) rows,
+    * the inverse of q26's pivot and the standard shape for feeding metric
+    * stores. Aggregate FIRST (3 sums per flag — partial+final, tiny), then
+    * `Dataset.unpivot` the 3 measure columns of the already-aggregated
+    * rows: the melt multiplies group-count rows, never corpus rows.
+    */
+  val q35_unpivot: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        round(sum(col("l_discount")), 2).as("sum_disc"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,
     "q32_setops_all" -> q32_setops_all,
     "q33_lateral_join" -> q33_lateral_join,
