@@ -315,7 +315,31 @@ object CurationQueries {
     rules.toSeq.toDF("step", "x", "y", "cnt").orderBy(col("step"))
   }
 
+  /** c12: deterministic MLM masking audit — BERT-style ~15% token
+    * selection with NO RNG state: position i of doc d is masked iff the
+    * first 2 hex chars of md5(d:i) sort below '26' (0x26/0x100 ≈ 14.8%).
+    * Deterministic under re-runs, partitioning, and corpus appends — the
+    * property that makes a masking pass reproducible across a 100 TB
+    * corpus and lets train-time and debug-time agree on what was masked.
+    * Output: per-doc token/mask counts + masked-position checksum (any
+    * selection drift changes it). Pure narrow explode → per-doc partial+
+    * final aggregate; nothing corpus-sized shuffles but (doc, stats) rows.
+    */
+  val c12_mlm_mask: Q = (s, dir) => {
+    val masked = substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+      col("i").cast("string"))), 1, 2) < "26"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("p", "tok")))
+      .select(col("doc_id"), (col("p") + 1).as("i"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(masked, 1L).otherwise(0L)).as("n_masked"),
+        sum(when(masked, col("i")).otherwise(0L)).as("masked_pos_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "c12_mlm_mask" -> c12_mlm_mask,
     "t07_pii_redaction" -> t07_pii_redaction,
     "c08_pmi_bigrams" -> c08_pmi_bigrams,
     "c09_domain_resample" -> c09_domain_resample,
@@ -465,6 +489,19 @@ object CurationQueries {
         |SELECT t.doc_id, count(*) AS n_shared_shingles
         |FROM sh t JOIN train USING (s) WHERE t.bucket = 'test'
         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "c12_mlm_mask" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS i
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, i,
+        |    substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 2) < '26' AS msk
+        |  FROM tk)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+        |  CAST(sum(CASE WHEN msk THEN i ELSE 0 END) AS BIGINT) AS masked_pos_sum
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "c11_shuffle_shard" ->
       """WITH d AS (
         |  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS k

@@ -162,7 +162,25 @@ object EventJoins {
         count(col("p1")).as("n_purchase_24h"))
   }
 
+  /** a07: user-journey transition mining — counts of adjacent
+    * (from_type → to_type) steps in each user's event-time-ordered
+    * stream, the Markov-chain view of behavioral analytics. ONE
+    * sort-shuffle by user (the same exchange a03's sessionization uses)
+    * feeds a lag window; the aggregate output is type-vocabulary² tiny.
+    * Ordering ties break on event_id so the chain is deterministic.
+    */
+  val a07_transitions: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Map[String, Q] = Map(
+    "a07_transitions" -> a07_transitions,
     "a01_asof_join" -> a01_asof_join,
     "a02_range_join" -> a02_range_join,
     "a03_sessionize" -> a03_sessionize,
@@ -172,6 +190,15 @@ object EventJoins {
   )
 
   val oracles: Map[String, String] = Map(
+    "a07_transitions" ->
+      """WITH t AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n
+        |FROM t WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "a05_cohort_retention" ->
       """WITH wk AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
