@@ -147,6 +147,11 @@ object Bench {
         }
       } catch { case _: Throwable => None }
       def fromDriverTail: Option[Map[String, Double]] = try {
+        // stdout lines carry SHORT query codes (q01, not q01_agg) — expand
+        // them back to full names via the unique code prefix, else the
+        // fallback would intersect to nothing and silently mask regressions
+        val codeToFull = SparkEntry.queries.keys
+          .map(full => full.takeWhile(_ != '_') -> full).toMap
         new java.io.File(".").getCanonicalFile.listFiles()
           .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
           .map { f =>
@@ -154,7 +159,10 @@ object Bench {
             val line = tail.linesIterator.find(_.contains("\"metric\""))
               .map(l => l.substring(l.indexOf('{'))).getOrElse("{}")
             val q = om.readTree(line).path("queries")
-            q.properties().asScala.map(e => e.getKey -> e.getValue.asDouble()).toMap
+            q.properties().asScala.flatMap { e =>
+              codeToFull.get(e.getKey).orElse(Some(e.getKey).filter(_.contains('_')))
+                .map(_ -> e.getValue.asDouble())
+            }.toMap
           }.filter(_.nonEmpty)
       } catch { case _: Throwable => None }
       fromDetail.orElse(fromDriverTail).getOrElse(Map.empty)

@@ -21,6 +21,9 @@ object Verify {
     // the driver's correctness-gate wall time vs sequential
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val status = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    // pre-populate so a query still queued/hung at the pool timeout shows
+    // up as non-ok in the manifest instead of silently vanishing
+    SparkEntry.queries.keys.foreach(status.put(_, "not_run"))
     SparkEntry.queries.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
@@ -35,7 +38,8 @@ object Verify {
       })
     }
     pool.shutdown()
-    pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (!pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS))
+      System.err.println("[verify] pool timeout: some queries did not finish (left as not_run)")
     val failed = {
       import scala.jdk.CollectionConverters._
       status.asScala.filter(_._2 != "ok").keys.toSeq.sorted

@@ -142,10 +142,14 @@ object DedupQueries {
     // unchanged. One tiny aggregate over the checkpointed labels per round
     // replaces the jumped⋈prev shuffle join — 3 shuffles/round instead
     // of 4. Decimal(38) sum: exact at any doc_id magnitude × count.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      // sum of ZERO rows is SQL NULL — map it to 0 so an empty pair list
+      // (no near-dups at all) converges instead of NPE-ing on compareTo
+      val d = df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
-    var converged = false
+    var converged = labels.isEmpty
     while (!converged) {
       val viaNbr = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))

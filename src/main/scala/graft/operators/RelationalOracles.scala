@@ -132,18 +132,9 @@ object RelationalOracles {
         |FROM agg
         |UNPIVOT (value FOR measure IN (sum_qty, sum_price, sum_disc))
         |ORDER BY l_returnflag, measure""".stripMargin,
-    "q34_recursive_cte" ->
-      """WITH RECURSIVE days(d) AS (
-        |  SELECT CAST('1995-01-01' AS DATE) AS d
-        |  UNION ALL
-        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
-        |  WHERE d < CAST('1995-01-31' AS DATE))
-        |SELECT CAST(days.d AS STRING) AS day, coalesce(o.n, CAST(0 AS BIGINT)) AS n_orders
-        |FROM days LEFT JOIN (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
-        |  FROM orders GROUP BY 1) o
-        |ON days.d = o.d
-        |ORDER BY day""".stripMargin,
+    // q33/q34: the ORACLE IS the engine text (verbatim-parity by
+    // construction — one constant, two engines)
+    "q34_recursive_cte" -> RelationalQueries.q34Sql,
     "q32_setops_all" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
         |     b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
@@ -155,14 +146,7 @@ object RelationalOracles {
         |SELECT 'intersect_all' AS op, o_custkey, count(*) AS n
         |FROM ia GROUP BY o_custkey
         |ORDER BY op, o_custkey""".stripMargin,
-    "q33_lateral_join" ->
-      """SELECT n.n_name, c.c_name, c.c_acctbal
-        |FROM nation n,
-        |LATERAL (
-        |  SELECT c_name, c_acctbal FROM customer
-        |  WHERE c_nationkey = n.n_nationkey
-        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin,
+    "q33_lateral_join" -> RelationalQueries.q33Sql,
     "q14_setops" ->
       """SELECT k FROM (
         |  SELECT k FROM (

@@ -521,17 +521,22 @@ object RelationalQueries {
     * over ONE customer scan (DomainJoin rewrite) — not a per-nation
     * re-execution. Same text runs verbatim in DuckDB as the oracle.
     */
+  /** q33/q34 SQL texts run VERBATIM in both engines: this constant is the
+    * single source referenced by the engine query AND RelationalOracles,
+    * so the verbatim-parity claim is structural, not maintained by hand. */
+  val q33Sql: String =
+    """SELECT n.n_name, c.c_name, c.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin
+
   val q33_lateral_join: Q = (s, dir) => {
     Tables.nation(s, dir).createOrReplaceTempView("nation")
     Tables.customer(s, dir).createOrReplaceTempView("customer")
-    s.sql(
-      """SELECT n.n_name, c.c_name, c.c_acctbal
-        |FROM nation n,
-        |LATERAL (
-        |  SELECT c_name, c_acctbal FROM customer
-        |  WHERE c_nationkey = n.n_nationkey
-        |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
-        |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin)
+    s.sql(q33Sql)
   }
 
   /** q34: RECURSIVE CTE (Spark 4's WITH RECURSIVE) — calendar
@@ -543,20 +548,23 @@ object RelationalQueries {
     * partial+final date aggregate — the spine join is broadcast-sized at
     * any corpus scale. Same text runs verbatim in DuckDB as the oracle.
     */
+  /** Shared verbatim-in-both-engines text — see [[q33Sql]]. */
+  val q34Sql: String =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT CAST('1995-01-01' AS DATE) AS d
+      |  UNION ALL
+      |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+      |  WHERE d < CAST('1995-01-31' AS DATE))
+      |SELECT CAST(days.d AS STRING) AS day, coalesce(o.n, CAST(0 AS BIGINT)) AS n_orders
+      |FROM days LEFT JOIN (
+      |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
+      |  FROM orders GROUP BY 1) o
+      |ON days.d = o.d
+      |ORDER BY day""".stripMargin
+
   val q34_recursive_cte: Q = (s, dir) => {
     Tables.orders(s, dir).createOrReplaceTempView("orders")
-    s.sql(
-      """WITH RECURSIVE days(d) AS (
-        |  SELECT CAST('1995-01-01' AS DATE) AS d
-        |  UNION ALL
-        |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
-        |  WHERE d < CAST('1995-01-31' AS DATE))
-        |SELECT CAST(days.d AS STRING) AS day, coalesce(o.n, CAST(0 AS BIGINT)) AS n_orders
-        |FROM days LEFT JOIN (
-        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n
-        |  FROM orders GROUP BY 1) o
-        |ON days.d = o.d
-        |ORDER BY day""".stripMargin)
+    s.sql(q34Sql)
   }
 
   /** q35: UNPIVOT/melt — wide metric columns → long (metric, value) rows,

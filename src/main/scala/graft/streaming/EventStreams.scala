@@ -156,10 +156,32 @@ object EventStreams {
     * candidates only while a yet-unseen signup could still claim them —
     * such a signup's event time must be ≥ the current watermark, so once
     * the watermark passes the candidates they are dropped via timeout.
+    *
+    * Episode semantics (declared): one row per signup EPISODE — state is
+    * dropped when a window closes, so a user signing up AGAIN after
+    * their previous window already closed starts a fresh episode and
+    * emits a fresh row (live analytics wants the new conversion window;
+    * a tombstone that suppressed it would also grow state forever). A
+    * batch backfill of a06 folds all signups into the single
+    * earliest-signup window, so streaming/batch parity holds per episode,
+    * exactly when no signup arrives after a prior window of the same
+    * user closed.
     */
   def funnelWindow(events: Dataset[Event], windowMs: Long = 24 * 3600 * 1000L,
                    watermark: String = "10 minutes"): Dataset[FunnelResult] = {
     import events.sparkSession.implicits._
+    def close(userId: Long, st: FunnelState): Iterator[FunnelResult] =
+      if (st.s1 == Long.MaxValue) Iterator.empty // unclaimed candidates expired
+      else {
+        val end = st.s1 + windowMs
+        val v1 = st.buf.iterator
+          .filter(e => e.tpe == "view" && e.ts >= st.s1 && e.ts <= end)
+          .map(_.ts).minOption
+        val p1 = v1.flatMap(v => st.buf.iterator
+          .filter(e => e.tpe == "purchase" && e.ts >= v && e.ts <= end)
+          .map(_.ts).minOption)
+        Iterator.single(FunnelResult(userId, st.s1, v1, p1))
+      }
     events
       .withWatermark("ts", watermark)
       .filter(col("event_type").isin("signup", "view", "purchase"))
@@ -170,17 +192,7 @@ object EventStreams {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            if (st.s1 == Long.MaxValue) Iterator.empty // unclaimed candidates expired
-            else {
-              val end = st.s1 + windowMs
-              val v1 = st.buf.iterator
-                .filter(e => e.tpe == "view" && e.ts >= st.s1 && e.ts <= end)
-                .map(_.ts).minOption
-              val p1 = v1.flatMap(v => st.buf.iterator
-                .filter(e => e.tpe == "purchase" && e.ts >= v && e.ts <= end)
-                .map(_.ts).minOption)
-              Iterator.single(FunnelResult(userId, st.s1, v1, p1))
-            }
+            close(userId, st)
           } else {
             val batch = rows.toList
             val prev = state.getOption.getOrElse(FunnelState(Long.MaxValue, Nil))
@@ -190,14 +202,27 @@ object EventStreams {
             val buf = (prev.buf ++ batch.iterator.filter(_.event_type != "signup")
                 .map(e => FEv(e.ts.getTime, e.event_type)))
               .filter(e => s1 == Long.MaxValue || e.ts <= s1 + windowMs)
-            if (s1 == Long.MaxValue && buf.isEmpty) state.remove()
-            else {
-              state.update(FunnelState(s1, buf))
-              // a timeout timestamp must sit beyond the current watermark
-              val closeAt = if (s1 != Long.MaxValue) s1 + windowMs else buf.map(_.ts).max
-              state.setTimeoutTimestamp(math.max(closeAt, state.getCurrentWatermarkMs() + 1))
+            val wm = state.getCurrentWatermarkMs()
+            if (s1 != Long.MaxValue && wm > s1 + windowMs) {
+              // the watermark already closed this window but the user had
+              // data in this batch — and Spark never fires a timeout for
+              // a group WITH data, so a never-silent user would postpone
+              // the emission forever. Close inline: in-window events can
+              // no longer arrive (they would be watermark-late upstream),
+              // so the result is already frozen. This batch's own events
+              // are all ≥ wm > window end — irrelevant to this episode.
+              state.remove()
+              close(userId, FunnelState(s1, buf))
+            } else {
+              if (s1 == Long.MaxValue && buf.isEmpty) state.remove()
+              else {
+                state.update(FunnelState(s1, buf))
+                // a timeout timestamp must sit beyond the current watermark
+                val closeAt = if (s1 != Long.MaxValue) s1 + windowMs else buf.map(_.ts).max
+                state.setTimeoutTimestamp(math.max(closeAt, wm + 1))
+              }
+              Iterator.empty
             }
-            Iterator.empty
           }
       }
   }

@@ -26,6 +26,10 @@ class ConnectedComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
+  test("empty pair list yields an empty clustering (no NPE on null label sum)") {
+    assert(cc(Seq.empty) === Map.empty)
+  }
+
   test("long chain collapses to one component (pointer jumping, not 1-hop)") {
     // a 64-node path: 1-hop-only propagation would need 63 rounds; the
     // jump step must close it in a handful. Every node labels to the min.

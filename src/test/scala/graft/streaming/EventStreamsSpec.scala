@@ -220,6 +220,32 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("windowed funnel closes inline for a never-silent user (no timeout starvation)") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.funnelWindow(input.toDS(),
+        windowMs = 3600 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel2").outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "signup", 0.0),
+      EventStreams.Event(2, ts(1, 30), 10, "view", 0.0))
+    query.processAllAvailable()
+    // user 10 NEVER goes silent: every subsequent batch contains their
+    // events, so Spark never fires the group's timeout — the close must
+    // happen inline once the watermark passes 2:00
+    for (h <- 3 to 5) {
+      input.addData(EventStreams.Event(10L + h, ts(h, 0), 10, "view", 0.0))
+      query.processAllAvailable()
+    }
+    val out = spark.table("funnel2").as[EventStreams.FunnelResult].collect()
+    assert(out.length === 1)
+    assert(out.head.user_id === 10L)
+    assert(out.head.signup_ms === ts(1, 0).getTime)
+    assert(out.head.view_ms === Some(ts(1, 30).getTime))
+    query.stop()
+  }
+
   test("streaming windowed top-k emits complete-window rankings at watermark close") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
