@@ -228,7 +228,11 @@ object CurationQueries {
     */
   val c09_domain_resample: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
+    // localCheckpoint: counts is referenced twice (the min() target and
+    // the per-source threshold join) — without the cut both subtrees
+    // re-run the corpus count aggregate. Source-cardinality rows, free.
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .localCheckpoint()
     val target = counts.agg(min(col("n_total")).as("tgt"))
     val thr = counts.crossJoin(target)
       .withColumn("t16", floor(lit(65536.0) * col("tgt") / col("n_total")).cast("long"))

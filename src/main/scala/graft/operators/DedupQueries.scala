@@ -294,8 +294,15 @@ object DedupQueries {
     * the check itself runs at corpus scale (sampled in practice).
     */
   val d08_lsh_recall: Q = (s, dir) => {
+    // localCheckpoint both pair sets: each is referenced twice below
+    // (count + semi-join), and without the cut Catalyst plans the FULL
+    // d04-shingle / d02-minhash pipeline once per reference — the whole
+    // heavy subtree duplicated under the count aggregates. The pair sets
+    // themselves are tiny (near-dup pairs, not the corpus), so the
+    // materialization is cheap and the audit math reads cached rows.
     val exact = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
-    val cand = minhashPairs(s, dir)
+      .localCheckpoint()
+    val cand = minhashPairs(s, dir).localCheckpoint()
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))

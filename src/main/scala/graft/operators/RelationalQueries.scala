@@ -421,8 +421,14 @@ object RelationalQueries {
     val HOT = 6 // lines-per-key threshold; production: reducer-capacity based
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
+    // localCheckpoint: hotKeys feeds FOUR probes (semi/anti on both
+    // tables); without the cut each probe re-plans the full lineitem
+    // frequency aggregate (exchange reuse does not fire across the
+    // broadcast builds — observed as plan_ids 729/737 in the r3 audit).
+    // The key set is dimension-sized, so the materialization is free.
     val hotKeys = l.groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
       .filter(col("n") >= HOT).select(col("l_orderkey").as("hot_key"))
+      .localCheckpoint()
     val lHot = l.join(broadcast(hotKeys), col("l_orderkey") === col("hot_key"), "left_semi")
       .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(SALT)))
     val lCold = l.join(broadcast(hotKeys), col("l_orderkey") === col("hot_key"), "left_anti")

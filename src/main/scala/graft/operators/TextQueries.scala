@@ -134,15 +134,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** t08: quality-decile binning — ntile(10) over the t02 quality score
-    * with (quality, doc_id) ordering so ties break deterministically, then
-    * per-decile stats. The curation use: pick a score threshold by
-    * inspecting decile boundaries before filtering a corpus.
+  /** t08: quality-decile binning — exact ntile(10) semantics over the t02
+    * quality score with (quality, doc_id) tie-break, then per-decile
+    * stats. The curation use: pick a score threshold by inspecting decile
+    * boundaries before filtering a corpus.
     *
-    * Scale note: a global ntile is a total sort — fine for reporting
-    * output (10 rows), but at 100 TB the same decision comes from
-    * approx_percentile boundaries (x02's sketch path) without the sort;
-    * this operator is the exact twin that validates those boundaries.
+    * Scale design — NO global window. A literal `ntile(10) OVER (ORDER BY
+    * …)` moves the whole corpus to one partition (Spark's own WindowExec
+    * warning). Instead the global rank is assembled distributively:
+    *   1. bucket rows by the quality value itself (quality is already
+    *      quantized to 4 decimals, so ≤ ~10 001 buckets; bucketing by a
+    *      monotone function of the sort key means bucket order = global
+    *      order). Per-bucket `row_number` over (quality, doc_id) is an
+    *      ordinary hash-partitioned window — one key-uniform exchange.
+    *   2. bucket offsets come from a bucket-count aggregate (≤ 10 001
+    *      rows at ANY corpus size — the only unpartitioned window runs
+    *      over that bounded table) and broadcast-join back.
+    *   3. global rank = bucket offset + local row_number; decile follows
+    *      ntile's exact remainder rule: the first n%10 buckets take
+    *      ceil(n/10) rows, the rest floor(n/10).
+    * A degenerate constant-quality corpus would hot-spot one bucket; that
+    * is the usual skewed-key situation (salt the bucket sub-ordered by
+    * doc_id ranges), not a flaw of the rank assembly.
     */
   val t08_quality_bins: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
@@ -156,9 +169,40 @@ object TextQueries {
         least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
           col("stop_ratio") * 0.3 +
           least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
-    scored
+      // the bucket key: quality is already a 4-decimal grid point, so the
+      // integer grid index is an exact, monotone bucketing of the sort key
+      .withColumn("qb", floor(col("quality") * 10000 + 0.5).cast("long"))
+    val local = scored.withColumn("rn",
+      row_number().over(Window.partitionBy(col("qb"))
+        .orderBy(col("quality"), col("doc_id"))))
+    // bucket sizes → cumulative offsets via a TWO-LEVEL prefix sum, so no
+    // window anywhere is unpartitioned: within a coarse group of 128
+    // buckets the prefix is a partitioned window; across coarse groups
+    // (≤ 80 rows total) the offset is a self-join aggregate. Every step
+    // runs over the bounded quality grid (≤ ~10 001 rows), never the
+    // corpus. localCheckpoint: cnt feeds three subtrees (local prefix,
+    // coarse totals, grand total).
+    val cnt = scored.groupBy(col("qb")).agg(count(lit(1)).as("bn"))
+      .withColumn("cg", expr("qb div 128")).localCheckpoint()
+    val localOff = cnt.withColumn("loff", coalesce(sum(col("bn")).over(
+      Window.partitionBy(col("cg")).orderBy(col("qb"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val cgTot = cnt.groupBy(col("cg")).agg(sum(col("bn")).as("ctot"))
+    val cgOff = cgTot.alias("a")
+      .join(cgTot.alias("b"), col("b.cg") < col("a.cg"), "left")
+      .groupBy(col("a.cg")).agg(coalesce(sum(col("b.ctot")), lit(0L)).as("coff"))
+    val nTotal = cnt.agg(sum(col("bn")).as("n_total"))
+    val offsets = localOff.join(cgOff, "cg").crossJoin(nTotal)
+      .select(col("qb"), (col("coff") + col("loff")).as("off"), col("n_total"))
+    // ntile(10) exact semantics from the global rank: with n = n_total,
+    // base = n/10 and rem = n%10, buckets 1..rem hold base+1 rows
+    val base = expr("n_total div 10")
+    val rem = col("n_total") % 10
+    val rank = col("off") + col("rn")
+    local.join(broadcast(offsets), "qb")
       .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("quality"), col("doc_id"))))
+        when(rank <= rem * (base + 1), ceil(rank / (base + 1)))
+          .otherwise(rem + ceil((rank - rem * (base + 1)) / greatest(base, lit(1L)))))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("quality")).as("min_q"), max(col("quality")).as("max_q"),
