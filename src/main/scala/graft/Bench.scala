@@ -81,12 +81,19 @@ object Bench {
         }
         name -> (if (ok) (System.nanoTime() - s) / 1e9 else -1.0)
       }.toMap
-    val times: Map[String, Double] = {
-      val (a, b) = (solo(), solo())
-      a.map { case (k, v) =>
-        val w = b.getOrElse(k, -1.0)
-        k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
-      }
+    // Keep BOTH runs: best-of-2 is the reported number, the (min,max)
+    // spread goes to BENCH_DETAIL.json so environmental noise (runs far
+    // apart) is distinguishable from a real plan regression (both runs
+    // slow) without a judge-side re-run.
+    val (soloA, soloB) = (solo(), solo())
+    val times: Map[String, Double] = soloA.map { case (k, v) =>
+      val w = soloB.getOrElse(k, -1.0)
+      k -> (if (v < 0) w else if (w < 0) v else math.min(v, w))
+    }
+    val spreads: Map[String, (Double, Double)] = soloA.map { case (k, v) =>
+      val w = soloB.getOrElse(k, -1.0)
+      val ok = Seq(v, w).filter(_ >= 0)
+      k -> (if (ok.isEmpty) (-1.0, -1.0) else (ok.min, ok.max))
     }
 
     // PBF transcode throughput — the reference's headline metric
@@ -96,7 +103,7 @@ object Bench {
     // available: this box's shared disk has multi-second I/O-wait spikes
     // that otherwise swamp the engine measurement (the metric is decode+
     // write throughput, not disk contention).
-    val transcodeRate: Option[Long] = try {
+    val transcodeRate: Option[(Long, Seq[Long])] = try {
       val shm = java.nio.file.Paths.get("/dev/shm")
       val dir = (if (java.nio.file.Files.isWritable(shm))
           java.nio.file.Files.createTempDirectory(shm, "graftpbf")
@@ -112,14 +119,17 @@ object Bench {
         // proportions, so ours is too
         val n = graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = 200,
           nodesPerBlock = 20000, waysPerBlock = 2250, relationsPerBlock = 29)
-        // best of 3: transient system load otherwise dominates the metric
-        val rates = (1 to 3).map { i =>
+        // MEDIAN of 5: this box has multi-second I/O-wait spikes (r3's
+        // recorded 1s/2s/9s swing), so a single run — or a max that
+        // rewards one lucky run — misstates the engine. Per-run rates are
+        // emitted in BENCH_DETAIL.json so the variance itself is recorded.
+        val rates = (1 to 5).map { i =>
           val t = System.nanoTime()
           graft.sources.pbf.OsmPbf.transcode(spark,
             graft.sources.pbf.PbfConfig(input = pbf, output = s"$dir/out$i"))
           (n / ((System.nanoTime() - t) / 1e9)).round
         }
-        Some(rates.max)
+        Some((rates.sorted.apply(rates.size / 2), rates))
       } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] transcode failed: ${e.getMessage}"); None
@@ -184,7 +194,13 @@ object Bench {
       .mkString("[", ",", "]")
     val fullQs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val extra = transcodeRate.map(r => s""","transcode_elems_per_s":$r""").getOrElse("")
+    val spreadQs = spreads.toSeq.sortBy(_._1)
+      .map { case (k, (lo, hi)) => "\"" + k + "\":[" + f"$lo%.3f" + "," + f"$hi%.3f" + "]" }
+      .mkString("{", ",", "}")
+    val extra = transcodeRate.map { case (med, _) =>
+      s""","transcode_elems_per_s":$med""" }.getOrElse("")
+    val transcodeRuns = transcodeRate.map { case (_, rs) =>
+      s""","transcode_runs_elems_per_s":${rs.mkString("[", ",", "]")}""" }.getOrElse("")
     val diff = if (prevQueries.isEmpty) ""
       else s""","bench_diff":{"delta_pct_vs_prev":$deltas,"regressions":$regressions}"""
 
@@ -195,8 +211,9 @@ object Bench {
     // q01), which keeps ~80 queries around 1 KB.
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (best of 2); queries=solo per-query (best of 2)",
-         |"queries_solo_sec":$fullQs,"failed":$failed$extra$diff}""".stripMargin.replace("\n", "")
+         |"timing":"total=concurrent sweep (best of 2); queries=solo per-query (best of 2); spread=[min,max] of the 2 solo runs; transcode=median of 5",
+         |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,
+         |"failed":$failed$extra$transcodeRuns$diff}""".stripMargin.replace("\n", "")
     try {
       val w = new java.io.PrintWriter("BENCH_DETAIL.json"); try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
