@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   [--compression 3] [--input-buffer-size-mb 16]
   *   [--max-records-per-file N] [--file-target-mb 500]
  *   [--row-group-target-mb 128] [--max-row-group-count N]
- *   [--master local[*]]
+ *   [--master local[*] | --worker-threads N]
   *
   * graft.Main --validate <expectedParquet> --against <actualParquet>
   *   # the reference's validate.py as a CLI verb: prints the V1-V5
@@ -24,6 +24,7 @@ import org.apache.spark.sql.SparkSession
 object Main {
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)
+    val master = masterOf(opts)
     // validate mode — the reference's validate.py as a CLI verb:
     //   graft.Main --validate <expectedParquet> --against <actualParquet>
     if (opts.contains("validate")) {
@@ -31,7 +32,7 @@ object Main {
       val actual = opts.getOrElse("against",
         { System.err.println("missing required --against"); sys.exit(2) })
       val spark = SparkSession.builder()
-        .master(opts.getOrElse("master", "local[*]"))
+        .master(master)
         .appName("graft-osm-validate")
         .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
@@ -61,7 +62,7 @@ object Main {
     config.validate()
 
     val spark = SparkSession.builder()
-      .master(opts.getOrElse("master", "local[*]"))
+      .master(master)
       .appName("graft-osm-pbf-transcode")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -75,4 +76,16 @@ object Main {
     args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
     }.toMap
+
+  /** `--worker-threads N` (the reference's thread-count knob,
+    * osm-pbf-parquet/src/util.rs:44-45) is accepted as an alias for the
+    * local master's thread count; an explicit `--master` wins if both
+    * are given.
+    */
+  private[graft] def masterOf(opts: Map[String, String]): String =
+    opts.get("master").orElse(opts.get("worker-threads").map { n =>
+      require(n.matches("\\d+") && n.toInt > 0,
+        s"--worker-threads must be a positive integer, got: $n")
+      s"local[$n]"
+    }).getOrElse("local[*]")
 }

@@ -191,4 +191,16 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       PbfConfig(input = "/x/a.pbf", fileTargetMb = Some(0)).validate())
     PbfConfig(input = "/x/a.osm.pbf").validate() // ok
   }
+
+  test("--worker-threads aliases the local master thread count (util.rs:44-45)") {
+    assert(graft.Main.masterOf(Map("worker-threads" -> "6")) === "local[6]")
+    assert(graft.Main.masterOf(Map.empty) === "local[*]")
+    // an explicit --master wins over the alias
+    assert(graft.Main.masterOf(
+      Map("master" -> "local[2]", "worker-threads" -> "6")) === "local[2]")
+    assertThrows[IllegalArgumentException](
+      graft.Main.masterOf(Map("worker-threads" -> "nope")))
+    assertThrows[IllegalArgumentException](
+      graft.Main.masterOf(Map("worker-threads" -> "0")))
+  }
 }
