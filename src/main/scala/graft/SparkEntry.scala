@@ -24,11 +24,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ Multimodal.all ++ ScaleQueries.all ++ PbfQueries.all ++
-      CurationQueries.all ++ EventJoins.all
+      CurationQueries.all ++ EventJoins.all ++ graft.streaming.StreamReplay.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOracles.all ++ TrainingOracles.all ++ CurationQueries.oracles ++
-      EventJoins.oracles
+      EventJoins.oracles ++ graft.streaming.StreamReplay.oracles
 }

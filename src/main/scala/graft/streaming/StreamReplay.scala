@@ -1,0 +1,148 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Driver-checkable STREAMING correctness entries: replay the batch
+  * `events` table through a MemoryStream into the stateful streaming
+  * operators and return the settled result as a DataFrame — so the
+  * DuckDB oracle gate exercises the streaming code paths themselves,
+  * not just their batch twins (a05/a06 prove the semantics; these prove
+  * the `flatMapGroupsWithState` implementations compute them).
+  *
+  * Replay protocol (the standard event-time test harness):
+  *   1. feed the WHOLE table as micro-batch 1 — the watermark only
+  *      advances between batches, so nothing is ever late-dropped and
+  *      each user's full history reaches one state invocation (the
+  *      documented batch-parity case of the streaming operators);
+  *   2. feed two far-future watermark ticks (filtered-out event type, so
+  *      they create no state) as batches 2-3 — the first advances the
+  *      watermark past every window close, the second gives Spark a
+  *      batch in which those event-time timeouts actually fire.
+  *
+  * MemoryStream is deliberately a driver-side replay harness (it is
+  * Spark's own streaming test source); production deployments point the
+  * SAME transforms at kafka/file sources — see
+  * [[EventStreams.streamEventsToMemory]]. The collect here is the
+  * harness, not the operator: state and aggregation stay distributed.
+  */
+object StreamReplay {
+  private type Q = (SparkSession, String) => DataFrame
+  private val sinkId = new AtomicLong(0)
+
+  /** Run `transformed(stream)` over a full-table replay of events and
+    * return the memory sink's settled contents, detached from the sink
+    * (localCheckpoint) so concurrent/later runs can't disturb it. */
+  private def replay(s: SparkSession, dir: String,
+                     mode: OutputMode,
+                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: SQLContext = s.sqlContext
+    val rows = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventStreams.Event].collect()
+    val maxTs = rows.iterator.map(_.ts.getTime).max
+    val input = MemoryStream[EventStreams.Event]
+    val sink = s"graft_replay_${sinkId.incrementAndGet()}"
+    val query = transform(input.toDS())
+      .writeStream.format("memory").queryName(sink).outputMode(mode).start()
+    try {
+      input.addData(rows.toIndexedSeq)
+      query.processAllAvailable()
+      // watermark ticks: event_type outside every operator's filter set,
+      // negative user ids (real ids are non-negative) — advance event
+      // time without creating state, then let timeouts fire
+      input.addData(EventStreams.Event(-1L,
+        new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "wm_tick", 0.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(-2L,
+        new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "wm_tick", 0.0))
+      query.processAllAvailable()
+      s.table(sink).localCheckpoint()
+    } finally {
+      query.stop()
+      s.catalog.dropTempView(sink)
+    }
+  }
+
+  /** st01: the streaming windowed funnel (EventStreams.funnelWindow) run
+    * over the replayed events table, rolled up to the a06-shaped one-row
+    * conversion report. The oracle is a06's SQL transposed to
+    * MILLISECOND precision — funnelWindow's declared working unit
+    * (`ts.getTime`); the micros-native batch twin a06 stays separately
+    * green, so both precisions are pinned.
+    */
+  val st01_funnel_stream: Q = (s, dir) =>
+    replay(s, dir, OutputMode.Append(),
+      ds => EventStreams.funnelWindow(ds).toDF())
+      .agg(count(col("signup_ms")).as("n_signup"),
+        count(col("view_ms")).as("n_view_24h"),
+        count(col("purchase_ms")).as("n_purchase_24h"))
+
+  /** st02: the streaming cohort tracker (EventStreams.cohortUpdates →
+    * cohortCounts) over the replayed events table, Complete-mode memory
+    * sink — exercising the aggregation-after-flatMapGroupsWithState
+    * path. Week arithmetic in ms matches a05's micros exactly
+    * (floor(floor(us/1000)/wk_ms) == floor(us/wk_us)), so the oracle is
+    * a05's SQL verbatim.
+    */
+  val st02_cohort_stream: Q = (s, dir) =>
+    replay(s, dir, OutputMode.Complete(),
+      // cohortUpdates tracks EVERY event type, so the watermark ticks
+      // must be dropped here (funnelWindow's own type filter handles
+      // them in st01); ticks are the only negative user ids
+      ds => EventStreams.cohortCounts(ds.filter(_.user_id >= 0L)))
+      .orderBy(col("cohort_week"), col("k"))
+
+  val all: Map[String, Q] = Map(
+    "st01_funnel_stream" -> st01_funnel_stream,
+    "st02_cohort_stream" -> st02_cohort_stream,
+  )
+
+  val oracles: Map[String, String] = Map(
+    // a06's chained-min funnel at ms precision (funnelWindow's unit)
+    "st01_funnel_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1000 AS ms FROM events
+        |), s AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup' THEN ms END) AS s1
+        |  FROM e GROUP BY user_id
+        |), v AS (
+        |  SELECT e.user_id, s.s1, min(e.ms) AS v1
+        |  FROM e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'view' AND e.ms >= s.s1
+        |    AND e.ms <= s.s1 + 86400000
+        |  GROUP BY e.user_id, s.s1
+        |), p AS (
+        |  SELECT e.user_id, min(e.ms) AS p1
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ms >= v.v1
+        |    AND e.ms <= v.s1 + 86400000
+        |  GROUP BY e.user_id
+        |)
+        |SELECT count(s.s1) AS n_signup,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_24h,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_24h
+        |FROM s WHERE s.s1 IS NOT NULL""".stripMargin,
+    // a05's retention triangle verbatim (week arithmetic is equal in
+    // ms and micros — see scaladoc)
+    "st02_cohort_stream" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY user_id
+        |)
+        |SELECT c.cohort_week, w.wk - c.cohort_week AS k,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM w JOIN c ON w.user_id = c.user_id
+        |GROUP BY c.cohort_week, w.wk - c.cohort_week
+        |ORDER BY cohort_week, k""".stripMargin,
+  )
+}
