@@ -50,7 +50,11 @@ object BlockDecoder {
       nds: Boolean = true,
       members: Boolean = true,
       info: Boolean = true,
-      types: Set[String] = Set(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation))
+      types: Set[String] = Set(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation),
+      // LocationsOnWays read option: rows carry a 14th `node_locations`
+      // column (OsmSchema.schemaWithWayLocations). Off by default — the
+      // 13-col transcode/scan paths are untouched.
+      wayLocs: Boolean = false)
 
   val FullProjection: Projection = Projection()
 
@@ -64,7 +68,7 @@ object BlockDecoder {
   /** Row view of the decode — convenience for tests and library users;
     * the scan path uses [[decodeBlockInternal]] (no conversion layer). */
   def decodeBlock(payload: Array[Byte], proj: Projection): Iterator[Row] = {
-    val conv = CatalystTypeConverters.createToScalaConverter(OsmSchema.schema)
+    val conv = CatalystTypeConverters.createToScalaConverter(OsmSchema.schemaFor(proj.wayLocs))
     decodeBlockInternal(payload, proj).map(r => conv(r).asInstanceOf[Row])
   }
 
@@ -112,6 +116,18 @@ object BlockDecoder {
       version: Any, visible: Any, tpe: UTF8String): InternalRow =
     new GenericInternalRow(Array[Any](id, tags, lat, lon, nds, members,
       changeset, tsMicros, uid, user, version, visible, tpe))
+
+  /** 13-col row, plus the trailing `node_locations` slot when the
+    * wayLocations projection is active (null for non-way rows). */
+  @inline private def mkRow(proj: Projection, id: Long, tags: Any, lat: Any,
+      lon: Any, nds: Any, members: Any, changeset: Any, tsMicros: Any,
+      uid: Any, user: Any, version: Any, visible: Any, tpe: UTF8String,
+      locs: Any): InternalRow =
+    if (!proj.wayLocs)
+      row13(id, tags, lat, lon, nds, members, changeset, tsMicros, uid, user,
+        version, visible, tpe)
+    else new GenericInternalRow(Array[Any](id, tags, lat, lon, nds, members,
+      changeset, tsMicros, uid, user, version, visible, tpe, locs))
 
   /** StringTable: repeated bytes s = 1. Invalid UTF-8 entries decode to
     * null so tag/role lookups can drop them like the reference (UTF8String
@@ -237,11 +253,11 @@ object BlockDecoder {
         case _ => r.skip(tag & 7)
       }
     }
-    row13(id, if (proj.tags) tags(keys, vals, ctx) else null,
+    mkRow(proj, id, if (proj.tags) tags(keys, vals, ctx) else null,
       ctx.coord(ctx.latOffset, lat),
       ctx.coord(ctx.lonOffset, lon), null, null, info.changeset, info.tsMicros,
       info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
-      TypeNodeU)
+      TypeNodeU, null)
   }
 
   /** DenseNodes: id=1Δ, denseinfo=5, lat=8Δ, lon=9Δ, keys_vals=10.
@@ -292,13 +308,13 @@ object BlockDecoder {
         ts += di.timestamp(i); cs += di.changeset(i); uid += di.uid(i); usid += di.userSid(i)
         val user = { val s = ctx.string(usid.toInt); if (s == null) EmptyUser else s }
         val visible = if (di.visible.length > i) di.visible(i) else true
-        row = row13(id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
+        row = mkRow(proj, id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
           null, null, Long.box(cs), Long.box(ctx.millis(ts) * 1000L), Int.box(uid.toInt),
-          user, Int.box(di.version(i).toInt), Boolean.box(visible), TypeNodeU)
+          user, Int.box(di.version(i).toInt), Boolean.box(visible), TypeNodeU, null)
       } else {
         // no DenseInfo: every info column null, including user & visible
-        row = row13(id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
-          null, null, null, null, null, null, null, null, TypeNodeU)
+        row = mkRow(proj, id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
+          null, null, null, null, null, null, null, null, TypeNodeU, null)
       }
       rows += row
       i += 1
@@ -335,15 +351,22 @@ object BlockDecoder {
     new DenseInfoArrays(version, timestamp, changeset, uid, userSid, visible)
   }
 
-  /** Way: id=1 int64, keys=2, vals=3, info=4, refs=8Δ (lat/lon 9/10 from
-    * LocationsOnWays are skipped — the reference app ignores them,
-    * sink.rs:235). */
+  /** Way: id=1 int64, keys=2, vals=3, info=4, refs=8Δ, lat=9Δ, lon=10Δ.
+    * The optional LocationsOnWays lat/lon arrays (osmformat.proto Way
+    * comment at 233-240; decoded like osmpbf/src/elements.rs:390-423) are
+    * skipped by default — the reference APP ignores them (sink.rs:235) —
+    * and surfaced as the `node_locations` column when the projection's
+    * `wayLocs` is on. A way without the arrays yields an EMPTY array,
+    * mirroring the reference library's empty iterator
+    * (elements.rs:201-216). */
   private def decodeWay(r: ProtoReader, ctx: BlockCtx, proj: Projection): InternalRow = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
     var info = new SparseInfo
     var refs: Array[Long] = Array.empty
+    var dlats: Array[Long] = Array.empty
+    var dlons: Array[Long] = Array.empty
     while (r.hasNext) {
       val tag = r.readTag()
       (tag >>> 3) match {
@@ -352,6 +375,8 @@ object BlockDecoder {
         case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
         case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
         case 8 => if (proj.nds) refs = r.readPackedZigzag() else r.skip(2)
+        case 9 => if (proj.wayLocs) dlats = r.readPackedZigzag() else r.skip(2)
+        case 10 => if (proj.wayLocs) dlons = r.readPackedZigzag() else r.skip(2)
         case _ => r.skip(tag & 7)
       }
     }
@@ -364,10 +389,28 @@ object BlockDecoder {
       nds(i) = new GenericInternalRow(Array[Any](acc))
       i += 1
     }
-    row13(id, if (proj.tags) tags(keys, vals, ctx) else null, null, null,
+    var locs: Any = null
+    if (proj.wayLocs) {
+      // same running-sum + coordinate math as the node decode
+      // (elements.rs:405-412: offset + granularity × cumulative, ×1e-9)
+      val n = math.min(dlats.length, dlons.length)
+      val out = new Array[Any](n)
+      var clat = 0L
+      var clon = 0L
+      var j = 0
+      while (j < n) {
+        clat += dlats(j)
+        clon += dlons(j)
+        out(j) = new GenericInternalRow(Array[Any](
+          ctx.coord(ctx.latOffset, clat), ctx.coord(ctx.lonOffset, clon)))
+        j += 1
+      }
+      locs = new GenericArrayData(out)
+    }
+    mkRow(proj, id, if (proj.tags) tags(keys, vals, ctx) else null, null, null,
       if (proj.nds) new GenericArrayData(nds) else null, null, info.changeset,
       info.tsMicros, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
-      TypeWayU)
+      TypeWayU, locs)
   }
 
   private val MemberTypes = Array(TypeNodeU, TypeWayU, TypeRelationU)
@@ -407,10 +450,10 @@ object BlockDecoder {
       members(i) = new GenericInternalRow(Array[Any](typeStr, acc, ctx.string(rolesSid(i).toInt)))
       i += 1
     }
-    row13(id, if (proj.tags) tags(keys, vals, ctx) else null, null, null, null,
+    mkRow(proj, id, if (proj.tags) tags(keys, vals, ctx) else null, null, null, null,
       if (proj.members) new GenericArrayData(members) else null, info.changeset,
       info.tsMicros, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
-      TypeRelationU)
+      TypeRelationU, null)
   }
 
   /** Per-blob min/max element ids — the zone map the reference's

@@ -30,13 +30,17 @@ import scala.jdk.CollectionConverters._
   *    compressed blobs, so a planet file fans out to a few thousand tasks
   *    regardless of blob count.
   *
-  * Options: `splitMb` (task target input size, default 64).
+  * Options: `splitMb` (task target input size, default 64);
+  * `wayLocations` (default false) — decode the optional LocationsOnWays
+  * way lat/lon arrays (osmpbf/src/elements.rs:201-216,390-423) into a
+  * trailing `node_locations: array<struct<lat,lon>>` column (empty array
+  * for ways in files without the feature, null for nodes/relations).
   */
 class OsmPbfDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osmpbf"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    OsmSchema.schema
+    OsmSchema.schemaFor(options.getBoolean("wayLocations", false))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
@@ -46,22 +50,27 @@ class OsmPbfDataSource extends TableProvider with DataSourceRegister {
 class OsmPbfTable(properties: Map[String, String]) extends Table with SupportsRead {
   private val path = properties.getOrElse("path",
     throw new IllegalArgumentException("osmpbf source requires .load(path)"))
+  private val wayLocs =
+    properties.get("wayLocations").exists(_.equalsIgnoreCase("true"))
 
   override def name(): String = s"osmpbf:$path"
-  override def schema(): StructType = OsmSchema.schema
+  override def schema(): StructType = OsmSchema.schemaFor(wayLocs)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OsmPbfScanBuilder(path,
       options.getOrDefault("splitMb", properties.getOrElse("splitMb", "64")).toInt,
-      Option(options.getOrDefault("spans", properties.getOrElse("spans", null))))
+      Option(options.getOrDefault("spans", properties.getOrElse("spans", null))),
+      options.getBoolean("wayLocations", wayLocs))
 }
 
-class OsmPbfScanBuilder(path: String, splitMb: Int, spansOpt: Option[String] = None)
+class OsmPbfScanBuilder(path: String, splitMb: Int, spansOpt: Option[String] = None,
+                        wayLocs: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
-  private var requiredSchema: StructType = OsmSchema.schema
+  private val sourceSchema: StructType = OsmSchema.schemaFor(wayLocs)
+  private var requiredSchema: StructType = sourceSchema
   private var pushedTypeFilters: Array[Filter] = Array.empty
   private var typeSet: Set[String] =
     Set(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
@@ -69,7 +78,7 @@ class OsmPbfScanBuilder(path: String, splitMb: Int, spansOpt: Option[String] = N
   override def pruneColumns(required: StructType): Unit = {
     // preserve source column order for a stable read schema
     val names = required.fieldNames.toSet
-    requiredSchema = StructType(OsmSchema.schema.filter(f => names.contains(f.name)))
+    requiredSchema = StructType(sourceSchema.filter(f => names.contains(f.name)))
   }
 
   /** Accepts only `type = v` / `type IN (…)`; everything else stays with
@@ -95,11 +104,13 @@ class OsmPbfScanBuilder(path: String, splitMb: Int, spansOpt: Option[String] = N
 
   override def pushedFilters(): Array[Filter] = pushedTypeFilters
 
-  override def build(): Scan = new OsmPbfScan(path, splitMb, requiredSchema, typeSet, spansOpt)
+  override def build(): Scan =
+    new OsmPbfScan(path, splitMb, requiredSchema, typeSet, spansOpt, wayLocs)
 }
 
 class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
-                 typeSet: Set[String], spansOpt: Option[String] = None) extends Scan with Batch {
+                 typeSet: Set[String], spansOpt: Option[String] = None,
+                 wayLocs: Boolean = false) extends Scan with Batch {
   override def readSchema(): StructType = requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
@@ -136,7 +147,7 @@ class OsmPbfScan(path: String, splitMb: Int, requiredSchema: StructType,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val hconf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    OsmPbfReaderFactory(hconf, requiredSchema, typeSet)
+    OsmPbfReaderFactory(hconf, requiredSchema, typeSet, wayLocs)
   }
 }
 
@@ -145,10 +156,11 @@ case class OsmPbfInputPartition(path: String, spans: Array[Blobs.BlobSpan])
 
 case class OsmPbfReaderFactory(hconf: SerializableConfiguration,
                                requiredSchema: StructType,
-                               typeSet: Set[String]) extends PartitionReaderFactory {
+                               typeSet: Set[String],
+                               wayLocs: Boolean = false) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[OsmPbfInputPartition]
-    new OsmPbfPartitionReader(p, hconf, requiredSchema, typeSet)
+    new OsmPbfPartitionReader(p, hconf, requiredSchema, typeSet, wayLocs)
   }
 }
 
@@ -157,7 +169,8 @@ case class OsmPbfReaderFactory(hconf: SerializableConfiguration,
 class OsmPbfPartitionReader(partition: OsmPbfInputPartition,
                             hconf: SerializableConfiguration,
                             requiredSchema: StructType,
-                            typeSet: Set[String]) extends PartitionReader[InternalRow] {
+                            typeSet: Set[String],
+                            wayLocs: Boolean = false) extends PartitionReader[InternalRow] {
 
   private val need = requiredSchema.fieldNames.toSet
   private val proj = BlockDecoder.Projection(
@@ -166,11 +179,17 @@ class OsmPbfPartitionReader(partition: OsmPbfInputPartition,
     nds = need.contains("nds"),
     members = need.contains("members"),
     info = Seq("changeset", "timestamp", "uid", "user", "version", "visible").exists(need),
-    types = typeSet)
-  // source-ordinal of each required column; identity when nothing is pruned
-  private val ordinals = requiredSchema.fieldNames.map(OsmSchema.schema.fieldIndex)
-  private val fullWidth = ordinals.length == OsmSchema.schema.length
-  private val fieldTypes = ordinals.map(OsmSchema.schema(_).dataType)
+    types = typeSet,
+    // column pruning composes: a wayLocations read that doesn't select
+    // node_locations skips the lat/lon decode like any pruned column
+    wayLocs = wayLocs && need.contains("node_locations"))
+  // decode emits rows of the ACTIVE source schema (13 or 14 cols)
+  private val sourceSchema = OsmSchema.schemaFor(proj.wayLocs)
+  // source-ordinal of each required column; identity when nothing is
+  // pruned (pruneColumns preserves source order, so equal length ⇒ identity)
+  private val ordinals = requiredSchema.fieldNames.map(sourceSchema.fieldIndex)
+  private val fullWidth = ordinals.length == sourceSchema.length
+  private val fieldTypes = ordinals.map(sourceSchema(_).dataType)
 
   private val fsPath = new Path(partition.path)
   private val fs = fsPath.getFileSystem(hconf.value)

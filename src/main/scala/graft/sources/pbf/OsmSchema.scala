@@ -43,4 +43,25 @@ object OsmSchema {
   val TypeNode = "node"
   val TypeWay = "way"
   val TypeRelation = "relation"
+
+  /** Way node locations (the optional LocationsOnWays feature,
+    * osmformat.proto Way.lat/lon = 9/10): degree doubles with the same
+    * coordinate math as node lat/lon. The reference LIBRARY exposes these
+    * (osmpbf/src/elements.rs:201-216, 390-423) even though the reference
+    * APP ignores them — surfaced here behind the source's
+    * `wayLocations=true` read option as a trailing `node_locations`
+    * column, so the default schema (and every existing reader/writer of
+    * it) is byte-identical.
+    */
+  val nodeLocationType: StructType = StructType(Seq(
+    StructField("lat", DoubleType, nullable = false),
+    StructField("lon", DoubleType, nullable = false)))
+
+  val NodeLocationsField: StructField = StructField("node_locations",
+    ArrayType(nodeLocationType, containsNull = false), nullable = true)
+
+  val schemaWithWayLocations: StructType = StructType(schema :+ NodeLocationsField)
+
+  def schemaFor(wayLocations: Boolean): StructType =
+    if (wayLocations) schemaWithWayLocations else schema
 }

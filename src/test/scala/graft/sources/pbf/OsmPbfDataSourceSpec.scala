@@ -65,4 +65,44 @@ class OsmPbfDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.head.getString(0) === "way" && m.head.getLong(1) === 107L &&
       m.head.getString(2) === "test_role")
   }
+
+  test("wayLocations=true surfaces node_locations through the scan (read.rs:418-509)") {
+    val loc = "/root/reference/osmpbf/tests/loc_on_ways.osm.pbf"
+    val df = spark.read.format("osmpbf").option("wayLocations", "true").load(loc)
+    assert(df.schema === OsmSchema.schemaWithWayLocations)
+
+    val way = df.filter(col("type") === "way")
+      .select("id", "node_locations").collect().head
+    assert(way.getLong(0) === 107L)
+    val locs = way.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](1)
+    val nanoLat = Seq(52122403100L, 52119923500L, 52119899100L, 52122403100L)
+    val nanoLon = Seq(11628401700L, 11625644600L, 11631019200L, 11628401700L)
+    assert(locs.map(_.getDouble(0)) === nanoLat.map(1e-9 * _))
+    assert(locs.map(_.getDouble(1)) === nanoLon.map(1e-9 * _))
+
+    // non-way rows: null column
+    val rel = df.filter(col("type") === "relation")
+      .select("node_locations").collect().head
+    assert(rel.isNullAt(0))
+
+    // a file WITHOUT the feature: ways yield an empty array (the
+    // reference library's empty iterator, elements.rs:201-216)
+    val plain = spark.read.format("osmpbf").option("wayLocations", "true")
+      .load(fixture).filter(col("type") === "way")
+      .select("node_locations").collect().head
+    assert(plain.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0).isEmpty)
+
+    // pruning composes: not selecting node_locations keeps the pruned
+    // 13-col fast path; selecting ONLY it still decodes correctly
+    val pruned = spark.read.format("osmpbf").option("wayLocations", "true")
+      .load(loc).select("id", "type")
+    assert(pruned.collect().length === df.count())
+    val only = spark.read.format("osmpbf").option("wayLocations", "true")
+      .load(loc).filter(col("type") === "way").select("node_locations")
+      .collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0)
+    assert(only.size === 4)
+
+    // default read is byte-identical to before: no node_locations column
+    assert(spark.read.format("osmpbf").load(loc).schema === OsmSchema.schema)
+  }
 }

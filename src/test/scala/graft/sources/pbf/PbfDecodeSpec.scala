@@ -104,6 +104,50 @@ class PbfDecodeSpec extends AnyFunSuite {
     val nds = way.getAs[Seq[org.apache.spark.sql.Row]](fieldIdx("nds"))
     assert(nds.map(_.getLong(0)) === Seq(105L, 106L, 108L, 105L))
     assert(way.isNullAt(fieldIdx("lat")))
+    // default schema carries no node_locations column at all
+    assert(way.size === OsmSchema.schema.length)
+  }
+
+  test("wayLocations projection decodes LocationsOnWays coords (read.rs:418-509 golden)") {
+    val path = s"$fixtures/loc_on_ways.osm.pbf"
+    val in = new FileInputStream(path)
+    val spans = try Blobs.enumerate(in) finally in.close()
+    val bytes = readFile(path)
+    val proj = BlockDecoder.FullProjection.copy(wayLocs = true)
+    val rows = spans.filter(_.blobType == Blobs.TypeOsmData).flatMap { s =>
+      val body = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.length)
+      BlockDecoder.decodeBlock(Blobs.decode(body), proj).toSeq
+    }
+    val li = OsmSchema.schemaWithWayLocations.fieldIndex("node_locations")
+
+    // header declares the feature (check_header_block_content's
+    // LOC_ON_WAYS_FILE_PATH expectation)
+    val header = spans.find(_.blobType == Blobs.TypeOsmHeader).map { s =>
+      val body = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.length)
+      BlockDecoder.decodeHeader(Blobs.decode(body))
+    }.get
+    assert(header.optionalFeatures.contains("LocationsOnWays"))
+
+    val way = rows.filter(_.getString(fieldIdx("type")) == "way").head
+    assert(way.getLong(0) === 107L)
+    val nds = way.getAs[Seq[org.apache.spark.sql.Row]](fieldIdx("nds"))
+    assert(nds.map(_.getLong(0)) === Seq(105L, 106L, 108L, 105L))
+    val locs = way.getAs[Seq[org.apache.spark.sql.Row]](li)
+    // nano-degree goldens from osmpbf/tests/read.rs:418-485; our column
+    // stores degrees = 1e-9 × nano with identical integer arithmetic, so
+    // equality is exact
+    val nanoLat = Seq(52122403100L, 52119923500L, 52119899100L, 52122403100L)
+    val nanoLon = Seq(11628401700L, 11625644600L, 11631019200L, 11628401700L)
+    assert(locs.size === 4)
+    assert(locs.map(_.getDouble(0)) === nanoLat.map(1e-9 * _))
+    assert(locs.map(_.getDouble(1)) === nanoLon.map(1e-9 * _))
+
+    // nodes/relations carry a null node_locations; the relation row from
+    // blob 2 still decodes its member role (read.rs:496-509)
+    val rel = rows.filter(_.getString(fieldIdx("type")) == "relation").head
+    assert(rel.isNullAt(li))
+    val members = rel.getAs[Seq[org.apache.spark.sql.Row]](fieldIdx("members"))
+    assert(members.map(_.getString(2)) === Seq("test_role"))
   }
 
   test("blob enumeration caps and framing") {
