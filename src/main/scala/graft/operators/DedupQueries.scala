@@ -81,8 +81,10 @@ object DedupQueries {
 
   /** (doc_a, doc_b) candidate pairs, doc_a < doc_b — shared by d02 (the
     * listing) and d07 (the clustering over them). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir))
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairsFrom(shingles(Tables.documents(s, dir)))
+
+  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -262,8 +264,10 @@ object DedupQueries {
 
   /** (doc_a, doc_b, jaccard ≥ 0.6) — shared by d04 (the listing) and d08
     * (the recall audit against d02's candidates). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(Tables.documents(s, dir))
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(shingles(Tables.documents(s, dir)))
+
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
     val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inv = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -294,15 +298,19 @@ object DedupQueries {
     * the check itself runs at corpus scale (sampled in practice).
     */
   val d08_lsh_recall: Q = (s, dir) => {
-    // localCheckpoint both pair sets: each is referenced twice below
-    // (count + semi-join), and without the cut Catalyst plans the FULL
-    // d04-shingle / d02-minhash pipeline once per reference — the whole
-    // heavy subtree duplicated under the count aggregates. The pair sets
-    // themselves are tiny (near-dup pairs, not the corpus), so the
-    // materialization is cheap and the audit math reads cached rows.
-    val exact = jaccardPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    // Three localCheckpoint cuts. The SHINGLE table feeds both audited
+    // pipelines (d02's minhash and d04's inverted index use the same
+    // 3-shingles), so computing it once halves the explode work; both
+    // consumers re-shuffle it anyway, so the materialization replaces a
+    // recompute, not a narrow pipeline. The PAIR sets are each referenced
+    // twice below (count + semi-join) — without the cut Catalyst plans
+    // the full pipeline once per reference. Pairs are tiny; shingles are
+    // corpus×shingle-sized but strictly smaller than re-running the scan
+    // + split + explode per pipeline.
+    val sh = shingles(Tables.documents(s, dir)).localCheckpoint()
+    val exact = jaccardPairsFrom(sh).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val cand = minhashPairs(s, dir).localCheckpoint()
+    val cand = minhashPairsFrom(sh).localCheckpoint()
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
