@@ -127,7 +127,11 @@ object Bench {
           val t = System.nanoTime()
           graft.sources.pbf.OsmPbf.transcode(spark,
             graft.sources.pbf.PbfConfig(input = pbf, output = s"$dir/out$i"))
-          (n / ((System.nanoTime() - t) / 1e9)).round
+          val rate = (n / ((System.nanoTime() - t) / 1e9)).round
+          // scratch is tmpfs: drop each (never-read) output immediately so
+          // 5 runs hold one output's RAM, not five accumulating
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out$i"))
+          rate
         }
         Some((rates.sorted.apply(rates.size / 2), rates))
       } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

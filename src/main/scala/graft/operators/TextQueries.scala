@@ -170,8 +170,14 @@ object TextQueries {
           col("stop_ratio") * 0.3 +
           least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
       // the bucket key: quality is already a 4-decimal grid point, so the
-      // integer grid index is an exact, monotone bucketing of the sort key
-      .withColumn("qb", floor(col("quality") * 10000 + 0.5).cast("long"))
+      // integer grid index is an exact, monotone bucketing of the sort key.
+      // NULL quality (a null-text doc) maps to bucket -1 — it must stay a
+      // JOINABLE key (a null qb would silently drop the row from the
+      // offset equi-joins), and -1 sorts before every real bucket, which
+      // is exactly Spark's nulls-first ORDER BY position the old global
+      // ntile gave such rows
+      .withColumn("qb", coalesce(
+        floor(col("quality") * 10000 + 0.5).cast("long"), lit(-1L)))
     val local = scored.withColumn("rn",
       row_number().over(Window.partitionBy(col("qb"))
         .orderBy(col("quality"), col("doc_id"))))

@@ -375,8 +375,14 @@ object BlockDecoder {
         case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
         case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
         case 8 => if (proj.nds) refs = r.readPackedZigzag() else r.skip(2)
-        case 9 => if (proj.wayLocs) dlats = r.readPackedZigzag() else r.skip(2)
-        case 10 => if (proj.wayLocs) dlons = r.readPackedZigzag() else r.skip(2)
+        // lat/lon must accept BOTH encodings of a packed-declared field
+        // (protobuf spec: parsers handle packed and expanded, repeats
+        // concatenate) — and when pruned, skip by the ACTUAL wire type so
+        // an expanded varint doesn't get misread as a length prefix
+        case 9 => if (proj.wayLocs) dlats = appendZigzags(dlats, r, tag)
+                  else r.skip(tag & 7)
+        case 10 => if (proj.wayLocs) dlons = appendZigzags(dlons, r, tag)
+                   else r.skip(tag & 7)
         case _ => r.skip(tag & 7)
       }
     }
@@ -412,6 +418,14 @@ object BlockDecoder {
       info.tsMicros, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
       TypeWayU, locs)
   }
+
+  /** Packed-declared sint64 field occurrence: wire 2 = packed payload,
+    * anything else = one expanded zigzag value; occurrences concatenate. */
+  private def appendZigzags(cur: Array[Long], r: ProtoReader, tag: Int): Array[Long] =
+    if ((tag & 7) == 2) {
+      val nw = r.readPackedZigzag()
+      if (cur.isEmpty) nw else cur ++ nw
+    } else cur :+ r.readZigzag()
 
   private val MemberTypes = Array(TypeNodeU, TypeWayU, TypeRelationU)
 

@@ -50,8 +50,11 @@ class OsmPbfDataSource extends TableProvider with DataSourceRegister {
 class OsmPbfTable(properties: Map[String, String]) extends Table with SupportsRead {
   private val path = properties.getOrElse("path",
     throw new IllegalArgumentException("osmpbf source requires .load(path)"))
-  private val wayLocs =
-    properties.get("wayLocations").exists(_.equalsIgnoreCase("true"))
+  // case-insensitive like every other option lookup here (inferSchema and
+  // newScanBuilder read a CaseInsensitiveStringMap; this map is raw)
+  private val wayLocs = properties.collectFirst {
+    case (k, v) if k.equalsIgnoreCase("wayLocations") => v
+  }.exists(_.equalsIgnoreCase("true"))
 
   override def name(): String = s"osmpbf:$path"
   override def schema(): StructType = OsmSchema.schemaFor(wayLocs)

@@ -46,7 +46,7 @@ object StreamReplay {
       .select(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"))
       .as[EventStreams.Event].collect()
-    val maxTs = rows.iterator.map(_.ts.getTime).max
+    val maxTs = rows.iterator.map(_.ts.getTime).maxOption.getOrElse(0L)
     val input = MemoryStream[EventStreams.Event]
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
     val query = transform(input.toDS())
@@ -54,14 +54,21 @@ object StreamReplay {
     try {
       input.addData(rows.toIndexedSeq)
       query.processAllAvailable()
-      // watermark ticks: event_type outside every operator's filter set,
-      // negative user ids (real ids are non-negative) — advance event
-      // time without creating state, then let timeouts fire
+      // Watermark ticks use event_type "view" — an event type every
+      // operator's own filter KEEPS. A made-up type would be cleaner, but
+      // the optimizer pushes `filter(event_type isin …)` BELOW the
+      // EventTimeWatermark node (PushPredicateThroughNonJoin), so a
+      // filtered-out tick would never reach the watermark statistics and
+      // the protocol would be a silent no-op: windows ending inside the
+      // last watermark-delay of real event time would simply never close.
+      // Negative user ids (real ids are non-negative) keep tick state
+      // inert — an unclaimed view candidate emits nothing (funnelWindow)
+      // and is dropped by the operator-side user_id >= 0 filter (st02).
       input.addData(EventStreams.Event(-1L,
-        new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "wm_tick", 0.0))
+        new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "view", 0.0))
       query.processAllAvailable()
       input.addData(EventStreams.Event(-2L,
-        new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "wm_tick", 0.0))
+        new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
       query.processAllAvailable()
       s.table(sink).localCheckpoint()
     } finally {

@@ -104,5 +104,11 @@ class OsmPbfDataSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     // default read is byte-identical to before: no node_locations column
     assert(spark.read.format("osmpbf").load(loc).schema === OsmSchema.schema)
+
+    // option key is case-insensitive end to end (Table reads the raw
+    // properties map; inferSchema a CaseInsensitiveStringMap — both must
+    // agree on the schema or the advertised column vanishes at analysis)
+    assert(spark.read.format("osmpbf").option("WAYLOCATIONS", "true")
+      .load(loc).schema === OsmSchema.schemaWithWayLocations)
   }
 }

@@ -150,6 +150,47 @@ class PbfDecodeSpec extends AnyFunSuite {
     assert(members.map(_.getString(2)) === Seq("test_role"))
   }
 
+  test("way lat/lon in EXPANDED encoding decode and skip correctly") {
+    // protobuf spec: a packed-declared repeated field may arrive expanded
+    // (one tagged varint per value) and occurrences concatenate. Build a
+    // way whose lat values are expanded wire-0 zigzags and whose lon
+    // values are a packed wire-2 payload — both must decode, and the
+    // pruned path must skip the expanded values by wire type (a
+    // length-prefix skip would desynchronize the cursor).
+    import PbfWriter.MessageBuilder
+    val wm = new MessageBuilder
+    wm.writeVarintField(1, 42L) // id
+    wm.writePackedZigzag(8, Seq(7L, 1L)) // refs delta -> 7, 8
+    wm.writeZigzagField(9, 100L) // lat deltas, expanded
+    wm.writeZigzagField(9, 5L)
+    wm.writePackedZigzag(10, Seq(200L, -3L)) // lon deltas, packed
+    val group = new MessageBuilder
+    group.writeMessageField(3, wm)
+    val st = new MessageBuilder
+    st.writeBytesField(1, Array.empty[Byte]) // string table index 0
+    val block = new MessageBuilder
+    block.writeMessageField(1, st)
+    block.writeMessageField(2, group)
+    val payload = block.result()
+
+    // default projection: expanded lat values are SKIPPED (wire-0), and
+    // the fields after them (none here, but the cursor must stay sane)
+    val plain = BlockDecoder.decodeBlock(payload).toSeq
+    assert(plain.size === 1)
+    assert(plain.head.getLong(0) === 42L)
+    assert(plain.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+      fieldIdx("nds")).map(_.getLong(0)) === Seq(7L, 8L))
+
+    // wayLocations projection: cumulative sums with default granularity
+    // 100, offsets 0 -> degrees = 1e-9 * 100 * cum
+    val locs = BlockDecoder.decodeBlock(payload,
+        BlockDecoder.FullProjection.copy(wayLocs = true)).toSeq.head
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]](
+        OsmSchema.schemaWithWayLocations.fieldIndex("node_locations"))
+    assert(locs.map(_.getDouble(0)) === Seq(100L, 105L).map(c => 1e-9 * 100 * c))
+    assert(locs.map(_.getDouble(1)) === Seq(200L, 197L).map(c => 1e-9 * 100 * c))
+  }
+
   test("blob enumeration caps and framing") {
     val in = new FileInputStream(s"$fixtures/test.osm.pbf")
     val spans = try Blobs.enumerate(in) finally in.close()

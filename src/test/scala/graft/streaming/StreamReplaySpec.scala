@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression specs for the MemoryStream replay harness behind the st01/
+  * st02 correctness-gate entries — chiefly the watermark-tick protocol:
+  * ticks must use an event type the operators' own filters KEEP, because
+  * the optimizer pushes those filters below the EventTimeWatermark node
+  * and a filtered-out tick would never advance event time (leaving any
+  * window ending inside the final watermark-delay of real event time
+  * permanently open).
+  */
+class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("stream-replay-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def writeEvents(rows: Seq[(Long, Timestamp, Long, String, Double)]): String = {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("st01 emits a funnel row for a signup that is the LAST event in the stream") {
+    // user 10: full conversion well inside the corpus; user 20: signs up
+    // at the very last real timestamp — its 24h window end is far beyond
+    // max(ts) - watermark delay, so only the far-future ticks can close
+    // it. Before the tick-type fix this user's row was silently never
+    // emitted (n_signup read 1).
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 08:00:00"), 10L, "signup", 0.0),
+      (2L, ts("2026-01-01 09:00:00"), 10L, "view", 1.0),
+      (3L, ts("2026-01-01 09:30:00"), 10L, "purchase", 5.0),
+      (4L, ts("2026-01-02 00:00:00"), 20L, "signup", 0.0)))
+    val row = StreamReplay.st01_funnel_stream(spark, dir).collect().head
+    assert(row.getLong(row.fieldIndex("n_signup")) === 2L)
+    assert(row.getLong(row.fieldIndex("n_view_24h")) === 1L)
+    assert(row.getLong(row.fieldIndex("n_purchase_24h")) === 1L)
+  }
+
+  test("st02 cohort counts match the batch formulation on a replay") {
+    // two users in week w, one returning the following week; tick events
+    // (negative user ids) must not register as a far-future cohort
+    val w0 = ts("2026-01-05 10:00:00") // some week
+    val w1 = ts("2026-01-12 10:00:00") // +7 days
+    val dir = writeEvents(Seq(
+      (1L, w0, 10L, "view", 1.0),
+      (2L, w0, 20L, "view", 1.0),
+      (3L, w1, 10L, "click", 1.0)))
+    val out = StreamReplay.st02_cohort_stream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cohort = w0.getTime / 604800000L
+    assert(out.toSeq === Seq((cohort, 0L, 2L), (cohort, 1L, 1L)))
+  }
+
+  test("empty events table yields the zero-count row, not a crash") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
+    Seq.empty[(Long, Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val funnel = StreamReplay.st01_funnel_stream(spark, dir).collect()
+    assert(funnel.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((0L, 0L, 0L)))
+    assert(StreamReplay.st02_cohort_stream(spark, dir).collect().isEmpty)
+  }
+}
