@@ -37,9 +37,17 @@ object StreamReplay {
   /** Run `transformed(stream)` over a full-table replay of events and
     * return the memory sink's settled contents, detached from the sink
     * (localCheckpoint) so concurrent/later runs can't disturb it. */
-  private def replay(s: SparkSession, dir: String,
+  private def replay(outer: SparkSession, dir: String,
                      mode: OutputMode,
                      transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): DataFrame = {
+    // an isolated session (shared context, own SQLConf/catalog):
+    // stateful streaming cost is dominated by per-partition state-store
+    // commits (shuffle.partitions × batches), so the replay scopes a
+    // small partition count — and a tmpfs checkpoint where available —
+    // to its own session state instead of mutating the caller's conf
+    // under concurrently running queries
+    val s: SparkSession = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     import s.implicits._
     implicit val sqlCtx: SQLContext = s.sqlContext
     val rows = graft.Tables.events(s, dir)
@@ -49,8 +57,13 @@ object StreamReplay {
     val maxTs = rows.iterator.map(_.ts.getTime).maxOption.getOrElse(0L)
     val input = MemoryStream[EventStreams.Event]
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val ckpt = (if (java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, "graftckpt")
+      else java.nio.file.Files.createTempDirectory("graftckpt")).toString
     val query = transform(input.toDS())
-      .writeStream.format("memory").queryName(sink).outputMode(mode).start()
+      .writeStream.format("memory").queryName(sink).outputMode(mode)
+      .option("checkpointLocation", ckpt).start()
     try {
       input.addData(rows.toIndexedSeq)
       query.processAllAvailable()
@@ -74,6 +87,8 @@ object StreamReplay {
     } finally {
       query.stop()
       s.catalog.dropTempView(sink)
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      catch { case _: java.io.IOException => () }
     }
   }
 
