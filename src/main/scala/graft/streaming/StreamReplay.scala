@@ -37,9 +37,18 @@ object StreamReplay {
   /** Run `transformed(stream)` over a full-table replay of events and
     * return the memory sink's settled contents, detached from the sink
     * (localCheckpoint) so concurrent/later runs can't disturb it. */
-  private def replay(outer: SparkSession, dir: String,
+  private def replay(s: SparkSession, dir: String,
                      mode: OutputMode,
-                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): DataFrame = {
+                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): DataFrame =
+    replayRaw(s, dir, mode, transform)._1
+
+  /** [[replay]] plus the max real event-time millis — for callers that
+    * must separate real-data results from the watermark ticks' own
+    * output (operators without an event-type filter aggregate the tick
+    * rows too; their far-future buckets filter out on `> maxTs`). */
+  private def replayRaw(outer: SparkSession, dir: String,
+                     mode: OutputMode,
+                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): (DataFrame, Long) = {
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
@@ -83,7 +92,7 @@ object StreamReplay {
       input.addData(EventStreams.Event(-2L,
         new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
       query.processAllAvailable()
-      s.table(sink).localCheckpoint()
+      (s.table(sink).localCheckpoint(), maxTs)
     } finally {
       query.stop()
       s.catalog.dropTempView(sink)
@@ -121,9 +130,29 @@ object StreamReplay {
       ds => EventStreams.cohortCounts(ds.filter(_.user_id >= 0L)))
       .orderBy(col("cohort_week"), col("k"))
 
+  /** st03: the WINDOWED-AGGREGATION state path (EventStreams
+    * .windowedCounts — watermarked tumbling windows in append mode, a
+    * different streaming runtime path from st01/st02's
+    * flatMapGroupsWithState) over the replayed events table. Append mode
+    * emits a window exactly once when the watermark passes its end, so
+    * the ticks both close the real windows and aggregate into their own
+    * far-future buckets — stripped by the `> maxTs` filter. Oracle =
+    * q23's tumbling-window SQL verbatim (same epoch-second shaping as
+    * the batch twin).
+    */
+  val st03_windowed_stream: Q = (s, dir) => {
+    val (out, maxTs) = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.windowedCounts(ds.toDF()))
+    out.filter(col("bucket_start") <= timestamp_millis(lit(maxTs)))
+      .select(unix_timestamp(col("bucket_start")).as("bucket_start"),
+        col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("bucket_start"), col("event_type"))
+  }
+
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
+    "st03_windowed_stream" -> st03_windowed_stream,
   )
 
   val oracles: Map[String, String] = Map(
@@ -152,6 +181,13 @@ object StreamReplay {
         |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_24h,
         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_24h
         |FROM s WHERE s.s1 IS NOT NULL""".stripMargin,
+    // q23's tumbling-window aggregate verbatim (the batch twin's oracle)
+    "st03_windowed_stream" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY bucket_start, event_type""".stripMargin,
     // a05's retention triangle verbatim (week arithmetic is equal in
     // ms and micros — see scaladoc)
     "st02_cohort_stream" ->
