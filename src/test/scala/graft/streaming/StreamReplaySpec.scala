@@ -73,6 +73,22 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((cohort, 0L, 2L), (cohort, 1L, 1L)))
   }
 
+  test("st03 closes every real window and strips the tick buckets") {
+    // two hour-buckets of real data; the last real window ends 30 min
+    // after the last event — only the far-future ticks can close it, and
+    // the ticks' own "view" rows must NOT appear in the output
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 08:10:00"), 10L, "view", 1.0),
+      (2L, ts("2026-01-01 08:20:00"), 20L, "click", 2.0),
+      (3L, ts("2026-01-01 09:30:00"), 10L, "view", 4.0)))
+    val out = StreamReplay.st03_windowed_stream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val h8 = Timestamp.valueOf("2026-01-01 08:00:00").getTime / 1000
+    assert(out.toSeq === Seq(
+      (h8, "click", 1L, 2.0), (h8, "view", 1L, 1.0),
+      (h8 + 3600, "view", 1L, 4.0)))
+  }
+
   test("empty events table yields the zero-count row, not a crash") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
