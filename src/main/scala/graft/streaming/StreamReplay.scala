@@ -149,10 +149,28 @@ object StreamReplay {
       .orderBy(col("bucket_start"), col("event_type"))
   }
 
+  /** st04: the streaming windowed TOP-K (EventStreams.topKPerWindow — the
+    * streaming twin of the q29/TopKPerKey custom operator) over the
+    * replayed events table: per tumbling hour, the 3 most frequent event
+    * types, emitted once at watermark close from per-window keyed state.
+    * Ticks form their own far-future windows (the first closes and
+    * emits) — stripped by the `> maxTs` filter like st03. Ranking is
+    * deterministic (count desc, type asc), so the DuckDB row_number
+    * oracle matches exactly.
+    */
+  val st04_topk_stream: Q = (s, dir) => {
+    val (out, maxTs) = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.topKPerWindow(ds).toDF())
+    out.filter(col("window_start_ms") <= maxTs)
+      .select(col("window_start_ms"), col("rank"), col("event_type"), col("n"))
+      .orderBy(col("window_start_ms"), col("rank"))
+  }
+
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
     "st03_windowed_stream" -> st03_windowed_stream,
+    "st04_topk_stream" -> st04_topk_stream,
   )
 
   val oracles: Map[String, String] = Map(
@@ -188,6 +206,21 @@ object StreamReplay {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+    // hourly top-3 event types; ms window index × 3 600 000 matches
+    // topKPerWindow's floorDiv window key exactly for epoch-positive ts
+    "st04_topk_stream" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 1000 // 3600000) * 3600000 AS window_start_ms,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT window_start_ms, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY window_start_ms
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rank
+        |  FROM c)
+        |SELECT window_start_ms, rank, event_type, n
+        |FROM r WHERE rank <= 3
+        |ORDER BY window_start_ms, rank""".stripMargin,
     // a05's retention triangle verbatim (week arithmetic is equal in
     // ms and micros — see scaladoc)
     "st02_cohort_stream" ->

@@ -89,6 +89,23 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       (h8 + 3600, "view", 1L, 4.0)))
   }
 
+  test("st04 ranks event types per closed window, ticks stripped") {
+    // one hour-bucket with 4 types (top-3 cut drops the rarest), ties
+    // broken by type name; the tick windows must not surface
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 08:01:00"), 10L, "view", 1.0),
+      (2L, ts("2026-01-01 08:02:00"), 11L, "view", 1.0),
+      (3L, ts("2026-01-01 08:03:00"), 12L, "click", 1.0),
+      (4L, ts("2026-01-01 08:04:00"), 13L, "click", 1.0),
+      (5L, ts("2026-01-01 08:05:00"), 14L, "signup", 1.0),
+      (6L, ts("2026-01-01 08:06:00"), 15L, "purchase", 1.0)))
+    val out = StreamReplay.st04_topk_stream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val h8 = Timestamp.valueOf("2026-01-01 08:00:00").getTime
+    assert(out.toSeq === Seq(
+      (h8, 1, "click", 2L), (h8, 2, "view", 2L), (h8, 3, "purchase", 1L)))
+  }
+
   test("empty events table yields the zero-count row, not a crash") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
