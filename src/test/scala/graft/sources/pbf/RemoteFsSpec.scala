@@ -1,0 +1,61 @@
+package graft.sources.pbf
+
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** A non-`file:` Hadoop FileSystem with its own scheme, backed by local
+  * disk — the sandbox stand-in for an object store. Everything the source
+  * does against `s3a:` goes through exactly this seam (FileSystem.get →
+  * open → seek/readFully; mkdirs/create/rename on the write side), so
+  * driving the full read + transcode paths through a foreign scheme
+  * verifies the S2 claim as far as a sandbox without network can:
+  * no code path assumes `file:` or java.io outside the FS API.
+  */
+class MockObjectStoreFs extends RawLocalFileSystem {
+  override def getUri: java.net.URI = java.net.URI.create("graftmock:///")
+  override def getScheme: String = "graftmock"
+}
+
+class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val fixture = "/root/reference/osmpbf/tests/test.osm.pbf"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("remote-fs-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.graftmock.impl", classOf[MockObjectStoreFs].getName)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bootstrap read + DSv2 scan work through a non-file Hadoop FS scheme") {
+    val df = OsmPbf.read(spark, s"graftmock://$fixture")
+    assert(df.count() === 5)
+    val v2 = spark.read.format("osmpbf").load(s"graftmock://$fixture")
+      .filter(org.apache.spark.sql.functions.col("type") === "way")
+      .select("id").collect()
+    assert(v2.map(_.getLong(0)).toSeq === Seq(107L))
+  }
+
+  test("transcode reads AND writes through the foreign scheme") {
+    val out = java.nio.file.Files.createTempDirectory("graftmockout").toString
+    val counts = OsmPbf.transcode(spark, PbfConfig(
+      input = s"graftmock://$fixture", output = s"graftmock://$out"))
+    assert(counts.values.sum === 5L)
+    // read back through the same scheme: the staging-dir swap, hive
+    // type= layout, and parquet files all landed via the FS API
+    val back = spark.read.parquet(s"graftmock://$out")
+    assert(back.count() === 5)
+    assert(back.select("type").distinct().collect().map(_.getString(0)).sorted
+      === Array("node", "relation", "way"))
+  }
+}
