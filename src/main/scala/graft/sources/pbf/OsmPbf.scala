@@ -341,15 +341,13 @@ final case class PbfConfig(
     require(fileTargetMb.forall(_ > 0), "file target must be positive") // util.rs:121-125
     require(rowGroupTargetMb > 0, "row group target must be positive")
     require(maxRowGroupRows.forall(_ > 0), "max row group count must be positive") // util.rs:57-59
-    // The reference hard-splits s3:// vs plain paths because it has
-    // exactly two IO backends (util.rs:129-151). This engine has ONE
-    // generic backend — the Hadoop FileSystem API — so any scheme with a
-    // registered FS implementation (s3a:, hdfs:, viewfs:, gs:, abfs:, a
-    // test scheme) works; an unregistered scheme fails at FileSystem.get
-    // with Hadoop's own typed "No FileSystem for scheme" error, which is
-    // strictly more informative than a pre-emptive allowlist here. Only
-    // a syntactically scheme-less relative URI with "://" is rejected.
-    require(!input.contains("://") || input.takeWhile(_ != ':').nonEmpty,
-      s"malformed input URI: $input")
+    // No scheme allowlist. The reference hard-splits s3:// vs plain
+    // paths because it has exactly two IO backends (util.rs:129-151);
+    // this engine has ONE generic backend — the Hadoop FileSystem API —
+    // so any scheme with a registered FS implementation (s3a:, hdfs:,
+    // viewfs:, gs:, abfs:, a test scheme) works, and an unregistered
+    // scheme fails at FileSystem.get with Hadoop's own typed
+    // "No FileSystem for scheme" error, which is strictly more
+    // informative than a pre-emptive require here could be.
   }
 }

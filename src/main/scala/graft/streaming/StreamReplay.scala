@@ -70,32 +70,38 @@ object StreamReplay {
     val ckpt = (if (java.nio.file.Files.isWritable(shm))
         java.nio.file.Files.createTempDirectory(shm, "graftckpt")
       else java.nio.file.Files.createTempDirectory("graftckpt")).toString
-    val query = transform(input.toDS())
-      .writeStream.format("memory").queryName(sink).outputMode(mode)
-      .option("checkpointLocation", ckpt).start()
     try {
-      input.addData(rows.toIndexedSeq)
-      query.processAllAvailable()
-      // Watermark ticks use event_type "view" — an event type every
-      // operator's own filter KEEPS. A made-up type would be cleaner, but
-      // the optimizer pushes `filter(event_type isin …)` BELOW the
-      // EventTimeWatermark node (PushPredicateThroughNonJoin), so a
-      // filtered-out tick would never reach the watermark statistics and
-      // the protocol would be a silent no-op: windows ending inside the
-      // last watermark-delay of real event time would simply never close.
-      // Negative user ids (real ids are non-negative) keep tick state
-      // inert — an unclaimed view candidate emits nothing (funnelWindow)
-      // and is dropped by the operator-side user_id >= 0 filter (st02).
-      input.addData(EventStreams.Event(-1L,
-        new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "view", 0.0))
-      query.processAllAvailable()
-      input.addData(EventStreams.Event(-2L,
-        new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
-      query.processAllAvailable()
-      (s.table(sink).localCheckpoint(), maxTs)
+      val query = transform(input.toDS())
+        .writeStream.format("memory").queryName(sink).outputMode(mode)
+        .option("checkpointLocation", ckpt).start()
+      try {
+        input.addData(rows.toIndexedSeq)
+        query.processAllAvailable()
+        // Watermark ticks use event_type "view" — an event type every
+        // operator's own filter KEEPS. A made-up type would be cleaner,
+        // but the optimizer pushes `filter(event_type isin …)` BELOW the
+        // EventTimeWatermark node (PushPredicateThroughNonJoin), so a
+        // filtered-out tick would never reach the watermark statistics
+        // and the protocol would be a silent no-op: windows ending
+        // inside the last watermark-delay of real event time would
+        // simply never close. Negative user ids (real ids are
+        // non-negative) keep tick state inert — an unclaimed view
+        // candidate emits nothing (funnelWindow) and is dropped by the
+        // operator-side user_id >= 0 filter (st02).
+        input.addData(EventStreams.Event(-1L,
+          new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "view", 0.0))
+        query.processAllAvailable()
+        input.addData(EventStreams.Event(-2L,
+          new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
+        query.processAllAvailable()
+        (s.table(sink).localCheckpoint(), maxTs)
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(sink)
+      }
     } finally {
-      query.stop()
-      s.catalog.dropTempView(sink)
+      // outer finally: the tmpfs checkpoint dir exists even when
+      // transform()/start() throws before the inner try begins
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
       catch { case _: java.io.IOException => () }
     }

@@ -30,8 +30,13 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.hadoop.fs.graftmock.impl", classOf[MockObjectStoreFs].getName)
       .getOrCreate()
+    // set on the CONTEXT's hadoop conf directly: getOrCreate() against an
+    // already-running context (another suite's session) would silently
+    // drop a spark.hadoop.* builder conf, and OsmPbf resolves filesystems
+    // from sparkContext.hadoopConfiguration
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftmock.impl", classOf[MockObjectStoreFs].getName)
     spark.sparkContext.setLogLevel("WARN")
   }
 

@@ -74,19 +74,28 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("st03 closes every real window and strips the tick buckets") {
-    // two hour-buckets of real data; the last real window ends 30 min
-    // after the last event — only the far-future ticks can close it, and
-    // the ticks' own "view" rows must NOT appear in the output
+    // two hour-buckets of real data; the last real window ends almost an
+    // hour after the last event — only the far-future ticks can close
+    // it, and the ticks' own "view" rows must NOT appear in the output.
+    // Expected buckets derive from EPOCH hour floors (Spark's window()
+    // is epoch-aligned), not from local wall-clock hours, so the test
+    // holds under any JVM default timezone; minutes :01-:05 keep the
+    // events inside one epoch hour for every real-world UTC offset
+    // (offsets are multiples of 15 min)
+    val e1 = ts("2026-01-01 08:01:00")
+    val e2 = ts("2026-01-01 08:05:00")
+    val e3 = ts("2026-01-01 09:01:00")
     val dir = writeEvents(Seq(
-      (1L, ts("2026-01-01 08:10:00"), 10L, "view", 1.0),
-      (2L, ts("2026-01-01 08:20:00"), 20L, "click", 2.0),
-      (3L, ts("2026-01-01 09:30:00"), 10L, "view", 4.0)))
+      (1L, e1, 10L, "view", 1.0),
+      (2L, e2, 20L, "click", 2.0),
+      (3L, e3, 10L, "view", 4.0)))
     val out = StreamReplay.st03_windowed_stream(spark, dir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
-    val h8 = Timestamp.valueOf("2026-01-01 08:00:00").getTime / 1000
+    val b1 = e1.getTime / 3600000 * 3600
+    val b2 = e3.getTime / 3600000 * 3600
     assert(out.toSeq === Seq(
-      (h8, "click", 1L, 2.0), (h8, "view", 1L, 1.0),
-      (h8 + 3600, "view", 1L, 4.0)))
+      (b1, "click", 1L, 2.0), (b1, "view", 1L, 1.0),
+      (b2, "view", 1L, 4.0)))
   }
 
   test("st04 ranks event types per closed window, ticks stripped") {
@@ -101,7 +110,9 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, ts("2026-01-01 08:06:00"), 15L, "purchase", 1.0)))
     val out = StreamReplay.st04_topk_stream(spark, dir).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
-    val h8 = Timestamp.valueOf("2026-01-01 08:00:00").getTime
+    // epoch hour floor (minutes :01-:06 stay inside one epoch hour under
+    // any real UTC offset), not the local wall-clock hour
+    val h8 = ts("2026-01-01 08:01:00").getTime / 3600000 * 3600000
     assert(out.toSeq === Seq(
       (h8, 1, "click", 2L), (h8, 2, "view", 2L), (h8, 3, "purchase", 1L)))
   }
