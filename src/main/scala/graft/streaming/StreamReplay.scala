@@ -172,11 +172,30 @@ object StreamReplay {
       .orderBy(col("window_start_ms"), col("rank"))
   }
 
+  /** st05: the STREAM-STREAM interval join (EventStreams.clickViewJoin —
+    * each click matched to the same user's views in the preceding hour)
+    * over the replayed events table. Inner joins emit eagerly as matches
+    * arrive (the watermark only bounds buffered state), so the whole
+    * result materializes in batch 1; the ticks are "view" rows for
+    * negative users with no clicks, so they can never join. Timestamps
+    * are emitted as epoch MICROS and the oracle joins in the same
+    * µs-truncated domain — the events table is nanosecond-precision on
+    * disk, and comparing at different precisions would flip boundary
+    * rows.
+    */
+  val st05_interval_join_stream: Q = (s, dir) =>
+    replay(s, dir, OutputMode.Append(),
+      ds => EventStreams.clickViewJoin(ds.toDF()))
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
+      .orderBy(col("click_id"), col("view_id"))
+
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
     "st03_windowed_stream" -> st03_windowed_stream,
     "st04_topk_stream" -> st04_topk_stream,
+    "st05_interval_join_stream" -> st05_interval_join_stream,
   )
 
   val oracles: Map[String, String] = Map(
@@ -212,6 +231,19 @@ object StreamReplay {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
+    // clicks ⋈ same-user views within the preceding hour, joined in the
+    // µs-truncated domain Spark reads (events.parquet is ns on disk)
+    "st05_interval_join_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  c.us AS c_us, v.us AS v_us
+        |FROM e c JOIN e v
+        |  ON c.user_id = v.user_id
+        |  AND v.us <= c.us AND v.us >= c.us - 3600000000
+        |WHERE c.event_type = 'click' AND v.event_type = 'view'
+        |ORDER BY click_id, view_id""".stripMargin,
     // hourly top-3 event types; ms window index × 3 600 000 matches
     // topKPerWindow's floorDiv window key exactly for epoch-positive ts
     "st04_topk_stream" ->

@@ -117,6 +117,19 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       (h8, 1, "click", 2L), (h8, 2, "view", 2L), (h8, 3, "purchase", 1L)))
   }
 
+  test("st05 joins clicks to preceding-hour views; ticks never join") {
+    // click at 09:00 sees the 08:30 view (30 min back) but not the
+    // 07:30 view (90 min back) nor the 09:30 view (after the click)
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 07:30:00"), 10L, "view", 1.0),
+      (2L, ts("2026-01-01 08:30:00"), 10L, "view", 1.0),
+      (3L, ts("2026-01-01 09:00:00"), 10L, "click", 1.0),
+      (4L, ts("2026-01-01 09:30:00"), 10L, "view", 1.0)))
+    val out = StreamReplay.st05_interval_join_stream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq((10L, 3L, 2L)))
+  }
+
   test("empty events table yields the zero-count row, not a crash") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
