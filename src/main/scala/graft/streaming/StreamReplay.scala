@@ -48,7 +48,8 @@ object StreamReplay {
     * rows too; their far-future buckets filter out on `> maxTs`). */
   private def replayRaw(outer: SparkSession, dir: String,
                      mode: OutputMode,
-                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): (DataFrame, Long) = {
+                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame,
+                     ticks: Boolean = true): (DataFrame, Long) = {
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
@@ -87,13 +88,18 @@ object StreamReplay {
         // simply never close. Negative user ids (real ids are
         // non-negative) keep tick state inert — an unclaimed view
         // candidate emits nothing (funnelWindow) and is dropped by the
-        // operator-side user_id >= 0 filter (st02).
-        input.addData(EventStreams.Event(-1L,
-          new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "view", 0.0))
-        query.processAllAvailable()
-        input.addData(EventStreams.Event(-2L,
-          new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
-        query.processAllAvailable()
+        // operator-side user_id >= 0 filter (st02). Operators that emit
+        // eagerly rather than at watermark close (st05's inner join)
+        // skip the ticks — each tick batch costs a full state-machine
+        // pass across every partition.
+        if (ticks) {
+          input.addData(EventStreams.Event(-1L,
+            new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "view", 0.0))
+          query.processAllAvailable()
+          input.addData(EventStreams.Event(-2L,
+            new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
+          query.processAllAvailable()
+        }
         (s.table(sink).localCheckpoint(), maxTs)
       } finally {
         query.stop()
@@ -184,8 +190,8 @@ object StreamReplay {
     * rows.
     */
   val st05_interval_join_stream: Q = (s, dir) =>
-    replay(s, dir, OutputMode.Append(),
-      ds => EventStreams.clickViewJoin(ds.toDF()))
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.clickViewJoin(ds.toDF()), ticks = false)._1
       .select(col("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
       .orderBy(col("click_id"), col("view_id"))
