@@ -30,5 +30,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalOracles.all ++ TrainingOracles.all ++ CurationQueries.oracles ++
-      EventJoins.oracles ++ graft.streaming.StreamReplay.oracles
+      EventJoins.oracles ++ graft.streaming.StreamReplay.oracles ++
+      PbfQueries.oracles
 }

@@ -1,19 +1,40 @@
 package graft.operators
 
-import graft.sources.pbf.{IndexedPbf, PbfWriter}
+import graft.sources.pbf.{IndexedPbf, OsmPbf, PbfConfig, PbfWriter}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PBF-native query surface entries (SURVEY.md §2 F-operators over the raw
   * PBF, no transcode): the reference's `read_ways_and_deps` two-pass pruned
-  * semi-join (osmpbf/src/indexed.rs:264-330).
+  * semi-join (osmpbf/src/indexed.rs:264-330) plus a LocationsOnWays
+  * consumer query.
   *
-  * Input is a deterministic synthesized PBF (the sf tables hold no PBF
-  * data), so the entry is declared rows-only for the driver; exact-result
-  * coverage lives in IndexedPbfSpec, including an oracle comparison against
-  * the same query over transcoded parquet.
+  * Inputs are deterministic synthesized PBFs (the sf tables hold no PBF
+  * data). Both entries are FULL oracle rows: each query transcodes its own
+  * input PBF to a deterministic parquet path once per JVM, and the DuckDB
+  * oracle replays the same semantics over that parquet via `read_parquet`
+  * — so the driver's hash gate checks PBF-native execution against an
+  * independent engine reading the transcoded twin (the equivalence
+  * IndexedPbfSpec proves on fixtures, now in the gate itself).
   */
 object PbfQueries {
+
+  /** Deterministic parquet twins for the DuckDB oracle, transcoded once
+    * per JVM to fixed paths (the oracle SQL embeds them). The transcode's
+    * own staging+rename commit refreshes a previous run's output safely. */
+  val OracleRoot = "/tmp/graft_oracle"
+
+  private val dumped = scala.collection.mutable.Set[String]()
+  private def ensureTranscoded(spark: SparkSession, key: String, pbf: String): String =
+    synchronized {
+      val out = s"$OracleRoot/$key"
+      if (!dumped.contains(key)) {
+        OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out),
+          onProgress = _ => ())
+        dumped += key
+      }
+      out
+    }
 
   /** 4 disjoint node blocks + 1 way block; only the first node block is
     * referenced by the matching way, so the indexed path must prune 3 of 4
@@ -33,11 +54,108 @@ object PbfQueries {
     path
   }
 
-  def p01_ways_and_deps(spark: SparkSession, sfDir: String): DataFrame =
+  def p01_ways_and_deps(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTranscoded(spark, "p01", pbfPath)
     IndexedPbf.readWaysAndDeps(spark, pbfPath,
         col("tags").getItem("highway") === "primary")
       .select("id", "type")
+  }
+
+  /** LocationsOnWays consumer input: node blocks plus ways that carry the
+    * optional per-ref lat/lon arrays (values = the referenced nodes' own
+    * nanodegree coordinates, the feature's contract). One single-ref way
+    * pins the zero-segment edge. All coordinates are multiples of the
+    * block granularity (100), so decode is exact in both paths. */
+  private lazy val locPbfPath: String = {
+    import PbfWriter._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbf-loc").toString
+    val path = s"$dir/loc_ways.osm.pbf"
+    def latOf(id: Long) = 52000000000L + id * 1000
+    def lonOf(id: Long) = 11000000000L + id * 700
+    def nodeBlock(base: Long): Array[Byte] = primitiveBlock(
+      (0 until 300).map(i => DenseNode(base + i, latOf(base + i),
+        lonOf(base + i), Nil, 1, 0L, 1L, 1, "u")))
+    val ways = (0 until 24).map { w =>
+      val base = if (w % 2 == 0) 1000L else 2000L
+      val refs = (0 until (if (w == 23) 1 else 3 + w % 9))
+        .map(i => base + (w * 7 + i * 3) % 300)
+      WayData(800000L + w, refs, Seq("highway" -> "service"),
+        locations = Some(refs.map(r => (latOf(r), lonOf(r)))))
+    }
+    writeFile(path, Seq(nodeBlock(1000), nodeBlock(2000),
+      primitiveBlock(Nil, ways)))
+    path
+  }
+
+  /** p02: way geometry lengths computed DIRECTLY from the LocationsOnWays
+    * `node_locations` column — the feature's point: no nodes⋈refs join,
+    * no shuffle, a single narrow scan→project stage (at planet scale the
+    * join-based construction shuffles the whole node corpus; this reads
+    * one column of the ways). Lengths are integer-nanodegree Manhattan
+    * sums, so the result is partitioning- and float-order-invariant.
+    *
+    * The DuckDB oracle computes the SAME lengths the expensive way — by
+    * joining each way's `nds` refs to the transcoded node coordinates —
+    * proving decode-from-way ≡ join-to-nodes on every row, hash-checked.
+    */
+  def p02_way_lengths(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTranscoded(spark, "p02", locPbfPath)
+    spark.read.format("osmpbf").option("wayLocations", "true").load(locPbfPath)
+      .filter(col("type") === "way")
+      .select(col("id"),
+        expr("""aggregate(
+            zip_with(slice(node_locations, 1, size(node_locations) - 1),
+                     slice(node_locations, 2, size(node_locations) - 1),
+              (a, b) -> abs(cast(round(b.lat * 1e9) as bigint) - cast(round(a.lat * 1e9) as bigint))
+                      + abs(cast(round(b.lon * 1e9) as bigint) - cast(round(a.lon * 1e9) as bigint))),
+            cast(0 as bigint), (acc, x) -> acc + x)""").as("length_nano"),
+        size(col("node_locations")).as("n_points"))
+      .orderBy("id")
+  }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p01_ways_and_deps" -> (p01_ways_and_deps(_, _)))
+    "p01_ways_and_deps" -> (p01_ways_and_deps(_, _)),
+    "p02_way_lengths" -> (p02_way_lengths(_, _)))
+
+  /** DuckDB twins over the transcoded parquet at [[OracleRoot]] (dumped by
+    * the queries themselves before they return). */
+  val oracles: Map[String, String] = Map(
+    // ways matching the predicate + their dependent nodes (indexed.rs
+    // semantics); map value extraction is m[k][1] in DuckDB
+    "p01_ways_and_deps" ->
+      s"""WITH t AS (
+         |  SELECT * FROM read_parquet('$OracleRoot/p01/type=*/*.parquet',
+         |                             hive_partitioning = 1)
+         |), w AS (
+         |  SELECT * FROM t WHERE type = 'way' AND tags['highway'][1] = 'primary'
+         |), r AS (
+         |  SELECT DISTINCT unnest(nds).ref AS ref FROM w
+         |)
+         |SELECT id, CAST(type AS VARCHAR) AS type FROM w
+         |UNION ALL
+         |SELECT t.id, CAST(t.type AS VARCHAR) AS type
+         |FROM t JOIN r ON t.id = r.ref WHERE t.type = 'node'""".stripMargin,
+    // join-based way lengths: per-way consecutive ref pairs (positional
+    // unnest of the two slices) joined to node coords, integer Manhattan
+    "p02_way_lengths" ->
+      s"""WITH w AS (
+         |  SELECT id, nds FROM read_parquet('$OracleRoot/p02/type=way/*.parquet')
+         |), seg AS (
+         |  SELECT id, unnest(nds[1:len(nds)-1]).ref AS a,
+         |         unnest(nds[2:len(nds)]).ref AS b
+         |  FROM w
+         |), n AS (
+         |  SELECT id AS nid, CAST(round(lat * 1e9) AS BIGINT) AS latn,
+         |         CAST(round(lon * 1e9) AS BIGINT) AS lonn
+         |  FROM read_parquet('$OracleRoot/p02/type=node/*.parquet')
+         |), d AS (
+         |  SELECT seg.id, abs(nb.latn - na.latn) + abs(nb.lonn - na.lonn) AS m
+         |  FROM seg JOIN n na ON seg.a = na.nid JOIN n nb ON seg.b = nb.nid
+         |)
+         |SELECT w.id, COALESCE(CAST(sum(d.m) AS BIGINT), 0) AS length_nano,
+         |       CAST(len(w.nds) AS INTEGER) AS n_points
+         |FROM w LEFT JOIN d ON w.id = d.id
+         |GROUP BY w.id, len(w.nds)
+         |ORDER BY w.id""".stripMargin,
+  )
 }

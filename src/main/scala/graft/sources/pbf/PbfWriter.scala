@@ -77,7 +77,12 @@ object PbfWriter {
                              version: Int, timestampMs: Long, changeset: Long,
                              uid: Int, user: String)
 
-  final case class WayData(id: Long, refs: Seq[Long], tags: Seq[(String, String)])
+  /** `locations`: optional LocationsOnWays (latNano, lonNano) per ref —
+    * encoded as the Way's optional delta-zigzag lat=9/lon=10 arrays with
+    * the block's granularity/offset math, mirroring what the decoder reads
+    * back (osmformat.proto Way comment; osmpbf/src/elements.rs:390-423). */
+  final case class WayData(id: Long, refs: Seq[Long], tags: Seq[(String, String)],
+                           locations: Option[Seq[(Long, Long)]] = None)
 
   /** members: (memid, type 0=node/1=way/2=relation, role). */
   final case class RelationData(id: Long, members: Seq[(Long, Int, String)],
@@ -117,6 +122,10 @@ object PbfWriter {
       wm.writePackedVarint(2, w.tags.map(t => sid(t._1).toLong))
       wm.writePackedVarint(3, w.tags.map(t => sid(t._2).toLong))
       wm.writePackedZigzag(8, delta(w.refs))
+      w.locations.foreach { locs =>
+        wm.writePackedZigzag(9, delta(locs.map(l => (l._1 - latOffset) / granularity)))
+        wm.writePackedZigzag(10, delta(locs.map(l => (l._2 - lonOffset) / granularity)))
+      }
       group.writeMessageField(3, wm)
     }
     relations.foreach { r =>

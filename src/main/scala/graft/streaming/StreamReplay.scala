@@ -1,38 +1,63 @@
 package graft.streaming
 
+import java.nio.file.{Files, Path, Paths}
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.sql.{DataFrame, SparkSession, SQLContext}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Driver-checkable STREAMING correctness entries: replay the batch
-  * `events` table through a MemoryStream into the stateful streaming
-  * operators and return the settled result as a DataFrame — so the
-  * DuckDB oracle gate exercises the streaming code paths themselves,
+  * `events` table through Spark's FILE streaming source into the stateful
+  * streaming operators and return the settled result as a DataFrame — so
+  * the DuckDB oracle gate exercises the streaming code paths themselves,
   * not just their batch twins (a05/a06 prove the semantics; these prove
   * the `flatMapGroupsWithState` implementations compute them).
   *
   * Replay protocol (the standard event-time test harness):
-  *   1. feed the WHOLE table as micro-batch 1 — the watermark only
-  *      advances between batches, so nothing is ever late-dropped and
-  *      each user's full history reaches one state invocation (the
-  *      documented batch-parity case of the streaming operators);
-  *   2. feed two far-future watermark ticks (filtered-out event type, so
-  *      they create no state) as batches 2-3 — the first advances the
-  *      watermark past every window close, the second gives Spark a
-  *      batch in which those event-time timeouts actually fire.
+  *   1. stage the events table's parquet file(s) into a scratch dir and
+  *      start `readStream.format("parquet")` over it with
+  *      `maxFilesPerTrigger` = the staged file count — the whole table
+  *      lands in micro-batch 1. The watermark only advances between
+  *      batches, so nothing is ever late-dropped and each user's full
+  *      history reaches one state invocation (the documented batch-parity
+  *      case of the streaming operators);
+  *   2. append two tiny far-future watermark TICK FILES (one row each) —
+  *      the first advances the watermark past every window close, the
+  *      second gives Spark a batch in which those event-time timeouts
+  *      actually fire.
   *
-  * MemoryStream is deliberately a driver-side replay harness (it is
-  * Spark's own streaming test source); production deployments point the
-  * SAME transforms at kafka/file sources — see
-  * [[EventStreams.streamEventsToMemory]]. The collect here is the
-  * harness, not the operator: state and aggregation stay distributed.
+  * This is the production replay shape scaled down: a file-source stream
+  * with bounded files-per-trigger is exactly how a 100 TB events corpus
+  * would be replayed (no driver materialization anywhere — the old
+  * harness fed MemoryStream from a driver-side collect, which OOMs the
+  * driver at ~100× while the operators under test would have been fine).
+  * The only driver-side value is the scalar max event time, computed by a
+  * distributed aggregate. Production deployments point the SAME
+  * transforms at kafka/file sources — see
+  * [[EventStreams.streamEventsToMemory]].
   */
 object StreamReplay {
   private type Q = (SparkSession, String) => DataFrame
   private val sinkId = new AtomicLong(0)
+
+  /** Optional state-store provider override for the replay sessions:
+    * `-Dgraft.stateStore=rocksdb` (or env GRAFT_STATE_STORE) swaps the
+    * default HDFS-backed in-memory provider for RocksDB — at 100× state
+    * the executor heap is the bound, and RocksDB moves state off-heap to
+    * local disk. The default stays HDFS: at sf scale the in-memory
+    * provider is faster and the semantics are identical (RocksDbReplaySpec
+    * pins that). */
+  private[streaming] def stateStoreOverride: Option[String] =
+    sys.props.get("graft.stateStore").orElse(sys.env.get("GRAFT_STATE_STORE"))
+      .map(_.toLowerCase) match {
+      case Some("rocksdb") => Some(
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case Some("hdfs") | None => None
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown graft.stateStore '$other' (expected rocksdb or hdfs)")
+    }
 
   /** Run `transformed(stream)` over a full-table replay of events and
     * return the memory sink's settled contents, detached from the sink
@@ -41,6 +66,35 @@ object StreamReplay {
                      mode: OutputMode,
                      transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): DataFrame =
     replayRaw(s, dir, mode, transform)._1
+
+  /** Writes one far-future tick event as a single-file parquet batch into
+    * the staged stream dir, schema-identical to the real files (ts stays
+    * raw nanosecond int64 when the table is ns-precision on disk). The
+    * part file is written to a side dir and MOVED in so the stream never
+    * lists a half-written file. */
+  private def addTickFile(s: SparkSession, fileSchema: StructType,
+                          stage: Path, n: Int, tsMs: Long): Unit = {
+    val vals: Array[Any] = fileSchema.fields.map { f =>
+      (f.name, f.dataType) match {
+        case ("event_id", _) => -n.toLong
+        case ("ts", LongType) => tsMs * 1000000L // raw ns, like the table
+        case ("ts", _) => new java.sql.Timestamp(tsMs)
+        case ("user_id", _) => -n.toLong
+        case ("event_type", _) => "view"
+        case ("value", _) => 0.0
+        case _ => null
+      }
+    }
+    val tmp = Files.createTempDirectory(stage.getParent, "tick")
+    try {
+      s.createDataFrame(java.util.Collections.singletonList(Row(vals: _*)), fileSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file in $tmp"))
+      Files.move(part.toPath, stage.resolve(s"tick-$n.parquet"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+  }
 
   /** [[replay]] plus the max real event-time millis — for callers that
     * must separate real-data results from the watermark ticks' own
@@ -53,30 +107,55 @@ object StreamReplay {
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
-    // small partition count — and a tmpfs checkpoint where available —
-    // to its own session state instead of mutating the caller's conf
-    // under concurrently running queries
+    // small partition count — and a tmpfs scratch/checkpoint where
+    // available — to its own session state instead of mutating the
+    // caller's conf under concurrently running queries
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stateStoreOverride.foreach(
+      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     import s.implicits._
-    implicit val sqlCtx: SQLContext = s.sqlContext
-    val rows = graft.Tables.events(s, dir)
-      .select(col("event_id"), col("ts"), col("user_id"),
-        col("event_type"), col("value"))
-      .as[EventStreams.Event].collect()
-    val maxTs = rows.iterator.map(_.ts.getTime).maxOption.getOrElse(0L)
-    val input = MemoryStream[EventStreams.Event]
+
+    // the one driver-side scalar: max real event time, via a distributed
+    // aggregate (NOT a table collect); null on an empty table → epoch 0,
+    // matching the old harness's maxOption.getOrElse(0L)
+    val maxTs = Option(graft.Tables.events(s, dir).agg(max(col("ts")))
+      .head.getTimestamp(0)).map(_.getTime).getOrElse(0L)
+
+    val shm = Paths.get("/dev/shm")
+    val base = (if (Files.isWritable(shm)) Files.createTempDirectory(shm, "graftreplay")
+      else Files.createTempDirectory("graftreplay"))
+    val stage = Files.createDirectory(base.resolve("in"))
+    val ckpt = base.resolve("ckpt").toString
+    val src = new java.io.File(s"$dir/events.parquet")
+    val srcFiles: Seq[java.io.File] =
+      if (src.isDirectory)
+        src.listFiles().toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      else Seq(src)
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val ckpt = (if (java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "graftckpt")
-      else java.nio.file.Files.createTempDirectory("graftckpt")).toString
     try {
-      val query = transform(input.toDS())
+      srcFiles.zipWithIndex.foreach { case (f, i) =>
+        Files.copy(f.toPath, stage.resolve(f"real-$i%05d.parquet"))
+      }
+      // file-source schema = the ON-DISK schema (ts int64 ns for the sf
+      // tables); the ns→µs conversion below mirrors Tables.events exactly
+      val fileSchema = s.read.parquet(src.getAbsolutePath).schema
+      val raw = s.readStream.schema(fileSchema)
+        .option("maxFilesPerTrigger", srcFiles.size.toString)
+        .parquet(stage.toString)
+      val converted = raw.schema("ts").dataType match {
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      val events = converted
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[EventStreams.Event]
+      val query = transform(events)
         .writeStream.format("memory").queryName(sink).outputMode(mode)
         .option("checkpointLocation", ckpt).start()
       try {
-        input.addData(rows.toIndexedSeq)
         query.processAllAvailable()
         // Watermark ticks use event_type "view" — an event type every
         // operator's own filter KEEPS. A made-up type would be cleaner,
@@ -93,11 +172,9 @@ object StreamReplay {
         // skip the ticks — each tick batch costs a full state-machine
         // pass across every partition.
         if (ticks) {
-          input.addData(EventStreams.Event(-1L,
-            new java.sql.Timestamp(maxTs + 365L * 86400000L), -1L, "view", 0.0))
+          addTickFile(s, fileSchema, stage, 1, maxTs + 365L * 86400000L)
           query.processAllAvailable()
-          input.addData(EventStreams.Event(-2L,
-            new java.sql.Timestamp(maxTs + 366L * 86400000L), -2L, "view", 0.0))
+          addTickFile(s, fileSchema, stage, 2, maxTs + 366L * 86400000L)
           query.processAllAvailable()
         }
         (s.table(sink).localCheckpoint(), maxTs)
@@ -106,9 +183,9 @@ object StreamReplay {
         s.catalog.dropTempView(sink)
       }
     } finally {
-      // outer finally: the tmpfs checkpoint dir exists even when
-      // transform()/start() throws before the inner try begins
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      // outer finally: the scratch (staged input + checkpoint) exists
+      // even when transform()/start() throws before the inner try begins
+      try org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       catch { case _: java.io.IOException => () }
     }
   }
@@ -182,12 +259,12 @@ object StreamReplay {
     * each click matched to the same user's views in the preceding hour)
     * over the replayed events table. Inner joins emit eagerly as matches
     * arrive (the watermark only bounds buffered state), so the whole
-    * result materializes in batch 1; the ticks are "view" rows for
-    * negative users with no clicks, so they can never join. Timestamps
-    * are emitted as epoch MICROS and the oracle joins in the same
-    * µs-truncated domain — the events table is nanosecond-precision on
-    * disk, and comparing at different precisions would flip boundary
-    * rows.
+    * result materializes in batch 1; no tick files are appended — each
+    * tick batch would cost a full state pass and the join result is
+    * already settled. Timestamps are emitted as epoch MICROS and the
+    * oracle joins in the same µs-truncated domain — the events table is
+    * nanosecond-precision on disk, and comparing at different precisions
+    * would flip boundary rows.
     */
   val st05_interval_join_stream: Q = (s, dir) =>
     replayRaw(s, dir, OutputMode.Append(),

@@ -76,6 +76,47 @@ class PbfRoundTripSpec extends AnyFunSuite {
     assert(w.getAs[Seq[org.apache.spark.sql.Row]](idx("nds")).map(_.getLong(0)) === (1L to 16L))
   }
 
+  test("LocationsOnWays encode → decode round-trips to the nodes' own coordinates") {
+    val dir = java.nio.file.Files.createTempDirectory("pbfloc").toString
+    val path = s"$dir/loc.osm.pbf"
+    def latOf(id: Long) = 52000000000L + id * 1000
+    def lonOf(id: Long) = 11000000000L + id * 700
+    val nodes = (0 until 50).map(i => PbfWriter.DenseNode(100L + i,
+      latOf(100L + i), lonOf(100L + i), Nil, 1, 0L, 1L, 1, "u"))
+    val refs = Seq(103L, 110L, 121L)
+    val way = PbfWriter.WayData(7L, refs, Seq("highway" -> "path"),
+      locations = Some(refs.map(r => (latOf(r), lonOf(r)))))
+    // non-default granularity/offset exercises the way-side coordinate math
+    PbfWriter.writeFile(path, Seq(PbfWriter.primitiveBlock(nodes, Seq(way),
+      granularity = 200, latOffset = 1000000000L, lonOffset = -400L)))
+    val proj = BlockDecoder.Projection(wayLocs = true)
+    val rows = {
+      val in = new FileInputStream(path)
+      val spans = try Blobs.enumerate(in) finally in.close()
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      spans.filter(_.blobType == Blobs.TypeOsmData).flatMap { s =>
+        val body = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, s.offset.toInt + s.length)
+        BlockDecoder.decodeBlock(Blobs.decode(body), proj).toSeq
+      }
+    }
+    val li = OsmSchema.schemaWithWayLocations.fieldIndex("node_locations")
+    val w = rows.find(_.getString(idx("type")) == "way").get
+    val locs = w.getAs[Seq[org.apache.spark.sql.Row]](li)
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    // way-decoded locations must be BIT-IDENTICAL to the node decode
+    // (same offset + granularity × raw ×1e-9 formula on the same inputs)
+    val nodeCoords = rows.filter(_.getString(idx("type")) == "node")
+      .map(r => r.getLong(0) -> (r.getDouble(idx("lat")), r.getDouble(idx("lon")))).toMap
+    assert(locs === refs.map(nodeCoords))
+    // granularity 200: raw values round-trip only because inputs minus
+    // offset are multiples of 200 after the writer's integer division —
+    // assert the decoded values equal the formula, not just each other
+    assert(locs.head._1 === 1e-9 * (1000000000L + 200L * ((latOf(103L) - 1000000000L) / 200L)))
+    // nodes/relations carry a null node_locations, ways without the
+    // feature an empty array
+    assert(rows.filter(_.getString(idx("type")) == "node").forall(_.isNullAt(li)))
+  }
+
   test("planet-mix corpus (ways + relations per block) round-trips exactly") {
     val path = java.nio.file.Files.createTempDirectory("pbfmix").toString + "/mix.osm.pbf"
     val expected = PbfWriter.synthesize(path, blocks = 3, nodesPerBlock = 890,

@@ -130,6 +130,41 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((10L, 3L, 2L)))
   }
 
+  test("RocksDB state store provider: same results as the default provider") {
+    // graft.stateStore=rocksdb swaps the HDFS-backed in-memory provider
+    // for RocksDB (the 100×-state deployment shape: state off-heap on
+    // executor-local disk). Semantics must be identical — run the two
+    // heaviest state paths (flatMapGroupsWithState via st02, windowed
+    // aggregation via st03) under both providers and compare exactly.
+    val w0 = ts("2026-01-05 10:00:00")
+    val w1 = ts("2026-01-12 10:00:00")
+    val dir = writeEvents(Seq(
+      (1L, w0, 10L, "view", 1.0),
+      (2L, w0, 20L, "view", 1.0),
+      (3L, w1, 10L, "click", 1.0)))
+    def run() = (
+      StreamReplay.st02_cohort_stream(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+      StreamReplay.st03_windowed_stream(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq)
+    val default = run()
+    System.setProperty("graft.stateStore", "rocksdb")
+    try {
+      val rocks = run()
+      assert(rocks === default)
+    } finally System.clearProperty("graft.stateStore")
+    val cohort = w0.getTime / 604800000L
+    assert(default._1 === Seq((cohort, 0L, 2L), (cohort, 1L, 1L)))
+  }
+
+  test("unknown graft.stateStore value is rejected, not silently ignored") {
+    System.setProperty("graft.stateStore", "cassandra")
+    try {
+      val e = intercept[IllegalArgumentException](StreamReplay.stateStoreOverride)
+      assert(e.getMessage.contains("cassandra"))
+    } finally System.clearProperty("graft.stateStore")
+  }
+
   test("empty events table yields the zero-count row, not a crash") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
