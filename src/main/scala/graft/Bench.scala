@@ -47,13 +47,6 @@ object Bench {
     // Every per-run rate is recorded, WITH per-run steal%/system% CPU from
     // /proc/stat, so a contaminated window is legible in the artifact
     // rather than laundered into a plausible-looking median.
-    def cpuTicks(): Option[(Long, Long, Long)] = try { // (total, sys, steal)
-      val src = scala.io.Source.fromFile("/proc/stat")
-      val p = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        finally src.close()
-      Some((p.sum, p(2) + p.lift(5).getOrElse(0L) + p.lift(6).getOrElse(0L),
-        p.lift(7).getOrElse(0L)))
-    } catch { case _: Throwable => None }
     // The engine's established capability band on this box is ~5-6.5M
     // elem/s (r2-r4 medians; 6.0M re-measured this round in a clean
     // window). A best below this after a full adaptive probe means the
@@ -63,10 +56,13 @@ object Bench {
     val transcodeRuns = scala.collection.mutable.ArrayBuffer.empty[Long]
     val transcodeCpu = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val transcodeScratch: Option[(String, String, Long)] = try {
-      val shm = java.nio.file.Paths.get("/dev/shm")
-      val dir = (if (java.nio.file.Files.isWritable(shm))
-          java.nio.file.Files.createTempDirectory(shm, "graftpbf")
-        else java.nio.file.Files.createTempDirectory("graftpbf")).toString
+      val dir = Scratch.tempDir("graftpbf").toString
+      // the scratch is deleted after the (possibly second) probe window,
+      // deep in main — a crash anywhere in the ~15-min query phase would
+      // orphan ~500MB of tmpfs without this hook
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+        catch { case _: Throwable => () }))
       val warmPbf = s"$dir/warm.osm.pbf"
       graft.sources.pbf.PbfWriter.synthesize(warmPbf, blocks = 2, nodesPerBlock = 5000)
       graft.sources.pbf.OsmPbf.transcode(spark, // untimed: codegen + writer warmup
@@ -93,36 +89,37 @@ object Bench {
     }
     def probeTranscode(minReps: Int, maxReps: Int, budgetNs: Long): Unit =
       transcodeScratch.foreach { case (dir, pbf, n) =>
-        try {
-          val probeT0 = System.nanoTime()
-          var reps = 0
-          def topTwoAgree: Boolean = {
-            val top = transcodeRuns.sorted(Ordering[Long].reverse).take(2)
-            top.size >= 2 && top(1) * 3 >= top(0) * 2 // within 1.5×
-          }
-          while (reps < minReps ||
-              (!topTwoAgree && reps < maxReps && System.nanoTime() - probeT0 < budgetNs)) {
-            reps += 1
-            val i = transcodeRuns.size + 1
-            val c0 = cpuTicks()
+        val probeT0 = System.nanoTime()
+        var reps = 0
+        var consecutiveFailures = 0
+        def topTwoAgree: Boolean = {
+          val top = transcodeRuns.sorted(Ordering[Long].reverse).take(2)
+          top.size >= 2 && top(1) * 3 >= top(0) * 2 // within 1.5×
+        }
+        // failures are per-REP (a transient ENOSPC/IO hiccup must not
+        // forfeit the remaining budget the adaptive protocol depends on);
+        // three in a row means the environment is broken — stop probing
+        while (consecutiveFailures < 3 && (reps < minReps ||
+            (!topTwoAgree && reps < maxReps && System.nanoTime() - probeT0 < budgetNs))) {
+          reps += 1
+          val i = transcodeRuns.size + 1
+          try {
+            val c0 = CpuStat.ticks()
             val t = System.nanoTime()
             graft.sources.pbf.OsmPbf.transcode(spark,
               graft.sources.pbf.PbfConfig(input = pbf, output = s"$dir/out$i"))
             transcodeRuns += (n / ((System.nanoTime() - t) / 1e9)).round
-            val repCpu = (cpuTicks(), c0) match {
-              case (Some((t1, s1, st1)), Some((t0c, s0, st0))) if t1 > t0c =>
-                val d = (t1 - t0c).toDouble
-                (math.round((st1 - st0) / d * 1000) / 10.0,
-                 math.round((s1 - s0) / d * 1000) / 10.0)
-              case _ => (-1.0, -1.0)
-            }
-            transcodeCpu += repCpu
+            transcodeCpu += CpuStat.pct(c0, CpuStat.ticks())
+            consecutiveFailures = 0
+          } catch { case e: Throwable =>
+            consecutiveFailures += 1
+            System.err.println(s"[bench] transcode rep $i failed: ${e.getMessage}")
+          } finally {
             // scratch is tmpfs: drop each (never-read) output immediately
             // so the reps hold one output's RAM, not many accumulating
-            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out$i"))
+            try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out$i"))
+            catch { case _: Throwable => () }
           }
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] transcode probe failed: ${e.getMessage}")
         }
       }
     probeTranscode(minReps = 5, maxReps = 25, budgetNs = 180e9.toLong)
@@ -150,7 +147,7 @@ object Bench {
         pool.submit(new Runnable {
           override def run(): Unit = {
             val s = System.nanoTime()
-            try { fn(spark, sfDir).count() } catch { case _: Throwable => times.put(name, -1.0) }
+            try { fn(spark, sfDir).count(); () } catch { case _: Throwable => times.put(name, -1.0); () }
             if (!times.containsKey(name))
               times.put(name, (System.nanoTime() - s) / 1e9)
           }

@@ -1,0 +1,62 @@
+package graft
+
+/** Shared helpers for the bench/verify/soak tooling — single definitions
+  * for idioms that were drifting into per-file copies (scratch placement,
+  * /proc/stat telemetry, JSON escaping), so a fix lands everywhere at once.
+  */
+object Scratch {
+  /** tmpfs-backed temp dir when /dev/shm is writable — this box's shared
+    * disk has multi-second I/O-wait spikes that swamp engine measurements
+    * — else the default tmp location. */
+  def tempDir(prefix: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
+  }
+}
+
+/** Box-contention telemetry from /proc/stat: this box has long windows of
+  * 30-80% system / up-to-25% hypervisor-steal CPU where wall-clock
+  * throughput measures the hypervisor, not the engine. Recording these
+  * percentages next to every throughput sample makes a contaminated
+  * window legible in the artifact.
+  */
+object CpuStat {
+  /** (totalTicks, systemTicks, stealTicks) from the aggregate cpu line;
+    * None when /proc/stat is unavailable (non-Linux). */
+  def ticks(): Option[(Long, Long, Long)] = try {
+    val src = scala.io.Source.fromFile("/proc/stat")
+    val p = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+      finally src.close()
+    Some((p.sum, p(2) + p.lift(5).getOrElse(0L) + p.lift(6).getOrElse(0L),
+      p.lift(7).getOrElse(0L)))
+  } catch { case _: Throwable => None }
+
+  /** (stealPct, sysPct) over the interval between two tick snapshots,
+    * rounded to 0.1; (-1, -1) when either snapshot is missing. */
+  def pct(before: Option[(Long, Long, Long)],
+          after: Option[(Long, Long, Long)]): (Double, Double) =
+    (after, before) match {
+      case (Some((t1, s1, st1)), Some((t0, s0, st0))) if t1 > t0 =>
+        val d = (t1 - t0).toDouble
+        (math.round((st1 - st0) / d * 1000) / 10.0,
+         math.round((s1 - s0) / d * 1000) / 10.0)
+      case _ => (-1.0, -1.0)
+    }
+}
+
+object JsonEscape {
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero a round's correctness. */
+  def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+}

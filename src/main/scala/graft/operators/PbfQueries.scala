@@ -29,8 +29,23 @@ object PbfQueries {
     synchronized {
       val out = s"$OracleRoot/$key"
       if (!dumped.contains(key)) {
-        OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out),
-          onProgress = _ => ())
+        // `synchronized` serializes threads in THIS JVM; the OS file lock
+        // serializes other processes (e.g. a dev DumpQuery run while a
+        // Bench warmup runs p01) — two concurrent transcodes would race on
+        // the shared fixed path's _staging dir. The output is
+        // deterministic, so whichever process transcodes last is
+        // equivalent; the lock only prevents mid-flight interference.
+        new java.io.File(OracleRoot).mkdirs()
+        val ch = java.nio.channels.FileChannel.open(
+          java.nio.file.Paths.get(OracleRoot, s".$key.lock"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out),
+            onProgress = _ => ())
+          finally lock.release()
+        } finally ch.close()
         dumped += key
       }
       out

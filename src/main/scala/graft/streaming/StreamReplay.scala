@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path}
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
@@ -47,8 +47,8 @@ object StreamReplay {
     * default HDFS-backed in-memory provider for RocksDB — at 100× state
     * the executor heap is the bound, and RocksDB moves state off-heap to
     * local disk. The default stays HDFS: at sf scale the in-memory
-    * provider is faster and the semantics are identical (RocksDbReplaySpec
-    * pins that). */
+    * provider is faster and the semantics are identical (pinned by
+    * StreamReplaySpec's "RocksDB state store provider" test). */
   private[streaming] def stateStoreOverride: Option[String] =
     sys.props.get("graft.stateStore").orElse(sys.env.get("GRAFT_STATE_STORE"))
       .map(_.toLowerCase) match {
@@ -74,7 +74,7 @@ object StreamReplay {
     * lists a half-written file. */
   private def addTickFile(s: SparkSession, fileSchema: StructType,
                           stage: Path, n: Int, tsMs: Long): Unit = {
-    val vals: Array[Any] = fileSchema.fields.map { f =>
+    val vals: IndexedSeq[Any] = fileSchema.fields.toIndexedSeq.map { f =>
       (f.name, f.dataType) match {
         case ("event_id", _) => -n.toLong
         case ("ts", LongType) => tsMs * 1000000L // raw ns, like the table
@@ -121,18 +121,28 @@ object StreamReplay {
     // aggregate (NOT a table collect); null on an empty table → epoch 0,
     // matching the old harness's maxOption.getOrElse(0L)
     val maxTs = Option(graft.Tables.events(s, dir).agg(max(col("ts")))
-      .head.getTimestamp(0)).map(_.getTime).getOrElse(0L)
+      .head().getTimestamp(0)).map(_.getTime).getOrElse(0L)
 
-    val shm = Paths.get("/dev/shm")
-    val base = (if (Files.isWritable(shm)) Files.createTempDirectory(shm, "graftreplay")
-      else Files.createTempDirectory("graftreplay"))
+    val base = graft.Scratch.tempDir("graftreplay")
     val stage = Files.createDirectory(base.resolve("in"))
     val ckpt = base.resolve("ckpt").toString
     val src = new java.io.File(s"$dir/events.parquet")
+    // recursive listing: a partitioned/nested events.parquet directory is
+    // a valid batch-read layout, so the replay must stage those files too
+    // (staging flattens the names — partition-dir values are not consumed
+    // by any replay, the 5 columns live in the data files)
     val srcFiles: Seq[java.io.File] =
-      if (src.isDirectory)
-        src.listFiles().toSeq.filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
-      else Seq(src)
+      if (src.isDirectory) {
+        val walk = Files.walk(src.toPath)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.map(_.toFile)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .toSeq.sortBy(_.getAbsolutePath)
+        } finally walk.close()
+      } else Seq(src)
+    require(srcFiles.nonEmpty, s"no parquet files found under $src")
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
     try {
       srcFiles.zipWithIndex.foreach { case (f, i) =>

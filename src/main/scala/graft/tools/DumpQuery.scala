@@ -27,12 +27,7 @@ object DumpQuery {
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"dumped $name")
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case '\r' => "\\r"; case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def q(s: String): String = graft.JsonEscape.q(s) // same escaper as Verify
     val json = graft.SparkEntry.oracleSql.view.filterKeys(names.contains)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"), json)

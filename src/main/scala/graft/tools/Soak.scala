@@ -25,35 +25,17 @@ object Soak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val dir = (if (java.nio.file.Files.isWritable(shm))
-        java.nio.file.Files.createTempDirectory(shm, "soak")
-      else java.nio.file.Files.createTempDirectory("soak")).toString
+    val dir = graft.Scratch.tempDir("soak").toString
     try {
       val pbf = s"$dir/big.osm.pbf"
       val n = PbfWriter.synthesize(pbf, blocks = blocks, nodesPerBlock = 20000,
         waysPerBlock = 2250, relationsPerBlock = 29)
       println(s"corpus: $n elements")
       import scala.jdk.CollectionConverters._
-      // box-contention telemetry around the timed run (same convention as
-      // the bench probe): this box has long windows of 30-80% system /
-      // up-to-25% steal CPU where throughput measures the hypervisor, not
-      // the engine — the recorded pcts make a low number self-explaining
-      def cpuTicks(): Option[(Long, Long, Long)] = try {
-        val src = scala.io.Source.fromFile("/proc/stat")
-        val p = try src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-          finally src.close()
-        Some((p.sum, p(2) + p.lift(5).getOrElse(0L) + p.lift(6).getOrElse(0L),
-          p.lift(7).getOrElse(0L)))
-      } catch { case _: Throwable => None }
-      def cpuPct(c0: Option[(Long, Long, Long)], c1: Option[(Long, Long, Long)]): (Double, Double) =
-        (c1, c0) match {
-          case (Some((t1, s1, st1)), Some((t0, s0, st0))) if t1 > t0 =>
-            val d = (t1 - t0).toDouble
-            (math.round((st1 - st0) / d * 1000) / 10.0,
-             math.round((s1 - s0) / d * 1000) / 10.0)
-          case _ => (-1.0, -1.0)
-        }
+      // box-contention telemetry around each timed run (graft.CpuStat,
+      // same convention as the bench probe): the recorded steal/sys pcts
+      // make a low throughput number self-explaining
+      import graft.CpuStat.{ticks => cpuTicks, pct => cpuPct}
       val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
       heapPools.foreach(_.resetPeakUsage())
@@ -83,6 +65,9 @@ object Soak {
       }
       val nodeFiles = sizes.getOrElse("node", Nil)
       assert(nodeFiles.size > 1, "expected multiple node files (one per task at minimum)")
+      // phase-1 output is fully consumed (readback + sizes) — drop it now
+      // so the rotation phase doesn't double peak tmpfs usage
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out"))
 
       // ROTATION phase: at this corpus size each task's decoded slice
       // (~16MB, the 2-waves-per-core auto split) compresses to ~7MB of

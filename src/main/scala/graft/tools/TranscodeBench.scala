@@ -17,8 +17,7 @@ object TranscodeBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val shm = java.nio.file.Paths.get("/dev/shm")
-    val dir = (if (java.nio.file.Files.isWritable(shm)) java.nio.file.Files.createTempDirectory(shm, "graftpbf") else java.nio.file.Files.createTempDirectory("graftpbf")).toString
+    val dir = graft.Scratch.tempDir("graftpbf").toString
     val warmPbf = s"$dir/warm.osm.pbf"
     PbfWriter.synthesize(warmPbf, blocks = 2, nodesPerBlock = 5000)
     OsmPbf.transcode(spark,
@@ -26,13 +25,18 @@ object TranscodeBench {
     val pbf = s"$dir/synth.osm.pbf"
     val n = PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000,
       waysPerBlock = 2250, relationsPerBlock = 29) // planet-like mix, as in Bench
-    (1 to reps).foreach { i =>
-      val t = System.nanoTime()
-      OsmPbf.transcode(spark,
-        PbfConfig(input = pbf, output = s"$dir/out$i"))
-      val rate = (n / ((System.nanoTime() - t) / 1e9)).round
-      println(s"run $i: $rate elem/s")
-    }
+    try {
+      (1 to reps).foreach { i =>
+        val t = System.nanoTime()
+        OsmPbf.transcode(spark,
+          PbfConfig(input = pbf, output = s"$dir/out$i"))
+        val rate = (n / ((System.nanoTime() - t) / 1e9)).round
+        println(s"run $i: $rate elem/s")
+        // outputs are never read back — drop each so N reps hold one
+        // output's tmpfs RAM, and the dir doesn't outlive the run
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out$i"))
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }
 }
