@@ -38,6 +38,14 @@ object Soak {
       import graft.CpuStat.{ticks => cpuTicks, pct => cpuPct}
       val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
         .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      // untimed warmup transcode of the full corpus: pays JIT compilation
+      // AND first-touch heap page-zeroing (a fresh 48g-heap JVM spends
+      // most of its first transcode in kernel page faults — measured as
+      // ~67% system CPU on an otherwise idle box — which is JVM startup
+      // cost, not engine throughput)
+      OsmPbf.transcode(spark, PbfConfig(input = pbf, output = s"$dir/warmout",
+        fileTargetMb = Some(fileTargetMb)))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/warmout"))
       heapPools.foreach(_.resetPeakUsage())
       val c0 = cpuTicks()
       val t = System.nanoTime()
