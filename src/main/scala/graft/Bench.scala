@@ -47,12 +47,15 @@ object Bench {
     // Every per-run rate is recorded, WITH per-run steal%/system% CPU from
     // /proc/stat, so a contaminated window is legible in the artifact
     // rather than laundered into a plausible-looking median.
-    // The engine's established capability band on this box is ~5-6.5M
-    // elem/s (r2-r4 medians; 6.0M re-measured this round in a clean
-    // window). A best below this after a full adaptive probe means the
-    // WINDOW was hostile, not the engine — so the probe samples a SECOND
-    // window after the ~10-minute query phase and keeps the overall best.
-    val CapabilityFloor = 5000000L
+    // The engine's established capability band on this box is ~12-13M
+    // elem/s on the 17.8M-element probe corpus (measured this round:
+    // clean-window reps 11.8-13.3M; the old 4.46M-element corpus probed
+    // ~6.5M because per-run fixed cost — job submission, writer open/
+    // commit/rename — was a third of each rep). A best below the floor
+    // after a full adaptive probe means the WINDOW was hostile, not the
+    // engine — so the probe samples a SECOND window after the ~10-minute
+    // query phase and keeps the overall best.
+    val CapabilityFloor = 10000000L
     val transcodeRuns = scala.collection.mutable.ArrayBuffer.empty[Long]
     val transcodeCpu = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val transcodeScratch: Option[(String, String, Long)] = try {
@@ -70,8 +73,12 @@ object Bench {
       val pbf = s"$dir/synth.osm.pbf"
       // planet-like element mix (~89% dense nodes, ~10% ways, ~0.1%
       // relations) — the reference's headline rate is measured on planet
-      // proportions, so ours is too
-      val n = graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = 200,
+      // proportions, so ours is too. 800 blocks = 17.8M elements: big
+      // enough that per-run fixed cost (job submission, writer open/
+      // commit/rename) amortizes like a planet run — the 4.46M corpus
+      // under-reported sustained throughput by ~2× — while one clean rep
+      // still costs only ~1.5s, so the adaptive loop gets many samples
+      val n = graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = 800,
         nodesPerBlock = 20000, waysPerBlock = 2250, relationsPerBlock = 29)
       // TWO untimed full-corpus warmups: the tiny warmout above compiles
       // the framing code but not the C2-hot decode/write loops — without
@@ -306,7 +313,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (best of 2); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps in up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 5M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
+         |"timing":"total=concurrent sweep (best of 2); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
          |"failed":$failed$extra$transcodeDetail$diff}""".stripMargin.replace("\n", "")
     try {

@@ -4,13 +4,17 @@ import graft.sources.pbf.{OsmPbf, PbfConfig, PbfWriter}
 import org.apache.spark.sql.SparkSession
 
 /** Standalone transcode throughput probe (dev tool, not the driver bench):
-  * synthesizes the same 4M-element corpus Bench uses and prints elem/s for
-  * each of `reps` runs so write-path changes can be measured in isolation.
+  * synthesizes a planet-mix corpus (blocks arg scales it; 200 = the bench
+  * probe's 4.46M elements) and prints elem/s per rep so write-path changes
+  * — and corpus-size amortization — can be measured in isolation.
+  *
+  * Usage: TranscodeBench [reps] [blocks]
   */
 object TranscodeBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val blocks = if (args.length > 1) args(1).toInt else 200
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,7 +27,7 @@ object TranscodeBench {
     OsmPbf.transcode(spark,
       PbfConfig(input = warmPbf, output = s"$dir/warmout"))
     val pbf = s"$dir/synth.osm.pbf"
-    val n = PbfWriter.synthesize(pbf, blocks = 200, nodesPerBlock = 20000,
+    val n = PbfWriter.synthesize(pbf, blocks = blocks, nodesPerBlock = 20000,
       waysPerBlock = 2250, relationsPerBlock = 29) // planet-like mix, as in Bench
     try {
       (1 to reps).foreach { i =>
