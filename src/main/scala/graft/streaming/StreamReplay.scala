@@ -103,7 +103,8 @@ object StreamReplay {
   private def replayRaw(outer: SparkSession, dir: String,
                      mode: OutputMode,
                      transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame,
-                     ticks: Boolean = true): (DataFrame, Long) = {
+                     ticks: Boolean = true,
+                     stageCopies: Int = 1): (DataFrame, Long) = {
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
@@ -145,14 +146,19 @@ object StreamReplay {
     require(srcFiles.nonEmpty, s"no parquet files found under $src")
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
     try {
-      srcFiles.zipWithIndex.foreach { case (f, i) =>
-        Files.copy(f.toPath, stage.resolve(f"real-$i%05d.parquet"))
+      // stageCopies > 1 stages the whole table N times into the same
+      // batch — every row becomes an exact duplicate, which is how the
+      // dedup entry exercises a state HIT for every id (st06)
+      (0 until stageCopies).foreach { c =>
+        srcFiles.zipWithIndex.foreach { case (f, i) =>
+          Files.copy(f.toPath, stage.resolve(f"real-$c%02d-$i%05d.parquet"))
+        }
       }
       // file-source schema = the ON-DISK schema (ts int64 ns for the sf
       // tables); the ns→µs conversion below mirrors Tables.events exactly
       val fileSchema = s.read.parquet(src.getAbsolutePath).schema
       val raw = s.readStream.schema(fileSchema)
-        .option("maxFilesPerTrigger", srcFiles.size.toString)
+        .option("maxFilesPerTrigger", (srcFiles.size * stageCopies).toString)
         .parquet(stage.toString)
       val converted = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -283,15 +289,41 @@ object StreamReplay {
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
       .orderBy(col("click_id"), col("view_id"))
 
+  /** st06: STREAMING EXACT DEDUP (EventStreams.dedupeStream —
+    * `dropDuplicatesWithinWatermark`, the remaining stateful runtime path
+    * not yet in the gate). The whole table is staged TWICE into batch 1,
+    * so every event_id arrives exactly twice and the second occurrence is
+    * dropped by a dedup-state HIT (not by chance uniqueness of the input:
+    * the harness guarantees each id actually probes existing state). The
+    * first-seen row is emitted immediately in append mode — no ticks
+    * needed (the watermark only bounds state retention). Oracle = the
+    * distinct events table, i.e. dedup must reconstruct the input
+    * exactly.
+    */
+  val st06_dedup_stream: Q = (s, dir) =>
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.dedupeStream(ds.toDF()),
+      ticks = false, stageCopies = 2)._1
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
     "st03_windowed_stream" -> st03_windowed_stream,
     "st04_topk_stream" -> st04_topk_stream,
     "st05_interval_join_stream" -> st05_interval_join_stream,
+    "st06_dedup_stream" -> st06_dedup_stream,
   )
 
   val oracles: Map[String, String] = Map(
+    // the doubled replay must collapse back to exactly the events table
+    // (µs-truncated ts domain, like st05)
+    "st06_dedup_stream" ->
+      """SELECT event_id, epoch_ns(ts) // 1000 AS us, user_id, event_type, value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
     // a06's chained-min funnel at ms precision (funnelWindow's unit)
     "st01_funnel_stream" ->
       """WITH e AS (

@@ -130,6 +130,20 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq((10L, 3L, 2L)))
   }
 
+  test("st06 dedup: doubled replay collapses to the distinct table via state hits") {
+    // the harness stages the table twice into batch 1 (6 physical rows
+    // here), so every id probes dedup state once — the output must be
+    // exactly the 3 distinct events
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 08:00:00"), 10L, "view", 1.0),
+      (2L, ts("2026-01-01 08:05:00"), 11L, "click", 2.0),
+      (3L, ts("2026-01-01 09:00:00"), 10L, "purchase", 3.0)))
+    val out = StreamReplay.st06_dedup_stream(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, "view", 1.0), (2L, 11L, "click", 2.0), (3L, 10L, "purchase", 3.0)))
+  }
+
   test("RocksDB state store provider: same results as the default provider") {
     // graft.stateStore=rocksdb swaps the HDFS-backed in-memory provider
     // for RocksDB (the 100×-state deployment shape: state off-heap on
