@@ -65,7 +65,16 @@ object EventStreams {
     * watermark passes lastTs+gap, so results are deterministic and
     * replayable, state is watermark-bounded, and a backfill of a year of
     * history produces the same sessions as live ingestion — the property
-    * that matters when sessionizing 100 TB of logs.
+    * that matters when sessionizing 100 TB of logs. That property
+    * REQUIRES splitting within a micro-batch too: a backfill can deliver
+    * a user's whole history in one batch, so the state function walks the
+    * batch in event-time order, closing and emitting a session at every
+    * >gap step; only the final (still-open) session goes to state, to be
+    * closed by the event-time timeout or extended by the next batch.
+    * (Out-of-order arrivals WITHIN the watermark delay land in the same
+    * batch-sort or extend the open session; an arrival for an
+    * already-closed session is the inherent watermark tradeoff, same as
+    * every event-time operator here.)
     */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
@@ -81,17 +90,22 @@ object EventStreams {
             state.remove()
             Iterator.single(SessionOut(userId, s.nEvents, s.totalValue, s.lastTs - s.firstTs))
           } else {
-            val batch = rows.toSeq
-            val prev = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
-            val ts = batch.map(_.ts.getTime)
-            val next = SessionState(
-              prev.nEvents + batch.size,
-              prev.totalValue + batch.map(_.value).sum,
-              math.min(prev.firstTs, if (ts.isEmpty) Long.MaxValue else ts.min),
-              math.max(prev.lastTs, if (ts.isEmpty) Long.MinValue else ts.max))
-            state.update(next)
-            state.setTimeoutTimestamp(next.lastTs + gapMs)
-            Iterator.empty
+            // deterministic event-time walk (event_id breaks ts ties)
+            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              if (cur.nEvents > 0 && t - cur.lastTs > gapMs) {
+                closed += SessionOut(userId, cur.nEvents, cur.totalValue, cur.lastTs - cur.firstTs)
+                cur = SessionState(0L, 0.0, Long.MaxValue, Long.MinValue)
+              }
+              cur = SessionState(cur.nEvents + 1, cur.totalValue + e.value,
+                math.min(cur.firstTs, t), math.max(cur.lastTs, t))
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.lastTs + gapMs)
+            closed.iterator
           }
       }
   }

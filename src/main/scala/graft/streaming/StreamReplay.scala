@@ -308,6 +308,29 @@ object StreamReplay {
         col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** st07: EVENT-TIME SESSIONIZATION (EventStreams.sessionize — keyed
+    * custom state with gap-based closure, the batch twin of a03) over the
+    * replayed events table. The full history lands in batch 1, so the
+    * state function's intra-batch gap walk produces exactly the batch
+    * sessionization; the two far-future ticks close each user's final
+    * open session via the event-time timeout. Tick rows build their own
+    * sessions for the negative tick user ids — the first closes and
+    * emits (user -1) — stripped by the `user_id >= 0` OUTPUT filter
+    * (an input-side filter would sit below the watermark node and starve
+    * it, see the tick-protocol comment in [[replayRaw]]). Oracle = a03's
+    * gap-split logic transposed to the MILLISECOND domain
+    * (`sessionize` works on `ts.getTime`) and shaped to SessionOut;
+    * total_value rounds to 2dp on both sides (the q23/st03 convention —
+    * a float sum's exact bits depend on summation order).
+    */
+  val st07_session_stream: Q = (s, dir) =>
+    replay(s, dir, OutputMode.Append(),
+      ds => EventStreams.sessionize(ds).toDF())
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"),
+        round(col("total_value"), 2).as("total_value"), col("duration_ms"))
+      .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
+
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
@@ -315,9 +338,33 @@ object StreamReplay {
     "st04_topk_stream" -> st04_topk_stream,
     "st05_interval_join_stream" -> st05_interval_join_stream,
     "st06_dedup_stream" -> st06_dedup_stream,
+    "st07_session_stream" -> st07_session_stream,
   )
 
   val oracles: Map[String, String] = Map(
+    // a03's >30min-gap session split in the ms domain, shaped to
+    // (n_events, total_value, duration_ms); rows sort fully by the driver
+    "st07_session_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) // 1000 AS ms
+        |  FROM events
+        |), o AS (
+        |  SELECT user_id, event_id, value, ms,
+        |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        |), s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ms, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    CURRENT ROW) AS sn
+        |  FROM o
+        |)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  round(sum(value), 2) AS total_value,
+        |  CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
+        |FROM s GROUP BY user_id, sn
+        |ORDER BY user_id, n_events, duration_ms""".stripMargin,
     // the doubled replay must collapse back to exactly the events table
     // (µs-truncated ts domain, like st05)
     "st06_dedup_stream" ->

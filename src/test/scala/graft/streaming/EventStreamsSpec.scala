@@ -67,6 +67,33 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (ts(2, 0), "view", 1L, 5.0)))
   }
 
+  test("sessionize splits sessions WITHIN one micro-batch (backfill = live)") {
+    // a backfill can deliver a user's whole history in batch 1: two
+    // bursts 2h apart must come out as two sessions, not one lump — the
+    // first emitted at the intra-batch gap walk, the second at timeout
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.sessionize(input.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_split").outputMode(OutputMode.Append()).start()
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(1, 10), 10, "click", 2.0),
+      EventStreams.Event(3, ts(3, 0), 10, "view", 4.0),
+      EventStreams.Event(4, ts(3, 5), 10, "view", 8.0))
+    query.processAllAvailable()
+    // advance the watermark past 3:05+30min so the open session times out
+    input.addData(EventStreams.Event(5, ts(6, 0), 99, "view", 1.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(6, ts(8, 0), 98, "view", 1.0))
+    query.processAllAvailable()
+    val u10 = spark.table("sess_split").as[EventStreams.SessionOut].collect()
+      .filter(_.user_id == 10L).sortBy(_.total_value)
+    assert(u10.map(s => (s.n_events, s.total_value, s.duration_ms)).toSeq === Seq(
+      (2L, 3.0, 10 * 60 * 1000L), (2L, 12.0, 5 * 60 * 1000L)))
+    query.stop()
+  }
+
   test("sessionize with flatMapGroupsWithState closes sessions as the watermark passes") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
