@@ -322,7 +322,13 @@ object Bench {
     val shortQs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra,"full_names_and_diff":"BENCH_DETAIL.json"}""")
+    // the driver records only the LAST 2000 chars of combined output and
+    // parses the JSON line out of that tail — so the line must be the
+    // final thing emitted: silence shutdown logging, stop Spark (its
+    // shutdown WARNs would otherwise land after the line and clip it out
+    // of the tail), THEN print
+    spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra,"full_names_and_diff":"BENCH_DETAIL.json"}""")
   }
 }
