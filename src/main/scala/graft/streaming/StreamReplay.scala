@@ -22,7 +22,10 @@ import org.apache.spark.sql.types.{LongType, StructType}
   *      lands in micro-batch 1. The watermark only advances between
   *      batches, so nothing is ever late-dropped and each user's full
   *      history reaches one state invocation (the documented batch-parity
-  *      case of the streaming operators);
+  *      case of the streaming operators). The `st03b`/`st07b` gate
+  *      entries instead stage the table as 8 event-time-RANGED chunk
+  *      files consumed one per micro-batch (`chunks` in [[replayRaw]]) —
+  *      the cross-batch state-carry case, same oracle hashes;
   *   2. append two tiny far-future watermark TICK FILES (one row each) —
   *      the first advances the watermark past every window close, the
   *      second gives Spark a batch in which those event-time timeouts
@@ -50,8 +53,14 @@ object StreamReplay {
     * provider is faster and the semantics are identical (pinned by
     * StreamReplaySpec's "RocksDB state store provider" test). */
   private[streaming] def stateStoreOverride: Option[String] =
-    sys.props.get("graft.stateStore").orElse(sys.env.get("GRAFT_STATE_STORE"))
-      .map(_.toLowerCase) match {
+    resolveStateStore(
+      sys.props.get("graft.stateStore").orElse(sys.env.get("GRAFT_STATE_STORE")))
+
+  /** Short provider name → provider class (None = keep Spark's default
+    * HDFS-backed provider). Shared by the sys-prop path and the explicit
+    * `stateStore` parameter of [[replayRaw]]. */
+  private[streaming] def resolveStateStore(name: Option[String]): Option[String] =
+    name.map(_.toLowerCase) match {
       case Some("rocksdb") => Some(
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       case Some("hdfs") | None => None
@@ -59,13 +68,21 @@ object StreamReplay {
         s"unknown graft.stateStore '$other' (expected rocksdb or hdfs)")
     }
 
+  /** Everything a caller can need from a replay: the settled sink
+    * contents, the max real event-time millis, and the number of
+    * micro-batches the query executed (the multi-batch spec asserts on
+    * it). */
+  private[streaming] final case class Replayed(df: DataFrame, maxTs: Long,
+                                               batches: Long)
+
   /** Run `transformed(stream)` over a full-table replay of events and
     * return the memory sink's settled contents, detached from the sink
     * (localCheckpoint) so concurrent/later runs can't disturb it. */
   private def replay(s: SparkSession, dir: String,
                      mode: OutputMode,
-                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame): DataFrame =
-    replayRaw(s, dir, mode, transform)._1
+                     transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame,
+                     chunks: Int = 1): DataFrame =
+    replayRaw(s, dir, mode, transform, chunks = chunks).df
 
   /** Writes one far-future tick event as a single-file parquet batch into
     * the staged stream dir, schema-identical to the real files (ts stays
@@ -99,12 +116,32 @@ object StreamReplay {
   /** [[replay]] plus the max real event-time millis — for callers that
     * must separate real-data results from the watermark ticks' own
     * output (operators without an event-type filter aggregate the tick
-    * rows too; their far-future buckets filter out on `> maxTs`). */
-  private def replayRaw(outer: SparkSession, dir: String,
+    * rows too; their far-future buckets filter out on `> maxTs`).
+    *
+    * `chunks > 1` switches the staging from copy-the-files to a
+    * MULTI-BATCH replay: the table is range-partitioned by event time
+    * into `chunks` time-ordered files (chunk k's min ts >= chunk k-1's
+    * max ts), staged with strictly increasing modification times —
+    * `FileStreamSource` orders new files by mod time ascending — and
+    * consumed with `maxFilesPerTrigger=1`, one chunk per micro-batch. The
+    * watermark then genuinely advances BETWEEN batches, exercising
+    * cross-batch state carry (session extension, timeout re-arming)
+    * rather than the batch-parity case; because the split respects event
+    * time, no row is ever watermark-late and the settled result is
+    * hash-identical to the single-batch replay's oracle.
+    *
+    * `stateStore` defaults to the process-level [[stateStoreOverride]];
+    * specs thread an explicit value instead of mutating the global
+    * system property (which would race under parallel suites). */
+  private[streaming] def replayRaw(outer: SparkSession, dir: String,
                      mode: OutputMode,
                      transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame,
                      ticks: Boolean = true,
-                     stageCopies: Int = 1): (DataFrame, Long) = {
+                     stageCopies: Int = 1,
+                     chunks: Int = 1,
+                     stateStore: Option[String] = null): Replayed = {
+    require(chunks == 1 || stageCopies == 1,
+      "chunked staging and stageCopies are mutually exclusive")
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
@@ -114,8 +151,8 @@ object StreamReplay {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stateStoreOverride.foreach(
-      s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    (if (stateStore == null) stateStoreOverride else resolveStateStore(stateStore))
+      .foreach(s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     import s.implicits._
 
     // the one driver-side scalar: max real event time, via a distributed
@@ -146,19 +183,57 @@ object StreamReplay {
     require(srcFiles.nonEmpty, s"no parquet files found under $src")
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
     try {
-      // stageCopies > 1 stages the whole table N times into the same
-      // batch — every row becomes an exact duplicate, which is how the
-      // dedup entry exercises a state HIT for every id (st06)
-      (0 until stageCopies).foreach { c =>
-        srcFiles.zipWithIndex.foreach { case (f, i) =>
-          Files.copy(f.toPath, stage.resolve(f"real-$c%02d-$i%05d.parquet"))
+      val stagedFiles: Seq[Path] =
+        if (chunks > 1) {
+          // MULTI-BATCH staging: range-partition the table by event time
+          // and write one file per time range — file k's min ts >= file
+          // k-1's max ts, so feeding them in order is a valid event-time
+          // ordered replay and nothing is ever watermark-late. One
+          // distributed sort; no driver materialization.
+          val tmp = Files.createTempDirectory(base, "chunkwrite")
+          s.read.parquet(src.getAbsolutePath)
+            .repartitionByRange(chunks, col("ts"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val parts = tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .sortBy(_.getName) // part index = range index = time order
+          require(parts.length > 1,
+            s"multi-batch replay needs >1 chunk files, got ${parts.length}")
+          parts.toSeq.zipWithIndex.map { case (f, i) =>
+            Files.move(f.toPath, stage.resolve(f"chunk-$i%05d.parquet"))
+          }
+        } else {
+          // stageCopies > 1 stages the whole table N times into the same
+          // batch — every row becomes an exact duplicate, which is how
+          // the dedup entry exercises a state HIT for every id (st06)
+          (for { c <- 0 until stageCopies; (f, i) <- srcFiles.zipWithIndex }
+            yield Files.copy(f.toPath, stage.resolve(f"real-$c%02d-$i%05d.parquet"))).toSeq
         }
+      // FileStreamSource orders new files by modification time ascending:
+      // pin strictly increasing mtimes (in the recent past, so the tick
+      // files appended later always sort after) — chunk order IS event
+      // time order, and same-mtime ties can't reorder the copy case
+      val mt0 = System.currentTimeMillis() - stagedFiles.size * 2000L
+      stagedFiles.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mt0 + i * 1000L))
       }
-      // file-source schema = the ON-DISK schema (ts int64 ns for the sf
-      // tables); the ns→µs conversion below mirrors Tables.events exactly
-      val fileSchema = s.read.parquet(src.getAbsolutePath).schema
+      // file-source schema = the staged DATA-FILE footer schema (ts int64
+      // ns for the sf tables); the ns→µs conversion below mirrors
+      // Tables.events exactly. Read a staged file, NOT the source dir: a
+      // hive-partitioned source derives partition columns from directory
+      // names, which the flattened staging drops — a consumed column
+      // living only in the partitioning would silently null-fill under a
+      // dir-derived schema. Fail fast instead.
+      val fileSchema = s.read.parquet(stagedFiles.head.toString).schema
+      val missing = Seq("event_id", "ts", "user_id", "event_type", "value")
+        .filterNot(fileSchema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"staged event data files lack consumed column(s) ${missing.mkString(", ")}" +
+          " — is the source hive-partitioned by a consumed column?")
       val raw = s.readStream.schema(fileSchema)
-        .option("maxFilesPerTrigger", (srcFiles.size * stageCopies).toString)
+        .option("maxFilesPerTrigger",
+          if (chunks > 1) "1" else (srcFiles.size * stageCopies).toString)
         .parquet(stage.toString)
       val converted = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -193,7 +268,8 @@ object StreamReplay {
           addTickFile(s, fileSchema, stage, 2, maxTs + 366L * 86400000L)
           query.processAllAvailable()
         }
-        (s.table(sink).localCheckpoint(), maxTs)
+        val batches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
+        Replayed(s.table(sink).localCheckpoint(), maxTs, batches)
       } finally {
         query.stop()
         s.catalog.dropTempView(sink)
@@ -245,10 +321,20 @@ object StreamReplay {
     * q23's tumbling-window SQL verbatim (same epoch-second shaping as
     * the batch twin).
     */
-  val st03_windowed_stream: Q = (s, dir) => {
-    val (out, maxTs) = replayRaw(s, dir, OutputMode.Append(),
-      ds => EventStreams.windowedCounts(ds.toDF()))
-    out.filter(col("bucket_start") <= timestamp_millis(lit(maxTs)))
+  val st03_windowed_stream: Q = (s, dir) => st03Shaped(s, dir, chunks = 1)
+
+  /** st03b: the SAME windowed aggregation replayed MULTI-BATCH — the
+    * events table staged as 8 event-time-ranged chunk files consumed one
+    * per micro-batch (`maxFilesPerTrigger=1`), so the watermark advances
+    * between real batches and windows close progressively against live
+    * state, not in the single batch-parity pass. Same oracle SQL as st03:
+    * the settled result must be hash-identical. */
+  val st03b_windowed_multibatch: Q = (s, dir) => st03Shaped(s, dir, chunks = 8)
+
+  private def st03Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame = {
+    val r = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.windowedCounts(ds.toDF()), chunks = chunks)
+    r.df.filter(col("bucket_start") <= timestamp_millis(lit(r.maxTs)))
       .select(unix_timestamp(col("bucket_start")).as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("bucket_start"), col("event_type"))
@@ -264,8 +350,9 @@ object StreamReplay {
     * oracle matches exactly.
     */
   val st04_topk_stream: Q = (s, dir) => {
-    val (out, maxTs) = replayRaw(s, dir, OutputMode.Append(),
+    val r = replayRaw(s, dir, OutputMode.Append(),
       ds => EventStreams.topKPerWindow(ds).toDF())
+    val (out, maxTs) = (r.df, r.maxTs)
     out.filter(col("window_start_ms") <= maxTs)
       .select(col("window_start_ms"), col("rank"), col("event_type"), col("n"))
       .orderBy(col("window_start_ms"), col("rank"))
@@ -284,7 +371,7 @@ object StreamReplay {
     */
   val st05_interval_join_stream: Q = (s, dir) =>
     replayRaw(s, dir, OutputMode.Append(),
-      ds => EventStreams.clickViewJoin(ds.toDF()), ticks = false)._1
+      ds => EventStreams.clickViewJoin(ds.toDF()), ticks = false).df
       .select(col("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
       .orderBy(col("click_id"), col("view_id"))
@@ -303,7 +390,7 @@ object StreamReplay {
   val st06_dedup_stream: Q = (s, dir) =>
     replayRaw(s, dir, OutputMode.Append(),
       ds => EventStreams.dedupeStream(ds.toDF()),
-      ticks = false, stageCopies = 2)._1
+      ticks = false, stageCopies = 2).df
       .select(col("event_id"), unix_micros(col("ts")).as("us"),
         col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
@@ -323,9 +410,20 @@ object StreamReplay {
     * total_value rounds to 2dp on both sides (the q23/st03 convention —
     * a float sum's exact bits depend on summation order).
     */
-  val st07_session_stream: Q = (s, dir) =>
+  val st07_session_stream: Q = (s, dir) => st07Shaped(s, dir, chunks = 1)
+
+  /** st07b: sessionization replayed MULTI-BATCH (8 event-time-ranged
+    * chunks, one per micro-batch) — sessions genuinely extend across
+    * batch boundaries, event-time timeouts re-arm as the watermark
+    * advances between batches, and open-session state carries from batch
+    * k to k+1. The round-5 intra-batch st07 bug is exactly the class of
+    * defect this protocol surfaces from the other side (cross-batch
+    * instead of intra-batch). Same oracle SQL as st07. */
+  val st07b_session_multibatch: Q = (s, dir) => st07Shaped(s, dir, chunks = 8)
+
+  private def st07Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     replay(s, dir, OutputMode.Append(),
-      ds => EventStreams.sessionize(ds).toDF())
+      ds => EventStreams.sessionize(ds).toDF(), chunks = chunks)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("n_events"),
         round(col("total_value"), 2).as("total_value"), col("duration_ms"))
@@ -335,13 +433,15 @@ object StreamReplay {
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
     "st03_windowed_stream" -> st03_windowed_stream,
+    "st03b_windowed_multibatch" -> st03b_windowed_multibatch,
     "st04_topk_stream" -> st04_topk_stream,
     "st05_interval_join_stream" -> st05_interval_join_stream,
     "st06_dedup_stream" -> st06_dedup_stream,
     "st07_session_stream" -> st07_session_stream,
+    "st07b_session_multibatch" -> st07b_session_multibatch,
   )
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     // a03's >30min-gap session split in the ms domain, shaped to
     // (n_events, total_value, duration_ms); rows sort fully by the driver
     "st07_session_stream" ->
@@ -446,4 +546,10 @@ object StreamReplay {
         |GROUP BY c.cohort_week, w.wk - c.cohort_week
         |ORDER BY cohort_week, k""".stripMargin,
   )
+
+  /** The multi-batch variants must settle to results hash-identical to
+    * their single-batch twins — same oracle SQL by construction. */
+  val oracles: Map[String, String] = baseOracles ++ Map(
+    "st03b_windowed_multibatch" -> baseOracles("st03_windowed_stream"),
+    "st07b_session_multibatch" -> baseOracles("st07_session_stream"))
 }

@@ -145,38 +145,87 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("RocksDB state store provider: same results as the default provider") {
-    // graft.stateStore=rocksdb swaps the HDFS-backed in-memory provider
+    // stateStore=Some("rocksdb") swaps the HDFS-backed in-memory provider
     // for RocksDB (the 100×-state deployment shape: state off-heap on
     // executor-local disk). Semantics must be identical — run the two
-    // heaviest state paths (flatMapGroupsWithState via st02, windowed
-    // aggregation via st03) under both providers and compare exactly.
+    // heaviest state paths (flatMapGroupsWithState via st02's operator,
+    // windowed aggregation via st03's) under both providers and compare
+    // exactly. The override is threaded as a parameter (not the global
+    // graft.stateStore system property, which a parallel suite run would
+    // race on); the sys-prop path stays the production default and is
+    // resolved through the same resolveStateStore.
+    import org.apache.spark.sql.functions.{col, round, timestamp_millis, lit, unix_timestamp}
+    import org.apache.spark.sql.streaming.OutputMode
     val w0 = ts("2026-01-05 10:00:00")
     val w1 = ts("2026-01-12 10:00:00")
     val dir = writeEvents(Seq(
       (1L, w0, 10L, "view", 1.0),
       (2L, w0, 20L, "view", 1.0),
       (3L, w1, 10L, "click", 1.0)))
-    def run() = (
-      StreamReplay.st02_cohort_stream(spark, dir).collect()
+    def run(store: Option[String]) = (
+      StreamReplay.replayRaw(spark, dir, OutputMode.Complete(),
+          ds => EventStreams.cohortCounts(ds.filter(_.user_id >= 0L)),
+          stateStore = store)
+        .df.orderBy(col("cohort_week"), col("k")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
-      StreamReplay.st03_windowed_stream(spark, dir).collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq)
-    val default = run()
-    System.setProperty("graft.stateStore", "rocksdb")
-    try {
-      val rocks = run()
-      assert(rocks === default)
-    } finally System.clearProperty("graft.stateStore")
+      {
+        val r = StreamReplay.replayRaw(spark, dir, OutputMode.Append(),
+          ds => EventStreams.windowedCounts(ds.toDF()), stateStore = store)
+        r.df.filter(col("bucket_start") <= timestamp_millis(lit(r.maxTs)))
+          .select(unix_timestamp(col("bucket_start")), col("event_type"),
+            col("n"), col("total_value"))
+          .orderBy(col("bucket_start"), col("event_type")).collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+      })
+    val default = run(None)
+    val rocks = run(Some("rocksdb"))
+    assert(rocks === default)
     val cohort = w0.getTime / 604800000L
     assert(default._1 === Seq((cohort, 0L, 2L), (cohort, 1L, 1L)))
   }
 
-  test("unknown graft.stateStore value is rejected, not silently ignored") {
-    System.setProperty("graft.stateStore", "cassandra")
-    try {
-      val e = intercept[IllegalArgumentException](StreamReplay.stateStoreOverride)
-      assert(e.getMessage.contains("cassandra"))
-    } finally System.clearProperty("graft.stateStore")
+  test("unknown state store value is rejected, not silently ignored") {
+    val e = intercept[IllegalArgumentException](
+      StreamReplay.resolveStateStore(Some("cassandra")))
+    assert(e.getMessage.contains("cassandra"))
+  }
+
+  test("multi-batch replay: chunked staging runs >1 micro-batches, identical results") {
+    // Sessions crossing chunk boundaries are the point: user 10's first
+    // session spans 08:00-08:40 (three chunk files apart), so its state
+    // must carry and EXTEND across micro-batches, and the 10:00 event
+    // must split a new session after the watermark advanced between
+    // batches; user 20's 85-minute gap splits two singleton sessions.
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 08:00:00"), 10L, "view", 1.0),
+      (2L, ts("2026-01-01 08:10:00"), 10L, "view", 2.0),
+      (3L, ts("2026-01-01 08:20:00"), 10L, "click", 3.0),
+      (4L, ts("2026-01-01 08:40:00"), 10L, "view", 4.0),
+      (5L, ts("2026-01-01 10:00:00"), 10L, "purchase", 5.0),
+      (6L, ts("2026-01-01 08:05:00"), 20L, "view", 1.0),
+      (7L, ts("2026-01-01 09:30:00"), 20L, "view", 1.0)))
+    def sessions(chunks: Int): (Seq[(Long, Long, Double, Long)], Long) = {
+      val r = StreamReplay.replayRaw(spark, dir, OutputMode.Append(),
+        ds => EventStreams.sessionize(ds).toDF(), chunks = chunks)
+      (r.df.filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("n_events"), col("duration_ms")).collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq,
+        r.batches)
+    }
+    val (single, _) = sessions(1)
+    val (multi, batches) = sessions(4)
+    // at least one micro-batch per chunk file plus the two tick batches
+    assert(batches >= 6, s"expected a genuinely multi-batch run, got $batches")
+    assert(multi === single)
+    assert(single === Seq(
+      (10L, 1L, 5.0, 0L), (10L, 4L, 10.0, 2400000L),
+      (20L, 1L, 1.0, 0L), (20L, 1L, 1.0, 0L)))
+    // the windowed-aggregation path: gate entry vs its multi-batch twin
+    val st03 = StreamReplay.st03_windowed_stream(spark, dir).collect().toSeq
+    val st03b = StreamReplay.st03b_windowed_multibatch(spark, dir).collect().toSeq
+    assert(st03b === st03)
   }
 
   test("empty events table yields the zero-count row, not a crash") {
