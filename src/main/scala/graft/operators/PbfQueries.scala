@@ -20,21 +20,39 @@ import org.apache.spark.sql.functions._
 object PbfQueries {
 
   /** Deterministic parquet twins for the DuckDB oracle, transcoded once
-    * per JVM to fixed paths (the oracle SQL embeds them). The transcode's
-    * own staging+rename commit refreshes a previous run's output safely. */
+    * to CONTENT-FINGERPRINTED paths (the oracle SQL embeds them). The
+    * fingerprint covers the input PBF bytes and the transcode output
+    * schema, so a stale output from an OLDER code version (different
+    * schema or different synthesized input) lands at a different path and
+    * can never silently feed the oracle; a completed twin is marked with
+    * a sentinel file and never rewritten, so the gate's later DuckDB read
+    * can't race a re-transcode's delete+rename commit window. */
   val OracleRoot = "/tmp/graft_oracle"
 
+  /** md5(input pbf bytes ++ output schema), 12 hex chars — the twin-path
+    * fingerprint. */
+  private def fingerprint(pbf: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pbf)))
+    md.update(graft.sources.pbf.OsmSchema.schema.catalogString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString.take(12)
+  }
+
+  private val CompleteMarker = "_GRAFT_ORACLE_OK"
   private val dumped = scala.collection.mutable.Set[String]()
   private def ensureTranscoded(spark: SparkSession, key: String, pbf: String): String =
     synchronized {
-      val out = s"$OracleRoot/$key"
-      if (!dumped.contains(key)) {
+      val out = oraclePath(key, pbf)
+      if (!dumped.contains(out)) {
         // `synchronized` serializes threads in THIS JVM; the OS file lock
         // serializes other processes (e.g. a dev DumpQuery run while a
-        // Bench warmup runs p01) — two concurrent transcodes would race on
-        // the shared fixed path's _staging dir. The output is
-        // deterministic, so whichever process transcodes last is
-        // equivalent; the lock only prevents mid-flight interference.
+        // Bench warmup runs p01). Under the lock: if a prior run already
+        // completed this fingerprint (sentinel present), SKIP — the
+        // content is fully determined by the path, so rewriting could
+        // only race a concurrent gate read through the commit's
+        // delete+rename window. Otherwise transcode and mark complete
+        // before releasing the lock.
         new java.io.File(OracleRoot).mkdirs()
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(OracleRoot, s".$key.lock"),
@@ -42,14 +60,24 @@ object PbfQueries {
           java.nio.file.StandardOpenOption.WRITE)
         try {
           val lock = ch.lock()
-          try OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out),
-            onProgress = _ => ())
-          finally lock.release()
+          try {
+            val marker = java.nio.file.Paths.get(out, CompleteMarker)
+            if (!java.nio.file.Files.exists(marker)) {
+              OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out),
+                onProgress = _ => ())
+              java.nio.file.Files.createFile(marker)
+            }
+          } finally lock.release()
         } finally ch.close()
-        dumped += key
+        dumped += out
       }
       out
     }
+
+  private def oraclePath(key: String, pbf: String): String =
+    s"$OracleRoot/$key-${fingerprint(pbf)}"
+  private lazy val p01Out = oraclePath("p01", pbfPath)
+  private lazy val p02Out = oraclePath("p02", locPbfPath)
 
   /** 4 disjoint node blocks + 1 way block; only the first node block is
     * referenced by the matching way, so the indexed path must prune 3 of 4
@@ -132,14 +160,16 @@ object PbfQueries {
     "p01_ways_and_deps" -> (p01_ways_and_deps(_, _)),
     "p02_way_lengths" -> (p02_way_lengths(_, _)))
 
-  /** DuckDB twins over the transcoded parquet at [[OracleRoot]] (dumped by
-    * the queries themselves before they return). */
-  val oracles: Map[String, String] = Map(
+  /** DuckDB twins over the transcoded parquet at the fingerprinted
+    * [[OracleRoot]] subpaths (dumped by the queries themselves before
+    * they return; the paths resolve at dump time, so the SQL always
+    * points at the twin THIS code version produced). */
+  lazy val oracles: Map[String, String] = Map(
     // ways matching the predicate + their dependent nodes (indexed.rs
     // semantics); map value extraction is m[k][1] in DuckDB
     "p01_ways_and_deps" ->
       s"""WITH t AS (
-         |  SELECT * FROM read_parquet('$OracleRoot/p01/type=*/*.parquet',
+         |  SELECT * FROM read_parquet('$p01Out/type=*/*.parquet',
          |                             hive_partitioning = 1)
          |), w AS (
          |  SELECT * FROM t WHERE type = 'way' AND tags['highway'][1] = 'primary'
@@ -154,7 +184,7 @@ object PbfQueries {
     // unnest of the two slices) joined to node coords, integer Manhattan
     "p02_way_lengths" ->
       s"""WITH w AS (
-         |  SELECT id, nds FROM read_parquet('$OracleRoot/p02/type=way/*.parquet')
+         |  SELECT id, nds FROM read_parquet('$p02Out/type=way/*.parquet')
          |), seg AS (
          |  SELECT id, unnest(nds[1:len(nds)-1]).ref AS a,
          |         unnest(nds[2:len(nds)]).ref AS b
@@ -162,7 +192,7 @@ object PbfQueries {
          |), n AS (
          |  SELECT id AS nid, CAST(round(lat * 1e9) AS BIGINT) AS latn,
          |         CAST(round(lon * 1e9) AS BIGINT) AS lonn
-         |  FROM read_parquet('$OracleRoot/p02/type=node/*.parquet')
+         |  FROM read_parquet('$p02Out/type=node/*.parquet')
          |), d AS (
          |  SELECT seg.id, abs(nb.latn - na.latn) + abs(nb.lonn - na.lonn) AS m
          |  FROM seg JOIN n na ON seg.a = na.nid JOIN n nb ON seg.b = nb.nid
