@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Accuracy bounds for the two sketch entries (x01 HLL distinct, x02
+  * Greenwald-Khanna quantiles) — the gate records them rows-only because
+  * their exact outputs are implementation-defined, so these specs carry
+  * the correctness claim instead: each sketch must land within its
+  * published error envelope of the EXACT twin computed on the same data
+  * (q15's exact count-distinct shape for x01, t08's exact-rank shape for
+  * x02). sf0.01 keeps the run fast while the groups are large enough
+  * (~6k-15k rows) that the bounds are meaningful.
+  */
+class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("sketch-accuracy-spec")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("x01: approx_count_distinct within ±5% of the exact distinct counts") {
+    // rsd is set to 0.02 in the entry; HLL++'s error is a standard
+    // deviation, so ±5% (2.5 sigma) is a safely-passing yet meaningful
+    // envelope on real group sizes (hundreds to thousands of distincts)
+    val approx = ScaleQueries.x01_approx_distinct(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (flag, (supp, part)) =>
+      val (aSupp, aPart) = approx(flag)
+      assert(math.abs(aSupp - supp) <= math.max(1L, (supp * 0.05).toLong),
+        s"flag=$flag suppkey: approx $aSupp vs exact $supp")
+      assert(math.abs(aPart - part) <= math.max(1L, (part * 0.05).toLong),
+        s"flag=$flag partkey: approx $aPart vs exact $part")
+    }
+  }
+
+  test("x02: percentile_approx within rank-epsilon of the exact quantiles") {
+    // percentile_approx(x, q, acc) guarantees a value whose exact RANK is
+    // within n/acc of q*n (acc=1000 in the entry). Assert the realized
+    // rank error directly — the honest metric for a GK sketch — with a
+    // small +0.005 slack for rank-tie plateaus.
+    val approx = ScaleQueries.x02_approx_quantiles(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val groups = graft.Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    assert(approx.keySet === groups.keySet)
+    def rankOf(sorted: Array[Double], v: Double): Double =
+      sorted.count(_ <= v).toDouble / sorted.length
+    groups.foreach { case (prio, sorted) =>
+      val eps = 1.0 / 1000 + 0.005
+      val (p50, p99) = approx(prio)
+      assert(math.abs(rankOf(sorted, p50) - 0.50) <= eps,
+        s"$prio p50: value $p50 has rank ${rankOf(sorted, p50)} (n=${sorted.length})")
+      assert(math.abs(rankOf(sorted, p99) - 0.99) <= eps,
+        s"$prio p99: value $p99 has rank ${rankOf(sorted, p99)} (n=${sorted.length})")
+    }
+  }
+}
