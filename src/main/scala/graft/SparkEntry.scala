@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalOracles.all ++ TrainingOracles.all ++ CurationQueries.oracles ++
       EventJoins.oracles ++ graft.streaming.StreamReplay.oracles ++
-      PbfQueries.oracles
+      PbfQueries.oracles ++ Multimodal.oracles
 }

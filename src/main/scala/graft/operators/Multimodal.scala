@@ -274,4 +274,26 @@ object Multimodal {
     "m03_frame_sample" -> m03_frame_sample,
     "m04_audio_features" -> m04_audio_features,
   )
+
+  /** GOLDEN-VALUE oracles: DuckDB cannot decode media, but the three
+    * pipelines aggregate to deterministic integers (pixel/sample-derived
+    * sums over a corpus synthesized from the documents table), so the
+    * expected values are computed once at the driver's gate scale
+    * (sf0.01) and checked in as tiny parquet files that the oracle
+    * replays via `read_parquet`. Decode GROUND TRUTH is carried by the
+    * exact-pixel/exact-sample codec specs (MultimodalSpec); the golden
+    * pins the full distributed pipeline against drift, and
+    * MediaGoldenSpec recomputes + compares in `sbt test` so a legitimate
+    * behavior change surfaces there first (regenerate via
+    * graft.tools.DumpQuery at sf0.01, then copy the part file over
+    * golden/<name>.parquet). */
+  val GoldenDir = "/root/repo/golden"
+  val oracles: Map[String, String] = Map(
+    "m02_media_features" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/m02_media_features.parquet') ORDER BY kind, source",
+    "m03_frame_sample" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/m03_frame_sample.parquet') ORDER BY frame_idx",
+    "m04_audio_features" ->
+      s"SELECT * FROM read_parquet('$GoldenDir/m04_audio_features.parquet') ORDER BY kind",
+  )
 }
