@@ -1,6 +1,14 @@
 #!/bin/bash
 # Run a graft main against the compiled classes + Spark jars.
+#
+# Heap flags: pinned heap (-Xms=-Xmx) + AlwaysPreTouch + ParallelGC.
+# Measured on this box: the default adaptively-sized G1 heap turns the
+# transcode's allocation churn into a 60%+ SYSTEM-CPU storm (page-fault /
+# uncommit traffic visible in /proc/stat while the box is otherwise idle);
+# pre-touched fixed heaps with the throughput collector keep the kernel out
+# of the hot loop — the right configuration for a batch analytics engine.
 MAIN=$1; shift
+MEM=${SPARK_DRIVER_MEM:-8g}
 exec java \
   --add-opens java.base/java.lang=ALL-UNNAMED \
   --add-opens java.base/java.lang.invoke=ALL-UNNAMED \
@@ -16,6 +24,6 @@ exec java \
   --add-opens java.base/sun.security.action=ALL-UNNAMED \
   --add-opens java.base/sun.util.calendar=ALL-UNNAMED \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${SPARK_DRIVER_MEM:-8g} \
+  -Xms$MEM -Xmx$MEM -XX:+AlwaysPreTouch -XX:+UseParallelGC \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"

@@ -317,7 +317,11 @@ object Bench {
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
          |"failed":$failed$extra$transcodeDetail$diff}""".stripMargin.replace("\n", "")
     try {
-      val w = new java.io.PrintWriter("BENCH_DETAIL.json"); try w.println(detail) finally w.close()
+      // explicit UTF-8: the platform default charset mojibake'd non-ASCII
+      // artifact text (em-dashes committed as '?') in earlier rounds
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_DETAIL.json"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try w.println(detail) finally w.close()
     } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     val shortQs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }

@@ -13,9 +13,11 @@ import org.apache.spark.sql.functions._
   * data). Both entries are FULL oracle rows: each query transcodes its own
   * input PBF to a deterministic parquet path once per JVM, and the DuckDB
   * oracle replays the same semantics over that parquet via `read_parquet`
-  * — so the driver's hash gate checks PBF-native execution against an
-  * independent engine reading the transcoded twin (the equivalence
-  * IndexedPbfSpec proves on fixtures, now in the gate itself).
+  * — INDEPENDENT QUERY SEMANTICS over the self-transcoded twin. (The twin
+  * comes from this engine's own transcode, so the gate proves PBF-native
+  * execution ≡ transcode-then-query; DECODE ground truth is carried
+  * separately by the golden-fixture specs over the reference's own PBFs —
+  * PbfRoundTripSpec/IndexedPbfSpec.)
   */
 object PbfQueries {
 

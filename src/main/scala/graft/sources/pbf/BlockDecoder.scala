@@ -76,7 +76,16 @@ object BlockDecoder {
     * formats (UTF8String, ArrayBasedMapData, epoch-micros) directly — no
     * per-row converter between the decoder and the parquet writer, which
     * is worth ~10x transcode throughput vs an external-Row path. */
-  def decodeBlockInternal(payload: Array[Byte], proj: Projection): Iterator[InternalRow] = {
+  def decodeBlockInternal(payload: Array[Byte], proj: Projection): Iterator[InternalRow] =
+    decodeBlockInternal(payload, proj, reuseDense = false)
+
+  /** `reuseDense = true` yields dense-node rows through ONE mutable
+    * `SpecificInternalRow` (primitive slots — no per-row allocation, no
+    * per-field boxing). ONLY safe when the caller consumes each row
+    * before requesting the next (the transcode's write loop); any
+    * consumer that buffers rows must use the allocating overload. */
+  def decodeBlockInternal(payload: Array[Byte], proj: Projection,
+                          reuseDense: Boolean): Iterator[InternalRow] = {
     val r = new ProtoReader(payload)
     var stringTable: Array[UTF8String] = Array.empty
     val groups = ArrayBuffer.empty[ProtoReader]
@@ -102,7 +111,7 @@ object BlockDecoder {
       }
     }
     val ctx = new BlockCtx(stringTable, granularity, latOffset, lonOffset, dateGranularity)
-    groups.iterator.flatMap(g => decodeGroup(g, ctx, proj))
+    groups.iterator.flatMap(g => decodeGroup(g, ctx, proj, reuseDense))
   }
 
   private val TypeNodeU = UTF8String.fromString(OsmSchema.TypeNode)
@@ -131,14 +140,17 @@ object BlockDecoder {
 
   /** StringTable: repeated bytes s = 1. Invalid UTF-8 entries decode to
     * null so tag/role lookups can drop them like the reference (UTF8String
-    * tolerates any bytes, so validity is checked once here at build time). */
+    * tolerates any bytes, so validity is checked once here at build time).
+    * The bytes go straight into UTF8String (one slice copy + an in-place
+    * validity scan) — the former bytes→String→re-encoded-bytes path cost
+    * a CharsetDecoder, a char[], and a second byte[] per entry. */
   private def decodeStringTable(r: ProtoReader): Array[UTF8String] = {
     val out = ArrayBuffer.empty[UTF8String]
     while (r.hasNext) {
       val tag = r.readTag()
       if (tag == 0x0a) {
-        val s = r.readStringStrict()
-        out += (if (s == null) null else UTF8String.fromString(s))
+        val s = UTF8String.fromBytes(r.readBytes())
+        out += (if (s.isValid) s else null)
       } else r.skip(tag & 7)
     }
     out.toArray
@@ -176,23 +188,32 @@ object BlockDecoder {
   }
 
   /** PrimitiveGroup: nodes=1, dense=2, ways=3, relations=4. Groups of a
-    * type excluded by a pushed `type` predicate are skipped without decode. */
-  private def decodeGroup(r: ProtoReader, ctx: BlockCtx, proj: Projection): Iterator[InternalRow] = {
-    val rows = ArrayBuffer.empty[InternalRow]
+    * type excluded by a pushed `type` predicate are skipped without decode.
+    *
+    * Sparse elements decode eagerly (they are <11% of a planet mix);
+    * dense-node groups return a LAZY iterator that decodes one node per
+    * `next()` — no intermediate row buffer for the 89% case, and the
+    * prerequisite for the reused-row transcode path. */
+  private def decodeGroup(r: ProtoReader, ctx: BlockCtx, proj: Projection,
+                          reuseDense: Boolean): Iterator[InternalRow] = {
+    val parts = ArrayBuffer.empty[AnyRef] // InternalRow | Iterator[InternalRow]
     val wantNode = proj.types(OsmSchema.TypeNode)
     val wantWay = proj.types(OsmSchema.TypeWay)
     val wantRel = proj.types(OsmSchema.TypeRelation)
     while (r.hasNext) {
       val tag = r.readTag()
       (tag: @annotation.switch) match {
-        case 0x0a => if (wantNode) rows += decodeNode(r.readMessage(), ctx, proj) else r.skip(2)
-        case 0x12 => if (wantNode) rows ++= decodeDense(r.readMessage(), ctx, proj) else r.skip(2)
-        case 0x1a => if (wantWay) rows += decodeWay(r.readMessage(), ctx, proj) else r.skip(2)
-        case 0x22 => if (wantRel) rows += decodeRelation(r.readMessage(), ctx, proj) else r.skip(2)
+        case 0x0a => if (wantNode) parts += decodeNode(r.readMessage(), ctx, proj) else r.skip(2)
+        case 0x12 => if (wantNode) parts += decodeDense(r.readMessage(), ctx, proj, reuseDense) else r.skip(2)
+        case 0x1a => if (wantWay) parts += decodeWay(r.readMessage(), ctx, proj, reuseDense) else r.skip(2)
+        case 0x22 => if (wantRel) parts += decodeRelation(r.readMessage(), ctx, proj) else r.skip(2)
         case t => r.skip(t & 7)
       }
     }
-    rows.iterator
+    parts.iterator.flatMap {
+      case it: Iterator[_] => it.asInstanceOf[Iterator[InternalRow]]
+      case row => Iterator.single(row.asInstanceOf[InternalRow])
+    }
   }
 
   /** Info message: version=1, timestamp=2, changeset=3, uid=4, user_sid=5,
@@ -263,8 +284,11 @@ object BlockDecoder {
   /** DenseNodes: id=1Δ, denseinfo=5, lat=8Δ, lon=9Δ, keys_vals=10.
     * The running-sum delta decode is inherently sequential per blob —
     * exactly why the parallelism unit is the blob (dense.rs:148-151).
+    * Field parse is eager (packed arrays); row production is LAZY — one
+    * node per `next()`, with all delta accumulators as iterator state.
     */
-  private def decodeDense(r: ProtoReader, ctx: BlockCtx, proj: Projection): Iterator[InternalRow] = {
+  private def decodeDense(r: ProtoReader, ctx: BlockCtx, proj: Projection,
+                          reuse: Boolean): Iterator[InternalRow] = {
     var ids: Array[Long] = Array.empty
     var lats: Array[Long] = Array.empty
     var lons: Array[Long] = Array.empty
@@ -281,45 +305,91 @@ object BlockDecoder {
         case _ => r.skip(tag & 7)
       }
     }
-    val n = ids.length
-    val rows = new ArrayBuffer[InternalRow](n)
-    var id = 0L; var lat = 0L; var lon = 0L
-    var ts = 0L; var cs = 0L; var uid = 0L; var usid = 0L
-    var kv = 0 // cursor into keys_vals
-    val hasInfo = di != null && di.version.length == n
-    val ks = new ArrayBuffer[Any](4)
-    val vs = new ArrayBuffer[Any](4)
-    var i = 0
-    while (i < n) {
+    new DenseRows(ids, lats, lons, keysVals, di, ctx, proj, reuse)
+  }
+
+  /** The dense-node hot loop as an iterator. With `reuse` every call to
+    * `next()` returns the SAME `SpecificInternalRow` refilled in place —
+    * primitive slots, so the 89%-of-planet path does zero per-row
+    * allocation and zero boxing for id/coords/info fields (the map object
+    * still allocates only for tagged nodes, ~1-10% of dense nodes). */
+  private final class DenseRows(ids: Array[Long], lats: Array[Long],
+      lons: Array[Long], keysVals: Array[Long], di: DenseInfoArrays,
+      ctx: BlockCtx, proj: Projection, reuse: Boolean)
+      extends Iterator[InternalRow] {
+    private[this] val n = ids.length
+    private[this] val width = if (proj.wayLocs) 14 else 13
+    private[this] val hasInfo = di != null && di.version.length == n
+    private[this] val target: InternalRow =
+      if (reuse) {
+        val t = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+          OsmSchema.schemaFor(proj.wayLocs).fields.map(_.dataType).toIndexedSeq)
+        // constant across all dense rows
+        t.update(12, TypeNodeU)
+        t.setNullAt(4); t.setNullAt(5) // nds, members
+        if (width == 14) t.setNullAt(13)
+        t
+      } else null
+    private[this] var i = 0
+    private[this] var id = 0L; private[this] var lat = 0L; private[this] var lon = 0L
+    private[this] var ts = 0L; private[this] var cs = 0L
+    private[this] var uid = 0L; private[this] var usid = 0L
+    private[this] var kv = 0 // cursor into keys_vals
+    // reusable tag scratch (grown on demand, trimmed per node at emit)
+    private[this] var ks = new Array[Any](8)
+    private[this] var vs = new Array[Any](8)
+
+    override def hasNext: Boolean = i < n
+
+    override def next(): InternalRow = {
       id += ids(i); lat += lats(i); lon += lons(i)
       // 0-delimited (key,val) pairs for this node (dense.rs:153-163)
-      ks.clear(); vs.clear()
+      var nk = 0
       while (kv < keysVals.length && keysVals(kv) != 0L) {
         val k = ctx.string(keysVals(kv).toInt)
         val v = if (kv + 1 < keysVals.length) ctx.string(keysVals(kv + 1).toInt) else null
-        if (k != null && v != null) { ks += k; vs += v }
+        if (k != null && v != null) {
+          if (nk == ks.length) {
+            ks = java.util.Arrays.copyOf(ks.asInstanceOf[Array[AnyRef]], nk * 2).asInstanceOf[Array[Any]]
+            vs = java.util.Arrays.copyOf(vs.asInstanceOf[Array[AnyRef]], nk * 2).asInstanceOf[Array[Any]]
+          }
+          ks(nk) = k; vs(nk) = v; nk += 1
+        }
         kv += 2
       }
       if (kv < keysVals.length) kv += 1 // skip the 0 delimiter
-      val m = if (ks.isEmpty) EmptyTags
-        else new ArrayBasedMapData(new GenericArrayData(ks.toArray), new GenericArrayData(vs.toArray))
-      var row: InternalRow = null
+      val m = if (nk == 0) EmptyTags
+        else new ArrayBasedMapData(
+          new GenericArrayData(java.util.Arrays.copyOf(ks.asInstanceOf[Array[AnyRef]], nk)),
+          new GenericArrayData(java.util.Arrays.copyOf(vs.asInstanceOf[Array[AnyRef]], nk)))
+      val row: InternalRow =
+        if (reuse) target
+        else {
+          val g = new GenericInternalRow(width)
+          g.update(12, TypeNodeU)
+          g
+        }
+      row.setLong(0, id)
+      row.update(1, m)
+      row.setDouble(2, ctx.coord(ctx.latOffset, lat))
+      row.setDouble(3, ctx.coord(ctx.lonOffset, lon))
       if (hasInfo) {
         ts += di.timestamp(i); cs += di.changeset(i); uid += di.uid(i); usid += di.userSid(i)
         val user = { val s = ctx.string(usid.toInt); if (s == null) EmptyUser else s }
-        val visible = if (di.visible.length > i) di.visible(i) else true
-        row = mkRow(proj, id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
-          null, null, Long.box(cs), Long.box(ctx.millis(ts) * 1000L), Int.box(uid.toInt),
-          user, Int.box(di.version(i).toInt), Boolean.box(visible), TypeNodeU, null)
+        row.setLong(6, cs)
+        row.setLong(7, ctx.millis(ts) * 1000L)
+        row.setInt(8, uid.toInt)
+        row.update(9, user)
+        row.setInt(10, di.version(i).toInt)
+        row.setBoolean(11, if (di.visible.length > i) di.visible(i) else true)
       } else {
         // no DenseInfo: every info column null, including user & visible
-        row = mkRow(proj, id, m, ctx.coord(ctx.latOffset, lat), ctx.coord(ctx.lonOffset, lon),
-          null, null, null, null, null, null, null, null, TypeNodeU, null)
+        row.setNullAt(6); row.setNullAt(7); row.setNullAt(8)
+        row.setNullAt(9); row.setNullAt(10); row.setNullAt(11)
       }
-      rows += row
       i += 1
+      row
     }
-    rows.iterator
   }
 
   private final class DenseInfoArrays(
@@ -359,7 +429,8 @@ object BlockDecoder {
     * `wayLocs` is on. A way without the arrays yields an EMPTY array,
     * mirroring the reference library's empty iterator
     * (elements.rs:201-216). */
-  private def decodeWay(r: ProtoReader, ctx: BlockCtx, proj: Projection): InternalRow = {
+  private def decodeWay(r: ProtoReader, ctx: BlockCtx, proj: Projection,
+                        reuse: Boolean = false): InternalRow = {
     var id = 0L
     var keys: Array[Long] = Array.empty
     var vals: Array[Long] = Array.empty
@@ -386,15 +457,21 @@ object BlockDecoder {
         case _ => r.skip(tag & 7)
       }
     }
-    // delta decode refs (elements.rs:332-348)
-    val nds = new Array[Any](refs.length)
+    // delta decode refs (elements.rs:332-348) in place
     var acc = 0L
     var i = 0
-    while (i < refs.length) {
-      acc += refs(i)
-      nds(i) = new GenericInternalRow(Array[Any](acc))
-      i += 1
-    }
+    while (i < refs.length) { acc += refs(i); refs(i) = acc; i += 1 }
+    // reuse (transcode): a primitive-long-backed struct-array view — no
+    // per-ref struct allocation/boxing; otherwise real independent structs
+    val nds: Any =
+      if (!proj.nds) null
+      else if (reuse) new RefStructArray(refs)
+      else {
+        val out = new Array[Any](refs.length)
+        var j = 0
+        while (j < refs.length) { out(j) = new GenericInternalRow(Array[Any](refs(j))); j += 1 }
+        new GenericArrayData(out)
+      }
     var locs: Any = null
     if (proj.wayLocs) {
       // same running-sum + coordinate math as the node decode
@@ -414,9 +491,55 @@ object BlockDecoder {
       locs = new GenericArrayData(out)
     }
     mkRow(proj, id, if (proj.tags) tags(keys, vals, ctx) else null, null, null,
-      if (proj.nds) new GenericArrayData(nds) else null, null, info.changeset,
+      nds, null, info.changeset,
       info.tsMicros, info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
       TypeWayU, locs)
+  }
+
+  /** `array<struct<ref:long>>` view over a primitive long array with a
+    * REUSED per-element struct holder — the transcode-only representation
+    * of a way's `nds` (the write support reads elements strictly
+    * sequentially). `copy()` materializes real independent structs for
+    * any consumer that buffers. */
+  private final class RefStructArray(refs: Array[Long])
+      extends org.apache.spark.sql.catalyst.util.ArrayData {
+    private[this] val holder =
+      new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
+        Seq[org.apache.spark.sql.types.DataType](org.apache.spark.sql.types.LongType))
+    override def numElements(): Int = refs.length
+    override def getStruct(ordinal: Int, numFields: Int): InternalRow = {
+      holder.setLong(0, refs(ordinal)); holder
+    }
+    override def copy(): org.apache.spark.sql.catalyst.util.ArrayData = {
+      val out = new Array[Any](refs.length)
+      var i = 0
+      while (i < refs.length) { out(i) = new GenericInternalRow(Array[Any](refs(i))); i += 1 }
+      new GenericArrayData(out)
+    }
+    override def array: Array[Any] = copy().asInstanceOf[GenericArrayData].array
+    override def isNullAt(ordinal: Int): Boolean = false
+    override def setNullAt(ordinal: Int): Unit = unsupported()
+    override def update(ordinal: Int, value: Any): Unit = unsupported()
+    private def unsupported(): Nothing =
+      throw new UnsupportedOperationException("RefStructArray: struct elements only")
+    override def getBoolean(ordinal: Int): Boolean = unsupported()
+    override def getByte(ordinal: Int): Byte = unsupported()
+    override def getShort(ordinal: Int): Short = unsupported()
+    override def getInt(ordinal: Int): Int = unsupported()
+    override def getLong(ordinal: Int): Long = unsupported()
+    override def getFloat(ordinal: Int): Float = unsupported()
+    override def getDouble(ordinal: Int): Double = unsupported()
+    override def getDecimal(ordinal: Int, precision: Int, scale: Int): org.apache.spark.sql.types.Decimal = unsupported()
+    override def getUTF8String(ordinal: Int): UTF8String = unsupported()
+    override def getBinary(ordinal: Int): Array[Byte] = unsupported()
+    override def getInterval(ordinal: Int): org.apache.spark.unsafe.types.CalendarInterval = unsupported()
+    override def getVariant(ordinal: Int): org.apache.spark.unsafe.types.VariantVal = unsupported()
+    override def getGeography(ordinal: Int): org.apache.spark.unsafe.types.GeographyVal = unsupported()
+    override def getGeometry(ordinal: Int): org.apache.spark.unsafe.types.GeometryVal = unsupported()
+    override def getArray(ordinal: Int): org.apache.spark.sql.catalyst.util.ArrayData = unsupported()
+    override def getMap(ordinal: Int): org.apache.spark.sql.catalyst.util.MapData = unsupported()
+    override def get(ordinal: Int, dataType: org.apache.spark.sql.types.DataType): AnyRef =
+      getStruct(ordinal, 1)
   }
 
   /** Packed-declared sint64 field occurrence: wire 2 = packed payload,

@@ -223,6 +223,28 @@ object DirectParquet {
       .withRowGroupSize(rowGroupBytes)
       .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
       .withDictionaryEncoding(true)
+      // High-cardinality columns (unique-per-element ids/coords/times and
+      // way refs) only PAY for dictionary encoding: every value hashes
+      // into the dict page until it overflows and falls back to plain —
+      // profiling showed the fastutil Long2Int/Double2Int insert+rehash
+      // among the hottest transcode frames. Low-cardinality columns
+      // (tags, user, uid, version, visible) keep the dictionary.
+      .withDictionaryEncoding("id", false)
+      .withDictionaryEncoding("lat", false)
+      .withDictionaryEncoding("lon", false)
+      .withDictionaryEncoding("changeset", false)
+      .withDictionaryEncoding("timestamp", false)
+      .withDictionaryEncoding("nds.list.element.ref", false)
+      .withDictionaryEncoding("members.list.element.ref", false)
+      // min/max column statistics STAY ON (scan pushdown and the zone-map
+      // pruning depend on them); SIZE statistics (unencoded-byte accounting
+      // for external table planners) and per-page CRCs are pure per-value
+      // overhead in the hot write loop with no consumer in this engine
+      .withSizeStatisticsEnabled(false)
+      .withPageWriteChecksumEnabled(false)
+      // the page-size check walks every column buffer; at ~1KB/row the
+      // default 100-row cadence rechecks ~10x per page for nothing
+      .withMinRowCountForPageSizeCheck(1000)
       .withValidation(false)
     rowGroupRows.foreach(b.withRowGroupRowCountLimit)
     b.build()

@@ -267,7 +267,12 @@ object OsmPbf {
               val buf = new Array[Byte](span.length)
               in.readFully(buf)
               byteAcc.add(span.length)
-              BlockDecoder.decodeBlockInternal(Blobs.decode(buf), BlockDecoder.FullProjection)
+              // reuseDense: the write loop consumes each row before the
+              // next is produced, so dense-node rows arrive through one
+              // refilled SpecificInternalRow — no per-element row
+              // allocation or boxing on the 89%-of-planet path
+              BlockDecoder.decodeBlockInternal(Blobs.decode(buf), BlockDecoder.FullProjection,
+                  reuseDense = true)
                 .foreach { row =>
                   val t = row.getUTF8String(12)
                   val w =

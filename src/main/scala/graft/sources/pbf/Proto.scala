@@ -84,20 +84,42 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     s
   }
 
-  /** Decodes a packed repeated varint field into a Long array. */
-  def readPackedVarint(): Array[Long] = {
-    val sub = readMessage()
-    val b = scala.collection.mutable.ArrayBuilder.make[Long]
-    while (sub.hasNext) b += sub.readVarint()
-    b.result()
+  /** Counts the varints in buf[pos, stop): one cache-hot byte scan for
+    * terminator bytes (high bit clear). Lets the packed readers allocate
+    * EXACTLY once — profiling showed the previous ArrayBuilder's geometric
+    * growth copies (`mkArray`) as the single hottest transcode frame, and
+    * a padded upper-bound array would re-create the same GC pressure at
+    * 1-2 bytes per delta varint. */
+  @inline private def countVarints(stop: Int): Int = {
+    var cnt = 0
+    var p = pos
+    while (p < stop) { if ((buf(p) & 0x80) == 0) cnt += 1; p += 1 }
+    cnt
   }
 
-  /** Decodes a packed repeated sint (zigzag) field. */
+  /** Decodes a packed repeated varint field into an exactly-sized array. */
+  def readPackedVarint(): Array[Long] = {
+    val len = readVarint().toInt
+    val stop = pos + len
+    val out = new Array[Long](countVarints(stop))
+    var n = 0
+    // n guard: a truncated trailing varint (no terminator inside the
+    // field) is dropped instead of overrunning the exact-sized array
+    while (pos < stop && n < out.length) { out(n) = readVarint(); n += 1 }
+    pos = stop
+    out
+  }
+
+  /** Decodes a packed repeated sint (zigzag) field (same single-alloc
+    * strategy as [[readPackedVarint]]). */
   def readPackedZigzag(): Array[Long] = {
-    val sub = readMessage()
-    val b = scala.collection.mutable.ArrayBuilder.make[Long]
-    while (sub.hasNext) b += sub.readZigzag()
-    b.result()
+    val len = readVarint().toInt
+    val stop = pos + len
+    val out = new Array[Long](countVarints(stop))
+    var n = 0
+    while (pos < stop && n < out.length) { out(n) = readZigzag(); n += 1 }
+    pos = stop
+    out
   }
 }
 
