@@ -49,13 +49,15 @@ object Bench {
     // rather than laundered into a plausible-looking median.
     // The engine's established capability band on this box is ~12-13M
     // elem/s on the 17.8M-element probe corpus (measured this round:
-    // clean-window reps 11.8-13.3M; the old 4.46M-element corpus probed
-    // ~6.5M because per-run fixed cost — job submission, writer open/
-    // commit/rename — was a third of each rep). A best below the floor
-    // after a full adaptive probe means the WINDOW was hostile, not the
-    // engine — so the probe samples a SECOND window after the ~10-minute
-    // query phase and keeps the overall best.
-    val CapabilityFloor = 10000000L
+    // r6: sustained 15.6-16.8M across reps after the profile-driven
+    // decode/write cuts + pinned-pretouch-heap run.sh flags that removed
+    // the self-induced GC page-fault storm; the old 4.46M-element corpus
+    // probed ~6.5M because per-run fixed cost — job submission, writer
+    // open/commit/rename — was a third of each rep). A best below the
+    // floor after a full adaptive probe means the WINDOW was hostile, not
+    // the engine — so the probe samples a SECOND window after the
+    // ~10-minute query phase and keeps the overall best.
+    val CapabilityFloor = 14000000L
     val transcodeRuns = scala.collection.mutable.ArrayBuffer.empty[Long]
     val transcodeCpu = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     val transcodeScratch: Option[(String, String, Long)] = try {

@@ -36,7 +36,7 @@ object DedupQueries {
     * into O(tokens²) string work per document — at 100 TB that's the whole
     * job's budget. One projection makes it O(tokens).
     */
-  private def shingles(df: DataFrame): DataFrame = {
+  private[graft] def shingles(df: DataFrame): DataFrame = {
     // explode amplification: input is row-light (one doc) but the output
     // (shingles × hash functions) is CPU-heavy. A compact source — one
     // parquet file, few row groups — would pin all that work on 1-2 tasks,
@@ -84,17 +84,28 @@ object DedupQueries {
   private def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(shingles(Tables.documents(s, dir)))
 
-  private def minhashPairsFrom(sh: DataFrame): DataFrame = {
+  private def minhashPairsFrom(sh: DataFrame): DataFrame =
+    pairsFromBands(lshBands(sh))
+
+  /** The LSH band rows `(doc_id, band, h)` for a shingle set — exposed
+    * package-private so the dedup soak can measure the REAL pipeline's
+    * bucket distribution (the Σ b(b-1)/2 pair-space prediction is
+    * computed from exactly the buckets the pair generator consumes). */
+  private[graft] def lshBands(sh: DataFrame): DataFrame = {
     val mins = (0 until 16).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"mh$i"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)))
-    val bands = sig.select(col("doc_id"),
+    sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "h")))
-    // bucket → sorted posting list → pairs: the signature pipeline runs
-    // once (a self-join would recompute the whole minhash upstream on both
-    // sides) and candidate pairs never leave their band bucket
+  }
+
+  /** Candidate pairs from band rows — bucket → sorted posting list →
+    * pairs: the signature pipeline runs once (a self-join would recompute
+    * the whole minhash upstream on both sides) and candidate pairs never
+    * leave their band bucket. */
+  private[graft] def pairsFromBands(bands: DataFrame): DataFrame =
     bands.groupBy(col("band"), col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -102,7 +113,6 @@ object DedupQueries {
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
-  }
 
   /** d07: near-dup CLUSTERS — connected components over the MinHash pair
     * graph; cluster id = min doc_id of the component (so "keep the cluster

@@ -18,7 +18,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Soak {
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("SOAK_r05.json")
+    val outJson = args.headOption.getOrElse("SOAK_r06.json")
     val blocks = if (args.length > 1) args(1).toInt else 1800 // ~40.1M elements
     val fileTargetMb = 64
     val spark = SparkSession.builder().master("local[32]")
@@ -43,9 +43,15 @@ object Soak {
       // most of its first transcode in kernel page faults — measured as
       // ~67% system CPU on an otherwise idle box — which is JVM startup
       // cost, not engine throughput)
-      OsmPbf.transcode(spark, PbfConfig(input = pbf, output = s"$dir/warmout",
-        fileTargetMb = Some(fileTargetMb)))
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/warmout"))
+      // TWO warmups, like the bench probe: the r6 lazy-iterator decode
+      // needs more C2 iterations — with one warmup the timed run was still
+      // compiling (measured 6.7M while the LATER, harder rotation phase
+      // hit 11.6M)
+      (1 to 2).foreach { _ =>
+        OsmPbf.transcode(spark, PbfConfig(input = pbf, output = s"$dir/warmout",
+          fileTargetMb = Some(fileTargetMb)))
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/warmout"))
+      }
       heapPools.foreach(_.resetPeakUsage())
       val c0 = cpuTicks()
       val t = System.nanoTime()
@@ -103,6 +109,10 @@ object Soak {
         ss.groupBy(_ >> 24 << 4).view.mapValues(_.size).toMap // bucket start in MB
       def histJson(ss: Seq[Long]): String = hist(ss).toSeq.sorted
         .map { case (mb, c) => s""""${mb}-${mb + 16}MB":$c""" }.mkString("{", ",", "}")
+      // DEDUP-AT-SCALE phase: the d02→d07 pipeline over synthesized
+      // near-dup corpora at two scales — measured candidate-pair counts
+      // vs the Σ b(b-1)/2 bucket prediction, shuffle bytes, curvature
+      val dedupJson = DedupSoakPhase.runJson(spark, Seq(50000L, 200000L))
       val json =
         s"""{"elements":$n,"seconds":${f"$secs%.1f"},"elems_per_s":$rate,
            |"run_steal_pct":$stealPct,"run_sys_pct":$sysPct,
@@ -114,8 +124,11 @@ object Soak {
            |"rotation_phase":{"file_target_mb":4,"node_files":${rotNodeFiles.size},
            |"node_files_at_64mb_target":${nodeFiles.size},"elems_per_s":${(n / secs2).round},
            |"run_steal_pct":$stealPct2,"run_sys_pct":$sysPct2,
-           |"node_file_sizes_kb":${rotNodeFiles.map(_ >> 10).mkString("[", ",", "]")}}}""".stripMargin.replace("\n", "")
-      val w = new java.io.PrintWriter(outJson); try w.println(json) finally w.close()
+           |"node_file_sizes_kb":${rotNodeFiles.map(_ >> 10).mkString("[", ",", "]")}},
+           |"dedup":$dedupJson}""".stripMargin.replace("\n", "")
+      val w = new java.io.PrintWriter(new java.io.File(outJson),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try w.println(json) finally w.close()
       println(s"SOAK OK -> $outJson")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
