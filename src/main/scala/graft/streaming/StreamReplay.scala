@@ -303,12 +303,22 @@ object StreamReplay {
     * (floor(floor(us/1000)/wk_ms) == floor(us/wk_us)), so the oracle is
     * a05's SQL verbatim.
     */
-  val st02_cohort_stream: Q = (s, dir) =>
+  val st02_cohort_stream: Q = (s, dir) => st02Shaped(s, dir, chunks = 1)
+
+  /** st02b: the cohort tracker replayed MULTI-BATCH. Cross-batch parity
+    * holds by construction: chunks are event-time-ordered, so the first
+    * batch containing a user holds their earliest week — the cohort fixes
+    * to the same minimum as the batch formulation, and later batches emit
+    * exactly the fresh (cohort, k) hits. Same oracle SQL as st02. */
+  val st02b_cohort_multibatch: Q = (s, dir) => st02Shaped(s, dir, chunks = 8)
+
+  private def st02Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     replay(s, dir, OutputMode.Complete(),
       // cohortUpdates tracks EVERY event type, so the watermark ticks
       // must be dropped here (funnelWindow's own type filter handles
       // them in st01); ticks are the only negative user ids
-      ds => EventStreams.cohortCounts(ds.filter(_.user_id >= 0L)))
+      ds => EventStreams.cohortCounts(ds.filter(_.user_id >= 0L)),
+      chunks = chunks)
       .orderBy(col("cohort_week"), col("k"))
 
   /** st03: the WINDOWED-AGGREGATION state path (EventStreams
@@ -349,11 +359,18 @@ object StreamReplay {
     * deterministic (count desc, type asc), so the DuckDB row_number
     * oracle matches exactly.
     */
-  val st04_topk_stream: Q = (s, dir) => {
+  val st04_topk_stream: Q = (s, dir) => st04Shaped(s, dir, chunks = 1)
+
+  /** st04b: the windowed top-k replayed MULTI-BATCH — per-window count
+    * maps accumulate across batches and each window's ranking emits once
+    * when a LATER batch's watermark passes its end (not at the final
+    * ticks). Same oracle SQL as st04. */
+  val st04b_topk_multibatch: Q = (s, dir) => st04Shaped(s, dir, chunks = 8)
+
+  private def st04Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame = {
     val r = replayRaw(s, dir, OutputMode.Append(),
-      ds => EventStreams.topKPerWindow(ds).toDF())
-    val (out, maxTs) = (r.df, r.maxTs)
-    out.filter(col("window_start_ms") <= maxTs)
+      ds => EventStreams.topKPerWindow(ds).toDF(), chunks = chunks)
+    r.df.filter(col("window_start_ms") <= r.maxTs)
       .select(col("window_start_ms"), col("rank"), col("event_type"), col("n"))
       .orderBy(col("window_start_ms"), col("rank"))
   }
@@ -369,9 +386,19 @@ object StreamReplay {
     * nanosecond-precision on disk, and comparing at different precisions
     * would flip boundary rows.
     */
-  val st05_interval_join_stream: Q = (s, dir) =>
+  val st05_interval_join_stream: Q = (s, dir) => st05Shaped(s, dir, chunks = 1)
+
+  /** st05b: the stream-stream interval join replayed MULTI-BATCH — view
+    * state buffered in earlier batches must survive until the join
+    * condition's reach (1h + watermark delay) allows eviction, so clicks
+    * arriving batches later still find their preceding-hour views. Same
+    * oracle SQL as st05. */
+  val st05b_interval_join_multibatch: Q = (s, dir) => st05Shaped(s, dir, chunks = 8)
+
+  private def st05Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     replayRaw(s, dir, OutputMode.Append(),
-      ds => EventStreams.clickViewJoin(ds.toDF()), ticks = false).df
+      ds => EventStreams.clickViewJoin(ds.toDF()), ticks = false,
+      chunks = chunks).df
       .select(col("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
       .orderBy(col("click_id"), col("view_id"))
@@ -429,13 +456,25 @@ object StreamReplay {
         round(col("total_value"), 2).as("total_value"), col("duration_ms"))
       .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
 
+  /** Multi-batch (`b`) variants exist for every stateful path where
+    * cross-batch replay is hash-parity with the batch oracle: st02b/
+    * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
+    * funnel's declared EPISODE semantics mean a signup arriving after a
+    * prior window of the same user already closed (which multi-batch
+    * watermark advancement makes real) legitimately emits a fresh
+    * episode row, diverging from the single-episode batch oracle. st06's
+    * doubled-staging protocol (every id must probe existing state) is
+    * incompatible with time-chunked staging. */
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
+    "st02b_cohort_multibatch" -> st02b_cohort_multibatch,
     "st03_windowed_stream" -> st03_windowed_stream,
     "st03b_windowed_multibatch" -> st03b_windowed_multibatch,
     "st04_topk_stream" -> st04_topk_stream,
+    "st04b_topk_multibatch" -> st04b_topk_multibatch,
     "st05_interval_join_stream" -> st05_interval_join_stream,
+    "st05b_interval_join_multibatch" -> st05b_interval_join_multibatch,
     "st06_dedup_stream" -> st06_dedup_stream,
     "st07_session_stream" -> st07_session_stream,
     "st07b_session_multibatch" -> st07b_session_multibatch,
@@ -550,6 +589,9 @@ object StreamReplay {
   /** The multi-batch variants must settle to results hash-identical to
     * their single-batch twins — same oracle SQL by construction. */
   val oracles: Map[String, String] = baseOracles ++ Map(
+    "st02b_cohort_multibatch" -> baseOracles("st02_cohort_stream"),
     "st03b_windowed_multibatch" -> baseOracles("st03_windowed_stream"),
+    "st04b_topk_multibatch" -> baseOracles("st04_topk_stream"),
+    "st05b_interval_join_multibatch" -> baseOracles("st05_interval_join_stream"),
     "st07b_session_multibatch" -> baseOracles("st07_session_stream"))
 }

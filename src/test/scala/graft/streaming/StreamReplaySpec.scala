@@ -226,6 +226,27 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     val st03 = StreamReplay.st03_windowed_stream(spark, dir).collect().toSeq
     val st03b = StreamReplay.st03b_windowed_multibatch(spark, dir).collect().toSeq
     assert(st03b === st03)
+    assert(st03.nonEmpty)
+    // cohort tracking: event-time-ordered chunks mean the first batch
+    // containing a user holds their minimum week, so the cohort
+    // assignment is batch-count-invariant
+    val st02 = StreamReplay.st02_cohort_stream(spark, dir).collect().toSeq
+    val st02b = StreamReplay.st02b_cohort_multibatch(spark, dir).collect().toSeq
+    assert(st02b === st02)
+    assert(st02.nonEmpty)
+    // windowed top-k: per-window count maps accumulate across batches and
+    // each ranking emits when a LATER batch's watermark closes its window
+    val st04 = StreamReplay.st04_topk_stream(spark, dir).collect().toSeq
+    val st04b = StreamReplay.st04b_topk_multibatch(spark, dir).collect().toSeq
+    assert(st04b === st04)
+    assert(st04.nonEmpty)
+    // stream-stream interval join: view state buffered in an earlier
+    // batch must still match clicks that arrive batches later (user 10's
+    // 08:00-08:20 views precede the click by up to 20 min, within 1h)
+    val st05 = StreamReplay.st05_interval_join_stream(spark, dir).collect().toSeq
+    val st05b = StreamReplay.st05b_interval_join_multibatch(spark, dir).collect().toSeq
+    assert(st05b === st05)
+    assert(st05.nonEmpty)
   }
 
   test("empty events table yields the zero-count row, not a crash") {
