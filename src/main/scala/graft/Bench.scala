@@ -133,13 +133,25 @@ object Bench {
       }
     probeTranscode(minReps = 5, maxReps = 25, budgetNs = 180e9.toLong)
 
+    // The streaming replay-PROTOCOL variants (st02b..st07b multi-batch,
+    // st06c cross-batch dedup) run the SAME operators as their base st
+    // entries under a different gate staging — each costs 1-2s of pure
+    // harness re-staging (chunk sort, per-batch state commits), measures
+    // nothing the base entry doesn't, and their inclusion would make the
+    // sweep total swing with gate-coverage growth rather than engine
+    // speed. They stay in the CORRECTNESS gate (Verify runs all
+    // SparkEntry.queries); the bench sweeps the 94-query operator set,
+    // keeping totals comparable round-over-round.
+    val benchQueries = SparkEntry.queries
+      .filterNot(_._1.matches("st\\d\\d[bc]_.*"))
+
     // warmup: run every query once at the smallest scale factor. The
     // generated code is scale-independent, so this populates the codegen
     // cache and C2-compiles the hot paths — the timed run then measures
     // the engine, not cold-JVM compilation.
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val warmPool = Executors.newFixedThreadPool(parallelism)
-    SparkEntry.queries.foreach { case (_, fn) =>
+    benchQueries.foreach { case (_, fn) =>
       warmPool.submit(new Runnable {
         override def run(): Unit =
           try fn(spark, warmDir).count() catch { case _: Throwable => () }
@@ -152,7 +164,7 @@ object Bench {
       val times = new ConcurrentHashMap[String, Double]()
       val pool = Executors.newFixedThreadPool(parallelism)
       val t0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         pool.submit(new Runnable {
           override def run(): Unit = {
             val s = System.nanoTime()
@@ -192,7 +204,7 @@ object Bench {
           -1.0
       }
     }
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = benchQueries.toSeq.sortBy(_._1)
     val runs = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
     (1 to 2).foreach { _ =>
@@ -258,7 +270,7 @@ object Bench {
         // stdout lines carry SHORT query codes (q01, not q01_agg) — expand
         // them back to full names via the unique code prefix, else the
         // fallback would intersect to nothing and silently mask regressions
-        val codeToFull = SparkEntry.queries.keys
+        val codeToFull = benchQueries.keys
           .map(full => full.takeWhile(_ != '_') -> full).toMap
         new java.io.File(".").getCanonicalFile.listFiles()
           .filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName).lastOption
@@ -315,7 +327,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (best of 2); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
+         |"timing":"total=concurrent sweep (best of 2) over the 94-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
          |"failed":$failed$extra$transcodeDetail$diff}""".stripMargin.replace("\n", "")
     try {

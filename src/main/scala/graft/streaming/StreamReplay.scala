@@ -69,11 +69,19 @@ object StreamReplay {
     }
 
   /** Everything a caller can need from a replay: the settled sink
-    * contents, the max real event-time millis, and the number of
+    * contents, the max real event-time millis, the number of
     * micro-batches the query executed (the multi-batch spec asserts on
-    * it). */
+    * it), and two progress-history sums over the stateful operators:
+    * rows dropped as WATERMARK-LATE (`lateDropped` — the multi-batch
+    * variants assert 0: time-ranged chunking must never make a row
+    * late) and rows dropped as state-hit DUPLICATES (`dupDropped`, the
+    * dedup execs' `numDroppedDuplicateRows` custom metric — the
+    * cross-batch dedup spec asserts it equals the full re-sent copy,
+    * proving every id probed state across the batch boundary). */
   private[streaming] final case class Replayed(df: DataFrame, maxTs: Long,
-                                               batches: Long)
+                                               batches: Long,
+                                               lateDropped: Long = 0L,
+                                               dupDropped: Long = 0L)
 
   /** Run `transformed(stream)` over a full-table replay of events and
     * return the memory sink's settled contents, detached from the sink
@@ -130,6 +138,14 @@ object StreamReplay {
     * time, no row is ever watermark-late and the settled result is
     * hash-identical to the single-batch replay's oracle.
     *
+    * `copiesAsBatches` (with `stageCopies > 1`) feeds each staged COPY
+    * of the table as its own micro-batch (`maxFilesPerTrigger` = the
+    * per-copy file count; copies are staged copy-major with strictly
+    * increasing mtimes, so `FileStreamSource`'s mtime-ordered pickup
+    * yields copy k exactly in batch k+1) — the cross-batch dedup
+    * variant's shape: batch 1 populates the key state, batch 2 re-sends
+    * every row so each id must probe state ACROSS the batch boundary.
+    *
     * `stateStore` defaults to the process-level [[stateStoreOverride]];
     * specs thread an explicit value instead of mutating the global
     * system property (which would race under parallel suites). */
@@ -139,9 +155,12 @@ object StreamReplay {
                      ticks: Boolean = true,
                      stageCopies: Int = 1,
                      chunks: Int = 1,
+                     copiesAsBatches: Boolean = false,
                      stateStore: Option[String] = null): Replayed = {
     require(chunks == 1 || stageCopies == 1,
       "chunked staging and stageCopies are mutually exclusive")
+    require(!copiesAsBatches || stageCopies > 1,
+      "copiesAsBatches requires stageCopies > 1")
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
@@ -233,7 +252,9 @@ object StreamReplay {
           " — is the source hive-partitioned by a consumed column?")
       val raw = s.readStream.schema(fileSchema)
         .option("maxFilesPerTrigger",
-          if (chunks > 1) "1" else (srcFiles.size * stageCopies).toString)
+          if (chunks > 1) "1"
+          else if (copiesAsBatches) srcFiles.size.toString
+          else (srcFiles.size * stageCopies).toString)
         .parquet(stage.toString)
       val converted = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -269,7 +290,17 @@ object StreamReplay {
           query.processAllAvailable()
         }
         val batches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
-        Replayed(s.table(sink).localCheckpoint(), maxTs, batches)
+        // recentProgress retains (by default) far more batches than any
+        // replay here runs, so these sums cover the whole query's
+        // history, not a window of it
+        val stateProgress = query.recentProgress
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+        val lateDropped = stateProgress.map(_.numRowsDroppedByWatermark).sum
+        val dupDropped = stateProgress
+          .flatMap(so => Option(so.customMetrics.get("numDroppedDuplicateRows")))
+          .map(_.longValue).sum
+        Replayed(s.table(sink).localCheckpoint(), maxTs, batches,
+          lateDropped, dupDropped)
       } finally {
         query.stop()
         s.catalog.dropTempView(sink)
@@ -422,6 +453,38 @@ object StreamReplay {
         col("user_id"), col("event_type"), col("value"))
       .orderBy(col("event_id"))
 
+  /** st06c: streaming exact dedup with the duplicate copy arriving in a
+    * LATER micro-batch (`copiesAsBatches`): batch 1 delivers the whole
+    * table and populates the dedup key state, batch 2 re-sends every
+    * row, so each id must hit state that was committed a batch earlier —
+    * the cross-batch seam st06's single-batch doubled staging cannot
+    * reach. The watermark delay is widened to the table's full event-time
+    * span (+ slack) because `dropDuplicatesWithinWatermark` only
+    * GUARANTEES dedup of events within the delay of each other: after
+    * batch 1 advances the watermark, a re-sent row older than
+    * (watermark − delay) sits outside the contract and may be re-emitted
+    * or state-evicted depending on eviction timing — the widened delay
+    * keeps every batch-2 row inside the guarantee. The spec asserts the
+    * dedup exec's `numDroppedDuplicateRows` equals the full table size:
+    * every re-sent id was dropped by a state HIT across the batch
+    * boundary (not late-filtered — this operator never drops late input,
+    * `lateDropped` stays 0). st06 keeps the tight default delay, so
+    * bounded-state retention stays covered there. Oracle = st06's (the
+    * distinct events table). */
+  val st06c_dedup_crossbatch: Q = (s, dir) => {
+    val mm = graft.Tables.events(s, dir)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+    val spanMin =
+      if (mm.isNullAt(0)) 10L
+      else (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 60000L + 11L
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.dedupeStream(ds.toDF(), watermark = s"$spanMin minutes"),
+      ticks = false, stageCopies = 2, copiesAsBatches = true).df
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** st07: EVENT-TIME SESSIONIZATION (EventStreams.sessionize — keyed
     * custom state with gap-based closure, the batch twin of a03) over the
     * replayed events table. The full history lands in batch 1, so the
@@ -464,7 +527,9 @@ object StreamReplay {
     * watermark advancement makes real) legitimately emits a fresh
     * episode row, diverging from the single-episode batch oracle. st06's
     * doubled-staging protocol (every id must probe existing state) is
-    * incompatible with time-chunked staging. */
+    * incompatible with time-chunked staging — its cross-batch coverage
+    * comes from st06c instead, which feeds the two table copies as two
+    * consecutive micro-batches (`copiesAsBatches`). */
   val all: Map[String, Q] = Map(
     "st01_funnel_stream" -> st01_funnel_stream,
     "st02_cohort_stream" -> st02_cohort_stream,
@@ -476,6 +541,7 @@ object StreamReplay {
     "st05_interval_join_stream" -> st05_interval_join_stream,
     "st05b_interval_join_multibatch" -> st05b_interval_join_multibatch,
     "st06_dedup_stream" -> st06_dedup_stream,
+    "st06c_dedup_crossbatch" -> st06c_dedup_crossbatch,
     "st07_session_stream" -> st07_session_stream,
     "st07b_session_multibatch" -> st07b_session_multibatch,
   )
@@ -593,5 +659,6 @@ object StreamReplay {
     "st03b_windowed_multibatch" -> baseOracles("st03_windowed_stream"),
     "st04b_topk_multibatch" -> baseOracles("st04_topk_stream"),
     "st05b_interval_join_multibatch" -> baseOracles("st05_interval_join_stream"),
+    "st06c_dedup_crossbatch" -> baseOracles("st06_dedup_stream"),
     "st07b_session_multibatch" -> baseOracles("st07_session_stream"))
 }

@@ -249,6 +249,35 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st05.nonEmpty)
   }
 
+  test("cross-batch dedup: every re-sent id is dropped by a state hit a batch later") {
+    // events span 50 minutes — far beyond dedupeStream's default
+    // 10-minute delay, so the widened st06c delay is load-bearing: it
+    // keeps every batch-2 row inside dropDuplicatesWithinWatermark's
+    // dedup guarantee. numDroppedDuplicateRows == 3 proves each id's
+    // duplicate was eliminated by probing state committed in batch 1;
+    // lateDropped stays 0 (this operator never drops late input).
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = writeEvents(Seq(
+      (1L, ts("2026-01-01 08:00:00"), 10L, "view", 1.0),
+      (2L, ts("2026-01-01 08:20:00"), 10L, "click", 2.0),
+      (3L, ts("2026-01-01 08:50:00"), 20L, "view", 3.0)))
+    val mm = graft.Tables.events(spark, dir)
+      .agg(org.apache.spark.sql.functions.min(col("ts")),
+        org.apache.spark.sql.functions.max(col("ts"))).head()
+    val spanMin = (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 60000L + 11L
+    val r = StreamReplay.replayRaw(spark, dir, OutputMode.Append(),
+      ds => EventStreams.dedupeStream(ds.toDF(), watermark = s"$spanMin minutes"),
+      ticks = false, stageCopies = 2, copiesAsBatches = true)
+    assert(r.batches >= 2, s"expected the copies in separate batches, got ${r.batches}")
+    assert(r.dupDropped === 3L,
+      "each of the 3 re-sent ids must be dropped by a cross-batch state hit")
+    assert(r.lateDropped === 0L)
+    val out = r.df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy(col("event_id")).collect().map(_.getLong(0)).toSeq
+    assert(out === Seq(1L, 2L, 3L))
+  }
+
   test("empty events table yields the zero-count row, not a crash") {
     val sp = spark; import sp.implicits._
     val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
