@@ -209,6 +209,10 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     def sessions(chunks: Int): (Seq[(Long, Long, Double, Long)], Long) = {
       val r = StreamReplay.replayRaw(spark, dir, OutputMode.Append(),
         ds => EventStreams.sessionize(ds).toDF(), chunks = chunks)
+      // time-ranged chunking must NEVER make a row watermark-late — the
+      // invariant the multi-batch staging's hash-parity claim rests on
+      assert(r.lateDropped === 0L,
+        s"chunked staging late-dropped ${r.lateDropped} rows")
       (r.df.filter(col("user_id") >= 0)
         .orderBy(col("user_id"), col("n_events"), col("duration_ms")).collect()
         .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSeq,
