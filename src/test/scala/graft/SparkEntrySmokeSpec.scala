@@ -42,6 +42,20 @@ class SparkEntrySmokeSpec extends AnyFunSuite with BeforeAndAfterAll {
     test(s"$name runs at sf0.001") {
       val df = fn(spark, dir)
       assert(df.columns.nonEmpty)
+      // global scale invariants, enforced on EVERY query's plan (incl.
+      // subquery plans): a cartesian product or an unpartitioned window
+      // is O(n²) / single-task at 100 TB no matter how fast it looks at
+      // sf0.001. (The known 1-row aggregate cross joins broadcast, so
+      // they plan as BroadcastNestedLoopJoin, never CartesianProduct.)
+      val qe = df.queryExecution
+      assert(!qe.executedPlan.toString.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct")
+      val unpartitioned = qe.optimizedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name has a window with no PARTITION BY — a single-task sort at scale")
       df.count() // materialize — throws on any runtime error
     }
   }
