@@ -2,11 +2,13 @@ package graft.sources.pbf
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.bytes.HeapByteBufferAllocator
+import org.apache.parquet.column.impl.ColumnWriteStoreV1
+import org.apache.parquet.column.{ColumnWriter, ParquetProperties}
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
 import org.apache.parquet.hadoop.util.HadoopOutputFile
-import org.apache.parquet.hadoop.{ParquetFileWriter, ParquetWriter}
-import org.apache.parquet.io.api.{Binary, RecordConsumer}
+import org.apache.parquet.hadoop.{CodecFactory, ColumnChunkPageWriteStore, ParquetFileWriter, ParquetWriter}
+import org.apache.parquet.io.api.Binary
 import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
 import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
@@ -17,16 +19,29 @@ import org.apache.spark.sql.catalyst.InternalRow
   * The reference's hot loop hands decoded element batches straight to an
   * `AsyncArrowWriter` owned by the worker (osm-pbf-parquet/src/sink.rs:29-44,
   * 134-153) — no row-format conversion between decode and the columnar
-  * buffer. This is the Spark-side equivalent: each task feeds the decoder's
-  * `InternalRow`s directly into a parquet-mr `RecordConsumer`, bypassing the
-  * `DataFrame` writer entirely (which costs an UnsafeRow conversion, a
-  * commit-protocol rename pass, and Spark's row-to-parquet adapter — the
-  * measured ~4x writer floor from round 1).
+  * buffer. This is the Spark-side equivalent, taken one step further than
+  * the round-5 `WriteSupport` design: each task shreds the decoder's
+  * `InternalRow`s COLUMN-DIRECTLY into parquet-mr `ColumnWriter`s with
+  * hand-computed repetition/definition levels for the fixed OSM schema,
+  * bypassing both Spark's DataFrame writer (UnsafeRow conversion + commit
+  * protocol; the measured ~4x writer floor from round 1) and parquet-mr's
+  * own `MessageColumnIO` record-assembly layer. Profiling the round-5
+  * write path showed ~30% of task CPU inside that layer's per-record
+  * bookkeeping — a HashMap-backed null cache for the always-null group
+  * columns (nodes never have nds/members), a BitSet field marker walked
+  * per row, and per-field index checks — all of which are constant-
+  * foldable for a FIXED schema: the writer below encodes each column's
+  * (rep, def) directly at the call site, the same shape as the
+  * reference's arrow-rs columnar assembly.
   *
   * Schema layout matches what Spark's own parquet writer emits (standard
   * 3-level LIST / key_value MAP, TIMESTAMP(MICROS, isAdjustedToUTC=false)),
   * so `spark.read.parquet` round-trips to the identical DataFrame schema and
-  * DuckDB reads it for the oracle.
+  * DuckDB reads it for the oracle. Row-group/page management, column
+  * statistics, and column indexes are parquet-mr's own
+  * (`ColumnWriteStoreV1` + `ColumnChunkPageWriteStore` flushed through
+  * `ParquetFileWriter`, the components `InternalParquetRecordWriter`
+  * composes), so the files are bit-compatible with the library's writer.
   */
 object DirectParquet {
 
@@ -66,188 +81,192 @@ object DirectParquet {
       .named("osm")
   }
 
-  /** WriteSupport that consumes the decoder's InternalRows (13 fields;
-    * field 12 `type` is skipped — the caller routes on it). */
-  final class OsmRowWriteSupport extends WriteSupport[InternalRow] {
-    private var rc: RecordConsumer = _
+  private val WriterProps: ParquetProperties = ParquetProperties.builder()
+    .withDictionaryEncoding(true)
+    // High-cardinality columns (unique-per-element ids/coords/times and
+    // way refs) only PAY for dictionary encoding: every value hashes
+    // into the dict page until it overflows and falls back to plain —
+    // profiling showed the fastutil Long2Int/Double2Int insert+rehash
+    // among the hottest transcode frames. Low-cardinality columns
+    // (tags, user, uid, version, visible) keep the dictionary.
+    .withDictionaryEncoding("id", false)
+    .withDictionaryEncoding("lat", false)
+    .withDictionaryEncoding("lon", false)
+    .withDictionaryEncoding("changeset", false)
+    .withDictionaryEncoding("timestamp", false)
+    .withDictionaryEncoding("nds.list.element.ref", false)
+    .withDictionaryEncoding("members.list.element.ref", false)
+    // min/max column statistics STAY ON (scan pushdown and the zone-map
+    // pruning depend on them); SIZE statistics (unencoded-byte accounting
+    // for external table planners) are pure per-value overhead in the hot
+    // write loop with no consumer in this engine
+    .withSizeStatisticsEnabled(false)
+    // the page-size check walks every column buffer; at ~1KB/row the
+    // default 100-row cadence rechecks ~10x per page for nothing
+    .withMinRowCountForPageSizeCheck(1000)
+    .build()
 
-    override def init(conf: Configuration): WriteSupport.WriteContext =
-      new WriteSupport.WriteContext(MessageSchema, java.util.Collections.emptyMap[String, String]())
+  /** One parquet file, written column-directly. `write(row)` shreds the
+    * decoder's 13-field `InternalRow` (field 12 `type` is skipped — the
+    * caller routes on it) into the 15 leaf columns of [[MessageSchema]].
+    *
+    * Repetition/definition levels, hand-derived once from the fixed
+    * schema (parquet's standard Dremel shredding):
+    *   - `id` required: (0, 0)
+    *   - `tags` optional map: null → def 0; empty → def 1; entry key at
+    *     def 2 (required leaf under the repeated group), value def 3
+    *     when present / null at def 2; repetition 1 for entries after
+    *     the first
+    *   - `nds` optional list of required ref: null 0 / empty 1 /
+    *     element def 2, rep 1 within the list
+    *   - `members` optional list of three OPTIONAL leaves: null 0 /
+    *     empty 1 / present leaf def 3, absent leaf def 2
+    *   - flat optional primitives: null 0 / value def 1
+    *
+    * Deterministic name per (task, seq) so a retried task overwrites its
+    * own partial output (Mode.OVERWRITE) — idempotent without a commit
+    * protocol, because decode is deterministic per input split.
+    */
+  final class ColumnarWriter(path: Path, conf: Configuration,
+      codec: CompressionCodecName, rowGroupBytes: Long,
+      rowGroupRows: Option[Int]) {
 
-    override def prepareForWrite(recordConsumer: RecordConsumer): Unit =
-      rc = recordConsumer
+    private val fw = new ParquetFileWriter(
+      HadoopOutputFile.fromPath(path, conf), MessageSchema,
+      ParquetFileWriter.Mode.OVERWRITE, rowGroupBytes,
+      ParquetWriter.MAX_PADDING_SIZE_DEFAULT)
+    fw.start()
+    private val codecFactory = new CodecFactory(conf, WriterProps.getPageSizeThreshold)
+    private val compressor = codecFactory.getCompressor(codec)
+    private val descriptors = MessageSchema.getColumns // schema order
 
-    // fromReusedByteArray copies into parquet's buffer immediately — the
-    // UTF8String byte arrays are shared with the block string table.
+    private var pageStore: ColumnChunkPageWriteStore = _
+    private var store: ColumnWriteStoreV1 = _
+    private var cw: Array[ColumnWriter] = _
+    private var rowsInGroup = 0L
+    private var nextSizeCheck = 100L
+
+    private def newRowGroup(): Unit = {
+      // per-page CRCs are pure per-value overhead with no consumer here
+      // (column-index truncate length = parquet default 64)
+      pageStore = new ColumnChunkPageWriteStore(compressor, MessageSchema,
+        HeapByteBufferAllocator.getInstance(), 64, false)
+      store = new ColumnWriteStoreV1(MessageSchema, pageStore, WriterProps)
+      cw = new Array[ColumnWriter](descriptors.size())
+      var i = 0
+      while (i < cw.length) { cw(i) = store.getColumnWriter(descriptors.get(i)); i += 1 }
+      rowsInGroup = 0L
+      nextSizeCheck = 100L
+    }
+    newRowGroup()
+
+    // fromReusedByteArray is safe: every ColumnWriter copies binary bytes
+    // into its page/dictionary buffer during write()
     @inline private def bin(s: org.apache.spark.unsafe.types.UTF8String): Binary =
       Binary.fromReusedByteArray(s.getBytes)
 
-    override def write(row: InternalRow): Unit = {
-      rc.startMessage()
-      rc.startField("id", 0)
-      rc.addLong(row.getLong(0))
-      rc.endField("id", 0)
+    def write(row: InternalRow): Unit = {
+      cw(0).write(row.getLong(0), 0, 0) // id
 
-      if (!row.isNullAt(1)) {
+      if (row.isNullAt(1)) { cw(1).writeNull(0, 0); cw(2).writeNull(0, 0) }
+      else {
         val m = row.getMap(1)
         val n = m.numElements()
-        rc.startField("tags", 1)
-        rc.startGroup()
-        if (n > 0) {
-          val keys = m.keyArray()
-          val vals = m.valueArray()
-          rc.startField("key_value", 0)
+        if (n == 0) { cw(1).writeNull(0, 1); cw(2).writeNull(0, 1) }
+        else {
+          val keys = m.keyArray(); val vals = m.valueArray()
           var i = 0
           while (i < n) {
-            rc.startGroup()
-            rc.startField("key", 0)
-            rc.addBinary(bin(keys.getUTF8String(i)))
-            rc.endField("key", 0)
-            if (!vals.isNullAt(i)) {
-              rc.startField("value", 1)
-              rc.addBinary(bin(vals.getUTF8String(i)))
-              rc.endField("value", 1)
-            }
-            rc.endGroup()
+            val r = if (i == 0) 0 else 1
+            cw(1).write(bin(keys.getUTF8String(i)), r, 2)
+            if (vals.isNullAt(i)) cw(2).writeNull(r, 2)
+            else cw(2).write(bin(vals.getUTF8String(i)), r, 3)
             i += 1
           }
-          rc.endField("key_value", 0)
         }
-        rc.endGroup()
-        rc.endField("tags", 1)
       }
 
-      if (!row.isNullAt(2)) {
-        rc.startField("lat", 2); rc.addDouble(row.getDouble(2)); rc.endField("lat", 2)
-      }
-      if (!row.isNullAt(3)) {
-        rc.startField("lon", 3); rc.addDouble(row.getDouble(3)); rc.endField("lon", 3)
-      }
+      if (row.isNullAt(2)) cw(3).writeNull(0, 0) else cw(3).write(row.getDouble(2), 0, 1) // lat
+      if (row.isNullAt(3)) cw(4).writeNull(0, 0) else cw(4).write(row.getDouble(3), 0, 1) // lon
 
-      if (!row.isNullAt(4)) {
+      if (row.isNullAt(4)) cw(5).writeNull(0, 0) // nds
+      else {
         val a = row.getArray(4)
         val n = a.numElements()
-        rc.startField("nds", 4)
-        rc.startGroup()
-        if (n > 0) {
-          rc.startField("list", 0)
+        if (n == 0) cw(5).writeNull(0, 1)
+        else {
           var i = 0
           while (i < n) {
-            rc.startGroup()
-            rc.startField("element", 0)
-            rc.startGroup()
-            rc.startField("ref", 0)
-            rc.addLong(a.getStruct(i, 1).getLong(0))
-            rc.endField("ref", 0)
-            rc.endGroup()
-            rc.endField("element", 0)
-            rc.endGroup()
+            cw(5).write(a.getStruct(i, 1).getLong(0), if (i == 0) 0 else 1, 2)
             i += 1
           }
-          rc.endField("list", 0)
         }
-        rc.endGroup()
-        rc.endField("nds", 4)
       }
 
-      if (!row.isNullAt(5)) {
+      if (row.isNullAt(5)) { // members
+        cw(6).writeNull(0, 0); cw(7).writeNull(0, 0); cw(8).writeNull(0, 0)
+      } else {
         val a = row.getArray(5)
         val n = a.numElements()
-        rc.startField("members", 5)
-        rc.startGroup()
-        if (n > 0) {
-          rc.startField("list", 0)
+        if (n == 0) { cw(6).writeNull(0, 1); cw(7).writeNull(0, 1); cw(8).writeNull(0, 1) }
+        else {
           var i = 0
           while (i < n) {
             val s = a.getStruct(i, 3)
-            rc.startGroup()
-            rc.startField("element", 0)
-            rc.startGroup()
-            if (!s.isNullAt(0)) {
-              rc.startField("type", 0); rc.addBinary(bin(s.getUTF8String(0))); rc.endField("type", 0)
-            }
-            if (!s.isNullAt(1)) {
-              rc.startField("ref", 1); rc.addLong(s.getLong(1)); rc.endField("ref", 1)
-            }
-            if (!s.isNullAt(2)) {
-              rc.startField("role", 2); rc.addBinary(bin(s.getUTF8String(2))); rc.endField("role", 2)
-            }
-            rc.endGroup()
-            rc.endField("element", 0)
-            rc.endGroup()
+            val r = if (i == 0) 0 else 1
+            if (s.isNullAt(0)) cw(6).writeNull(r, 2) else cw(6).write(bin(s.getUTF8String(0)), r, 3)
+            if (s.isNullAt(1)) cw(7).writeNull(r, 2) else cw(7).write(s.getLong(1), r, 3)
+            if (s.isNullAt(2)) cw(8).writeNull(r, 2) else cw(8).write(bin(s.getUTF8String(2)), r, 3)
             i += 1
           }
-          rc.endField("list", 0)
         }
-        rc.endGroup()
-        rc.endField("members", 5)
       }
 
-      if (!row.isNullAt(6)) {
-        rc.startField("changeset", 6); rc.addLong(row.getLong(6)); rc.endField("changeset", 6)
-      }
-      if (!row.isNullAt(7)) {
-        rc.startField("timestamp", 7); rc.addLong(row.getLong(7)); rc.endField("timestamp", 7)
-      }
-      if (!row.isNullAt(8)) {
-        rc.startField("uid", 8); rc.addInteger(row.getInt(8)); rc.endField("uid", 8)
-      }
-      if (!row.isNullAt(9)) {
-        rc.startField("user", 9); rc.addBinary(bin(row.getUTF8String(9))); rc.endField("user", 9)
-      }
-      if (!row.isNullAt(10)) {
-        rc.startField("version", 10); rc.addInteger(row.getInt(10)); rc.endField("version", 10)
-      }
-      if (!row.isNullAt(11)) {
-        rc.startField("visible", 11); rc.addBoolean(row.getBoolean(11)); rc.endField("visible", 11)
-      }
-      rc.endMessage()
+      if (row.isNullAt(6)) cw(9).writeNull(0, 0) else cw(9).write(row.getLong(6), 0, 1)   // changeset
+      if (row.isNullAt(7)) cw(10).writeNull(0, 0) else cw(10).write(row.getLong(7), 0, 1) // timestamp
+      if (row.isNullAt(8)) cw(11).writeNull(0, 0) else cw(11).write(row.getInt(8), 0, 1)  // uid
+      if (row.isNullAt(9)) cw(12).writeNull(0, 0) else cw(12).write(bin(row.getUTF8String(9)), 0, 1) // user
+      if (row.isNullAt(10)) cw(13).writeNull(0, 0) else cw(13).write(row.getInt(10), 0, 1) // version
+      if (row.isNullAt(11)) cw(14).writeNull(0, 0) else cw(14).write(row.getBoolean(11), 0, 1) // visible
+
+      store.endRecord()
+      rowsInGroup += 1
+      if (rowsInGroup >= nextSizeCheck) checkRowGroupSize()
     }
-  }
 
-  private final class RowWriterBuilder(file: org.apache.parquet.io.OutputFile)
-      extends ParquetWriter.Builder[InternalRow, RowWriterBuilder](file) {
-    override def self(): RowWriterBuilder = this
-    override def getWriteSupport(conf: Configuration): WriteSupport[InternalRow] =
-      new OsmRowWriteSupport
-  }
+    /** InternalParquetRecordWriter's row-group sizing, inlined: check the
+      * buffered size on a cadence predicted from the measured bytes/row,
+      * so the walk over column buffers amortizes. */
+    private def checkRowGroupSize(): Unit = {
+      val sz = store.getBufferedSize
+      if (sz >= rowGroupBytes || rowGroupRows.exists(rowsInGroup >= _)) flushRowGroup()
+      else {
+        val perRow = math.max(1L, sz / math.max(rowsInGroup, 1L))
+        val half = (rowGroupBytes - sz) / perRow / 2
+        nextSizeCheck = rowsInGroup + math.min(math.max(half, 100L), 10000L)
+        rowGroupRows.foreach(cap => nextSizeCheck = math.min(nextSizeCheck, cap.toLong))
+      }
+    }
 
-  /** One parquet file; deterministic name per (task, seq) so a retried task
-    * overwrites its own partial output (Mode.OVERWRITE) — idempotent without
-    * a commit protocol, because decode is deterministic per input split. */
-  def open(path: Path, conf: Configuration, codec: CompressionCodecName,
-           rowGroupBytes: Long, rowGroupRows: Option[Int]): ParquetWriter[InternalRow] = {
-    val b = new RowWriterBuilder(HadoopOutputFile.fromPath(path, conf))
-      .withConf(conf)
-      .withCompressionCodec(codec)
-      .withRowGroupSize(rowGroupBytes)
-      .withWriteMode(ParquetFileWriter.Mode.OVERWRITE)
-      .withDictionaryEncoding(true)
-      // High-cardinality columns (unique-per-element ids/coords/times and
-      // way refs) only PAY for dictionary encoding: every value hashes
-      // into the dict page until it overflows and falls back to plain —
-      // profiling showed the fastutil Long2Int/Double2Int insert+rehash
-      // among the hottest transcode frames. Low-cardinality columns
-      // (tags, user, uid, version, visible) keep the dictionary.
-      .withDictionaryEncoding("id", false)
-      .withDictionaryEncoding("lat", false)
-      .withDictionaryEncoding("lon", false)
-      .withDictionaryEncoding("changeset", false)
-      .withDictionaryEncoding("timestamp", false)
-      .withDictionaryEncoding("nds.list.element.ref", false)
-      .withDictionaryEncoding("members.list.element.ref", false)
-      // min/max column statistics STAY ON (scan pushdown and the zone-map
-      // pruning depend on them); SIZE statistics (unencoded-byte accounting
-      // for external table planners) and per-page CRCs are pure per-value
-      // overhead in the hot write loop with no consumer in this engine
-      .withSizeStatisticsEnabled(false)
-      .withPageWriteChecksumEnabled(false)
-      // the page-size check walks every column buffer; at ~1KB/row the
-      // default 100-row cadence rechecks ~10x per page for nothing
-      .withMinRowCountForPageSizeCheck(1000)
-      .withValidation(false)
-    rowGroupRows.foreach(b.withRowGroupRowCountLimit)
-    b.build()
+    private def flushRowGroup(): Unit = if (rowsInGroup > 0) {
+      fw.startBlock(rowsInGroup)
+      store.flush() // drains values + dictionary pages into pageStore
+      pageStore.flushToFileWriter(fw)
+      fw.endBlock()
+      store.close()
+      newRowGroup()
+    }
+
+    /** Flushed bytes + buffered estimate — the rotation feedback signal
+      * (same contract as `ParquetWriter.getDataSize`). */
+    def getDataSize: Long = fw.getPos + store.getBufferedSize
+
+    def close(): Unit = {
+      flushRowGroup()
+      store.close()
+      codecFactory.release()
+      fw.end(java.util.Collections.emptyMap[String, String]())
+    }
   }
 
   /** Task-owned writer for one element type: writes into
@@ -265,7 +284,7 @@ object DirectParquet {
       rowGroupBytes: Long,
       rowGroupRows: Option[Int]) {
 
-    private var writer: ParquetWriter[InternalRow] = _
+    private var writer: ColumnarWriter = _
     private var fileSeq = 0
     private var recordsInFile = 0L
     private var _total = 0L
@@ -275,7 +294,8 @@ object DirectParquet {
 
     private def openNext(): Unit = {
       val name = f"part-$taskId%05d-$fileSeq%04d$ext.parquet"
-      writer = open(new Path(typeDir, name), conf, codec, rowGroupBytes, rowGroupRows)
+      writer = new ColumnarWriter(new Path(typeDir, name), conf, codec,
+        rowGroupBytes, rowGroupRows)
       fileSeq += 1
       recordsInFile = 0L
     }
