@@ -158,9 +158,29 @@ object PbfQueries {
       .orderBy("id")
   }
 
+  /** p03: bbox scan + Z-order (Morton) key derivation over the nodes —
+    * the clustering key behind [[graft.functions.ZOrder.zorderWrite]].
+    * The DuckDB oracle recomputes the ENTIRE key — quantization double
+    * math and the five mask-and-shift spread steps — in SQL over the
+    * transcoded twin, so the bit-interleave semantics are hash-checked
+    * against an independent engine, not just a Scala twin. The layout
+    * payoff (row-group pruning under a bbox filter, z-ordered vs
+    * spatially shuffled) is measured in `ZOrderSpec` from parquet footer
+    * statistics. */
+  def p03_zorder_bbox(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTranscoded(spark, "p01", pbfPath)
+    spark.read.format("osmpbf").load(pbfPath)
+      .filter(col("type") === "node" &&
+        col("lat").between(52.0, 52.0002) && col("lon").between(11.0, 11.00014))
+      .select(col("id"),
+        graft.functions.ZOrder.mortonKey(col("lat"), col("lon")).as("zkey"))
+      .orderBy("id")
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_ways_and_deps" -> (p01_ways_and_deps(_, _)),
-    "p02_way_lengths" -> (p02_way_lengths(_, _)))
+    "p02_way_lengths" -> (p02_way_lengths(_, _)),
+    "p03_zorder_bbox" -> (p03_zorder_bbox(_, _)))
 
   /** DuckDB twins over the transcoded parquet at the fingerprinted
     * [[OracleRoot]] subpaths (dumped by the queries themselves before
@@ -204,5 +224,39 @@ object PbfQueries {
          |FROM w LEFT JOIN d ON w.id = d.id
          |GROUP BY w.id, len(w.nds)
          |ORDER BY w.id""".stripMargin,
+    // Morton key, recomputed from scratch in SQL: identical quantization
+    // arithmetic (same operations, same association order, so the IEEE
+    // doubles — and therefore the floor cells — are bit-identical), then
+    // the same five-step spread cascade on each axis. Masks are the
+    // decimal forms of 0x0000FFFF0000FFFF, 0x00FF00FF00FF00FF,
+    // 0x0F0F0F0F0F0F0F0F, 0x3333333333333333, 0x5555555555555555.
+    "p03_zorder_bbox" ->
+      s"""WITH n AS (
+         |  SELECT id, lat, lon FROM read_parquet('$p01Out/type=node/*.parquet')
+         |  WHERE lat BETWEEN 52.0 AND 52.0002 AND lon BETWEEN 11.0 AND 11.00014
+         |), q AS (
+         |  SELECT id,
+         |    LEAST(67108863, GREATEST(0,
+         |      CAST(floor((lat - -90.0) / 180.0 * 67108864.0) AS BIGINT))) AS y,
+         |    LEAST(67108863, GREATEST(0,
+         |      CAST(floor((lon - -180.0) / 360.0 * 67108864.0) AS BIGINT))) AS x
+         |  FROM n
+         |), s1 AS (
+         |  SELECT id, (y | (y << 16)) & 281470681808895 AS y,
+         |             (x | (x << 16)) & 281470681808895 AS x FROM q
+         |), s2 AS (
+         |  SELECT id, (y | (y << 8)) & 71777214294589695 AS y,
+         |             (x | (x << 8)) & 71777214294589695 AS x FROM s1
+         |), s3 AS (
+         |  SELECT id, (y | (y << 4)) & 1085102592571150095 AS y,
+         |             (x | (x << 4)) & 1085102592571150095 AS x FROM s2
+         |), s4 AS (
+         |  SELECT id, (y | (y << 2)) & 3689348814741910323 AS y,
+         |             (x | (x << 2)) & 3689348814741910323 AS x FROM s3
+         |), s5 AS (
+         |  SELECT id, (y | (y << 1)) & 6148914691236517205 AS y,
+         |             (x | (x << 1)) & 6148914691236517205 AS x FROM s4
+         |)
+         |SELECT id, (y << 1) | x AS zkey FROM s5 ORDER BY id""".stripMargin,
   )
 }
