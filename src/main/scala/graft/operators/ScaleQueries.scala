@@ -35,8 +35,28 @@ object ScaleQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** x03: approximate heavy hitters over the token stream (DataSketches
+    * frequent-items via `approx_top_k`) — the 100 TB replacement for the
+    * exact explode→groupBy→count→order route to "top vocabulary terms":
+    * fixed-size sketch state per partition merged once at the driver-side
+    * final agg, so the full vocabulary never shuffles. Guarantees (spec-
+    * bounded in `SketchAccuracySpec`): every token with true frequency
+    * above the sketch error bound n/maxItemsTracked is PRESENT, and each
+    * estimate is within that bound of the true count.
+    */
+  val x03_heavy_hitters: Q = (s, dir) => {
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .agg(expr("approx_top_k(tok, 20, 8192)").as("tk"))
+      .select(explode(col("tk")).as("hh"))
+      .select(col("hh.item").as("token"), col("hh.count").as("est_count"))
+      .orderBy(col("est_count").desc, col("token"))
+  }
+
   val all: Map[String, Q] = Map(
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
+    "x03_heavy_hitters" -> x03_heavy_hitters,
   )
 }

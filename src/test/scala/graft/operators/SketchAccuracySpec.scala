@@ -76,4 +76,37 @@ class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$prio p99: value $p99 has rank ${rankOf(sorted, p99)} (n=${sorted.length})")
     }
   }
+
+  test("x03: approx_top_k within the frequent-items error bound of exact counts") {
+    // DataSketches frequent-items with maxItemsTracked=8192 guarantees
+    // every item with true count > n/8192 is tracked and each estimate is
+    // within n/8192 of the true count. Assert both: (a) each reported
+    // estimate is within the bound of the exact count, (b) the exact
+    // top-k tokens whose counts clear the bound by a margin all appear.
+    val hh = ScaleQueries.x03_heavy_hitters(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh.size === 20)
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val n = toks.count()
+    val bound = n / 8192 + 1
+    val exact = toks.groupBy("tok").count()
+      .orderBy(col("count").desc, col("tok"))
+      .limit(40).collect().map(r => r.getString(0) -> r.getLong(1))
+    val exactMap = exact.toMap
+    hh.foreach { case (tok, est) =>
+      val truth = exactMap.getOrElse(tok,
+        fail(s"sketch reported '$tok' which is not in the exact top-40"))
+      assert(math.abs(est - truth) <= bound,
+        s"'$tok': estimate $est vs exact $truth (bound $bound, n=$n)")
+    }
+    // every exact top-20 token whose count clears the NEXT candidate by
+    // the error bound must be present (margin rules out legitimate
+    // tie-region swaps at the cutoff)
+    val cutoff = exact(19)._2
+    exact.take(20).filter(_._2 > cutoff + 2 * bound).foreach { case (tok, c) =>
+      assert(hh.contains(tok), s"exact heavy hitter '$tok' ($c) missing from sketch top-20")
+    }
+  }
 }
