@@ -274,6 +274,17 @@ object CurationQueries {
     * materializes.
     */
   val c10_bpe_merges: Q = (s, dir) => {
+    val (_, rules) = bpeTrain(s, dir)
+    import s.implicits._
+    rules.toDF("step", "x", "y", "cnt").orderBy(col("step"))
+  }
+
+  /** Shared BPE trainer: learns the first 3 merge rules on the
+    * word-frequency table and returns BOTH the rules and the word table
+    * with every rule applied to fixpoint — c10 emits the rules, c13
+    * tokenizes the corpus with them. */
+  private def bpeTrain(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
     val words = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "" && !col("word").contains("|"))
@@ -315,8 +326,28 @@ object CurationQueries {
           step += 1
       }
     }
-    import s.implicits._
-    rules.toSeq.toDF("step", "x", "y", "cnt").orderBy(col("step"))
+    (w, rules.toSeq)
+  }
+
+  /** c13: BPE ENCODE — tokenize the corpus with the rules c10 learned
+    * (the apply half of tokenizer training; what actually runs over all
+    * 100 TB once the trainer has finished on the vocabulary table).
+    * Semantics match training exactly: each learned rule applied to
+    * within-rule fixpoint, in learned order, on the word-frequency table
+    * — so the corpus token distribution is `sum(word count)` per emitted
+    * token. The 100 TB shape is the same reason BPE training scales: the
+    * expensive fixpoint loop runs on the VOCABULARY (groupBy(word)
+    * collapsed), and re-tokenizing the raw corpus is then a broadcast
+    * word→tokens join — here the word table IS the corpus aggregate, so
+    * the output needs no second pass. Oracle: the c10 recursive-CTE
+    * chain continued one step — tokenize `w4` and aggregate.
+    */
+  val c13_bpe_encode: Q = (s, dir) => {
+    val (w, _) = bpeTrain(s, dir)
+    w.select(col("n"), explode(
+        filter(split(col("seq"), "\\|"), t => t =!= "")).as("token"))
+      .groupBy(col("token")).agg(sum(col("n")).as("cnt"))
+      .orderBy(col("token"))
   }
 
   /** c12: deterministic MLM masking audit — BERT-style ~15% token
@@ -348,6 +379,7 @@ object CurationQueries {
     "c08_pmi_bigrams" -> c08_pmi_bigrams,
     "c09_domain_resample" -> c09_domain_resample,
     "c10_bpe_merges" -> c10_bpe_merges,
+    "c13_bpe_encode" -> c13_bpe_encode,
     "c01_sampled_docs" -> c01_sampled_docs,
     "c02_train_test_split" -> c02_train_test_split,
     "c03_context_chunks" -> c03_context_chunks,
@@ -395,6 +427,24 @@ object CurationQueries {
          |UNION ALL SELECT 2, x, y, cnt FROM b2
          |UNION ALL SELECT 3, x, y, cnt FROM b3
          |ORDER BY step""".stripMargin,
+    // the same learned-merge chain, continued one step: tokenize the
+    // fully-merged word table (w4) and aggregate token frequencies
+    "c13_bpe_encode" ->
+      s"""WITH RECURSIVE words AS (
+         |  SELECT word, count(*) AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE word <> '' AND word NOT LIKE '%|%' GROUP BY word),
+         |w1 AS (
+         |  SELECT word, n,
+         |    '|' || array_to_string(regexp_split_to_array(word, ''), '|') || '|' AS seq
+         |  FROM words),
+         |${bpeIter(1)},
+         |${bpeIter(2)},
+         |${bpeIter(3)}
+         |SELECT token, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT n, unnest(list_filter(string_split(seq, '|'), t -> t <> '')) AS token
+         |  FROM w4)
+         |GROUP BY token ORDER BY token""".stripMargin,
     "c08_pmi_bigrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS w FROM documents),
