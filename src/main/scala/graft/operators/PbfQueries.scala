@@ -29,7 +29,11 @@ object PbfQueries {
     * can never silently feed the oracle; a completed twin is marked with
     * a sentinel file and never rewritten, so the gate's later DuckDB read
     * can't race a re-transcode's delete+rename commit window. */
-  val OracleRoot = "/tmp/graft_oracle"
+  /** Per-user root: on a shared box another user cannot pre-create (squat)
+    * the twin path the gate trusts, because each user resolves a
+    * different directory. */
+  val OracleRoot: String =
+    s"/tmp/graft_oracle-${System.getProperty("user.name", "anon")}"
 
   /** md5(input pbf bytes ++ output schema), 12 hex chars — the twin-path
     * fingerprint. */
