@@ -62,6 +62,86 @@ object ZOrder {
     shiftleft(y, 1).bitwiseOR(x)
   }
 
+  /** Scalar twin of [[quantize]] (same arithmetic, driver-side) — used to
+    * turn a bbox into cell bounds for [[bboxRanges]]. */
+  def quantizeScalar(c: Double, lo: Double, hi: Double, bits: Int): Long = {
+    val cells = 1L << bits
+    math.min(cells - 1, math.max(0L,
+      math.floor((c - lo) / (hi - lo) * cells.toDouble).toLong))
+  }
+
+  /** Decompose a bbox into at most `maxRanges` contiguous Morton-key
+    * intervals whose union COVERS every cell in the box (a superset when
+    * coarsened — always safe for pruning, never drops a matching row).
+    *
+    * This is the query-side half of the clustering: data laid out by
+    * [[zorderWrite]] is SORTED by key, so `key BETWEEN lo AND hi`
+    * predicates prune near-perfectly from the key column's own min/max
+    * statistics — no lat/lon stats needed, which is what makes the
+    * pattern work when files are bucketed or partitioned by key range
+    * alone. Quadtree descent (the classic LITMAX/BIGMIN decomposition,
+    * expressed recursively): a node fully inside the box emits its whole
+    * contiguous z-interval, a disjoint node is skipped, a straddling node
+    * recurses into its four children; when the interval budget runs out,
+    * straddling nodes emit coarsely (over-approximate, still correct).
+    * Adjacent intervals are merged before returning.
+    */
+  def bboxRanges(latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
+      bits: Int = DefaultBits, maxRanges: Int = 64): Seq[(Long, Long)] = {
+    require(latMin <= latMax && lonMin <= lonMax, "inverted bbox")
+    val x0 = quantizeScalar(lonMin, -180.0, 180.0, bits)
+    val x1 = quantizeScalar(lonMax, -180.0, 180.0, bits)
+    val y0 = quantizeScalar(latMin, -90.0, 90.0, bits)
+    val y1 = quantizeScalar(latMax, -90.0, 90.0, bits)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // node at depth d with low-corner cells (cx, cy) spans side 2^(bits-d)
+    // and the contiguous z-interval [z0, z0 + 4^(bits-d) - 1]
+    def go(cx: Long, cy: Long, d: Int, z0: Long): Unit = {
+      val side = 1L << (bits - d)
+      val (xh, yh) = (cx + side - 1, cy + side - 1)
+      if (xh < x0 || cx > x1 || yh < y0 || cy > y1) return // disjoint
+      val span = 1L << (2 * (bits - d))
+      val contained = cx >= x0 && xh <= x1 && cy >= y0 && yh <= y1
+      if (contained || d == bits || acc.length >= 4 * maxRanges) {
+        acc += ((z0, z0 + span - 1))
+      } else {
+        val q = span >> 2; val h = side >> 1
+        go(cx, cy, d + 1, z0)                 // y-low,  x-low
+        go(cx + h, cy, d + 1, z0 + q)         // y-low,  x-high
+        go(cx, cy + h, d + 1, z0 + 2 * q)     // y-high, x-low
+        go(cx + h, cy + h, d + 1, z0 + 3 * q) // y-high, x-high
+      }
+    }
+    go(0L, 0L, 0, 0L)
+    // merge adjacent/overlapping, then coarsen smallest gaps to budget
+    val sorted = acc.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { r =>
+      if (merged.nonEmpty && r._1 <= merged.last._2 + 1)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, r._2))
+      else merged += r
+    }
+    while (merged.length > maxRanges) {
+      var bestI = 0; var bestGap = Long.MaxValue
+      var i = 0
+      while (i < merged.length - 1) {
+        val gap = merged(i + 1)._1 - merged(i)._2
+        if (gap < bestGap) { bestGap = gap; bestI = i }
+        i += 1
+      }
+      merged(bestI) = (merged(bestI)._1, merged(bestI + 1)._2)
+      merged.remove(bestI + 1)
+    }
+    merged.toSeq
+  }
+
+  /** Pushdown-friendly predicate over a Morton-key column for a bbox:
+    * a disjunction of BETWEENs — each range prunes off the key column's
+    * min/max statistics on z-sorted data. */
+  def zRangePredicate(zkey: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (lo, hi) => zkey.between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+
   /** Write `df` (must carry `lat`/`lon` doubles) clustered by Morton key:
     * range-partition on the key so each output FILE covers a compact
     * z-range, then sort within partitions so each ROW GROUP inside a file

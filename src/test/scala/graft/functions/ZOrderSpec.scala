@@ -132,4 +132,53 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.except(df).isEmpty && df.except(back).isEmpty)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
   }
+
+  test("bboxRanges covers exactly the in-box cells (exhaustive 64x64 grid)") {
+    val bits = 6 // 64x64 world grid — small enough to check every cell
+    // a box NOT aligned to any quadtree boundary
+    val (laMin, laMax, loMin, loMax) = (-90.0 + 7 * (180.0 / 64), -90.0 + 23.5 * (180.0 / 64),
+      -180.0 + 11 * (360.0 / 64), -180.0 + 41.5 * (360.0 / 64))
+    val ranges = ZOrder.bboxRanges(laMin, laMax, loMin, loMax, bits, maxRanges = 4096)
+    def inRanges(z: Long) = ranges.exists(r => z >= r._1 && z <= r._2)
+    val (x0, x1) = (ZOrder.quantizeScalar(loMin, -180, 180, bits),
+      ZOrder.quantizeScalar(loMax, -180, 180, bits))
+    val (y0, y1) = (ZOrder.quantizeScalar(laMin, -90, 90, bits),
+      ZOrder.quantizeScalar(laMax, -90, 90, bits))
+    for (cy <- 0L until 64L; cx <- 0L until 64L) {
+      var z = 0L
+      for (i <- 0 until bits) {
+        z |= ((cx >> i) & 1L) << (2 * i)
+        z |= ((cy >> i) & 1L) << (2 * i + 1)
+      }
+      val inBox = cx >= x0 && cx <= x1 && cy >= y0 && cy <= y1
+      assert(inRanges(z) === inBox, s"cell ($cx, $cy) z=$z inBox=$inBox")
+    }
+    // coarsened ranges must stay a SUPERSET (safe over-approximation)
+    val coarse = ZOrder.bboxRanges(laMin, laMax, loMin, loMax, bits, maxRanges = 4)
+    assert(coarse.size <= 4)
+    ranges.foreach { r =>
+      assert(coarse.exists(c => c._1 <= r._1 && r._2 <= c._2),
+        s"coarse ranges dropped exact range $r")
+    }
+  }
+
+  test("zkey range predicate selects exactly the bbox rows on clustered data") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val pts = (0 until 20000).map { i =>
+      (i.toLong, 50.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble())
+    }
+    val df = pts.toDF("id", "lat", "lon")
+      .withColumn("zkey", ZOrder.mortonKey(col("lat"), col("lon")))
+    val bbox = (50.3, 50.7, 10.2, 10.5)
+    val ranges = ZOrder.bboxRanges(bbox._1, bbox._2, bbox._3, bbox._4)
+    // range predicate alone is a superset (cell granularity); AND'ed with
+    // the exact bbox filter it must equal the plain bbox filter — i.e.
+    // the ranges never EXCLUDE a matching row
+    val exact = df.filter(col("lat").between(bbox._1, bbox._2) &&
+      col("lon").between(bbox._3, bbox._4))
+    val pruned = exact.filter(ZOrder.zRangePredicate(col("zkey"), ranges))
+    assert(pruned.count() === exact.count())
+    assert(exact.count() > 1000) // the box is ~12% of the area; non-trivial
+  }
 }
