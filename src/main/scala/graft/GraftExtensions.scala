@@ -15,7 +15,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
-    graft.functions.VectorFunctions.functions.foreach { f =>
+    (graft.functions.VectorFunctions.functions ++
+      graft.functions.BloomFunctions.functions).foreach { f =>
       extensions.injectFunction(f)
     }
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

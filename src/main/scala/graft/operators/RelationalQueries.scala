@@ -500,6 +500,40 @@ object RelationalQueries {
         col("l_orderkey"), col("l_linenumber"))
   }
 
+  /** q36: bloom-filter-pruned shuffle join — the RUNTIME-FILTER pattern
+    * ([[graft.functions.BloomFunctions]]) as an explicit operator. The
+    * build side (urgent orders) aggregates its join keys into a bloom
+    * sketch (distributed partial+final, driver holds only the serialized
+    * bits); the probe rides the fact scan as a codegen'd binary-literal
+    * `might_contain` BEFORE the exchange, so at 100 TB the shuffle carries
+    * ~the matching rows (+fpp) instead of the whole fact table. The join
+    * is hinted SHUFFLE_HASH — the regime this operator exists for is a
+    * build side too large to broadcast as rows (no BHJ, no DPP) whose key
+    * sketch still fits in a task; bloom false positives are removed by the
+    * exact join behind the probe, so the result is bit-identical to the
+    * unpruned plan at any fpp. Oracle: the plain join+filter SQL.
+    */
+  val q36_bloom_pruned_join: Q = (s, dir) => {
+    graft.functions.BloomFunctions.register(s)
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      // two consumers (bloom build + join) — dimension-sized, same cut
+      // rationale as q27's hotKeys
+      .localCheckpoint()
+    val nKeys = urgent.count()
+    val bloom = graft.functions.BloomFunctions.build(
+      urgent, col("o_orderkey"), nKeys, nKeys * 10)
+    val l = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+      .filter(graft.functions.BloomFunctions.mightContain(bloom, col("l_orderkey")))
+    l.join(urgent.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("l_extendedprice")), 2).as("value"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q32: MULTISET set ops — EXCEPT ALL / INTERSECT ALL (q14 covers the
     * DISTINCT variants; the ALL forms preserve multiplicity, which is what
     * "orders placed more often under status F than O per customer" needs).
@@ -597,6 +631,7 @@ object RelationalQueries {
     "q32_setops_all" -> q32_setops_all,
     "q33_lateral_join" -> q33_lateral_join,
     "q29_topk_custom_operator" -> q29_topk_custom_operator,
+    "q36_bloom_pruned_join" -> q36_bloom_pruned_join,
     "q28_quality_checks" -> q28_quality_checks,
     "q27_salted_join" -> q27_salted_join,
     "q24_udaf_weighted_avg" -> q24_udaf_weighted_avg,

@@ -519,6 +519,33 @@ object StreamReplay {
         round(col("total_value"), 2).as("total_value"), col("duration_ms"))
       .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
 
+  /** st08: STREAM-STATIC ENRICHMENT — every micro-batch of the event
+    * stream inner-joins a static broadcast dimension (customer, keyed by
+    * user_id = c_custkey) inside the streaming query itself, the standard
+    * "attach reference data on ingest" pipeline shape. The static side is
+    * planned as a broadcast hash join per micro-batch: no stream-side
+    * shuffle, no state store — at 100 TB/day of events the per-batch cost
+    * is the scan plus a hash probe, and the dimension refreshes on
+    * re-plan, not via state. Replayed MULTI-BATCH (4 event-time-ranged
+    * chunks) because a stateless join is batch-count-invariant by
+    * construction — the gate pins that invariance against the batch
+    * oracle. Ticks are skipped (nothing closes on watermark), and the
+    * enriched rows are rolled up post-sink by market segment; oracle =
+    * the plain batch join+group SQL.
+    */
+  val st08_enrich_stream: Q = (s, dir) => {
+    val cust = graft.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => ds.toDF().join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("value"), col("c_mktsegment")),
+      ticks = false, chunks = 4).df
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -544,6 +571,7 @@ object StreamReplay {
     "st06c_dedup_crossbatch" -> st06c_dedup_crossbatch,
     "st07_session_stream" -> st07_session_stream,
     "st07b_session_multibatch" -> st07b_session_multibatch,
+    "st08_enrich_stream" -> st08_enrich_stream,
   )
 
   private val baseOracles: Map[String, String] = Map(
@@ -660,5 +688,11 @@ object StreamReplay {
     "st04b_topk_multibatch" -> baseOracles("st04_topk_stream"),
     "st05b_interval_join_multibatch" -> baseOracles("st05_interval_join_stream"),
     "st06c_dedup_crossbatch" -> baseOracles("st06_dedup_stream"),
-    "st07b_session_multibatch" -> baseOracles("st07_session_stream"))
+    "st07b_session_multibatch" -> baseOracles("st07_session_stream"),
+    "st08_enrich_stream" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
 }

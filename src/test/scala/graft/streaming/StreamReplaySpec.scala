@@ -293,4 +293,39 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
       === Seq((0L, 0L, 0L)))
     assert(StreamReplay.st02_cohort_stream(spark, dir).collect().isEmpty)
   }
+
+  test("st08 stream-static enrichment: multi-batch replay equals the batch join") {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.streaming.OutputMode
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("replayspec").toString
+    // 40 events across 4 users / a wide time range (so the 4 ranged
+    // chunks are non-degenerate); user 99 has no dimension row → inner
+    // join drops it, the stream-static semantics under test
+    val rows = (0 until 40).map { i =>
+      val uid = if (i % 10 == 9) 99L else (i % 3).toLong
+      (i.toLong, ts(f"2024-01-${i % 27 + 1}%02d 0${i % 9 + 1}:00:00"),
+        uid, "view", i * 1.5)
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq((0L, "AUTOMOBILE"), (1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val cust = graft.Tables.customer(spark, dir)
+    val r = StreamReplay.replayRaw(spark, dir, OutputMode.Append(),
+      ds => ds.toDF().join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment")),
+      ticks = false, chunks = 4)
+    assert(r.batches >= 4, s"expected one micro-batch per chunk, got ${r.batches}")
+    assert(r.lateDropped === 0) // stateless join: nothing is ever late
+    val got = r.df.orderBy(col("event_id")).collect()
+      .map(x => (x.getLong(0), x.getString(1))).toSeq
+    val want = graft.Tables.events(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("c_mktsegment")).orderBy(col("event_id"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSeq
+    assert(got === want)
+    assert(got.size === 36) // the 4 user-99 events dropped by the join
+  }
 }
