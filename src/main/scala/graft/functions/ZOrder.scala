@@ -88,31 +88,8 @@ object ZOrder {
     */
   def bboxRanges(latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
       bits: Int = DefaultBits, maxRanges: Int = 64): Seq[(Long, Long)] = {
-    require(latMin <= latMax && lonMin <= lonMax, "inverted bbox")
-    val x0 = quantizeScalar(lonMin, -180.0, 180.0, bits)
-    val x1 = quantizeScalar(lonMax, -180.0, 180.0, bits)
-    val y0 = quantizeScalar(latMin, -90.0, 90.0, bits)
-    val y1 = quantizeScalar(latMax, -90.0, 90.0, bits)
-    val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    // node at depth d with low-corner cells (cx, cy) spans side 2^(bits-d)
-    // and the contiguous z-interval [z0, z0 + 4^(bits-d) - 1]
-    def go(cx: Long, cy: Long, d: Int, z0: Long): Unit = {
-      val side = 1L << (bits - d)
-      val (xh, yh) = (cx + side - 1, cy + side - 1)
-      if (xh < x0 || cx > x1 || yh < y0 || cy > y1) return // disjoint
-      val span = 1L << (2 * (bits - d))
-      val contained = cx >= x0 && xh <= x1 && cy >= y0 && yh <= y1
-      if (contained || d == bits || acc.length >= 4 * maxRanges) {
-        acc += ((z0, z0 + span - 1))
-      } else {
-        val q = span >> 2; val h = side >> 1
-        go(cx, cy, d + 1, z0)                 // y-low,  x-low
-        go(cx + h, cy, d + 1, z0 + q)         // y-low,  x-high
-        go(cx, cy + h, d + 1, z0 + 2 * q)     // y-high, x-low
-        go(cx + h, cy + h, d + 1, z0 + 3 * q) // y-high, x-high
-      }
-    }
-    go(0L, 0L, 0, 0L)
+    val acc = cover(latMin, latMax, lonMin, lonMax, bits, 4 * maxRanges)
+      .map { case (d, z0) => (z0, z0 + (1L << (2 * (bits - d))) - 1) }
     // merge adjacent/overlapping, then coarsen smallest gaps to budget
     val sorted = acc.sortBy(_._1)
     val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
@@ -134,6 +111,61 @@ object ZOrder {
     }
     merged.toSeq
   }
+
+  /** The quadtree descent shared by [[bboxRanges]] and [[bboxCells]]:
+    * emits the DISJOINT quadtree nodes covering the box as (depth, z0)
+    * pairs — a node at depth d spans the contiguous aligned z-interval
+    * [z0, z0 + 4^(bits-d) - 1]. A node fully inside the box emits whole,
+    * a disjoint node is skipped, a straddling node recurses into its four
+    * children; past `budget` emitted nodes, straddlers emit coarsely
+    * (over-approximate — always a SUPERSET of the box's cells, never
+    * drops one). */
+  private def cover(latMin: Double, latMax: Double, lonMin: Double,
+      lonMax: Double, bits: Int, budget: Int): Seq[(Int, Long)] = {
+    require(latMin <= latMax && lonMin <= lonMax, "inverted bbox")
+    val x0 = quantizeScalar(lonMin, -180.0, 180.0, bits)
+    val x1 = quantizeScalar(lonMax, -180.0, 180.0, bits)
+    val y0 = quantizeScalar(latMin, -90.0, 90.0, bits)
+    val y1 = quantizeScalar(latMax, -90.0, 90.0, bits)
+    val acc = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    // node at depth d with low-corner cells (cx, cy) spans side 2^(bits-d)
+    def go(cx: Long, cy: Long, d: Int, z0: Long): Unit = {
+      val side = 1L << (bits - d)
+      val (xh, yh) = (cx + side - 1, cy + side - 1)
+      if (xh < x0 || cx > x1 || yh < y0 || cy > y1) return // disjoint
+      val span = 1L << (2 * (bits - d))
+      val contained = cx >= x0 && xh <= x1 && cy >= y0 && yh <= y1
+      if (contained || d == bits || acc.length >= budget) {
+        acc += ((d, z0))
+      } else {
+        val q = span >> 2; val h = side >> 1
+        go(cx, cy, d + 1, z0)                 // y-low,  x-low
+        go(cx + h, cy, d + 1, z0 + q)         // y-low,  x-high
+        go(cx, cy + h, d + 1, z0 + 2 * q)     // y-high, x-low
+        go(cx + h, cy + h, d + 1, z0 + 3 * q) // y-high, x-high
+      }
+    }
+    go(0L, 0L, 0, 0L)
+    acc.toSeq
+  }
+
+  /** Decompose a bbox into DISJOINT quadtree cells as (depth, prefix)
+    * pairs, where `prefix` = a point's Morton key right-shifted by
+    * 2·(bits − depth). Because every emitted node is z-ALIGNED (unlike
+    * the merged intervals of [[bboxRanges]]), cell membership is a pure
+    * EQUALITY on (depth, prefix) — the join-side half of the clustering:
+    * a many-boxes × many-points containment join becomes explode(points ×
+    * distinct depths, a log-bounded few) → hash equi-join on (depth,
+    * prefix) against the broadcast cell table → exact lat/lon post-filter
+    * — no per-box OR-chain, no nested-loop join, no all-pairs. Disjoint
+    * cells per box ⇒ each (point, box) pair matches at most once, so no
+    * dedup pass is needed. The cover is a superset of the box (corner
+    * quantization + budget coarsening); the post-filter restores
+    * exactness. */
+  def bboxCells(latMin: Double, latMax: Double, lonMin: Double, lonMax: Double,
+      bits: Int = DefaultBits, maxCells: Int = 256): Seq[(Int, Long)] =
+    cover(latMin, latMax, lonMin, lonMax, bits, maxCells)
+      .map { case (d, z0) => (d, z0 >> (2 * (bits - d))) }
 
   /** Pushdown-friendly predicate over a Morton-key column for a bbox:
     * a disjunction of BETWEENs — each range prunes off the key column's

@@ -181,10 +181,105 @@ object PbfQueries {
       .orderBy("id")
   }
 
+  /** p04 input: a deterministic LCG scatter of 20k nodes over lat [52,53)
+    * × lon [11,13) — a genuinely 2-D point cloud (p01/p02's corpora lie on
+    * a thin diagonal, useless for exercising a spatial join). Coordinates
+    * are multiples of the block granularity (100 ne), so decode is exact
+    * in both the PBF-native and transcoded paths. */
+  private lazy val p04PbfPath: String = {
+    import PbfWriter._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pbf-scatter").toString
+    val path = s"$dir/scatter.osm.pbf"
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      seed >>> 17
+    }
+    val nodes = (0 until 20000).map { i =>
+      DenseNode(1L + i, 52000000000L + (next() % 10000000L) * 100L,
+        11000000000L + (next() % 20000000L) * 100L, Nil, 1, 0L, 1L, 1, "u")
+    }
+    writeFile(path, nodes.grouped(1000).map(g => primitiveBlock(g)).toSeq)
+    path
+  }
+  private lazy val p04Out = oraclePath("p04", p04PbfPath)
+
+  /** p04 query boxes — SINGLE SOURCE OF TRUTH as decimal strings: parsed
+    * with `.toDouble` for the Spark side and interpolated verbatim into
+    * the oracle SQL (both `strtod` and DuckDB's decimal→double cast
+    * correctly round the same rational, so the engines compare against
+    * bit-identical bounds). Sizes span near-whole-extent down to
+    * ~50-cell slivers so the quadtree covers mix shallow and deep cells. */
+  private val p04Boxes: Seq[(Int, String, String, String, String)] = Seq(
+    (1, "52.05", "52.95", "11.1", "12.9"),
+    (2, "52.2", "52.4", "11.5", "11.9"),
+    (3, "52.72", "52.74", "12.3", "12.34"),
+    (4, "52.5", "52.5005", "12.0", "12.0008"),
+    (5, "52.9995", "53.0", "12.9995", "13.0"),
+    (6, "52.0", "53.0", "12.985", "13.0"))
+
+  /** p04: many-boxes × many-points spatial CONTAINMENT JOIN via the
+    * z-order cell decomposition ([[graft.functions.ZOrder.bboxCells]]) —
+    * the join-side payoff of the Morton clustering (p03 is the scan-side).
+    *
+    * Scale shape: each box decomposes (driver-side, boxes are
+    * dimension-sized) into ≤256 DISJOINT quadtree cells; cell membership
+    * is pure (depth, prefix) EQUALITY, so the plan is: pre-filter points
+    * by the union-of-boxes z-range predicate (the scan-pruning half) →
+    * explode points × the distinct cover depths (a log-bounded handful,
+    * NOT per-box) → one hash equi-join against the broadcast cell table →
+    * exact lat/lon post-filter. No per-box OR-chain, no
+    * BroadcastNestedLoop, no all-pairs: at 100 TB the shuffle-free
+    * broadcast join touches ~(matching points × depths) rows. Disjoint
+    * cells ⇒ each (point, box) matches at most once — no dedup needed.
+    * The DuckDB oracle brute-forces the containment join over the
+    * transcoded twin, so the whole decomposition (quantize/spread bit
+    * math + cover correctness + join plumbing) is hash-checked. */
+  def p04_spatial_join(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTranscoded(spark, "p04", p04PbfPath)
+    import graft.functions.ZOrder
+    val bits = ZOrder.DefaultBits
+    val boxes = p04Boxes.map { case (bid, la0, la1, lo0, lo1) =>
+      (bid, la0.toDouble, la1.toDouble, lo0.toDouble, lo1.toDouble)
+    }
+    val cells = boxes.flatMap { case (bid, la0, la1, lo0, lo1) =>
+      ZOrder.bboxCells(la0, la1, lo0, lo1, bits)
+        .map { case (d, p) => (bid, d, p, la0, la1, lo0, lo1) }
+    }
+    val depths = cells.map(_._2).distinct.sorted
+    // scan-side pruning: the boxes' lat/lon ENVELOPE — a 4-comparison
+    // filter that reaches the scan. (A zRangePredicate over the union of
+    // per-box ranges would prune tighter on z-clustered data — p03 +
+    // ZOrderSpec's row-group test prove that half — but inlining the
+    // morton cascade into ~100 range comparisons after projection
+    // collapse explodes codegen; the envelope is the cheap, pushdown-able
+    // stand-in for this many-box shape.)
+    val (latLo, latHi) = (boxes.map(_._2).min, boxes.map(_._3).max)
+    val (lonLo, lonHi) = (boxes.map(_._4).min, boxes.map(_._5).max)
+    val cellsDf = spark.createDataFrame(cells)
+      .toDF("box_id", "depth", "prefix",
+        "lat_min", "lat_max", "lon_min", "lon_max")
+    val pts = spark.read.format("osmpbf").load(p04PbfPath)
+      .filter(col("type") === "node" &&
+        col("lat").between(latLo, latHi) && col("lon").between(lonLo, lonHi))
+      .select(col("id"), col("lat"), col("lon"),
+        ZOrder.mortonKey(col("lat"), col("lon"), bits).as("zkey"))
+    pts
+      .withColumn("depth", explode(array(depths.map(lit(_)): _*)))
+      .withColumn("prefix", expr(s"shiftrightunsigned(zkey, 2 * ($bits - depth))"))
+      .join(broadcast(cellsDf), Seq("depth", "prefix"))
+      .filter(col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+        col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+      .groupBy(col("box_id"))
+      .agg(count(lit(1)).as("n_pts"), sum(col("id")).as("sum_id"))
+      .orderBy(col("box_id"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_ways_and_deps" -> (p01_ways_and_deps(_, _)),
     "p02_way_lengths" -> (p02_way_lengths(_, _)),
-    "p03_zorder_bbox" -> (p03_zorder_bbox(_, _)))
+    "p03_zorder_bbox" -> (p03_zorder_bbox(_, _)),
+    "p04_spatial_join" -> (p04_spatial_join(_, _)))
 
   /** DuckDB twins over the transcoded parquet at the fingerprinted
     * [[OracleRoot]] subpaths (dumped by the queries themselves before
@@ -262,5 +357,19 @@ object PbfQueries {
          |             (x | (x << 1)) & 6148914691236517205 AS x FROM s4
          |)
          |SELECT id, (y << 1) | x AS zkey FROM s5 ORDER BY id""".stripMargin,
+    // brute-force containment join over the twin — hash-equality proves
+    // the quadtree cover + prefix-join reproduce exact box semantics
+    "p04_spatial_join" ->
+      s"""WITH b(box_id, lat_min, lat_max, lon_min, lon_max) AS (VALUES
+         |  ${p04Boxes.map { case (i, la0, la1, lo0, lo1) =>
+             s"($i, CAST($la0 AS DOUBLE), CAST($la1 AS DOUBLE), " +
+               s"CAST($lo0 AS DOUBLE), CAST($lo1 AS DOUBLE))"
+           }.mkString(",\n  ")}
+         |)
+         |SELECT box_id, count(*) AS n_pts, CAST(sum(id) AS BIGINT) AS sum_id
+         |FROM read_parquet('$p04Out/type=node/*.parquet') n JOIN b
+         |  ON n.lat BETWEEN b.lat_min AND b.lat_max
+         | AND n.lon BETWEEN b.lon_min AND b.lon_max
+         |GROUP BY box_id ORDER BY box_id""".stripMargin,
   )
 }

@@ -181,4 +181,78 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned.count() === exact.count())
     assert(exact.count() > 1000) // the box is ~12% of the area; non-trivial
   }
+
+  test("bboxCells: disjoint aligned cells, exact-or-superset cover (exhaustive grid)") {
+    val bits = 6
+    val (laMin, laMax, loMin, loMax) = (-90.0 + 7 * (180.0 / 64), -90.0 + 23.5 * (180.0 / 64),
+      -180.0 + 11 * (360.0 / 64), -180.0 + 41.5 * (360.0 / 64))
+    for (maxCells <- Seq(4096, 8)) {
+      val cells = ZOrder.bboxCells(laMin, laMax, loMin, loMax, bits, maxCells)
+      // every cell is an ALIGNED quadtree node; expand to z-intervals
+      val ivals = cells.map { case (d, p) =>
+        assert(d >= 0 && d <= bits)
+        val span = 1L << (2 * (bits - d))
+        (p * span, p * span + span - 1)
+      }.sortBy(_._1)
+      ivals.sliding(2).foreach {
+        case Seq(a, b) => assert(a._2 < b._1, s"overlapping cells $a $b")
+        case _ =>
+      }
+      def covered(z: Long) = cells.exists { case (d, p) => (z >> (2 * (bits - d))) == p }
+      val (x0, x1) = (ZOrder.quantizeScalar(loMin, -180, 180, bits),
+        ZOrder.quantizeScalar(loMax, -180, 180, bits))
+      val (y0, y1) = (ZOrder.quantizeScalar(laMin, -90, 90, bits),
+        ZOrder.quantizeScalar(laMax, -90, 90, bits))
+      for (cy <- 0L until 64L; cx <- 0L until 64L) {
+        var z = 0L
+        for (i <- 0 until bits) {
+          z |= ((cx >> i) & 1L) << (2 * i)
+          z |= ((cy >> i) & 1L) << (2 * i + 1)
+        }
+        val inBox = cx >= x0 && cx <= x1 && cy >= y0 && cy <= y1
+        if (maxCells == 4096) // unconstrained budget: cover is EXACT
+          assert(covered(z) === inBox, s"cell ($cx, $cy)")
+        else if (inBox) // coarsened: still never drops an in-box cell
+          assert(covered(z), s"coarsened cover dropped in-box cell ($cx, $cy)")
+      }
+    }
+  }
+
+  test("prefix equi-join on bboxCells equals the brute-force containment join") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val pts = (0 until 20000).map { i =>
+      (i.toLong, 50.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble() * 2)
+    }
+    val bits = ZOrder.DefaultBits
+    val boxes = Seq(
+      (1, 50.1, 50.9, 10.2, 11.8), (2, 50.4, 50.42, 10.7, 10.74),
+      (3, 50.0, 51.0, 11.97, 12.0))
+    val cells = boxes.flatMap { case (bid, la0, la1, lo0, lo1) =>
+      ZOrder.bboxCells(la0, la1, lo0, lo1, bits)
+        .map { case (d, p) => (bid, d, p, la0, la1, lo0, lo1) }
+    }
+    val depths = cells.map(_._2).distinct.sorted
+    val cellsDf = cells.toDF("box_id", "depth", "prefix",
+      "lat_min", "lat_max", "lon_min", "lon_max")
+    val df = pts.toDF("id", "lat", "lon")
+      .withColumn("zkey", ZOrder.mortonKey(col("lat"), col("lon"), bits))
+    val joined = df
+      .withColumn("depth", explode(array(depths.map(lit(_)): _*)))
+      .withColumn("prefix", expr(s"shiftrightunsigned(zkey, 2 * ($bits - depth))"))
+      .join(broadcast(cellsDf), Seq("depth", "prefix"))
+      .filter(col("lat") >= col("lat_min") && col("lat") <= col("lat_max") &&
+        col("lon") >= col("lon_min") && col("lon") <= col("lon_max"))
+      .select(col("box_id"), col("id"))
+    val brute = boxes.map { case (bid, la0, la1, lo0, lo1) =>
+      df.filter(col("lat").between(la0, la1) && col("lon").between(lo0, lo1))
+        .select(lit(bid).as("box_id"), col("id"))
+    }.reduce(_ unionByName _)
+    val got = joined.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val want = brute.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got === want)
+    assert(want.size > 5000) // box 1 alone is ~28% of the area
+    // disjoint cells: no (point, box) pair may match twice
+    assert(got.distinct.size === got.size)
+  }
 }
