@@ -140,7 +140,11 @@ object SimilarityQueries {
     * neighbors living in the runner-up cell become reachable. */
   val s04_knn_ivf_multiprobe: Q = (s, dir) => ivfKnn(s, dir, nProbe = 2)
 
-  private def ivfKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
+  /** The shared IVF build (seed → one quantized-integer Lloyd step →
+    * final ranking of every vector against the refined centroids): rk=1
+    * is cell MEMBERSHIP, rk≤P the probe set. Consumed by s03/s04 (ANN)
+    * and d10 (SemDeDup blocking). */
+  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
     val e = embs(s, dir)
     val k = 16
     // seed centroids: the k lowest vec_ids (deterministic)
@@ -164,9 +168,13 @@ object SimilarityQueries {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
+    ranked(e, refined)
+  }
+
+  private def ivfKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     // final ranking against refined centroids: rk=1 is corpus membership,
     // rk<=nProbe are the cells each query searches
-    val finalRanked = ranked(e, refined)
+    val finalRanked = ivfRanked(s, dir)
     val cells = finalRanked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
     val q = finalRanked.filter(col("rk") <= nProbe && col("vec_id") < 10)
@@ -243,12 +251,48 @@ object SimilarityQueries {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** d10: SemDeDup-style SEMANTIC dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding corpus with the s03 IVF
+    * build, then pairwise-compare ONLY within each cell and drop every
+    * vector that has a LOWER-id neighbor at cosine ≥ τ (deterministic
+    * keeper policy; τ = d05's 0.4 threshold and rounding convention, so
+    * the two entries differ only in BLOCKING — learned clusters here vs
+    * d05's random sign-hyperplanes).
+    *
+    * Scale shape: the pair space is Σ|cell|² (the SemDeDup point — at
+    * web scale you cluster precisely so pairwise comparison becomes
+    * per-cell-local), the cell table shuffles by cell id only, and the
+    * verdict join is key-uniform. Cross-cell duplicates are the
+    * documented recall tradeoff, identical in the oracle (same cells,
+    * same policy), so the hash check pins the full pipeline: quantizer
+    * build + assignment + in-cell pair generation + keeper policy.
+    * Output: one row per vector (vec_id, cell, kept) — every vector
+    * appears, so the hash covers keep AND drop decisions. */
+  val d10_semdedup: Q = (s, dir) => {
+    val cells = ivfRanked(s, dir).filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val a = cells.select(col("cell"), col("vec_id").as("ia"),
+      col("v").as("va"), col("n2").as("na2"))
+    val b = cells.select(col("cell").as("cell_b"), col("vec_id").as("ib"),
+      col("v").as("vb"), col("n2").as("nb2"))
+    val dropped = a.join(b, col("cell") === col("cell_b") && col("ia") < col("ib"))
+      .filter(round(cosine(col("va"), col("vb"), col("na2"), col("nb2")), 4) >= 0.4)
+      .select(col("ib").as("dropped_id")).distinct()
+    cells.select(col("vec_id"), col("cell"))
+      .join(dropped, col("vec_id") === col("dropped_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("dropped_id").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "s01_knn_brute" -> s01_knn_brute,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,
     "d05_embed_neardup" -> d05_embed_neardup,
+    "d10_semdedup" -> d10_semdedup,
     "e01_embedding_quantize" -> e01_embedding_quantize,
     "e02_centroid_sim" -> e02_centroid_sim,
   )

@@ -141,7 +141,10 @@ object TrainingOracles {
     * re-assignment, NPROBE-cell probe, cosine re-rank. */
   private def ivfSql(nProbe: Int): String = ivfSqlTemplate.replace("NPROBE", nProbe.toString)
 
-  private val ivfSqlTemplate =
+  /** The shared IVF build through cell membership — consumed by the
+    * s03/s04 ANN template and the d10 SemDeDup oracle (mirrors the Spark
+    * side's shared `ivfRanked`). */
+  private val ivfCellsPrelude =
     s"""$embPrelude,
        |seeds AS (
        |  SELECT vec_id AS cid, v AS cv FROM n ORDER BY vec_id LIMIT 16),
@@ -169,7 +172,10 @@ object TrainingOracles {
        |        - 2.0 * list_dot_product(n.v, c.cv), c.cid) AS rk
        |  FROM n CROSS JOIN cents c),
        |cells AS (
-       |  SELECT vec_id, v, n2, cid AS cell FROM fr WHERE rk = 1),
+       |  SELECT vec_id, v, n2, cid AS cell FROM fr WHERE rk = 1)""".stripMargin
+
+  private val ivfSqlTemplate =
+    s"""$ivfCellsPrelude,
        |q AS (
        |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid AS qcell
        |  FROM fr WHERE rk <= NPROBE AND vec_id < 10),
@@ -187,6 +193,19 @@ object TrainingOracles {
   val all: Map[String, String] = Map(
     "s03_knn_ivf" -> ivfSql(1),
     "s04_knn_ivf_multiprobe" -> ivfSql(2),
+    // same cells as s03; drop policy = lower-id neighbor at cos >= 0.4
+    // (d05's threshold + rounding convention; blocking is the difference)
+    "d10_semdedup" ->
+      s"""$ivfCellsPrelude,
+         |d AS (
+         |  SELECT DISTINCT b.vec_id AS dropped_id
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) >= 0.4)
+         |SELECT c.vec_id, c.cell,
+         |  CASE WHEN d.dropped_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM cells c LEFT JOIN d ON c.vec_id = d.dropped_id
+         |ORDER BY c.vec_id""".stripMargin,
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
