@@ -27,7 +27,10 @@ object Plans {
       "c09_domain_resample", "a05_cohort_retention", "s03_knn_ivf",
       // r3 additions
       "q32_setops_all", "q33_lateral_join", "t10_keywords",
-      "d09_simhash64_pairs", "c11_shuffle_shard", "a06_funnel_windowed")
+      "d09_simhash64_pairs", "c11_shuffle_shard", "a06_funnel_windowed",
+      // r6 additions
+      "q36_bloom_pruned_join", "p04_spatial_join", "d10_semdedup",
+      "d11_shared_passages")
     val names = if (args.nonEmpty) args.toSeq else defaults
     for (name <- names) {
       println(s"===== $name =====")

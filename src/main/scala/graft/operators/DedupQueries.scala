@@ -372,11 +372,46 @@ object DedupQueries {
     bandedHammingHistogram(simhashes(s, dir, bits = 64).localCheckpoint(),
       bands = 4, bandBits = 16, maxHamming = 3)
 
+  /** d11: EXACT shared-passage detection — the exact-substring dedup of
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better") in its n-gram-set formulation: two docs share a passage of
+    * ≥ K chars iff they share some stride-1 K-char gram, so the listing
+    * is exact for the K=40 threshold — and because the gram ITSELF is
+    * the grouping key (not a hash of it), the "verify candidate
+    * collisions" step is folded into the groupBy. Inverted-index shape
+    * identical to d04: distinct per-doc grams → posting lists → each
+    * co-occurring pair emitted once — pair space Σ|posting|², key-uniform
+    * shuffles, never O(N²). At 100 TB the key would be a 128-bit gram
+    * hash with the same plan (hash collisions then need the equality
+    * verify the literal key gives for free here). Docs shorter than K
+    * are filtered on BOTH sides — load-bearing: Spark's
+    * `sequence(1, len-39)` for len<40 yields the DESCENDING [1, 0], not
+    * the empty list DuckDB's generate_series produces. Output:
+    * (doc_a, doc_b, n_shared) = DISTINCT shared grams — the overlap-mass
+    * ranking an exact-substring dedup pass removes from.
+    */
+  val d11_shared_passages: Q = (s, dir) => {
+    val K = 40
+    val grams = Tables.documents(s, dir)
+      .filter(length(col("text")) >= K)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        s"transform(sequence(1, length(text) - ${K - 1}), i -> substring(text, i, $K))"))).as("g"))
+    val inv = grams.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    inv.select(explode(expr(
+        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Map[String, Q] = Map(
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
+    "d11_shared_passages" -> d11_shared_passages,
     "d06_simhash_pairs" -> d06_simhash_pairs,
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_lsh_recall" -> d08_lsh_recall,

@@ -210,6 +210,18 @@ object TrainingOracles {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
 
+    // exact: grouping key IS the gram; len<40 docs excluded on both sides
+    "d11_shared_passages" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, len(text) - 39)) AS t(i)
+        |  WHERE len(text) >= 40)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "d02_minhash_lsh" -> minhashSql,
 
     "d03_simhash" -> simhashSql,
