@@ -392,12 +392,22 @@ object DedupQueries {
     */
   val d11_shared_passages: Q = (s, dir) => {
     val K = 40
-    val grams = Tables.documents(s, dir)
+    // same pre-amplification spread as [[shingles]]: the doc table is
+    // row-light but the stride-1 explode is ~260× CPU-heavy, and a
+    // compact source pins all of it on one task (measured 6.0s → 1.25s
+    // at sf0.1; numbered repartition so AQE can't coalesce the tiny
+    // pre-explode rows back together)
+    val spread = Tables.documents(s, dir)
       .filter(length(col("text")) >= K)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        s"transform(sequence(1, length(text) - ${K - 1}), i -> substring(text, i, $K))"))).as("g"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+    val grams = spread
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, length(text) - ${K - 1}), i -> substring(text, i, $K))")).as("g"))
+    // collect_set dedupes (doc, gram) repeats inside the ONE posting-list
+    // aggregate — a per-doc array_distinct before the explode costs O(L²)
+    // 40-char comparisons per doc and measured 4× slower end-to-end
     val inv = grams.groupBy(col("g"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
     inv.select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
