@@ -111,4 +111,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val p = plan("q05_semi_join")
     assert(p.contains("LeftSemi"), p)
   }
+
+  test("p04: spatial join is ONE broadcast hash equi-join — no nested loop") {
+    val p = plan("p04_spatial_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"per-box OR-chains degrade to a nested loop:\n${p.take(3000)}")
+    // the cell table rides as a broadcast, never a shuffle side
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("q36: bloom probe filters the fact side BELOW its shuffle") {
+    val p = plan("q36_bloom_pruned_join")
+    // the probe must sit between the fact scan and the exchange feeding
+    // the join — on the scan side of the plan, not above the join
+    val lines = p.linesIterator.toSeq
+    val probeIdx = lines.indexWhere(_.contains("might_contain"))
+    val joinIdx = lines.indexWhere(_.contains("ShuffledHashJoin"))
+    assert(probeIdx >= 0, s"bloom probe missing:\n${p.take(3000)}")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"probe should print below the join (scan side):\n${p.take(3000)}")
+  }
+
+  test("d11: the doc table spreads BEFORE the gram explode") {
+    val p = graft.SparkEntry.queries("d11_shared_passages")(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    // the pre-amplification repartition must survive optimization — its
+    // loss costs nothing at sf0.001 and a single-task stage at scale
+    // (measured 6.0s -> 1.25s at sf0.1)
+    val repIdx = p.linesIterator.indexWhere(l =>
+      l.contains("Repartition") || l.contains("RepartitionByExpression"))
+    val genIdx = p.linesIterator.indexWhere(_.contains("Generate explode"))
+    assert(repIdx >= 0, s"pre-explode repartition lost:\n${p.take(3000)}")
+    assert(genIdx >= 0 && repIdx > genIdx,
+      s"repartition must sit BELOW the explode (runs first):\n${p.take(3000)}")
+  }
 }
