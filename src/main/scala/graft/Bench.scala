@@ -140,7 +140,7 @@ object Bench {
     // nothing the base entry doesn't, and their inclusion would make the
     // sweep total swing with gate-coverage growth rather than engine
     // speed. They stay in the CORRECTNESS gate (Verify runs all
-    // SparkEntry.queries); the bench sweeps the 102-query operator set,
+    // SparkEntry.queries); the bench sweeps the 103-query operator set,
     // keeping totals comparable round-over-round.
     val benchQueries = SparkEntry.queries
       .filterNot(_._1.matches("st\\d\\d[bc]_.*"))
@@ -327,7 +327,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (best of 2) over the 102-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
+         |"timing":"total=concurrent sweep (best of 2) over the 103-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
          |"failed":$failed$extra$transcodeDetail$diff}""".stripMargin.replace("\n", "")
     try {

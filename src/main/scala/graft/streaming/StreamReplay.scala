@@ -156,7 +156,8 @@ object StreamReplay {
                      stageCopies: Int = 1,
                      chunks: Int = 1,
                      copiesAsBatches: Boolean = false,
-                     stateStore: Option[String] = null): Replayed = {
+                     stateStore: Option[String] = null,
+                     parquetSinkDir: Option[String] = None): Replayed = {
     require(chunks == 1 || stageCopies == 1,
       "chunked staging and stageCopies are mutually exclusive")
     require(!copiesAsBatches || stageCopies > 1,
@@ -264,9 +265,19 @@ object StreamReplay {
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[EventStreams.Event]
-      val query = transform(events)
-        .writeStream.format("memory").queryName(sink).outputMode(mode)
-        .option("checkpointLocation", ckpt).start()
+      // sink: the in-memory table by default; `parquetSinkDir` swaps in
+      // the exactly-once foreachBatch parquet path (st09) — same staging,
+      // same ticks, result read back from the committed files
+      val writer = transform(events)
+        .writeStream.outputMode(mode)
+        .option("checkpointLocation", ckpt)
+      val query = parquetSinkDir match {
+        case Some(out) =>
+          writer.foreachBatch { (b: DataFrame, id: Long) =>
+            EventStreams.writeBatchIdempotent(b, id, out)
+          }.start()
+        case None => writer.format("memory").queryName(sink).start()
+      }
       try {
         query.processAllAvailable()
         // Watermark ticks use event_type "view" — an event type every
@@ -299,11 +310,13 @@ object StreamReplay {
         val dupDropped = stateProgress
           .flatMap(so => Option(so.customMetrics.get("numDroppedDuplicateRows")))
           .map(_.longValue).sum
-        Replayed(s.table(sink).localCheckpoint(), maxTs, batches,
-          lateDropped, dupDropped)
+        Replayed(parquetSinkDir match {
+          case Some(out) => s.read.parquet(out).localCheckpoint()
+          case None => s.table(sink).localCheckpoint()
+        }, maxTs, batches, lateDropped, dupDropped)
       } finally {
         query.stop()
-        s.catalog.dropTempView(sink)
+        if (parquetSinkDir.isEmpty) s.catalog.dropTempView(sink)
       }
     } finally {
       // outer finally: the scratch (staged input + checkpoint) exists
@@ -546,6 +559,44 @@ object StreamReplay {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** st09: the EXACTLY-ONCE PARQUET SINK in the gate — st03's windowed
+    * aggregation delivered through the `foreachBatch` idempotent-
+    * overwrite recipe ([[EventStreams.writeBatchIdempotent]]) instead of
+    * the memory sink, replayed MULTI-BATCH so the sink genuinely commits
+    * several `batch_id=` partitions. After the stream settles, the LAST
+    * batch is re-delivered through the same public body — Spark's
+    * at-least-once `foreachBatch` contract means a recovery replays a
+    * committed batch — and the final result is read from the parquet
+    * FILES. Hash-equality vs st03's oracle therefore pins sink-path
+    * delivery AND retry idempotence in one row: an append-duplicating
+    * sink would double the retried batch's windows and hash-mismatch.
+    * (The retry rows are localCheckpointed first — a live lineage onto
+    * the same path would make the overwrite read its own target.) */
+  val st09_exactly_once_sink: Q = (s, dir) => {
+    val out = Files.createTempDirectory("graft-st09-sink").toString
+    try {
+      val r = replayRaw(s, dir, OutputMode.Append(),
+        ds => EventStreams.windowedCounts(ds.toDF()),
+        chunks = 8, parquetSinkDir = Some(out))
+      val delivered = s.read.parquet(out)
+      val maxBatch = delivered.agg(max(col("batch_id").cast("long")))
+        .head().getLong(0)
+      EventStreams.writeBatchIdempotent(
+        delivered.filter(col("batch_id").cast("long") === maxBatch)
+          .drop("batch_id").localCheckpoint(),
+        maxBatch, out)
+      s.read.parquet(out)
+        .filter(col("bucket_start") <= timestamp_millis(lit(r.maxTs)))
+        .select(unix_timestamp(col("bucket_start")).as("bucket_start"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy(col("bucket_start"), col("event_type"))
+        .localCheckpoint()
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -572,6 +623,7 @@ object StreamReplay {
     "st07_session_stream" -> st07_session_stream,
     "st07b_session_multibatch" -> st07b_session_multibatch,
     "st08_enrich_stream" -> st08_enrich_stream,
+    "st09_exactly_once_sink" -> st09_exactly_once_sink,
   )
 
   private val baseOracles: Map[String, String] = Map(
@@ -694,5 +746,7 @@ object StreamReplay {
         |  round(sum(value), 2) AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin)
+        |ORDER BY c_mktsegment""".stripMargin,
+    // the sink path must deliver exactly st03's windows, retry included
+    "st09_exactly_once_sink" -> baseOracles("st03_windowed_stream"))
 }

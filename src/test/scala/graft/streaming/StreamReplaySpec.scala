@@ -328,4 +328,37 @@ class StreamReplaySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
     assert(got.size === 36) // the 4 user-99 events dropped by the join
   }
+
+  test("st09 sink path: windows commit across batches; a retry STORM is idempotent") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = writeEvents((0 until 60).map { i =>
+      (i.toLong, ts(f"2024-01-${i % 20 + 1}%02d 0${i % 9 + 1}:30:00"),
+        (i % 5).toLong, "view", 1.0 * i)
+    })
+    val out = java.nio.file.Files.createTempDirectory("st09spec").toString
+    val r = StreamReplay.replayRaw(spark, dir, OutputMode.Append(),
+      ds => EventStreams.windowedCounts(ds.toDF()),
+      chunks = 4, parquetSinkDir = Some(out))
+    assert(r.batches >= 4)
+    val once = spark.read.parquet(out)
+    // watermark advances BETWEEN batches, so windows must have closed in
+    // at least two different batches (not all at the final ticks)
+    val nBatches = once.agg(countDistinct(col("batch_id"))).head().getLong(0)
+    assert(nBatches >= 2, s"windows closed in only $nBatches batch(es)")
+    val before = once.drop("batch_id").orderBy("bucket_start", "event_type")
+      .collect().toSeq
+    // re-deliver EVERY committed batch (worst-case at-least-once retry
+    // storm): dynamic idempotent overwrite must leave the sink unchanged
+    once.select(col("batch_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).foreach { id =>
+        val rows = spark.read.parquet(out)
+          .filter(col("batch_id").cast("long") === id)
+          .drop("batch_id").localCheckpoint()
+        EventStreams.writeBatchIdempotent(rows, id, out)
+      }
+    val after = spark.read.parquet(out).drop("batch_id")
+      .orderBy("bucket_start", "event_type").collect().toSeq
+    assert(after === before)
+  }
 }
