@@ -562,8 +562,10 @@ object StreamReplay {
   /** st09: the EXACTLY-ONCE PARQUET SINK in the gate — st03's windowed
     * aggregation delivered through the `foreachBatch` idempotent-
     * overwrite recipe ([[EventStreams.writeBatchIdempotent]]) instead of
-    * the memory sink, replayed MULTI-BATCH so the sink genuinely commits
-    * several `batch_id=` partitions. After the stream settles, the LAST
+    * the memory sink, replayed MULTI-BATCH (4 event-time-ranged chunks —
+    * enough that several `batch_id=` partitions genuinely commit, at
+    * half the per-batch state/sink cost of the 8-chunk protocol
+    * variants). After the stream settles, the LAST
     * batch is re-delivered through the same public body — Spark's
     * at-least-once `foreachBatch` contract means a recovery replays a
     * committed batch — and the final result is read from the parquet
@@ -577,7 +579,7 @@ object StreamReplay {
     try {
       val r = replayRaw(s, dir, OutputMode.Append(),
         ds => EventStreams.windowedCounts(ds.toDF()),
-        chunks = 8, parquetSinkDir = Some(out))
+        chunks = 4, parquetSinkDir = Some(out))
       val delivered = s.read.parquet(out)
       val maxBatch = delivered.agg(max(col("batch_id").cast("long")))
         .head().getLong(0)
