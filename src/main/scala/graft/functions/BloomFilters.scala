@@ -48,17 +48,24 @@ object BloomFunctions {
     }
   }
 
-  /** Distributed bloom build over `key` (long or string) of `dim`: one
+  /** Distributed bloom build over `key` (any type) of `dim`: one
     * partial+final aggregate, and the only thing the driver ever holds is
     * the serialized sketch (~1.2 bytes per key at 1% fpp) — never the
-    * rows. Returns null when `dim` is empty. */
+    * rows. Returns null when `dim` is empty.
+    *
+    * Keys are `xxhash64`'d on BOTH sides (here and in [[mightContain]]) —
+    * the same normalization `InjectRuntimeFilter` applies, because
+    * Catalyst's `BloomFilterMightContain` only accepts BIGINT values. The
+    * shared deterministic hash preserves the no-false-negative guarantee
+    * for every key type; hash collisions only add false positives, which
+    * the exact join behind the probe removes anyway. */
   def build(dim: DataFrame, key: Column, estItems: Long, numBits: Long): Array[Byte] = {
     register(dim.sparkSession)
     val e = math.max(estItems, 1L)
     // ~9.6 bits/key = 1% fpp; cap inside Catalyst's maxNumBits default so
     // the aggregate never trips the conf guard at test scale
     val b = math.min(math.max(numBits, 64L), 67108864L)
-    dim.select(call_function("graft_bloom_agg", key, lit(e), lit(b)).as("bf"))
+    dim.select(call_function("graft_bloom_agg", xxhash64(key), lit(e), lit(b)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
   }
 
@@ -69,5 +76,5 @@ object BloomFunctions {
     * `false`: an empty key set can join nothing. */
   def mightContain(bloom: Array[Byte], key: Column): Column =
     if (bloom == null) lit(false)
-    else call_function("graft_bloom_might_contain", lit(bloom), key)
+    else call_function("graft_bloom_might_contain", lit(bloom), xxhash64(key))
 }

@@ -70,6 +70,19 @@ class BloomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned === plain)
   }
 
+  test("string keys: build + probe work end-to-end (Catalyst's other key type)") {
+    val sp = spark; import sp.implicits._
+    val dim = Seq("alpha", "bravo", "charlie", "delta").toDF("k")
+    val bloom = BloomFunctions.build(dim, col("k"), 4L, 1024L)
+    assert(bloom != null)
+    val probes = Seq("alpha", "delta", "echo", "foxtrot", "golf").toDF("k")
+    val hits = probes.filter(BloomFunctions.mightContain(bloom, col("k")))
+      .collect().map(_.getString(0)).toSet
+    assert(hits.contains("alpha") && hits.contains("delta")) // no false negatives
+    // 256 bits/key: the three non-members virtually never all collide
+    assert(hits.size < 5, s"every probe hit — filter is degenerate: $hits")
+  }
+
   test("plan shape: probe precedes the exchange; join is shuffle-hash") {
     val plan = graft.operators.RelationalQueries
       .q36_bloom_pruned_join(spark, sf)
