@@ -302,6 +302,18 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val failed = cur.toSeq.sortBy(_._1).collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    // Round-comparable totals: the sweep set grows as operators land
+    // (94→96→103 across r4-r6), so `total` drifts as a signal even in
+    // clean windows. Emit the solo-time sum over the INTERSECTION with the
+    // previous round's query set, for both rounds, so the like-for-like
+    // round-over-round total is in the artifact itself.
+    val commonCurSum = comparable.map(cur).sum
+    val commonPrevSum = comparable.map(prevQueries).sum
+    val commonTotals = if (comparable.isEmpty) "" else {
+      s""","total_common_prev":{"n":${comparable.size}""" +
+      f""","solo_sum_cur_sec":$commonCurSum%.3f""" +
+      f""","solo_sum_prev_sec":$commonPrevSum%.3f}"""
+    }
     val fullQs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val spreadQs = spreads.toSeq.sortBy(_._1)
@@ -329,7 +341,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
          |"timing":"total=concurrent sweep (best of 2) over the 103-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
-         |"failed":$failed$extra$transcodeDetail$diff}""".stripMargin.replace("\n", "")
+         |"failed":$failed$extra$transcodeDetail$diff$commonTotals}""".stripMargin.replace("\n", "")
     try {
       // explicit UTF-8: the platform default charset mojibake'd non-ASCII
       // artifact text (em-dashes committed as '?') in earlier rounds
@@ -347,6 +359,6 @@ object Bench {
     // of the tail), THEN print
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra,"full_names_and_diff":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}""")
   }
 }

@@ -22,13 +22,23 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
 
-  /** `events.ts` is parquet timestamp[ns], which Spark's parquet reader
-    * rejects outright (PARQUET_TYPE_ILLEGAL) unless
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, in which case the column
-    * arrives as LongType nanoseconds. We set the flag defensively (it is a
-    * runtime-settable SQLConf) and convert to TimestampType microseconds,
-    * truncating toward negative infinity — the same direction DuckDB
-    * truncates when comparing at lower precision.
+  /** `events.ts` normalization — the generator's parquet physical type has
+    * varied across rounds, and every variant must surface as the SAME
+    * session-UTC TimestampType the oracles compare against:
+    *
+    *  - timestamp[ns] (rounds ≤6): Spark's reader rejects it outright
+    *    (PARQUET_TYPE_ILLEGAL) unless
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`, in which case the
+    *    column arrives as LongType nanoseconds → convert to µs, truncating
+    *    toward negative infinity (the direction DuckDB truncates when
+    *    comparing at lower precision).
+    *  - timestamp[us] WITHOUT a zone (round 7+): Spark 4's default
+    *    `spark.sql.parquet.inferTimestampNTZ.enabled=true` reads it as
+    *    TimestampNTZType, whose rows surface as java.time.LocalDateTime —
+    *    breaking every `getTimestamp`/`java.sql.Timestamp` consumer and
+    *    the streaming Event encoder. Cast to TimestampType: with the
+    *    session zone pinned to UTC the wall-clock values are identical to
+    *    DuckDB's naive read, so oracle hashes are unchanged.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     // conf mutation is surprising in a library, so it is (a) idempotent —
@@ -43,6 +53,9 @@ object Tables {
         // integer div — a double division would lose sub-µs precision at
         // epoch-ns magnitudes (~1.7e18 > 2^53)
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

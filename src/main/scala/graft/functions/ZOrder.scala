@@ -167,12 +167,29 @@ object ZOrder {
     cover(latMin, latMax, lonMin, lonMax, bits, maxCells)
       .map { case (d, z0) => (d, z0 >> (2 * (bits - d))) }
 
-  /** Pushdown-friendly predicate over a Morton-key column for a bbox:
-    * a disjunction of BETWEENs — each range prunes off the key column's
-    * min/max statistics on z-sorted data. */
+  /** Pushdown-friendly predicate over a STORED Morton-key column for a
+    * bbox: a disjunction of BETWEENs — each range prunes off the key
+    * column's min/max statistics on z-sorted data. For a DERIVED key
+    * (the cascade inline over lat/lon) use
+    * [[ZRangeContains.zInRanges]] instead: pushdown substitution would
+    * inline the cascade into every BETWEEN (round 6's janino blow-up). */
   def zRangePredicate(zkey: Column, ranges: Seq[(Long, Long)]): Column =
     ranges.map { case (lo, hi) => zkey.between(lo, hi) }
       .reduceOption(_ || _).getOrElse(lit(false))
+
+  /** Union of several boxes' range covers: sorted, overlaps/adjacency
+    * merged — the sorted-disjoint form [[ZRangeContains]]'s binary
+    * search requires. */
+  def unionRanges(rs: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val sorted = rs.sortBy(_._1)
+    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    sorted.foreach { r =>
+      if (merged.nonEmpty && r._1 <= merged.last._2 + 1)
+        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, r._2))
+      else merged += r
+    }
+    merged.toSeq
+  }
 
   /** Write `df` (must carry `lat`/`lon` doubles) clustered by Morton key:
     * range-partition on the key so each output FILE covers a compact
@@ -182,10 +199,14 @@ object ZOrder {
     * `repartitionByRange` samples the key distribution, so skew (city
     * centers) lands more files on dense tiles instead of overflowing one. */
   def zorderWrite(df: DataFrame, out: String, partitions: Int,
-      bits: Int = DefaultBits): Unit =
-    df.withColumn("_zkey", mortonKey(col("lat"), col("lon"), bits))
+      bits: Int = DefaultBits, keepKey: Boolean = false): Unit = {
+    val keyed = df.withColumn("_zkey", mortonKey(col("lat"), col("lon"), bits))
       .repartitionByRange(partitions, col("_zkey"))
       .sortWithinPartitions("_zkey")
-      .drop("_zkey")
+    // keepKey stores `_zkey` so later scans can use [[zRangePredicate]]
+    // BETWEENs that prune off the key column's own footer stats (tighter
+    // than the lat/lon envelope for multi-box covers)
+    (if (keepKey) keyed else keyed.drop("_zkey"))
       .write.mode("overwrite").parquet(out)
+  }
 }

@@ -247,15 +247,21 @@ object PbfQueries {
         .map { case (d, p) => (bid, d, p, la0, la1, lo0, lo1) }
     }
     val depths = cells.map(_._2).distinct.sorted
-    // scan-side pruning: the boxes' lat/lon ENVELOPE — a 4-comparison
-    // filter that reaches the scan. (A zRangePredicate over the union of
-    // per-box ranges would prune tighter on z-clustered data — p03 +
-    // ZOrderSpec's row-group test prove that half — but inlining the
-    // morton cascade into ~100 range comparisons after projection
-    // collapse explodes codegen; the envelope is the cheap, pushdown-able
-    // stand-in for this many-box shape.)
+    // scan-side pruning, two layers: (1) the boxes' lat/lon ENVELOPE — a
+    // 4-comparison filter that reaches the scan (pushdown-able); (2) the
+    // union of the per-box z-range covers, evaluated via the codegen'd
+    // [[graft.functions.ZRangeContains]] — the morton cascade computed
+    // ONCE per row and binary-searched against the constant bounds, so
+    // rows in the envelope's dead corners (between the boxes) are dropped
+    // before the ×depths explode. (Round 6 emitted the ranges as an
+    // OR-of-BETWEENs over the derived key; pushdown substitution inlined
+    // the cascade into every comparison and blew janino — the custom
+    // expression is the fix, keeping one cascade copy at any range count.)
     val (latLo, latHi) = (boxes.map(_._2).min, boxes.map(_._3).max)
     val (lonLo, lonHi) = (boxes.map(_._4).min, boxes.map(_._5).max)
+    val zranges = ZOrder.unionRanges(boxes.flatMap { case (_, la0, la1, lo0, lo1) =>
+      ZOrder.bboxRanges(la0, la1, lo0, lo1, bits)
+    })
     val cellsDf = spark.createDataFrame(cells)
       .toDF("box_id", "depth", "prefix",
         "lat_min", "lat_max", "lon_min", "lon_max")
@@ -264,6 +270,7 @@ object PbfQueries {
         col("lat").between(latLo, latHi) && col("lon").between(lonLo, lonHi))
       .select(col("id"), col("lat"), col("lon"),
         ZOrder.mortonKey(col("lat"), col("lon"), bits).as("zkey"))
+      .filter(graft.functions.ZRangeContains.zInRanges(spark, col("zkey"), zranges))
     pts
       .withColumn("depth", explode(array(depths.map(lit(_)): _*)))
       .withColumn("prefix", expr(s"shiftrightunsigned(zkey, 2 * ($bits - depth))"))

@@ -521,9 +521,15 @@ object RelationalQueries {
       // two consumers (bloom build + join) — dimension-sized, same cut
       // rationale as q27's hotKeys
       .localCheckpoint()
-    val nKeys = urgent.count()
+    // Sized by a static UPPER bound, not a driver-side count(): the sketch
+    // only needs any overestimate of distinct keys — too many bits cost
+    // memory, never correctness (fpp only ADDS rows the exact join behind
+    // the probe removes). 4M bits / 400k keys keeps ~10 bits/key (≈1% fpp)
+    // at the largest dimension this regime targets; at 100 TB the caller
+    // passes its catalog row-count estimate the same way. One fewer job
+    // than counting the checkpoint.
     val bloom = graft.functions.BloomFunctions.build(
-      urgent, col("o_orderkey"), nKeys, nKeys * 10)
+      urgent, col("o_orderkey"), 400000L, 4194304L)
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
       .filter(graft.functions.BloomFunctions.mightContain(bloom, col("l_orderkey")))

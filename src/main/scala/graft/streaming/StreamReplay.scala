@@ -6,7 +6,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
 
 /** Driver-checkable STREAMING correctness entries: replay the batch
   * `events` table through Spark's FILE streaming source into the stateful
@@ -103,6 +103,9 @@ object StreamReplay {
       (f.name, f.dataType) match {
         case ("event_id", _) => -n.toLong
         case ("ts", LongType) => tsMs * 1000000L // raw ns, like the table
+        case ("ts", TimestampNTZType) => // zoneless files: NTZ rows are LocalDateTime
+          java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(tsMs), java.time.ZoneOffset.UTC)
         case ("ts", _) => new java.sql.Timestamp(tsMs)
         case ("user_id", _) => -n.toLong
         case ("event_type", _) => "view"
@@ -259,6 +262,9 @@ object StreamReplay {
         .parquet(stage.toString)
       val converted = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // zoneless timestamp[us] files read as NTZ (Spark 4 inference);
+        // session-UTC cast mirrors Tables.events — see its scaladoc
+        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
       }
       val events = converted

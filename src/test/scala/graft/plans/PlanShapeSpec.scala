@@ -119,6 +119,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-box OR-chains degrade to a nested loop:\n${p.take(3000)}")
     // the cell table rides as a broadcast, never a shuffle side
     assert(p.contains("BroadcastExchange"), p.take(3000))
+    // the z-range pre-filter is IN the plan (round 6 had to retreat to
+    // the envelope alone — the custom expression restored it) and the
+    // plan still compiles/codegens: printing the executed plan would not
+    // catch a janino failure, so the gate's green run is the real check;
+    // here we pin presence
+    assert(p.contains("graft_z_in_ranges"),
+      s"z-range pre-filter missing from the plan:\n${p.take(3000)}")
   }
 
   test("q36: bloom probe filters the fact side BELOW its shuffle") {
