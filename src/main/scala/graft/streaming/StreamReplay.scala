@@ -248,7 +248,19 @@ object StreamReplay {
       // names, which the flattened staging drops — a consumed column
       // living only in the partitioning would silently null-fill under a
       // dir-derived schema. Fail fast instead.
-      val fileSchema = s.read.parquet(stagedFiles.head.toString).schema
+      // zoneless timestamp[us] data files infer as TimestampNTZType; the
+      // file-source schema instead DECLARES ts TimestampType, so the scan
+      // surfaces raw micros as session-UTC timestamps directly — no
+      // per-micro-batch cast Project (the cast path measured ~20-25%
+      // slower on st05; see Tables.events scaladoc / round-8 EventsAB)
+      val fileSchema = {
+        val inferred = s.read.parquet(stagedFiles.head.toString).schema
+        StructType(inferred.map {
+          case f if f.name == "ts" && f.dataType == TimestampNTZType =>
+            f.copy(dataType = TimestampType)
+          case f => f
+        })
+      }
       val missing = Seq("event_id", "ts", "user_id", "event_type", "value")
         .filterNot(fileSchema.fieldNames.contains)
       require(missing.isEmpty,
@@ -262,10 +274,7 @@ object StreamReplay {
         .parquet(stage.toString)
       val converted = raw.schema("ts").dataType match {
         case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        // zoneless timestamp[us] files read as NTZ (Spark 4 inference);
-        // session-UTC cast mirrors Tables.events — see its scaladoc
-        case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => raw
+        case _ => raw // TimestampType — NTZ already re-declared above
       }
       val events = converted
         .select(col("event_id"), col("ts"), col("user_id"),
