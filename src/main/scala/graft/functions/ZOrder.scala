@@ -191,6 +191,29 @@ object ZOrder {
     merged.toSeq
   }
 
+  /** Quantized cell count of a bbox (2×26-bit default keeps the product
+    * ≤ 2^52, inside a Long) — the box's AREA in bits-resolution cells.
+    *
+    * Drives the driver-side selectivity gate for the z-range pre-filter:
+    * under a uniform point spread, Σ box areas / envelope area ≈ the
+    * fraction of envelope-surviving rows the filter would KEEP (a slight
+    * underestimate of kept rows — the cover over-approximates boxes by
+    * quantization + budget coarsening — and box overlaps double-count,
+    * both erring toward "filter looks better than it is", so gate with
+    * margin). Note the z-RANGES themselves cannot be the estimate: the
+    * z-curve jumps between boxes make merged [lo, hi] intervals span
+    * cells far OUTSIDE the envelope (measured 34× over it on p04's box
+    * set), while the membership test still only admits cover cells —
+    * geometric areas are the honest proxy. */
+  def envelopeCells(latMin: Double, latMax: Double, lonMin: Double,
+      lonMax: Double, bits: Int = DefaultBits): Long = {
+    val x0 = quantizeScalar(lonMin, -180.0, 180.0, bits)
+    val x1 = quantizeScalar(lonMax, -180.0, 180.0, bits)
+    val y0 = quantizeScalar(latMin, -90.0, 90.0, bits)
+    val y1 = quantizeScalar(latMax, -90.0, 90.0, bits)
+    (x1 - x0 + 1) * (y1 - y0 + 1)
+  }
+
   /** Write `df` (must carry `lat`/`lon` doubles) clustered by Morton key:
     * range-partition on the key so each output FILE covers a compact
     * z-range, then sort within partitions so each ROW GROUP inside a file

@@ -137,11 +137,16 @@ object ZRangeContains {
 
   /** Predicate Column: `zkey` (typically the morton cascade over lat/lon)
     * is inside any of `ranges`. Evaluates the key ONCE per row regardless
-    * of range count. */
+    * of range count. Ranges are normalized through
+    * [[ZOrder.unionRanges]] (sorted, overlaps/adjacency merged) so the
+    * helper is total over ANY range input — a bare sort would let
+    * overlapping ranges reach `checkInputDataTypes`' disjointness check
+    * and fail at analysis time. */
   def zInRanges(spark: SparkSession, zkey: Column, ranges: Seq[(Long, Long)]): Column = {
     register(spark)
-    if (ranges.isEmpty) lit(false)
+    val norm = ZOrder.unionRanges(ranges)
+    if (norm.isEmpty) lit(false)
     else call_function("graft_z_in_ranges", zkey,
-      lit(ranges.sortBy(_._1).flatMap { case (l, h) => Seq(l, h) }.toArray))
+      lit(norm.flatMap { case (l, h) => Seq(l, h) }.toArray))
   }
 }

@@ -255,4 +255,66 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     // disjoint cells: no (point, box) pair may match twice
     assert(got.distinct.size === got.size)
   }
+
+  test("envelope vs z-range pre-filter: measured pruning + the selectivity gate's call") {
+    // The round-7 question: does the z-range pre-filter (rows surviving
+    // scan pruning INTO the ×depths explode) beat the plain lat/lon
+    // envelope — measured, per box set, on p04's own scattered corpus
+    // (the same LCG, replicated here). The answer drives the gate:
+    // rangeCellCount(cover) / envelopeCells ≈ the kept fraction under a
+    // uniform spread, so the driver can decide without reading data.
+    val sp = spark; import sp.implicits._
+    val bits = ZOrder.DefaultBits
+    var seed = 0x9E3779B97F4A7C15L
+    def next(): Long = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      seed >>> 17
+    }
+    val pts = (0 until 20000).map { i =>
+      (1L + i, 52.0 + (next() % 10000000L) * 100L / 1e9,
+        11.0 + (next() % 20000000L) * 100L / 1e9)
+    }
+    val df = pts.toDF("id", "lat", "lon")
+      .withColumn("z", ZOrder.mortonKey(col("lat"), col("lon"), bits))
+
+    def measure(boxes: Seq[(Double, Double, Double, Double)]): (Long, Long, Boolean, Double) = {
+      val (laLo, laHi) = (boxes.map(_._1).min, boxes.map(_._2).max)
+      val (loLo, loHi) = (boxes.map(_._3).min, boxes.map(_._4).max)
+      val zr = ZOrder.unionRanges(boxes.flatMap { case (a, b, c, d) =>
+        ZOrder.bboxRanges(a, b, c, d, bits) })
+      val env = df.filter(col("lat").between(laLo, laHi) && col("lon").between(loLo, loHi))
+      val envN = env.count()
+      val zN = env.filter(ZRangeContains.zInRanges(sp, col("z"), zr)).count()
+      val envCells = ZOrder.envelopeCells(laLo, laHi, loLo, loHi, bits)
+      val boxCells = boxes.map { case (a, b, c, d) =>
+        ZOrder.envelopeCells(a, b, c, d, bits) }.sum
+      (envN, zN, boxCells < envCells / 2, boxCells.toDouble / envCells)
+    }
+
+    // p04's actual box set: one dominant box → filter keeps ~90% of
+    // envelope survivors; the gate must say NO
+    val p04Boxes = Seq(
+      (52.05, 52.95, 11.1, 12.9), (52.2, 52.4, 11.5, 11.9),
+      (52.72, 52.74, 12.3, 12.34), (52.5, 52.5005, 12.0, 12.0008),
+      (52.9995, 53.0, 12.9995, 13.0), (52.0, 53.0, 12.985, 13.0))
+    val (envA, zA, gateA, estA) = measure(p04Boxes)
+    info(f"p04 boxes: envelope keeps $envA rows, +zranges keeps $zA " +
+      f"(${100.0 * zA / envA}%.1f%%); cell-ratio estimate ${100 * estA}%.1f%%; gate=$gateA")
+    assert(!gateA, "dominant-box cover must fail the selectivity gate")
+    assert(zA.toDouble / envA > 0.8, "filter keeps >80% here — it cannot pay")
+    // the driver-side estimate tracks the measured kept fraction
+    assert(math.abs(estA - zA.toDouble / envA) < 0.1)
+
+    // scattered small boxes → filter drops ~99% of envelope survivors
+    // before the explode; the gate must say YES
+    val scattered = Seq(
+      (52.10, 52.12, 11.10, 11.13), (52.50, 52.52, 12.00, 12.04),
+      (52.90, 52.92, 12.80, 12.83), (52.30, 52.31, 12.95, 12.97))
+    val (envB, zB, gateB, estB) = measure(scattered)
+    info(f"scattered boxes: envelope keeps $envB rows, +zranges keeps $zB " +
+      f"(${100.0 * zB / envB}%.1f%%); cell-ratio estimate ${100 * estB}%.2f%%; gate=$gateB")
+    assert(gateB, "scattered cover must pass the selectivity gate")
+    assert(zB.toDouble / envB < 0.05,
+      s"filter keeps $zB of $envB envelope survivors — expected <5%")
+  }
 }

@@ -119,13 +119,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-box OR-chains degrade to a nested loop:\n${p.take(3000)}")
     // the cell table rides as a broadcast, never a shuffle side
     assert(p.contains("BroadcastExchange"), p.take(3000))
-    // the z-range pre-filter is IN the plan (round 6 had to retreat to
-    // the envelope alone — the custom expression restored it) and the
-    // plan still compiles/codegens: printing the executed plan would not
-    // catch a janino failure, so the gate's green run is the real check;
-    // here we pin presence
-    assert(p.contains("graft_z_in_ranges"),
-      s"z-range pre-filter missing from the plan:\n${p.take(3000)}")
+    // the z-range pre-filter is selectivity-GATED (round 8): p04's box
+    // set has one dominant box whose cover is ~82% of the envelope, so
+    // the driver-side estimate keeps the filter OUT of this plan (it
+    // would keep ~90% of rows — pure per-row overhead). The expression's
+    // in-plan presence + codegen on a selective cover is pinned in
+    // ZRangeContainsSpec instead.
+    assert(!p.contains("graft_z_in_ranges"),
+      s"z-range pre-filter should be gated off for p04's dominant-box cover:\n${p.take(3000)}")
   }
 
   test("q36: bloom probe filters the fact side BELOW its shuffle") {
