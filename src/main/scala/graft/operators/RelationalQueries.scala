@@ -513,7 +513,19 @@ object RelationalQueries {
     * exact join behind the probe, so the result is bit-identical to the
     * unpruned plan at any fpp. Oracle: the plain join+filter SQL.
     */
-  val q36_bloom_pruned_join: Q = (s, dir) => {
+  val q36_bloom_pruned_join: Q = (s, dir) => bloomPrunedJoin(s, dir)
+
+  /** q36 body with CALLER-SIZED sketch: `estKeys`/`numBits` default to the
+    * gate-regime static bound — at 100 TB the caller passes its catalog
+    * row-count estimate here (the parameter IS the API for that, not a
+    * comment). The sketch only needs any OVERestimate of distinct keys:
+    * too many bits cost memory, never correctness; undersizing only raises
+    * fpp — the exact join behind the probe removes false positives, so the
+    * result is bit-identical at any sizing (spec-pinned at 512 bits).
+    * Default 4M bits / 400k keys ≈ 10 bits/key ≈ 1% fpp; one fewer job
+    * than counting the build side. */
+  def bloomPrunedJoin(s: SparkSession, dir: String,
+      estKeys: Long = 400000L, numBits: Long = 4194304L): DataFrame = {
     graft.functions.BloomFunctions.register(s)
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -521,15 +533,8 @@ object RelationalQueries {
       // two consumers (bloom build + join) — dimension-sized, same cut
       // rationale as q27's hotKeys
       .localCheckpoint()
-    // Sized by a static UPPER bound, not a driver-side count(): the sketch
-    // only needs any overestimate of distinct keys — too many bits cost
-    // memory, never correctness (fpp only ADDS rows the exact join behind
-    // the probe removes). 4M bits / 400k keys keeps ~10 bits/key (≈1% fpp)
-    // at the largest dimension this regime targets; at 100 TB the caller
-    // passes its catalog row-count estimate the same way. One fewer job
-    // than counting the checkpoint.
     val bloom = graft.functions.BloomFunctions.build(
-      urgent, col("o_orderkey"), 400000L, 4194304L)
+      urgent, col("o_orderkey"), estKeys, numBits)
     val l = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_extendedprice"))
       .filter(graft.functions.BloomFunctions.mightContain(bloom, col("l_orderkey")))

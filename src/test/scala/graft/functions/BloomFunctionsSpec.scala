@@ -68,6 +68,14 @@ class BloomFunctionsSpec extends AnyFunSuite with BeforeAndAfterAll {
         round(sum(col("l_extendedprice")), 2).as("value"))
       .orderBy(col("o_orderstatus")).collect().toSeq
     assert(pruned === plain)
+    // caller-sized sketch: a deliberately UNDERSIZED filter (512 bits for
+    // ~thousands of keys → fpp near 1) must still produce the identical
+    // result — the exact join removes every false positive; sizing is a
+    // perf knob, never a correctness one
+    val tiny = graft.operators.RelationalQueries
+      .bloomPrunedJoin(spark, sf, estKeys = 100L, numBits = 512L)
+      .collect().toSeq
+    assert(tiny === plain)
   }
 
   test("string keys: build + probe work end-to-end (Catalyst's other key type)") {
