@@ -160,9 +160,15 @@ object Bench {
     warmPool.shutdown()
     warmPool.awaitTermination(30, TimeUnit.MINUTES)
 
-    def sweep(): (Double, ConcurrentHashMap[String, Double]) = {
+    // each sweep rep samples /proc/stat around its whole wall interval —
+    // round 7's 70.6s sweep total was uninterpretable because CPU
+    // telemetry covered only the transcode probes; with per-rep
+    // steal/system % in the artifact, a contended sweep is legible
+    // instead of laundered into a plausible-looking total
+    def sweep(): (Double, ConcurrentHashMap[String, Double], (Double, Double)) = {
       val times = new ConcurrentHashMap[String, Double]()
       val pool = Executors.newFixedThreadPool(parallelism)
+      val c0 = CpuStat.ticks()
       val t0 = System.nanoTime()
       benchQueries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         pool.submit(new Runnable {
@@ -176,10 +182,11 @@ object Bench {
       }
       pool.shutdown()
       pool.awaitTermination(2, TimeUnit.HOURS)
-      ((System.nanoTime() - t0) / 1e9, times)
+      ((System.nanoTime() - t0) / 1e9, times, CpuStat.pct(c0, CpuStat.ticks()))
     }
     // best of 2 sweeps: transient system load otherwise dominates the total
-    val (total, _) = Seq(sweep(), sweep()).minBy(_._1)
+    val sweepReps = Seq(sweep(), sweep())
+    val (total, _, _) = sweepReps.minBy(_._1)
 
     // Per-query seconds are measured SOLO (one query at a time, each still
     // parallel across all cores) — concurrent-sweep wall times include
@@ -196,13 +203,18 @@ object Bench {
     // regression, and the phantom "+100%" diff entries it produced cost a
     // round-trip of attention every round). Reported value = min across
     // reps (engine capability), spread + rep count recorded per query.
+    val soloCpu = scala.collection.mutable.Map.empty[String, Vector[(Double, Double)]]
+      .withDefaultValue(Vector.empty)
     def soloOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val c0 = CpuStat.ticks()
       val s = System.nanoTime()
-      try { fn(spark, sfDir).count(); (System.nanoTime() - s) / 1e9 } catch {
+      val sec = try { fn(spark, sfDir).count(); (System.nanoTime() - s) / 1e9 } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query $name failed: ${e.getClass.getSimpleName}: ${e.getMessage}")
           -1.0
       }
+      soloCpu(name) = soloCpu(name) :+ CpuStat.pct(c0, CpuStat.ticks())
+      sec
     }
     val ordered = benchQueries.toSeq.sortBy(_._1)
     val runs = scala.collection.mutable.Map.empty[String, Vector[Double]]
@@ -337,11 +349,21 @@ object Bench {
     // q01), which keeps ~80 queries around 1 KB.
     val repQs = repCounts.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // sweep + solo CPU telemetry (steal%, sys% per rep): detail-file only
+    val sweepMeta =
+      s""","sweep_totals_sec":${sweepReps.map(r => f"${r._1}%.3f").mkString("[", ",", "]")}""" +
+      s""","sweep_steal_pct":${sweepReps.map(r => r._3._1).mkString("[", ",", "]")}""" +
+      s""","sweep_sys_pct":${sweepReps.map(r => r._3._2).mkString("[", ",", "]")}"""
+    val soloCpuQs = soloCpu.toSeq.sortBy(_._1)
+      .map { case (k, v) =>
+        "\"" + k + "\":" + v.map { case (st, sy) => s"[$st,$sy]" }.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (best of 2) over the 103-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
+         |"timing":"total=concurrent sweep (best of 2; per-sweep wall + steal/system CPU pct in sweep_totals_sec/sweep_steal_pct/sweep_sys_pct, per-solo-rep CPU in queries_solo_cpu_steal_sys_pct) over the 103-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
-         |"failed":$failed$extra$transcodeDetail$diff$commonTotals}""".stripMargin.replace("\n", "")
+         |"queries_solo_cpu_steal_sys_pct":$soloCpuQs,
+         |"failed":$failed$extra$transcodeDetail$sweepMeta$diff$commonTotals}""".stripMargin.replace("\n", "")
     try {
       // explicit UTF-8: the platform default charset mojibake'd non-ASCII
       // artifact text (em-dashes committed as '?') in earlier rounds

@@ -390,26 +390,63 @@ object DedupQueries {
     * (doc_a, doc_b, n_shared) = DISTINCT shared grams — the overlap-mass
     * ranking an exact-substring dedup pass removes from.
     */
-  val d11_shared_passages: Q = (s, dir) => {
-    val K = 40
+  val d11_shared_passages: Q = (s, dir) =>
+    passagePairs(passageIndex(s, Tables.documents(s, dir)))
+
+  /** d12: d11 with a POSTING-SIZE CAP — grams shared by more than
+    * `maxPosting` docs (boilerplate: license headers, navigation chrome,
+    * templates) are EXCLUDED from pair generation. This is the hot-tail
+    * guard the uncapped pair space needs at corpus scale: one 40-gram
+    * shared by 10k docs is 5×10⁷ pairs from a single key, and web-corpus
+    * boilerplate makes such grams common — while contributing nothing to
+    * the shared-PASSAGE ranking (ubiquitous text is what near-dup scoring
+    * must ignore, the same reason MinHash pipelines drop stop-shingles).
+    * Pair space under the cap is bounded by Σ min(|posting|, cap)² —
+    * LINEAR in corpus size at fixed cap. Oracle: same SQL with the
+    * posting-size HAVING filter. Skew measured in the round-8 soak
+    * (boilerplate-injected corpus, 2 scales). */
+  val d12_shared_passages_capped: Q = (s, dir) =>
+    passagePairs(passageIndex(s, Tables.documents(s, dir)),
+      maxPosting = Some(DefaultPassageCap))
+
+  /** Cap for d12: generous for true shared passages (a passage shared by
+    * 64 docs is still a meaningful near-dup family) while bounding any
+    * single gram's pair fan-out to C(64,2) ≈ 2k. */
+  val DefaultPassageCap = 64
+
+  /** d11/d12 stage 1 — the stride-1 K-gram inverted index: (g, ds) with
+    * `ds` the sorted distinct doc ids containing gram `g`, |ds| >= 2.
+    * Factored out so the round-8 soak runs the REAL pipeline stage over
+    * its boilerplate-injected corpora and reads posting-size histograms
+    * off the same DataFrame the gate queries consume. */
+  private[graft] def passageIndex(s: SparkSession, docs: org.apache.spark.sql.DataFrame,
+      k: Int = 40): org.apache.spark.sql.DataFrame = {
     // same pre-amplification spread as [[shingles]]: the doc table is
     // row-light but the stride-1 explode is ~260× CPU-heavy, and a
     // compact source pins all of it on one task (measured 6.0s → 1.25s
     // at sf0.1; numbered repartition so AQE can't coalesce the tiny
     // pre-explode rows back together)
-    val spread = Tables.documents(s, dir)
-      .filter(length(col("text")) >= K)
+    val spread = docs
+      .filter(length(col("text")) >= k)
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
     val grams = spread
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, length(text) - ${K - 1}), i -> substring(text, i, $K))")).as("g"))
+        s"transform(sequence(1, length(text) - ${k - 1}), i -> substring(text, i, $k))")).as("g"))
     // collect_set dedupes (doc, gram) repeats inside the ONE posting-list
     // aggregate — a per-doc array_distinct before the explode costs O(L²)
     // 40-char comparisons per doc and measured 4× slower end-to-end
-    val inv = grams.groupBy(col("g"))
+    grams.groupBy(col("g"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-    inv.select(explode(expr(
+  }
+
+  /** d11/d12 stage 2 — co-occurring pairs from the inverted index, with
+    * the optional posting-size cap applied BEFORE the pair explode (the
+    * whole point: a capped gram never amplifies). */
+  private[graft] def passagePairs(inv: org.apache.spark.sql.DataFrame,
+      maxPosting: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val kept = maxPosting.map(c => inv.filter(size(col("ds")) <= c)).getOrElse(inv)
+    kept.select(explode(expr(
         "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -422,6 +459,7 @@ object DedupQueries {
     "d03_simhash" -> d03_simhash,
     "d04_ngram_jaccard" -> d04_ngram_jaccard,
     "d11_shared_passages" -> d11_shared_passages,
+    "d12_shared_passages_capped" -> d12_shared_passages_capped,
     "d06_simhash_pairs" -> d06_simhash_pairs,
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_lsh_recall" -> d08_lsh_recall,

@@ -222,6 +222,22 @@ object TrainingOracles {
         |GROUP BY doc_a, doc_b
         |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // d11 with the posting-size cap: grams shared by more than 64 docs are
+    // excluded from pair generation (the boilerplate hot-tail guard)
+    "d12_shared_passages_capped" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 40) AS gram
+        |  FROM documents,
+        |       LATERAL unnest(generate_series(1, len(text) - 39)) AS t(i)
+        |  WHERE len(text) >= 40),
+        |keep AS (
+        |  SELECT gram FROM g GROUP BY gram HAVING count(*) BETWEEN 2 AND 64)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |WHERE a.gram IN (SELECT gram FROM keep)
+        |GROUP BY doc_a, doc_b
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
     "d02_minhash_lsh" -> minhashSql,
 
     "d03_simhash" -> simhashSql,

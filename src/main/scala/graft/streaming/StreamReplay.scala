@@ -160,7 +160,9 @@ object StreamReplay {
                      chunks: Int = 1,
                      copiesAsBatches: Boolean = false,
                      stateStore: Option[String] = null,
-                     parquetSinkDir: Option[String] = None): Replayed = {
+                     parquetSinkDir: Option[String] = None,
+                     progressSink: Option[scala.collection.mutable.Buffer[
+                       org.apache.spark.sql.streaming.StreamingQueryProgress]] = None): Replayed = {
     require(chunks == 1 || stageCopies == 1,
       "chunked staging and stageCopies are mutually exclusive")
     require(!copiesAsBatches || stageCopies > 1,
@@ -319,6 +321,7 @@ object StreamReplay {
         // recentProgress retains (by default) far more batches than any
         // replay here runs, so these sums cover the whole query's
         // history, not a window of it
+        progressSink.foreach(_ ++= query.recentProgress)
         val stateProgress = query.recentProgress
           .flatMap(p => Option(p.stateOperators).toSeq.flatten)
         val lateDropped = stateProgress.map(_.numRowsDroppedByWatermark).sum
@@ -538,6 +541,23 @@ object StreamReplay {
     * defect this protocol surfaces from the other side (cross-batch
     * instead of intra-batch). Same oracle SQL as st07. */
   val st07b_session_multibatch: Q = (s, dir) => st07Shaped(s, dir, chunks = 8)
+
+  /** Round-8 state-depth soak hook: replay `dir`'s events table through
+    * [[EventStreams.sessionize]] (the deepest-state operator — one
+    * SessionState per user, event-time timeouts) in `chunks` event-time
+    * batches, capturing every micro-batch's StreamingQueryProgress so the
+    * soak can record state rows / store memory / per-batch latency under
+    * a chosen state store. Returns (emitted session rows, progress). */
+  private[graft] def soakSessionize(s: SparkSession, dir: String, chunks: Int,
+      stateStore: Option[String]):
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val r = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.sessionize(ds).toDF(), chunks = chunks,
+      stateStore = stateStore, progressSink = Some(buf))
+    (r.df.filter(col("user_id") >= 0).count(), buf.toSeq)
+  }
 
   private def st07Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     replay(s, dir, OutputMode.Append(),

@@ -68,4 +68,36 @@ class SharedPassagesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // (distinct boundary chars again pin the shared run to exactly p)
     assert(pairs === Seq((1L, 2L, 1L)))
   }
+
+  private def runCapped(docs: Seq[(Long, String)], cap: Int): Seq[(Long, Long, Long)] = {
+    val sp = spark; import sp.implicits._
+    DedupQueries.passagePairs(
+      DedupQueries.passageIndex(spark, docs.toDF("doc_id", "text")),
+      maxPosting = Some(cap))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+  }
+
+  test("d12 cap: a boilerplate gram shared by >cap docs contributes NO pairs") {
+    val boiler = "COMMON LICENSE HEADER SHARED BY EVERY DOC!" // 42 chars → 3 grams
+    assert(boiler.length === 42)
+    val shared = "meaningful passage shared by two docs..." // exactly 40
+    assert(shared.length === 40)
+    // docs 1..5 all carry the boilerplate (posting size 5 > cap 4);
+    // docs 1 and 2 ALSO share a real passage (posting size 2 <= cap).
+    // distinct digit contexts stop the shared runs from extending.
+    // char before the passage is the doc digit (distinct), and the text
+    // ENDS at the passage's last char — the shared run is exactly the
+    // 40-char passage, one gram
+    val docs = (1L to 5L).map { i =>
+      val tail = if (i <= 2) s"$i$shared" else s"${i}unique filler text for document number $i"
+      (i, s"$boiler$i$tail")
+    }
+    // cap 4: boilerplate grams dropped — ONLY the real passage pairs 1-2
+    assert(runCapped(docs, cap = 4) === Seq((1L, 2L, 1L)))
+    // cap >= 5 admits the boilerplate: every doc pair appears, and (1,2)
+    // counts boilerplate grams + the real passage
+    val uncapped = runCapped(docs, cap = 5)
+    assert(uncapped.size === 10, s"C(5,2) pairs expected: $uncapped") // all pairs
+    assert(uncapped.contains((1L, 2L, 4L))) // 3 boiler grams + 1 passage gram
+  }
 }
