@@ -140,7 +140,11 @@ object Bench {
     // nothing the base entry doesn't, and their inclusion would make the
     // sweep total swing with gate-coverage growth rather than engine
     // speed. They stay in the CORRECTNESS gate (Verify runs all
-    // SparkEntry.queries); the bench sweeps the 103-query operator set,
+    // SparkEntry.queries); the bench sweeps the remaining operator set
+    // (count emitted in the artifact as n_bench_queries — it GROWS when
+    // a round adds operators, e.g. 103→104 when r8 added d12, so the
+    // headline total is comparable round-over-round only via
+    // total_common_prev, which re-sums over the common query subset),
     // keeping totals comparable round-over-round.
     val benchQueries = SparkEntry.queries
       .filterNot(_._1.matches("st\\d\\d[bc]_.*"))
@@ -184,9 +188,26 @@ object Bench {
       pool.awaitTermination(2, TimeUnit.HOURS)
       ((System.nanoTime() - t0) / 1e9, times, CpuStat.pct(c0, CpuStat.ticks()))
     }
-    // best of 2 sweeps: transient system load otherwise dominates the total
-    val sweepReps = Seq(sweep(), sweep())
-    val (total, _, _) = sweepReps.minBy(_._1)
+    // CLEAN-WINDOW GATED sweeps: this box has long hypervisor windows of
+    // 30-76% system CPU where wall times measure the neighbor, not the
+    // engine (r7's 70.6s "regression" was exactly this). Instead of
+    // best-of-2 luck, the harness re-runs while NO rep has landed in a
+    // clean window (system CPU <= threshold), up to a retry cap — the
+    // headline total rides a clean window by construction when one
+    // occurs, and the artifact records every rep + the cap honestly
+    // (sweep_totals_sec/sweep_sys_pct/sweep_retries) when none does.
+    val SweepSysThresholdPct = 25.0
+    val SweepMaxReps = 4
+    val sweepBuf = scala.collection.mutable.ArrayBuffer(sweep(), sweep())
+    while (!sweepBuf.exists(_._3._2 <= SweepSysThresholdPct) && sweepBuf.size < SweepMaxReps) {
+      System.err.println(s"[bench] no clean sweep window yet " +
+        s"(sys%=${sweepBuf.map(_._3._2).mkString(",")}) — retrying")
+      sweepBuf += sweep()
+    }
+    val sweepReps = sweepBuf.toSeq
+    val cleanReps = sweepReps.filter(_._3._2 <= SweepSysThresholdPct)
+    // min wall among clean reps when any exist; honest min-of-all otherwise
+    val (total, _, _) = (if (cleanReps.nonEmpty) cleanReps else sweepReps).minBy(_._1)
 
     // Per-query seconds are measured SOLO (one query at a time, each still
     // parallel across all cores) — concurrent-sweep wall times include
@@ -351,16 +372,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // sweep + solo CPU telemetry (steal%, sys% per rep): detail-file only
     val sweepMeta =
+      s""","n_bench_queries":${benchQueries.size}""" +
       s""","sweep_totals_sec":${sweepReps.map(r => f"${r._1}%.3f").mkString("[", ",", "]")}""" +
       s""","sweep_steal_pct":${sweepReps.map(r => r._3._1).mkString("[", ",", "]")}""" +
-      s""","sweep_sys_pct":${sweepReps.map(r => r._3._2).mkString("[", ",", "]")}"""
+      s""","sweep_sys_pct":${sweepReps.map(r => r._3._2).mkString("[", ",", "]")}""" +
+      s""","sweep_sys_threshold_pct":$SweepSysThresholdPct""" +
+      s""","sweep_retries":${sweepReps.size - 2}""" +
+      s""","sweep_clean_window_found":${cleanReps.nonEmpty}"""
     val soloCpuQs = soloCpu.toSeq.sortBy(_._1)
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map { case (st, sy) => s"[$st,$sy]" }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (best of 2; per-sweep wall + steal/system CPU pct in sweep_totals_sec/sweep_steal_pct/sweep_sys_pct, per-solo-rep CPU in queries_solo_cpu_steal_sys_pct) over the 103-query operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only, keeping totals comparable round-over-round); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
+         |"timing":"total=concurrent sweep (clean-window gated: a rep whose system CPU exceeds the threshold is re-run up to the retry cap, see sweep_retries/sweep_sys_threshold_pct; per-sweep wall + steal/system CPU pct in sweep_totals_sec/sweep_steal_pct/sweep_sys_pct, per-solo-rep CPU in queries_solo_cpu_steal_sys_pct) over the n_bench_queries operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only; the set grows when a round adds operators — total_common_prev carries the like-for-like comparison); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
          |"queries_solo_cpu_steal_sys_pct":$soloCpuQs,
          |"failed":$failed$extra$transcodeDetail$sweepMeta$diff$commonTotals}""".stripMargin.replace("\n", "")

@@ -22,9 +22,26 @@ object Tables {
     * plans are unchanged. Staleness contract: testdata files are immutable
     * within a process lifetime (they are regenerated only between driver
     * rounds, i.e. between JVMs).
+    *
+    * CONF-SENSITIVITY: the key is the path only, but what inference
+    * returns depends on the session confs it ran under —
+    * `spark.sql.parquet.inferTimestampNTZ.enabled` (NTZ vs session
+    * timestamps) and `spark.sql.legacy.parquet.nanosAsLong` (ns columns
+    * as Long vs hard error). A second in-process session with different
+    * values for those confs, or a tool that toggles them between reads
+    * of the same path, sees the FIRST session's schema. That is the
+    * contract this repo's single-session mains satisfy by construction;
+    * anything that deliberately varies those confs per-read (e.g.
+    * tools/EventsAB's cast-path A/B) must call [[clearSchemaCache]]
+    * around each variant or bypass [[Tables]] entirely.
     */
   private val schemaCache =
     new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  /** Test/tool hook: drop every cached inferred schema so the next read
+    * of each path re-infers under the CURRENT session confs. See the
+    * conf-sensitivity note on [[schemaCache]]. */
+  private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
 
   private def cached(s: SparkSession, path: String): DataFrame = {
     val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
@@ -66,20 +83,44 @@ object Tables {
     *    the round-7 a02/st05 solo regressions.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
-    // conf mutation is surprising in a library, so it is (a) idempotent —
-    // checked first — and (b) required: without it the ns-precision read
-    // below throws PARQUET_TYPE_ILLEGAL. Session builders in this repo
-    // (Verify/Bench/specs) also set it up front.
-    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // every normalization below (ns→µs, NTZ-as-UTC) is only value-correct
-    // when the session zone is UTC; a non-UTC session would silently shift
-    // every ts and break oracle hashes, so defend here (all entry-point
-    // mains in this repo pin it already — this is for library sessions)
-    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
-      s.conf.set("spark.sql.session.timeZone", "UTC")
+    // PRECONDITIONS, not silent repairs. Through round 8 this accessor
+    // force-set both confs itself; a library read that mutates session
+    // state flips the semantics of every other timestamp query in the
+    // embedding session as a hidden side effect, so it now fails fast
+    // with the fix in the message instead. Every entry point in this
+    // repo (Verify, Bench, Main, Plans, the tools/ mains, every spec
+    // builder) pins both confs up front.
+    //
+    // UTC is load-bearing for VALUES: the ns→µs and NTZ-as-UTC
+    // normalizations below surface the file's zoneless instants as
+    // session-zone timestamps — under any other zone every ts shifts
+    // and the oracle hashes break.
+    require(s.conf.get("spark.sql.session.timeZone") == "UTC",
+      "Tables.events requires spark.sql.session.timeZone=UTC — its ns→µs and " +
+        "NTZ-as-UTC normalizations are value-correct only under a UTC session " +
+        "zone. Set .config(\"spark.sql.session.timeZone\", \"UTC\") on the " +
+        "SparkSession builder (as graft.Verify, graft.Bench and graft.Main do).")
     val path = s"$dir/events.parquet"
-    val inferred = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    // nanosAsLong is required only by ns-precision files (generator
+    // rounds <=6): without it Spark's footer read itself throws
+    // PARQUET_TYPE_ILLEGAL (ILLEGAL_PARQUET_TYPE) during inference. A
+    // µs-precision file infers fine without the conf, so rather than
+    // demand it unconditionally, translate Spark's error into the
+    // actionable contract when it does bite.
+    val inferred =
+      try schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+      catch {
+        case e: Throwable if {
+          val m = String.valueOf(e.getMessage)
+          m.contains("ILLEGAL_PARQUET_TYPE") || m.contains("INT64 (TIMESTAMP(NANOS")
+        } =>
+          throw new IllegalStateException(
+            s"$path holds nanosecond-precision timestamps, which Spark only reads " +
+              "with spark.sql.legacy.parquet.nanosAsLong=true. Set it on the " +
+              "SparkSession builder (as graft.Verify, graft.Bench and graft.Main " +
+              "do); Tables.events then converts the Long nanos to session-UTC " +
+              "microsecond timestamps.", e)
+      }
     inferred("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         // integer div — a double division would lose sub-µs precision at

@@ -201,7 +201,7 @@ object DedupQueries {
     * d03/d06 keep their original per-bit-salt scheme (their 16 bits were
     * specified and oracle-frozen in round 1); d09's wider family is
     * defined nibble-indexed from the start. */
-  private def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+  private[graft] def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
     val (rows, votes) =
@@ -235,7 +235,7 @@ object DedupQueries {
     * Candidates pair only within a (band, value) bucket — Σ bucket² work,
     * never all-pairs — then codegen'd `bit_count(xor)` verifies exactly.
     */
-  private def bandedHammingHistogram(sim: DataFrame, bands: Int, bandBits: Int,
+  private[graft] def bandedHammingHistogram(sim: DataFrame, bands: Int, bandBits: Int,
                                      maxHamming: Int): DataFrame = {
     require(maxHamming <= bands - 1, "pigeonhole losslessness needs maxHamming <= bands-1")
     val mask = (1L << bandBits) - 1
@@ -405,13 +405,22 @@ object DedupQueries {
     * LINEAR in corpus size at fixed cap. Oracle: same SQL with the
     * posting-size HAVING filter. Skew measured in the round-8 soak
     * (boilerplate-injected corpus, 2 scales). */
-  val d12_shared_passages_capped: Q = (s, dir) =>
-    passagePairs(passageIndex(s, Tables.documents(s, dir)),
-      maxPosting = Some(DefaultPassageCap))
+  val d12_shared_passages_capped: Q = (s, dir) => sharedPassagesCapped(s, dir)
 
-  /** Cap for d12: generous for true shared passages (a passage shared by
-    * 64 docs is still a meaningful near-dup family) while bounding any
-    * single gram's pair fan-out to C(64,2) ≈ 2k. */
+  /** d12's caller-facing form: the posting cap is an ARGUMENT, not a
+    * buried constant — corpus boilerplate density varies, and the right
+    * cap is the caller's call (same API move as q36's `bloomPrunedJoin`
+    * sizing params). The cap is a recall/cost knob only, never a
+    * correctness knob: any cap yields exactly the pairs whose grams are
+    * shared by <= cap docs. The gate entry uses [[DefaultPassageCap]]. */
+  def sharedPassagesCapped(s: SparkSession, dir: String,
+      cap: Int = DefaultPassageCap): org.apache.spark.sql.DataFrame =
+    passagePairs(passageIndex(s, Tables.documents(s, dir)),
+      maxPosting = Some(cap))
+
+  /** Default cap for d12: generous for true shared passages (a passage
+    * shared by 64 docs is still a meaningful near-dup family) while
+    * bounding any single gram's pair fan-out to C(64,2) ≈ 2k. */
   val DefaultPassageCap = 64
 
   /** d11/d12 stage 1 — the stride-1 K-gram inverted index: (g, ds) with

@@ -56,9 +56,14 @@ object EventJoins {
     * Join fan-out is bounded by real bucket co-occupancy instead of the
     * per-user cartesian a raw inequality join plans (BroadcastNestedLoop).
     */
-  val a02_range_join: Q = (s, dir) => {
+  val a02_range_join: Q = (s, dir) => a02From(Tables.events(s, dir))
+
+  /** a02's plan from a caller-supplied events frame — the seam
+    * tools/EventsAB uses to run the SAME query over differently-staged
+    * reads (NTZ+cast vs explicit-schema vs UTC-typed file) without
+    * [[Tables.events]]' normalization choosing the read plan for it. */
+  private[graft] def a02From(ev: DataFrame): DataFrame = {
     val W = 86400000000L // 24h in micros
-    val ev = Tables.events(s, dir)
     val su = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("s_id"), unix_micros(col("ts")).as("s_us"))
       .withColumn("bkt", floor(col("s_us") / W))

@@ -1,22 +1,35 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** A/B harness for the round-7 events-table regressions (a02 +198%,
-  * st05 +94% — VERDICT r7 "What's wrong" #1). Both queries consume the
-  * `events` table, whose parquet physical type changed in round 7 to
-  * zoneless timestamp[us] (read as TimestampNTZType, NTZ→UTC cast added on
-  * read). This tool adjudicates whether the cast path is the cost:
+/** A/B harness for the events-table read-path cost (born from the round-7
+  * a02 +198% / st05 +94% regressions, VERDICT r7 "What's wrong" #1; the
+  * round-8 fix made [[graft.Tables.events]] read with an EXPLICIT
+  * TimestampType schema and cache inferred schemas, which also made the
+  * original tool's conf-toggle variants vacuous — every variant took the
+  * same fixed plan, ADVICE r8). This version constructs each read plan
+  * explicitly and runs them through the same a02 query body via the
+  * [[graft.operators.EventJoins.a02From]] seam, so the variants are
+  * genuinely different plans again:
   *
-  *   A = the driver's NTZ file as-is (cast on read, 1 row group)
-  *   B = the same rows re-staged by Spark as session-UTC TimestampType
-  *       (cast-free read), same single-file layout
+  *   A_cast     = the driver's NTZ file read by plain `spark.read.parquet`
+  *                + `cast(ts as timestamp)` — the PRE-round-8-fix plan
+  *                (a cast Project over every events row)
+  *   A2_schema  = [[graft.Tables.events]]' production read: explicit
+  *                schema declaring ts TimestampType, no cast in the plan
+  *   B_utc      = the same rows re-staged as session-UTC TimestampType
+  *                (logical type carries the zone; cast-free read), same
+  *                single-file layout
   *
-  * Each variant runs the same queries solo, N reps, with /proc/stat
-  * system/steal% sampled around every rep so a hostile hypervisor window
-  * is legible in the output instead of laundered into the comparison.
+  * st05 (streaming) reads through [[graft.streaming.StreamReplay]], which
+  * always uses the production Tables.events path — the cast plan cannot be
+  * injected without invading the replay harness, so st05 runs A2 vs B only.
+  *
+  * Each variant runs solo, N reps, with /proc/stat system/steal% sampled
+  * around every rep so a hostile hypervisor window is legible in the
+  * output instead of laundered into the comparison.
   *
   * Usage: scripts/run.sh graft.tools.EventsAB [reps] [sfDir]
   */
@@ -39,11 +52,11 @@ object EventsAB {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // B: cast-free copy — Tables.events already normalizes to TimestampType,
-    // so writing it back yields timestamp[us] isAdjustedToUTC=true, which
-    // reads back as TimestampType with NO cast (Tables.events falls through
-    // to `case _ => raw`). coalesce(1) matches the source's 1-row-group
-    // single-file layout so ONLY the logical type differs between A and B.
+    // B: cast-free copy — Tables.events normalizes to TimestampType, so
+    // writing it back yields timestamp[us] isAdjustedToUTC=true, which
+    // reads back as TimestampType with no cast and no schema patch.
+    // coalesce(1) matches the source's 1-row-group single-file layout so
+    // ONLY the logical type differs between the A variants and B.
     val bDir = graft.Scratch.tempDir("graftab")
     val bEvents = bDir.resolve("staged")
     graft.Tables.events(spark, sfDir).coalesce(1)
@@ -54,44 +67,51 @@ object EventsAB {
     Files.move(part.toPath, bDir.resolve("sf").resolve("events.parquet"))
     val bSf = bDir.resolve("sf").toString
     println(s"A=$sfDir  B=$bSf (cast-free TimestampType)")
-    println("B ts type: " + spark.read.parquet(s"$bSf/events.parquet").schema("ts").dataType)
+    println("A ts type (plain read): " +
+      spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+    println("B ts type (plain read): " +
+      spark.read.parquet(s"$bSf/events.parquet").schema("ts").dataType)
 
-    // A2: same NTZ file, but with timestamp-NTZ inference DISABLED — the
-    // parquet reader surfaces the zoneless column directly as
-    // TimestampType (pre-Spark-3.4 semantics: raw micros taken as UTC
-    // micros, identical values to NTZ+cast under a UTC session) with no
-    // cast Project in the plan at all.
-    val queries = Seq("a02_range_join", "st05_interval_join_stream")
-    try {
-      // value-equality check first: A vs A2 must hash identically
-      val fnEq = graft.SparkEntry.queries("a02_range_join")
-      val hashA = fnEq(spark, sfDir).collect().map(_.toString).mkString("|").hashCode
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      val hashA2 = fnEq(spark, sfDir).collect().map(_.toString).mkString("|").hashCode
-      spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-      println(s"a02 A-vs-A2 value hash: $hashA vs $hashA2  equal=${hashA == hashA2}")
-      for (q <- queries) {
-        val fn = graft.SparkEntry.queries(q)
-        fn(spark, "/root/testdata/sf0.001").count() // warm codegen/JIT
-        for ((label, dir) <- Seq("A_ntz" -> sfDir, "A2_nontz" -> sfDir, "B_utc" -> bSf)) {
-          if (label == "A2_nontz")
-            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-          else
-            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-          val times = (1 to reps).map { _ =>
-            val c0 = cpuTicks(); val t = System.nanoTime()
-            fn(spark, dir).count()
-            val sec = (System.nanoTime() - t) / 1e9; val c1 = cpuTicks()
-            val dt = (c1._3 - c0._3).max(1)
-            (sec, 100.0 * (c1._1 - c0._1) / dt, 100.0 * (c1._2 - c0._2) / dt)
-          }
-          val ts = times.map(_._1)
-          println(f"$q%-28s $label  best=${ts.min}%.3f  med=${ts.sorted.apply(reps / 2)}%.3f  " +
-            f"all=[${ts.map(t => f"$t%.3f").mkString(",")}]  " +
-            f"sys%%=[${times.map(t => f"${t._2}%.1f").mkString(",")}]  " +
-            f"steal%%=[${times.map(t => f"${t._3}%.1f").mkString(",")}]")
-        }
+    import graft.operators.EventJoins.a02From
+    // the genuinely-distinct a02 read plans (thunks — each run re-plans)
+    def castRead(dir: String) = spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val a02Variants: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "A_cast" -> (() => a02From(castRead(sfDir))),
+      "A2_schema" -> (() => a02From(graft.Tables.events(spark, sfDir))),
+      "B_utc" -> (() => a02From(graft.Tables.events(spark, bSf))))
+
+    def bench(q: String, label: String, run: () => Long): Unit = {
+      val times = (1 to reps).map { _ =>
+        val c0 = cpuTicks(); val t = System.nanoTime()
+        run()
+        val sec = (System.nanoTime() - t) / 1e9; val c1 = cpuTicks()
+        val dt = (c1._3 - c0._3).max(1)
+        (sec, 100.0 * (c1._1 - c0._1) / dt, 100.0 * (c1._2 - c0._2) / dt)
       }
+      val ts = times.map(_._1)
+      println(f"$q%-28s $label%-10s best=${ts.min}%.3f  med=${ts.sorted.apply(reps / 2)}%.3f  " +
+        f"all=[${ts.map(t => f"$t%.3f").mkString(",")}]  " +
+        f"sys%%=[${times.map(t => f"${t._2}%.1f").mkString(",")}]  " +
+        f"steal%%=[${times.map(t => f"${t._3}%.1f").mkString(",")}]")
+    }
+
+    try {
+      // value-equality first: all three a02 plans must agree row-for-row
+      val hashes = a02Variants.map { case (label, mk) =>
+        label -> mk().collect().map(_.toString).mkString("|").hashCode
+      }
+      println(s"a02 value hashes: ${hashes.map { case (l, h) => s"$l=$h" }.mkString("  ")}  " +
+        s"equal=${hashes.map(_._2).distinct.size == 1}")
+
+      a02From(graft.Tables.events(spark, "/root/testdata/sf0.001")).count() // warm codegen/JIT
+      for ((label, mk) <- a02Variants) bench("a02_range_join", label, () => mk().count())
+
+      // st05 through the production replay harness: A2 (driver file) vs B
+      val st05 = graft.SparkEntry.queries("st05_interval_join_stream")
+      st05(spark, "/root/testdata/sf0.001").count() // warm
+      for ((label, dir) <- Seq("A2_schema" -> sfDir, "B_utc" -> bSf))
+        bench("st05_interval_join", label, () => st05(spark, dir).count())
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(bDir.toFile)
       spark.stop()

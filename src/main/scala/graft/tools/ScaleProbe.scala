@@ -1,0 +1,246 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.operators.DedupQueries
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-9 10× scale probe (VERDICT r8 "Next round" #1): the most
+  * expensive query FAMILIES, run end-to-end at 1× and 10× the sf0.1 data
+  * shape, each scale a same-statistics generated corpus — so the measured
+  * wall-time exponent is apples-to-apples — with the sf0.1 point as the
+  * real-data anchor. Families (the r8 plan-audit top-cost list):
+  *
+  *   - d06/d09 banded SimHash self-joins + d08 LSH recall audit
+  *   - c06 train/test contamination (shingle semi-join)
+  *   - d11/d12 shared passages (uncapped vs capped)
+  *   - st09 exactly-once parquet sink (streaming replay)
+  *   - q27 salted join (lineitem ⋈ orders with hot-key split)
+  *
+  * Per run: wall secs, shuffle-write bytes, peak heap, steal/system CPU.
+  * Exponent per family = log(t_10x / t_1x) / log(10) from the generated
+  * pair — ~1.0 is linear; anything materially above is a scale cliff the
+  * 2×-gate bench can't see. For the banded families the probe ALSO
+  * computes the candidate-pair predictor Σ C(bucket,2) from the REAL
+  * signature tables at both scales, so a superlinear wall-time reading
+  * can be adjudicated against the pair-space arithmetic (a 16-bit
+  * signature's band space is fixed at 4×16 values — its pair space is
+  * inherently quadratic in docs, which is WHY d09's 64-bit form exists;
+  * the probe measures that story instead of asserting it).
+  *
+  * Generators mirror the sf0.1 statistics measured this round:
+  *   documents: 5 000 docs/×, ~54 words from the real 31-word vocab,
+  *              ~0.3% exact-dup rate (8 dup groups per 5 000)
+  *   events:    100 000 rows/×, users = rows/66 (1 500 at 1×, scales
+  *              WITH volume as in the driver's sf0.01→sf0.1),
+  *              30-day span, 5 uniform types
+  *   orders/lineitem: 150 000 orders/× with Poisson(4)-ish lines each
+  *              (hist-matched to sf0.1), statuses P/O/F uniform
+  *
+  * Usage: scripts/run.sh graft.tools.ScaleProbe [outJson] [mults…]
+  */
+object ScaleProbe {
+
+  // --- generators (xxhash-derived, deterministic, no RNG state) ---
+
+  private val Vocab = Seq("a", "agg", "batch", "big", "column", "customer",
+    "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+    "merge", "order", "part", "query", "row", "scan", "slow", "small",
+    "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+
+  def genDocs(s: SparkSession, nDocs: Long): DataFrame = {
+    val vocabArr = array(Vocab.map(lit(_)): _*)
+    // ~54 words via 50 + id-dependent 0..8 jitter; every 625th doc is an
+    // exact copy of its predecessor (dup-group rate ≈ sf0.1's 8/5000)
+    val src = expr("if(id % 625 = 1, id - 1, id)")
+    s.range(nDocs).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", transform(
+        sequence(lit(1), lit(50) + pmod(xxhash64(src, lit(3L)), lit(9L)).cast("int")),
+        j => element_at(vocabArr,
+          (pmod(xxhash64(src, j.cast("long"), lit(11L)), lit(Vocab.size.toLong)) + 1).cast("int"))))
+        .as("text"),
+      element_at(array(lit("en"), lit("en"), lit("zh"), lit("es"), lit("fr"), lit("de")),
+        (pmod(xxhash64(col("id"), lit(5L)), lit(6L)) + 1).cast("int")).as("lang"),
+      concat(lit("src"), pmod(col("id"), lit(20L))).as("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  def genEvents(s: SparkSession, nEvents: Long): DataFrame = {
+    val nUsers = math.max(nEvents / 66, 1) // sf0.1: 100k events / 1500 users
+    val baseUs = 1704067200000000L // 2024-01-01 (µs), matching the driver's window
+    val spanUs = 30L * 86400 * 1000000
+    s.range(nEvents).select(
+      col("id").as("event_id"),
+      timestamp_micros(lit(baseUs) + pmod(xxhash64(col("id")), lit(spanUs))).as("ts"),
+      pmod(col("id"), lit(nUsers)).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("error"), lit("signup")),
+        (pmod(xxhash64(col("id"), lit(7L)), lit(5L)) + 1).cast("int")).as("event_type"),
+      round(pmod(xxhash64(col("id"), lit(13L)), lit(10000L)) / 100.0, 2).as("value"),
+      concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(17L)), lit(100L)), lit("}"))
+        .as("props"))
+  }
+
+  def genOrdersLineitem(s: SparkSession, nOrders: Long): (DataFrame, DataFrame) = {
+    val orders = s.range(nOrders).select(
+      col("id").as("o_orderkey"),
+      element_at(array(lit("P"), lit("O"), lit("F")),
+        (pmod(xxhash64(col("id"), lit(3L)), lit(3L)) + 1).cast("int")).as("o_orderstatus"))
+    // lines per order: 1 + {0,1,2} + {0,1,2} + {0,1} + {0,1} → 1..9,
+    // mean 4.0 (sf0.1 measures 3.93) with a right tail past q27's HOT=6
+    // threshold like the real hist
+    val lines = expr("1 + pmod(xxhash64(id, 20L), 3) + pmod(xxhash64(id, 21L), 3) + " +
+      "pmod(xxhash64(id, 22L), 2) + pmod(xxhash64(id, 23L), 2)")
+    val lineitem = s.range(nOrders)
+      .select(col("id").as("l_orderkey"), explode(sequence(lit(1), lines)).as("l_linenumber"))
+      .withColumn("l_extendedprice",
+        round(pmod(xxhash64(col("l_orderkey"), col("l_linenumber").cast("long")), lit(9000000L)) / 100.0 + 1000.0, 2))
+    (orders, lineitem)
+  }
+
+  // --- telemetry harness ---
+
+  final case class Run(secs: Double, shuffleMb: Long, peakHeapMb: Long,
+                       stealPct: Double, sysPct: Double, rows: Long)
+
+  def measure(s: SparkSession)(body: => Long): Run = {
+    import scala.jdk.CollectionConverters._
+    val shuffleBytes = new AtomicLong(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+        shuffleBytes.addAndGet(ev.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    heapPools.foreach(_.resetPeakUsage())
+    s.sparkContext.addSparkListener(listener)
+    import graft.CpuStat.{ticks, pct}
+    val c0 = ticks(); val t0 = System.nanoTime()
+    val rows = try body finally s.sparkContext.removeSparkListener(listener)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val (steal, sys) = pct(c0, ticks())
+    val peak = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+    Run(secs, shuffleBytes.get() >> 20, peak, steal, sys, rows)
+  }
+
+  private def runJson(r: Run): String =
+    f"""{"seconds":${r.secs}%.2f,"shuffle_mb":${r.shuffleMb},"peak_heap_mb":${r.peakHeapMb},
+       |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct},"rows":${r.rows}}""".stripMargin.replace("\n", "")
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SOAK_r09.json")
+    // 3 points by default: the mid multiplier keeps a measured exponent
+    // for a family whose 10× point the predictor cap skips (d06)
+    val mults = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val scratch = graft.Scratch.tempDir("scaleprobe")
+    try {
+      // stage one generated dir per multiplier, sf0.1-shaped
+      // coalesce(1) mirrors the driver's one-file-per-table layout at
+      // every scale, so scan parallelism comes from the queries' own
+      // pre-amplification repartitions at 1× and 10× alike
+      val dirs = mults.map { m =>
+        val d = scratch.resolve(s"x$m"); java.nio.file.Files.createDirectory(d)
+        genDocs(spark, 5000L * m).coalesce(1).write.parquet(s"$d/documents.parquet")
+        genEvents(spark, 100000L * m).coalesce(1).write.parquet(s"$d/events.parquet")
+        val (o, l) = genOrdersLineitem(spark, 150000L * m)
+        o.coalesce(1).write.parquet(s"$d/orders.parquet")
+        l.coalesce(1).write.parquet(s"$d/lineitem.parquet")
+        println(s"staged x$m -> $d")
+        m -> d.toString
+      }
+
+      val families = Seq(
+        "d06_simhash_pairs", "d09_simhash64_pairs", "d08_lsh_recall",
+        "d11_shared_passages", "d12_shared_passages_capped",
+        "c06_contamination", "q27_salted_join", "st09_exactly_once_sink")
+
+      // candidate-pair predictors from the REAL signature tables — the
+      // adjudication data for any superlinear wall-time reading
+      def bandPairPrediction(dir: String, bits: Int, bands: Int, bandBits: Int): Long = {
+        val sim = DedupQueries.simhashes(spark, dir, bits)
+        val mask = (1L << bandBits) - 1
+        (0 until bands).map { b =>
+          sim.select((expr(s"shiftrightunsigned(simhash, ${b * bandBits})")
+              .bitwiseAND(lit(mask))).as("v"))
+            .groupBy(col("v")).agg(count(lit(1)).as("n"))
+            .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+        }.sum
+      }
+
+      val warm = dirs.head._2 // warm codegen/JIT on the 1× corpus first
+      families.foreach { f =>
+        try { graft.SparkEntry.queries(f)(spark, warm).count(); () }
+        catch { case e: Throwable => println(s"warm $f failed: ${e.getMessage}") }
+      }
+
+      // the banded families' candidate-pair predictors run FIRST: they
+      // are cheap (signature agg + 4 tiny histograms) and double as the
+      // feasibility guard — a scale whose predicted candidate stream
+      // exceeds the cap is recorded as predicted-only instead of run
+      // (the r8 D11 soak's asymmetry pattern: the prediction IS the
+      // measurement where the explode is the thing being guarded against)
+      val CandCap = 2000000000L
+      val bandPreds: Map[String, Seq[(Int, Long)]] = Map(
+        "d06_simhash_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 16, 4, 4) },
+        "d09_simhash64_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 64, 4, 16) })
+      bandPreds.foreach { case (f, ps) => println(s"$f cand-pair preds: " +
+        ps.map { case (m, p) => s"x$m=$p" }.mkString(" ")) }
+
+      val results = families.map { f =>
+        val fn = graft.SparkEntry.queries(f)
+        val perScale = dirs.map { case (m, dir) =>
+          val feasible = bandPreds.get(f).flatMap(_.find(_._1 == m).map(_._2 <= CandCap))
+            .getOrElse(true)
+          // min-of-2 reps per point: single-rep wall times on sub-second
+          // queries would put scheduler noise into the exponent
+          val r = if (feasible)
+            Some(Seq(measure(spark)(fn(spark, dir).count()),
+              measure(spark)(fn(spark, dir).count())).minBy(_.secs))
+          else None
+          r.foreach(r => println(f"$f x$m: ${r.secs}%.2fs shuffle=${r.shuffleMb}MB rows=${r.rows}"))
+          if (r.isEmpty) println(s"$f x$m: SKIPPED (predicted candidates exceed cap)")
+          (m, r)
+        }
+        // real-data anchor at sf0.1 (same code path, driver data)
+        val anchor = Seq(measure(spark)(fn(spark, "/root/testdata/sf0.1").count()),
+          measure(spark)(fn(spark, "/root/testdata/sf0.1").count())).minBy(_.secs)
+        val run = perScale.collect { case (m, Some(r)) => (m, r) }
+        val expo = if (run.size >= 2) {
+          val ratio = run.last._1.toDouble / run.head._1
+          f""""wall_exponent":${math.log(run.last._2.secs / run.head._2.secs) / math.log(ratio)}%.2f"""
+        } else """"wall_exponent":"n/a (scale skipped by predictor cap)""""
+        val pred = bandPreds.get(f).map { ps =>
+          s""","cand_pairs_pred":${ps.map { case (m, p) => s""""x$m":$p""" }.mkString("{", ",", "}")}"""
+        }.getOrElse("")
+        val scalesJson = perScale.map {
+          case (m, Some(r)) => s""""x$m":${runJson(r)}"""
+          case (m, None) => s""""x$m":"skipped: predicted candidate pairs exceed $CandCap""""
+        }.mkString("{", ",", "}")
+        f -> (s"""{"scales":$scalesJson,"sf01_anchor":${runJson(anchor)},
+           |$expo$pred}""".stripMargin.replace("\n", ""))
+      }
+      val json = s"""{"multipliers":${mults.mkString("[", ",", "]")},
+         |"base_shape":"sf0.1 (5k docs / 100k events / 150k orders / ~590k lineitem per 1x)",
+         |"families":${results.map { case (f, j) => s""""$f":$j""" }.mkString("{", ",", "}")},
+         |"method":"each scale a same-statistics generated corpus (vocab/doc-length/dup-rate, user cardinality, lines-per-order hist matched to sf0.1); wall_exponent = log(t_10x/t_1x)/log(10); sf01_anchor = same query on the driver's real sf0.1 files; banded families carry the exact candidate-pair predictor sum-over-buckets C(n,2) computed from their real signature tables at both scales"}"""
+        .stripMargin.replace("\n", "")
+      val w = new java.io.PrintWriter(new java.io.File(outJson),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try w.println(json) finally w.close()
+      println(s"SCALE PROBE OK -> $outJson")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(scratch.toFile)
+      spark.stop()
+    }
+  }
+}

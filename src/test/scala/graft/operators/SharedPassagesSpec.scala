@@ -100,4 +100,32 @@ class SharedPassagesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped.size === 10, s"C(5,2) pairs expected: $uncapped") // all pairs
     assert(uncapped.contains((1L, 2L, 4L))) // 3 boiler grams + 1 passage gram
   }
+
+  test("public sharedPassagesCapped: cap is a caller argument (cap=8 vs default)") {
+    val sp = spark; import sp.implicits._
+    val boiler = "COMMON LICENSE HEADER SHARED BY EVERY DOC!" // 42 chars → 3 grams
+    val shared = "meaningful passage shared by two docs..." // exactly 40
+    // 9 docs carry the boilerplate (posting size 9 > cap 8); docs 1 and 2
+    // also share the real passage (posting size 2)
+    val docs = (1L to 9L).map { i =>
+      val tail = if (i <= 2) s"$i$shared" else s"${i}unique filler text for document number $i"
+      (i, s"$boiler$i$tail")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("passages-cap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // cap=8 drops the 9-doc boilerplate grams: only the real pair remains
+    val at8 = DedupQueries.sharedPassagesCapped(spark, dir, cap = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(at8 === Seq((1L, 2L, 1L)))
+    // default cap (64) admits the 9-doc boilerplate — all C(9,2) pairs —
+    // and the gate entry is exactly the default-cap public call
+    val atDefault = DedupQueries.sharedPassagesCapped(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(atDefault.size === 36, s"C(9,2) pairs expected: $atDefault")
+    assert(atDefault.contains((1L, 2L, 4L))) // 3 boiler grams + 1 passage
+    val viaGate = DedupQueries.all("d12_shared_passages_capped")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaGate === atDefault)
+  }
 }
