@@ -266,12 +266,22 @@ object PbfQueries {
     // fraction of envelope survivors; with one dominant box (this query's
     // box 1 covers ~82% of the envelope) it keeps ~99.7% of rows
     // (measured, ZOrderSpec) and is pure per-row overhead. Gate on the
-    // driver-side geometric estimate: Σ box areas vs envelope area in
-    // quantized cells ≈ the kept fraction under a uniform spread.
+    // driver-side estimate of what the filter can actually reject —
+    // the total CELL COUNT of the union-of-ranges, Σ (hi − lo + 1),
+    // against the envelope's cells. NOT the Σ-box-areas ratio the
+    // round-8 gate used: `bboxRanges` caps each box's cover at 64
+    // ranges, and for mid-size unaligned boxes the capped cover
+    // OVER-COVERS so much that a 5%-area cover still keeps ~98% of
+    // envelope rows — measured in the round-9 crossover probe
+    // (tools/GateProbe: grid covers at 5/20/35% area all kept 98-100%
+    // and the filter never beat OFF beyond noise; speedup_on 0.74-1.29x
+    // across the whole mid-band). The range-cell ratio tracks realized
+    // selectivity by construction — it counts exactly the keys the
+    // filter passes — and the spec pins it against measured kept
+    // fractions on tight, capped, and dominant covers alike.
     val envCells = ZOrder.envelopeCells(latLo, latHi, lonLo, lonHi, bits)
-    val boxCells = boxes.map { case (_, la0, la1, lo0, lo1) =>
-      ZOrder.envelopeCells(la0, la1, lo0, lo1, bits) }.sum
-    val useZFilter = boxCells < envCells / 2
+    val rangeCells = zranges.map(r => r._2 - r._1 + 1).sum
+    val useZFilter = rangeCells < envCells / 2
     val cellsDf = spark.createDataFrame(cells)
       .toDF("box_id", "depth", "prefix",
         "lat_min", "lat_max", "lon_min", "lon_max")

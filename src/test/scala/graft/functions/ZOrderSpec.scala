@@ -277,7 +277,12 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = pts.toDF("id", "lat", "lon")
       .withColumn("z", ZOrder.mortonKey(col("lat"), col("lon"), bits))
 
-    def measure(boxes: Seq[(Double, Double, Double, Double)]): (Long, Long, Boolean, Double) = {
+    // the gate's driver-side estimate is the RANGE-cell ratio (what the
+    // filter can actually pass), mirroring PbfQueries.p04_spatial_join —
+    // the Σ-box-area ratio it replaced is also computed here to pin WHY:
+    // capped covers over-cover mid-size boxes, so area and realized
+    // selectivity diverge exactly where the old gate got it wrong
+    def measure(boxes: Seq[(Double, Double, Double, Double)]): (Long, Long, Boolean, Double, Double) = {
       val (laLo, laHi) = (boxes.map(_._1).min, boxes.map(_._2).max)
       val (loLo, loHi) = (boxes.map(_._3).min, boxes.map(_._4).max)
       val zr = ZOrder.unionRanges(boxes.flatMap { case (a, b, c, d) =>
@@ -286,9 +291,11 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       val envN = env.count()
       val zN = env.filter(ZRangeContains.zInRanges(sp, col("z"), zr)).count()
       val envCells = ZOrder.envelopeCells(laLo, laHi, loLo, loHi, bits)
+      val rangeCells = zr.map(r => r._2 - r._1 + 1).sum
       val boxCells = boxes.map { case (a, b, c, d) =>
         ZOrder.envelopeCells(a, b, c, d, bits) }.sum
-      (envN, zN, boxCells < envCells / 2, boxCells.toDouble / envCells)
+      (envN, zN, rangeCells < envCells / 2,
+        math.min(1.0, rangeCells.toDouble / envCells), boxCells.toDouble / envCells)
     }
 
     // p04's actual box set: one dominant box → filter keeps ~90% of
@@ -297,9 +304,9 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       (52.05, 52.95, 11.1, 12.9), (52.2, 52.4, 11.5, 11.9),
       (52.72, 52.74, 12.3, 12.34), (52.5, 52.5005, 12.0, 12.0008),
       (52.9995, 53.0, 12.9995, 13.0), (52.0, 53.0, 12.985, 13.0))
-    val (envA, zA, gateA, estA) = measure(p04Boxes)
+    val (envA, zA, gateA, estA, _) = measure(p04Boxes)
     info(f"p04 boxes: envelope keeps $envA rows, +zranges keeps $zA " +
-      f"(${100.0 * zA / envA}%.1f%%); cell-ratio estimate ${100 * estA}%.1f%%; gate=$gateA")
+      f"(${100.0 * zA / envA}%.1f%%); range-cell estimate ${100 * estA}%.1f%%; gate=$gateA")
     assert(!gateA, "dominant-box cover must fail the selectivity gate")
     assert(zA.toDouble / envA > 0.8, "filter keeps >80% here — it cannot pay")
     // the driver-side estimate tracks the measured kept fraction
@@ -310,11 +317,34 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val scattered = Seq(
       (52.10, 52.12, 11.10, 11.13), (52.50, 52.52, 12.00, 12.04),
       (52.90, 52.92, 12.80, 12.83), (52.30, 52.31, 12.95, 12.97))
-    val (envB, zB, gateB, estB) = measure(scattered)
+    val (envB, zB, gateB, estB, _) = measure(scattered)
     info(f"scattered boxes: envelope keeps $envB rows, +zranges keeps $zB " +
-      f"(${100.0 * zB / envB}%.1f%%); cell-ratio estimate ${100 * estB}%.2f%%; gate=$gateB")
+      f"(${100.0 * zB / envB}%.1f%%); range-cell estimate ${100 * estB}%.2f%%; gate=$gateB")
     assert(gateB, "scattered cover must pass the selectivity gate")
     assert(zB.toDouble / envB < 0.05,
       s"filter keeps $zB of $envB envelope survivors — expected <5%")
+
+    // MID-BAND (the round-9 crossover probe's finding, tools/GateProbe):
+    // a 4×4 grid of mid-size boxes covering 5% of the envelope BY AREA.
+    // The 64-range capped cover over-covers such boxes so much that the
+    // filter keeps nearly everything — the area ratio (~5%) would have
+    // turned the filter ON for a measured speedup_on of 0.74× (pure
+    // loss); the range-cell estimate sees the over-coverage and gates
+    // OFF. This pins the divergence that forced the estimate change.
+    val s = 0.05; val frac = math.sqrt(s)
+    val grid = for { i <- 0 until 4; j <- 0 until 4 } yield {
+      val la0 = 52.0 + i * 0.25; val lo0 = 11.0 + j * 0.5
+      (la0, la0 + frac * 0.25, lo0, lo0 + frac * 0.5)
+    }
+    val (envC, zC, gateC, estC, areaC) = measure(grid)
+    info(f"mid-band grid: envelope keeps $envC rows, +zranges keeps $zC " +
+      f"(${100.0 * zC / envC}%.1f%%); range-cell estimate ${100 * estC}%.1f%%; " +
+      f"area estimate ${100 * areaC}%.1f%%; gate=$gateC")
+    assert(areaC < 0.10, "grid covers ~5% by area — the OLD estimate would gate ON")
+    assert(zC.toDouble / envC > 0.8,
+      "capped covers over-cover mid-size boxes: filter keeps >80%, it cannot pay")
+    assert(!gateC, "range-cell gate must stay OFF for an over-covering mid-band cover")
+    // and the range-cell estimate still tracks the measured kept fraction
+    assert(math.abs(estC - zC.toDouble / envC) < 0.2)
   }
 }
