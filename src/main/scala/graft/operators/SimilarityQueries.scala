@@ -191,6 +191,103 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** s05: IVF-PQ — product quantization inside the IVF cells, the
+    * memory-compressed ANN serving shape (Jégou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the 64-dim vector is
+    * split into M=4 16-dim subspaces, each with its own K=8-codeword
+    * codebook; a vector's index entry is then 4 small codes instead of
+    * 64 floats (~64× smaller), and query-time scoring is ASYMMETRIC
+    * DISTANCE — the query precomputes its 4×8 partial-distance table
+    * once, after which each candidate costs 4 table lookups + 3 adds
+    * instead of a 64-dim dot product. Non-residual variant (codebooks
+    * trained on raw vectors, not per-cell residuals) — the plan shape is
+    * identical and the oracle stays tractable.
+    *
+    * Reproducibility discipline as s03: codebooks seed from the K lowest
+    * vec_ids' subvectors and refine with one Lloyd step whose means are
+    * PRE-QUANTIZED integer sums (×2^20), so the trained codebooks are
+    * bit-identical under any partitioning; the ADC itself is an exact
+    * INTEGER sum (partial distances quantized ×2^20 before summing), so
+    * candidate ranking carries no FP-order hazard at all. Codeword ids
+    * are densified (row_number over scid per subspace) so codes are
+    * stable 0..K-1 positions.
+    *
+    * At 100 TB: codebooks (M×K×16 doubles) and the per-query pd-tables
+    * broadcast; encoding is a narrow scan + broadcast join; the
+    * candidate scan touches only the query's IVF cell and reads CODES,
+    * not vectors — the point of PQ is that this scan stays in memory at
+    * corpus sizes where raw vectors cannot. Exact re-rank touches
+    * ADC-top-20 only.
+    */
+  val s05_knn_ivfpq: Q = (s, dir) => {
+    val M = 4; val K = 8; val subDim = 16
+    val e = embs(s, dir)
+    def subsOf(v: Column): Column =
+      array((0 until M).map(m => slice(v, m * subDim + 1, subDim)): _*)
+    val subs = e.select(col("vec_id"), posexplode(subsOf(col("v"))).as(Seq("m", "sv")))
+    // per-subspace seed codewords: the K lowest vec_ids' subvectors
+    val seedSub = e.orderBy(col("vec_id")).limit(K)
+      .select(col("vec_id").as("scid"), posexplode(subsOf(col("v"))).as(Seq("m", "scv")))
+    def subD2(a: Column, b: Column): Column =
+      dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
+    // one Lloyd step per subspace: assign to nearest seed...
+    val w0 = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(subD2(col("sv"), col("scv")), col("scid"))
+    val assigned0 = subs.join(broadcast(seedSub), Seq("m"))
+      .withColumn("rk", row_number().over(w0)).filter(col("rk") === 1)
+    // ...then integer-quantized per-(subspace, codeword, dim) means
+    val cb = assigned0
+      .select(col("m"), col("scid"), posexplode(col("sv")).as(Seq("dim", "x")))
+      .groupBy(col("m"), col("scid"), col("dim"))
+      .agg((sum(floor(col("x") * 1048576.0 + 0.5).cast("long")).cast("double")
+        / count(lit(1)) / 1048576.0).as("mu"))
+      .groupBy(col("m"), col("scid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("mu")))).as("pairs"))
+      .select(col("m"), col("scid"), expr("transform(pairs, p -> p.mu)").as("cv"))
+      .withColumn("cix", row_number().over(
+        Window.partitionBy(col("m")).orderBy(col("scid"))) - 1)
+    // encode: every subvector to its nearest refined codeword
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(subD2(col("sv"), col("cv")), col("scid"))
+    val codes = subs.join(broadcast(cb), Seq("m"))
+      .withColumn("rk", row_number().over(wEnc)).filter(col("rk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(array_sort(collect_list(struct(col("m"), col("cix")))).as("mp"))
+      .select(col("vec_id"), expr("transform(mp, p -> p.cix)").as("codes"))
+    // IVF side: cell membership for the corpus, own cell per query
+    val ranked = ivfRanked(s, dir)
+    val cells = ranked.filter(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
+    val q = ranked.filter(col("rk") === 1 && col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("n2").as("qn2"), col("cid").as("qcell"))
+    // per-query partial-distance table: idx = m*K + cix, value quantized
+    // to an exact integer so the 4-term ADC sum is associative
+    val qsub = q.select(col("qid"), posexplode(subsOf(col("qv"))).as(Seq("m", "qsv")))
+    val pd = qsub.join(broadcast(cb), Seq("m"))
+      .select(col("qid"), (col("m") * K + col("cix")).as("idx"),
+        floor(subD2(col("qsv"), col("cv")) * 1048576.0 + 0.5).cast("long").as("pdq"))
+      .groupBy(col("qid"))
+      .agg(array_sort(collect_list(struct(col("idx"), col("pdq")))).as("ip"))
+      .select(col("qid"), expr("transform(ip, p -> p.pdq)").as("pda"))
+    // ADC scan of the query's cell over CODES: 4 lookups + 3 integer adds
+    val adc = (0 until M).map(m =>
+      element_at(col("pda"), lit(m * K + 1) + element_at(col("codes"), m + 1)))
+      .reduce(_ + _)
+    val scored = cells.join(codes, Seq("vec_id"))
+      .join(broadcast(q.join(pd, Seq("qid"))),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("adist", adc)
+    val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    val wFinal = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("crk", row_number().over(wCand)).filter(col("crk") <= 20)
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("rk", row_number().over(wFinal)).filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   /** e01: symmetric int8 quantization + norm stats per vector — the
     * compression step an embedding store runs before ANN serving
     * (scale = max|v|/127; q_i = half-up(v_i/scale)). Output is the audit
@@ -291,6 +388,7 @@ object SimilarityQueries {
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,
+    "s05_knn_ivfpq" -> s05_knn_ivfpq,
     "d05_embed_neardup" -> d05_embed_neardup,
     "d10_semdedup" -> d10_semdedup,
     "e01_embedding_quantize" -> e01_embedding_quantize,

@@ -190,9 +190,86 @@ object TrainingOracles {
        |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** s05's oracle: the full IVF-PQ pipeline in SQL — per-subspace seed →
+    * integer-quantized Lloyd step → densified codeword ids → encode →
+    * per-query integer partial-distance table → exact-integer ADC sum →
+    * top-20 candidates → exact cosine re-rank. Mirrors the Spark side
+    * expression for expression (list_dot_product ≡ graft_dot: same
+    * left-to-right double accumulation; ADC terms quantized ×2^20 to
+    * BIGINT so the 4-term sum is associative in both engines). */
+  private val ivfpqSql =
+    s"""$ivfCellsPrelude,
+       |ms AS (SELECT unnest(range(0, 4)) AS m),
+       |sub AS (
+       |  SELECT vec_id, m, list_slice(v, m*16 + 1, m*16 + 16) AS sv FROM n, ms),
+       |pseed AS (
+       |  SELECT m, vec_id AS scid, list_slice(v, m*16 + 1, m*16 + 16) AS scv
+       |  FROM (SELECT vec_id, v FROM n ORDER BY vec_id LIMIT 8), ms),
+       |a0p AS (
+       |  SELECT vec_id, m, sv, scid FROM (
+       |    SELECT s.vec_id, s.m, s.sv, p.scid,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sv, s.sv) + list_dot_product(p.scv, p.scv)
+       |          - 2.0 * list_dot_product(s.sv, p.scv), p.scid) AS rk
+       |    FROM sub s JOIN pseed p ON s.m = p.m) WHERE rk = 1),
+       |pdim AS (
+       |  SELECT m, scid, d['dim'] AS dim,
+       |    CAST(floor(d['x'] * 1048576.0 + 0.5) AS BIGINT) AS xi
+       |  FROM (SELECT m, scid, unnest(list_transform(range(1, len(sv) + 1),
+       |          i -> struct_pack(dim := i, x := sv[i]))) AS d FROM a0p)),
+       |pcm AS (
+       |  SELECT m, scid, dim, CAST(sum(xi) AS DOUBLE) / count(*) / 1048576.0 AS mu
+       |  FROM pdim GROUP BY m, scid, dim),
+       |cb AS (
+       |  SELECT m, scid, list(mu ORDER BY dim) AS cv FROM pcm GROUP BY m, scid),
+       |cbx AS (
+       |  SELECT m, scid, cv,
+       |    row_number() OVER (PARTITION BY m ORDER BY scid) - 1 AS cix FROM cb),
+       |enc AS (
+       |  SELECT vec_id, m, cix FROM (
+       |    SELECT s.vec_id, s.m, c.cix,
+       |      row_number() OVER (PARTITION BY s.vec_id, s.m
+       |        ORDER BY list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
+       |          - 2.0 * list_dot_product(s.sv, c.cv), c.scid) AS rk
+       |    FROM sub s JOIN cbx c ON s.m = c.m) WHERE rk = 1),
+       |q AS (
+       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid AS qcell
+       |  FROM fr WHERE rk = 1 AND vec_id < 10),
+       |qsub AS (
+       |  SELECT qid, m, list_slice(qv, m*16 + 1, m*16 + 16) AS qsv FROM q, ms),
+       |pd AS (
+       |  SELECT qs.qid, c.m * 8 + c.cix AS idx,
+       |    CAST(floor((list_dot_product(qs.qsv, qs.qsv) + list_dot_product(c.cv, c.cv)
+       |      - 2.0 * list_dot_product(qs.qsv, c.cv)) * 1048576.0 + 0.5) AS BIGINT) AS pdq
+       |  FROM qsub qs JOIN cbx c ON qs.m = c.m),
+       |adc AS (
+       |  SELECT q.qid, cl.vec_id, CAST(sum(p.pdq) AS BIGINT) AS adist
+       |  FROM cells cl
+       |  JOIN q ON cl.cell = q.qcell AND cl.vec_id != q.qid
+       |  JOIN enc e2 ON e2.vec_id = cl.vec_id
+       |  JOIN pd p ON p.qid = q.qid AND p.idx = e2.m * 8 + e2.cix
+       |  GROUP BY q.qid, cl.vec_id),
+       |cand AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS crk
+       |  FROM adc),
+       |rr AS (
+       |  SELECT c.qid, c.vec_id,
+       |    round(list_dot_product(q.qv, cl.v) / sqrt(q.qn2 * cl.n2), 6) AS cos
+       |  FROM cand c JOIN q ON c.qid = q.qid
+       |  JOIN cells cl ON cl.vec_id = c.vec_id
+       |  WHERE c.crk <= 20),
+       |r AS (
+       |  SELECT qid, vec_id, cos,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM rr)
+       |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
+       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   val all: Map[String, String] = Map(
     "s03_knn_ivf" -> ivfSql(1),
     "s04_knn_ivf_multiprobe" -> ivfSql(2),
+    "s05_knn_ivfpq" -> ivfpqSql,
     // same cells as s03; drop policy = lower-id neighbor at cos >= 0.4
     // (d05's threshold + rounding convention; blocking is the difference)
     "d10_semdedup" ->
