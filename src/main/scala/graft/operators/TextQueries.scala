@@ -258,7 +258,35 @@ object TextQueries {
         Seq("doc_id"), Seq("tfidf" -> false, "tok" -> true), k = 3)
       .orderBy(col("doc_id"), col("tfidf").desc, col("tok"))
 
+  /** t11: per-document NOVELTY scoring — what fraction of a doc's
+    * distinct 3-shingles already appeared in an earlier (lower-id) doc.
+    * The dedup-adjacent curation signal: exact-dup detection (d01) and
+    * near-dup pairing (d02/d04) DECIDE keep/drop, while this scores the
+    * recycled MASS per document so a sampler can downweight mostly-
+    * recycled docs without dropping them (the soft alternative to d11's
+    * hard pair listing; "earlier doc wins" matches d01's min-id keeper
+    * convention).
+    *
+    * Plan: the d02/d04 shingle table → min-doc_id owner per shingle
+    * (shingle-keyed partial+final agg) → join back on shingle →
+    * doc-keyed count. All shuffles key-uniform on shingle/doc ids, pair
+    * space never materializes — linear at corpus scale where d11's
+    * exact pair listing is the quadratic-tail risk.
+    */
+  val t11_novelty: Q = (s, dir) => {
+    val sh = DedupQueries.shingles(Tables.documents(s, dir))
+    val owner = sh.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+    sh.join(owner, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("owner") < col("doc_id"), 1L).otherwise(0L)).as("n_recycled"))
+      .withColumn("recycled_ratio",
+        floor(col("n_recycled") / col("n_shingles") * 1e4 + 0.5) / 1e4)
+      .orderBy(col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "t11_novelty" -> t11_novelty,
     "t10_keywords" -> t10_keywords,
     "t05_regex_tokens" -> t05_regex_tokens,
     "t08_quality_bins" -> t08_quality_bins,

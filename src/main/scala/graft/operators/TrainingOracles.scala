@@ -471,6 +471,26 @@ object TrainingOracles {
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
 
+    // t11: same distinct-3-shingle construction as the minhash CTE;
+    // "recycled" = the shingle's min owning doc_id is smaller
+    "t11_novelty" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+        |  FROM w),
+        |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s)
+        |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN own.owner < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_recycled,
+        |  floor(CAST(sum(CASE WHEN own.owner < sh.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) * 1e4 + 0.5) / 1e4 AS recycled_ratio
+        |FROM sh JOIN own USING (s)
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
     "t09_unigram_logprob" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -128,19 +128,43 @@ object EventStreams {
     * attribution-join shape at stream scale.
     */
   def clickViewJoin(events: DataFrame, watermark: String = "10 minutes",
-                    joinWindow: String = "1 hour"): DataFrame = {
+                    joinWindow: String = "1 hour"): DataFrame =
+    clickViewJoinImpl(events, watermark, joinWindow, outer = false)
+
+  /** LEFT OUTER variant of [[clickViewJoin]]: every click emits — matched
+    * rows eagerly, UNMATCHED clicks null-padded only once the watermark
+    * passes the join condition's reach (click ts + window + delay), the
+    * state-closure path the inner join never exercises. Because the
+    * replay's watermark ticks carry event_type "view" (see StreamReplay's
+    * tick rationale: a type every operator keeps), the clicks branch here
+    * ALSO admits negative-user tick rows — the outer join's null emission
+    * waits on the MIN of both sides' watermarks, and a clicks branch that
+    * filtered the ticks out would hold the global watermark back forever.
+    * Tick rows can only pair with each other (negative user ids) and the
+    * replay strips them from the result by `user_id >= 0`.
+    */
+  def clickViewJoinOuter(events: DataFrame, watermark: String = "10 minutes",
+                         joinWindow: String = "1 hour"): DataFrame =
+    clickViewJoinImpl(events, watermark, joinWindow, outer = true)
+
+  private def clickViewJoinImpl(events: DataFrame, watermark: String,
+                                joinWindow: String, outer: Boolean): DataFrame = {
     val views = events.filter(col("event_type") === "view")
       .withWatermark("ts", watermark)
       .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
         col("event_id").as("view_id"))
-    val clicks = events.filter(col("event_type") === "click")
+    val clickPred =
+      if (outer) col("event_type") === "click" || col("user_id") < 0
+      else col("event_type") === "click"
+    val clicks = events.filter(clickPred)
       .withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         col("event_id").as("click_id"))
     clicks.join(views,
       col("c_user") === col("v_user") &&
         col("v_ts") <= col("c_ts") &&
-        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $joinWindow"))
+        col("v_ts") >= col("c_ts") - expr(s"INTERVAL $joinWindow"),
+      if (outer) "left_outer" else "inner")
       .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
         col("c_ts"), col("v_ts"))
   }

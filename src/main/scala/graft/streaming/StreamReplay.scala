@@ -465,6 +465,25 @@ object StreamReplay {
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
       .orderBy(col("click_id"), col("view_id"))
 
+  /** st10: the stream-stream interval join LEFT OUTER
+    * (EventStreams.clickViewJoinOuter) — the state path st05 cannot
+    * reach: matched rows still emit eagerly, but every UNMATCHED click
+    * must be held in state until the watermark passes its join reach
+    * (c_ts + 1h + delay) and only then emits null-padded. The ticks are
+    * therefore load-bearing here (st05 skips them): they advance BOTH
+    * sides' watermarks past the data so the join settles completely, and
+    * their negative-user rows (admitted into the clicks branch by the
+    * operator — see its scaladoc) are stripped by `user_id >= 0`.
+    * Oracle = the batch LEFT JOIN twin in the µs-truncated domain.
+    */
+  val st10_interval_join_outer: Q = (s, dir) =>
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.clickViewJoinOuter(ds.toDF()), chunks = 1).df
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("click_id"), col("view_id"),
+        unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
+      .orderBy(col("click_id"), col("view_id"))
+
   /** st06: STREAMING EXACT DEDUP (EventStreams.dedupeStream —
     * `dropDuplicatesWithinWatermark`, the remaining stateful runtime path
     * not yet in the gate). The whole table is staged TWICE into batch 1,
@@ -655,6 +674,7 @@ object StreamReplay {
     "st04b_topk_multibatch" -> st04b_topk_multibatch,
     "st05_interval_join_stream" -> st05_interval_join_stream,
     "st05b_interval_join_multibatch" -> st05b_interval_join_multibatch,
+    "st10_interval_join_outer" -> st10_interval_join_outer,
     "st06_dedup_stream" -> st06_dedup_stream,
     "st06c_dedup_crossbatch" -> st06c_dedup_crossbatch,
     "st07_session_stream" -> st07_session_stream,
@@ -785,5 +805,18 @@ object StreamReplay {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // the sink path must deliver exactly st03's windows, retry included
-    "st09_exactly_once_sink" -> baseOracles("st03_windowed_stream"))
+    "st09_exactly_once_sink" -> baseOracles("st03_windowed_stream"),
+    // every click exactly once: matched rows as st05, unmatched clicks
+    // null-padded (the watermark-closure emission path)
+    "st10_interval_join_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT c.user_id, c.event_id AS click_id, v.event_id AS view_id,
+        |  c.us AS c_us, v.us AS v_us
+        |FROM (SELECT * FROM e WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM e WHERE event_type = 'view') v
+        |  ON c.user_id = v.user_id
+        |  AND v.us <= c.us AND v.us >= c.us - 3600000000
+        |ORDER BY click_id, view_id""".stripMargin)
 }
