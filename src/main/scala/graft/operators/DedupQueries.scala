@@ -236,14 +236,27 @@ object DedupQueries {
     * never all-pairs — then codegen'd `bit_count(xor)` verifies exactly.
     */
   private[graft] def bandedHammingHistogram(sim: DataFrame, bands: Int, bandBits: Int,
-                                     maxHamming: Int): DataFrame = {
+                                     maxHamming: Int,
+                                     maxBucket: Option[Int] = None): DataFrame = {
     require(maxHamming <= bands - 1, "pigeonhole losslessness needs maxHamming <= bands-1")
     val mask = (1L << bandBits) - 1
-    val banded = sim.select(col("doc_id"), col("simhash"),
+    val allBanded = sim.select(col("doc_id"), col("simhash"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), bandBits * b).bitwiseAND(mask).as("bv"))): _*)).as("bk"))
       .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.bv"))
+    // optional per-(band, value) bucket cap, applied BEFORE the pair
+    // join (d13): an over-full bucket — a degenerate band value shared
+    // corpus-wide, the simhash analog of d12's boilerplate gram — never
+    // amplifies. The keep-set is bounded by bands × 2^bandBits rows,
+    // broadcastable at any corpus size. Dropping a bucket only loses
+    // pairs whose EVERY shared band is over-full.
+    val banded = maxBucket.map { cap =>
+      val keep = allBanded.groupBy(col("band"), col("bv"))
+        .agg(count(lit(1)).as("bn")).filter(col("bn") <= cap)
+        .select(col("band"), col("bv"))
+      allBanded.join(broadcast(keep), Seq("band", "bv"), "left_semi")
+    }.getOrElse(allBanded)
     val a = banded.select(col("band"), col("bv"),
       col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val b = banded.select(col("band"), col("bv"),
@@ -372,6 +385,33 @@ object DedupQueries {
     bandedHammingHistogram(simhashes(s, dir, bits = 64).localCheckpoint(),
       bands = 4, bandBits = 16, maxHamming = 3)
 
+  /** d13: d09 with a per-(band, value) BUCKET CAP — the simhash-family
+    * analog of d12's posting cap, shipped on the round-9 soak's finding
+    * (SOAK_r09: the banded candidate space grows ~quadratically when
+    * signatures concentrate — 1.1M → 109M predicted candidates on 10×
+    * docs even at 64-bit width, because a corpus-dominant band value
+    * puts a growing fraction of the corpus into one bucket). A bucket
+    * bigger than `cap` is a DEGENERATE band value (boilerplate-level
+    * commonality), and dropping it before the pair join bounds any
+    * single (band, value)'s fan-out to C(cap, 2) — pair space
+    * Σ min(|bucket|, cap)², linear at fixed cap. The pigeonhole recall
+    * trade is explicit: a true near-dup pair is lost only if EVERY band
+    * it shares intact is over-full. Cap is a caller argument (the d12 /
+    * q36 API discipline); the oracle replicates the banding + cap in
+    * SQL, so capped semantics are hash-checked, not just spec-asserted.
+    */
+  val d13_simhash64_capped: Q = (s, dir) => simhash64Capped(s, dir)
+
+  def simhash64Capped(s: SparkSession, dir: String,
+      cap: Int = DefaultBandBucketCap): org.apache.spark.sql.DataFrame =
+    bandedHammingHistogram(simhashes(s, dir, bits = 64).localCheckpoint(),
+      bands = 4, bandBits = 16, maxHamming = 3, maxBucket = Some(cap))
+
+  /** Default bucket cap for d13: C(256,2) ≈ 33k pairs max per bucket —
+    * generous for a true near-dup family, linear-bounding for the
+    * degenerate corpus-wide band values the soak measured. */
+  val DefaultBandBucketCap = 256
+
   /** d11: EXACT shared-passage detection — the exact-substring dedup of
     * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better") in its n-gram-set formulation: two docs share a passage of
@@ -473,5 +513,6 @@ object DedupQueries {
     "d07_dedup_clusters" -> d07_dedup_clusters,
     "d08_lsh_recall" -> d08_lsh_recall,
     "d09_simhash64_pairs" -> d09_simhash64_pairs,
+    "d13_simhash64_capped" -> d13_simhash64_capped,
   )
 }

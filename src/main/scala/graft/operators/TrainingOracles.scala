@@ -102,6 +102,35 @@ object TrainingOracles {
        |GROUP BY 1 ORDER BY hamming""".stripMargin
   private val simhashPairsSql = simhashPairsSqlBits(16)
 
+  /** d13: the capped variant's oracle must REPLICATE the banding (the
+    * uncapped d06/d09 oracles go all-pairs, which a bucket cap cannot
+    * express): band values via the same arithmetic-shift+mask math as
+    * the engine (sign-extension is masked off identically in both), a
+    * HAVING cap on bucket occupancy, candidate pairs only within kept
+    * buckets, pair-level DISTINCT, hamming verify. So the cap SEMANTICS
+    * are hash-checked end-to-end, not just spec-asserted. */
+  private def simhashCappedSql(bits: Int, bands: Int, bandBits: Int,
+      cap: Int): String = {
+    val mask = (1L << bandBits) - 1
+    s"""${simhashCteBits(bits)},
+       |banded AS (
+       |  SELECT doc_id, simhash, m AS band, (simhash >> (${bandBits} * m)) & $mask AS bv
+       |  FROM sim, (SELECT unnest(range(0, $bands)) AS m)),
+       |keep AS (
+       |  SELECT band, bv FROM banded GROUP BY band, bv
+       |  HAVING count(*) BETWEEN 2 AND $cap),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+       |    a.simhash AS sa, b.simhash AS sb
+       |  FROM banded a
+       |  JOIN keep k ON k.band = a.band AND k.bv = a.bv
+       |  JOIN banded b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id)
+       |SELECT CAST(bit_count(xor(sa, sb)) AS INT) AS hamming,
+       |  count(*) AS n_pairs
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= ${bands - 1}
+       |GROUP BY 1 ORDER BY hamming""".stripMargin
+  }
+
   // ---- shared embedding prelude ----
   private val embPrelude =
     """WITH e AS (
@@ -321,6 +350,7 @@ object TrainingOracles {
 
     "d06_simhash_pairs" -> simhashPairsSql,
     "d09_simhash64_pairs" -> simhashPairsSqlBits(64),
+    "d13_simhash64_capped" -> simhashCappedSql(64, 4, 16, 256),
 
     "d07_dedup_clusters" -> dedupClustersSql,
 
