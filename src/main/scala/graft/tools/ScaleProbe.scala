@@ -13,11 +13,13 @@ import org.apache.spark.sql.functions._
   * wall-time exponent is apples-to-apples — with the sf0.1 point as the
   * real-data anchor. Families (the r8 plan-audit top-cost list):
   *
-  *   - d06/d09 banded SimHash self-joins + d08 LSH recall audit
+  *   - d06/d09 banded SimHash self-joins (+ d13, the bucket-capped
+  *     guard shipped on this probe's own finding) + d08 LSH recall audit
   *   - c06 train/test contamination (shingle semi-join)
   *   - d11/d12 shared passages (uncapped vs capped)
   *   - st09 exactly-once parquet sink (streaming replay)
   *   - q27 salted join (lineitem ⋈ orders with hot-key split)
+  *   - d05/s05 embedding families (sign-LSH pair blocking, IVF-PQ ANN)
   *
   * Per run: wall secs, shuffle-write bytes, peak heap, steal/system CPU.
   * Exponent per family = log(t_10x / t_1x) / log(10) from the generated
@@ -82,6 +84,25 @@ object ScaleProbe {
       round(pmod(xxhash64(col("id"), lit(13L)), lit(10000L)) / 100.0, 2).as("value"),
       concat(lit("{\"k\": "), pmod(xxhash64(col("id"), lit(17L)), lit(100L)), lit("}"))
         .as("props"))
+  }
+
+  /** sf0.1-shaped embeddings: 64-dim UNIT-NORM vectors with 10 label
+    * clusters (per-(label, dim) centroid + Irwin-Hall noise, normalized)
+    * — the structure the sign-LSH/IVF families' bucket occupancy depends
+    * on, xxhash-derived like everything else here. */
+  def genEmbeddings(s: SparkSession, nVecs: Long): DataFrame = {
+    val raw = s.range(nVecs).select(
+      col("id").as("vec_id"),
+      pmod(col("id"), lit(10L)).cast("int").as("label"))
+      .withColumn("x", transform(sequence(lit(1), lit(64)), i =>
+        (pmod(xxhash64(col("label"), i.cast("long"), lit(31L)), lit(1000L)) / 500.0 - 1.0) * 0.5 +
+          ((0 until 4).map(k =>
+            pmod(xxhash64(col("vec_id"), i.cast("long"), lit(41L + k)), lit(1000L)) / 1000.0)
+            .reduce(_ + _) - 2.0) * 0.25))
+    raw.select(col("vec_id"),
+      expr("transform(x, e -> CAST(e / sqrt(aggregate(x, 0d, (a, y) -> a + y * y)) AS FLOAT))")
+        .as("embedding"),
+      col("label"))
   }
 
   def genOrdersLineitem(s: SparkSession, nOrders: Long): (DataFrame, DataFrame) = {
@@ -152,6 +173,7 @@ object ScaleProbe {
         val d = scratch.resolve(s"x$m"); java.nio.file.Files.createDirectory(d)
         genDocs(spark, 5000L * m).coalesce(1).write.parquet(s"$d/documents.parquet")
         genEvents(spark, 100000L * m).coalesce(1).write.parquet(s"$d/events.parquet")
+        genEmbeddings(spark, 2000L * m).coalesce(1).write.parquet(s"$d/embeddings.parquet")
         val (o, l) = genOrdersLineitem(spark, 150000L * m)
         o.coalesce(1).write.parquet(s"$d/orders.parquet")
         l.coalesce(1).write.parquet(s"$d/lineitem.parquet")
@@ -160,20 +182,23 @@ object ScaleProbe {
       }
 
       val families = Seq(
-        "d06_simhash_pairs", "d09_simhash64_pairs", "d08_lsh_recall",
-        "d11_shared_passages", "d12_shared_passages_capped",
-        "c06_contamination", "q27_salted_join", "st09_exactly_once_sink")
+        "d06_simhash_pairs", "d09_simhash64_pairs", "d13_simhash64_capped",
+        "d08_lsh_recall", "d11_shared_passages", "d12_shared_passages_capped",
+        "c06_contamination", "q27_salted_join", "st09_exactly_once_sink",
+        "d05_embed_neardup", "s05_knn_ivfpq")
 
       // candidate-pair predictors from the REAL signature tables — the
       // adjudication data for any superlinear wall-time reading
-      def bandPairPrediction(dir: String, bits: Int, bands: Int, bandBits: Int): Long = {
+      def bandPairPrediction(dir: String, bits: Int, bands: Int, bandBits: Int,
+          cap: Option[Int] = None): Long = {
         val sim = DedupQueries.simhashes(spark, dir, bits)
         val mask = (1L << bandBits) - 1
+        val nExpr = cap.map(c => s"least(n, ${c}L)").getOrElse("n")
         (0 until bands).map { b =>
           sim.select((expr(s"shiftrightunsigned(simhash, ${b * bandBits})")
               .bitwiseAND(lit(mask))).as("v"))
             .groupBy(col("v")).agg(count(lit(1)).as("n"))
-            .agg(sum(expr("n * (n - 1) div 2"))).head().getLong(0)
+            .agg(sum(expr(s"$nExpr * ($nExpr - 1) div 2"))).head().getLong(0)
         }.sum
       }
 
@@ -192,7 +217,11 @@ object ScaleProbe {
       val CandCap = 2000000000L
       val bandPreds: Map[String, Seq[(Int, Long)]] = Map(
         "d06_simhash_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 16, 4, 4) },
-        "d09_simhash64_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 64, 4, 16) })
+        "d09_simhash64_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 64, 4, 16) },
+        // d13: the capped predictor sum-over-buckets C(min(n, cap), 2) —
+        // the quantity the cap is supposed to make linear
+        "d13_simhash64_capped" -> dirs.map { case (m, d) =>
+          m -> bandPairPrediction(d, 64, 4, 16, cap = Some(256)) })
       bandPreds.foreach { case (f, ps) => println(s"$f cand-pair preds: " +
         ps.map { case (m, p) => s"x$m=$p" }.mkString(" ")) }
 
@@ -230,7 +259,7 @@ object ScaleProbe {
            |$expo$pred}""".stripMargin.replace("\n", ""))
       }
       val json = s"""{"multipliers":${mults.mkString("[", ",", "]")},
-         |"base_shape":"sf0.1 (5k docs / 100k events / 150k orders / ~590k lineitem per 1x)",
+         |"base_shape":"sf0.1 (5k docs / 100k events / 150k orders / ~590k lineitem / 2k embeddings per 1x)",
          |"families":${results.map { case (f, j) => s""""$f":$j""" }.mkString("{", ",", "}")},
          |"method":"each scale a same-statistics generated corpus (vocab/doc-length/dup-rate, user cardinality, lines-per-order hist matched to sf0.1); wall_exponent = log(t_10x/t_1x)/log(10); sf01_anchor = same query on the driver's real sf0.1 files; banded families carry the exact candidate-pair predictor sum-over-buckets C(n,2) computed from their real signature tables at both scales"}"""
         .stripMargin.replace("\n", "")
