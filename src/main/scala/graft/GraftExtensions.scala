@@ -8,10 +8,13 @@ import org.apache.spark.sql.SparkSessionExtensions
   * Injects the engine's native Catalyst expressions (currently
   * [[graft.functions.DotProduct graft_dot]]) into every session's
   * FunctionRegistry, making them available to DataFrame `expr(...)` and
-  * plain SQL alike, and the [[graft.plans.TopKPerKeyStrategy]] planner
+  * plain SQL alike; the [[graft.plans.TopKPerKeyStrategy]] planner
   * strategy so [[graft.plans.TopKPerKeyNode]] plans without the per-call
   * `experimental.extraStrategies` registration (`TopKPerKey.perKey`
-  * still self-registers for sessions built without the extension).
+  * still self-registers for sessions built without the extension); and
+  * the [[graft.plans.TopKWindowRewrite]] optimizer rule, which swaps the
+  * window-top-k filter pattern for the bounded-heap operator
+  * (conf-gated: `spark.graft.topkRewrite.enabled`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
@@ -20,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       extensions.injectFunction(f)
     }
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    extensions.injectOptimizerRule(_ => graft.plans.TopKWindowRewrite)
   }
 }

@@ -5,6 +5,16 @@ package graft.operators
   */
 object RelationalOracles {
   val all: Map[String, String] = Map(
+    // q37: bucketing changes the LAYOUT, never the result — the oracle is
+    // the plain join over the raw parquet. sum(l_quantity) is exact
+    // (integral doubles), so no rounding is needed.
+    "q37_bucketed_colocated" ->
+      """SELECT n_items, count(*) AS n_orders, sum(qty) AS sum_qty FROM (
+        |  SELECT o_orderkey, count(*) AS n_items, sum(l_quantity) AS qty
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  GROUP BY o_orderkey) t
+        |GROUP BY n_items ORDER BY n_items""".stripMargin,
+
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

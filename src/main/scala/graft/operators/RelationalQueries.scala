@@ -636,7 +636,80 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("measure"))
   }
 
+  /** One-time bucketed layouts per (session, sfDir) — see [[q37_bucketed_colocated]].
+    * Key includes the session identity because catalog entries die with
+    * the session; values are the registered table names. */
+  private val bucketedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** Write `orders` and `lineitem` bucketed AND sorted by the join key
+    * (8 buckets here; thousands at 100 TB). The `repartition(n, key)`
+    * before `bucketBy(n, key)` is deliberate: repartition's
+    * HashPartitioning uses the same murmur3 `pmod` as the bucket-id
+    * expression, so every write task holds exactly ONE bucket's rows and
+    * emits exactly one file per bucket — the precondition for the
+    * read side to elide both the Exchange and the Sort under the join.
+    * Built once per session+dir and reused by every subsequent call:
+    * the one-time layout cost is the whole point of bucketing — it's
+    * paid at ingest, not per query.
+    */
+  def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
+    val key = System.identityHashCode(s) + ":" + dir
+    bucketedReady.computeIfAbsent(key, _ => {
+      val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val (ordT, liT) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      Tables.orders(s, dir)
+        .repartition(buckets, col("o_orderkey"))
+        .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$scratch/orders").mode("overwrite").saveAsTable(ordT)
+      Tables.lineitem(s, dir)
+        .repartition(buckets, col("l_orderkey"))
+        .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$scratch/lineitem").mode("overwrite").saveAsTable(liT)
+      (ordT, liT)
+    })
+  }
+
+  /** q37: bucketed CO-LOCATED join — the recurring big×big join with the
+    * shuffle paid ONCE at layout time instead of on every query. Both
+    * fact tables are written `bucketBy(8, key).sortBy(key)`; the read
+    * side then satisfies the sort-merge join's distribution straight off
+    * the scans, so the join subtree contains NO Exchange, and the
+    * per-order aggregate that follows reuses the same partitioning — the
+    * entire orders⋈lineitem→per-order-agg pipeline is one shuffle-free
+    * stage (`BucketingSpec` pins exactly that on the executed plan). The
+    * SMJ keeps two LOCAL sorts: Spark 3+ never reports bucket sort order
+    * from the scan (the legacy `bucketedTableScan.outputOrdering` conf),
+    * but re-sorting already-bucket-sorted files is linear within the
+    * partition — the scale cost that matters, the Exchange, is gone.
+    * At 100 TB this is THE technique for a fact join run hourly: bucket
+    * pairs join locally on whatever executor holds them, and only the
+    * final 7-row histogram moves. The `merge` hint keeps the plan on the
+    * SMJ path (broadcast would also avoid the exchange at sf0.01 but
+    * demonstrates nothing at scale, where neither side broadcasts).
+    */
+  val q37_bucketed_colocated: Q = (s, dir) =>
+    bucketedPerOrder(s, dir)
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("sum_qty"))
+      .orderBy(col("n_items"))
+
+  /** The shuffle-free fragment of q37: bucketed scan ⋈ bucketed scan →
+    * per-order agg, all in one stage. Exposed so `BucketingSpec` can pin
+    * "zero Exchange, zero Sort" on exactly the plan the gate query runs.
+    */
+  def bucketedPerOrder(s: SparkSession, dir: String): DataFrame = {
+    val (ordT, liT) = ensureBucketed(s, dir)
+    s.table(ordT).hint("merge")
+      .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,
     "q32_setops_all" -> q32_setops_all,

@@ -383,8 +383,36 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** s06: kNN-GRAPH self-join — every vector gets its top-3 neighbors,
+    * vs s01/s02's fixed handful of query points. This is the batch kNN
+    * join a dataset-map / SemDeDup-style pipeline runs over the WHOLE
+    * corpus, so there is no broadcastable query side: both inputs of the
+    * candidate join are the corpus itself, blocked on the 8-bit sign-LSH
+    * cell so the pair space is Σ|cell|² instead of N² and the shuffle is
+    * a key-uniform hash exchange on the cell id for both sides. Ranking
+    * is a window per query id (N partitions, never one); the same
+    * round-then-tiebreak discipline as s01 keeps the order FP-noise-proof
+    * so the DuckDB oracle hash-matches.
+    */
+  val s06_knn_join: Q = (s, dir) => {
+    val e = embs(s, dir).withColumn("bucket", signBucket(col("v"), 8))
+    val nb = e.select(col("bucket"), col("vec_id"), col("v"), col("n2"))
+    val q = e.select(col("bucket").as("qbucket"), col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val scored = nb.join(q,
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        round(col("cos"), 4).as("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
     "s01_knn_brute" -> s01_knn_brute,
+    "s06_knn_join" -> s06_knn_join,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,

@@ -285,7 +285,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** t12: per-language lexical statistics — vocabulary size, hapax ratio
+    * (fraction of types occurring exactly once; the classic OOV-pressure
+    * signal for tokenizer sizing) and the Zipf slope: `regr_slope` of
+    * ln(freq) on ln(rank) over the top-50 types, which a natural corpus
+    * keeps near −1 and templated/synthetic text visibly flattens — a
+    * corpus-health check a training pipeline runs per shard.
+    *
+    * Plan: one key-uniform (lang, token) count agg, a per-language rank
+    * window over the TYPE table (vocab-bounded, never corpus-bounded —
+    * the explode feeds straight into partial aggregation so corpus rows
+    * are combined map-side), then a per-language fold. The slope uses the
+    * two-argument `regr_slope` built-in (codegen'd partial+final) with
+    * the rank-50 cutoff expressed as NULL-out, matching SQL FILTER
+    * semantics. Both ratio outputs go through the repo's floor-based
+    * 4-decimal rounding so last-ulp noise can't flip the oracle hash.
+    */
+  val t12_lexical_zipf: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("f").desc, col("tok"))
+    tf.withColumn("rk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("vocab"),
+        (floor(sum(when(col("f") === 1, 1L).otherwise(0L)) * lit(1.0) / count(lit(1)) * 1e4 + 0.5) / 1e4)
+          .as("hapax_ratio"),
+        (floor(regr_slope(
+          when(col("rk") <= 50, log(col("f"))),
+          when(col("rk") <= 50, log(col("rk")))) * 1e4 + 0.5) / 1e4)
+          .as("zipf_slope"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, Q] = Map(
+    "t12_lexical_zipf" -> t12_lexical_zipf,
     "t11_novelty" -> t11_novelty,
     "t10_keywords" -> t10_keywords,
     "t05_regex_tokens" -> t05_regex_tokens,

@@ -143,7 +143,8 @@ object TrainingOracles {
     .map(j => s"(CASE WHEN v[${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)")
     .mkString(" + ")
 
-  private def knnSql(useBucket: Boolean, k: Int): String = {
+  private def knnSql(useBucket: Boolean, k: Int,
+                     queryPred: String = "vec_id < 10"): String = {
     val bucketCol = if (useBucket) s", $bucketExpr AS bucket" else ""
     val bucketJoin = if (useBucket) "AND n.bucket = q.qbucket" else ""
     val qBucket = if (useBucket) ", bucket AS qbucket" else ""
@@ -151,7 +152,7 @@ object TrainingOracles {
        |nb AS (
        |  SELECT vec_id, v, n2$bucketCol FROM n),
        |q AS (
-       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2$qBucket FROM nb WHERE vec_id < 10),
+       |  SELECT vec_id AS qid, v AS qv, n2 AS qn2$qBucket FROM nb WHERE $queryPred),
        |sc AS (
        |  SELECT qid, n.vec_id, round(list_dot_product(qv, n.v) / sqrt(qn2 * n.n2), 6) AS cos
        |  FROM nb n JOIN q ON n.vec_id != q.qid $bucketJoin),
@@ -446,6 +447,9 @@ object TrainingOracles {
 
     "s01_knn_brute" -> knnSql(useBucket = false, k = 10),
     "s02_knn_lsh" -> knnSql(useBucket = true, k = 5),
+    // s06: the kNN-graph — every vector is a query (same template, the
+    // query predicate widens to the whole corpus, k = 3).
+    "s06_knn_join" -> knnSql(useBucket = true, k = 3, queryPred = "TRUE"),
 
     "t01_lang_id" ->
       """WITH d AS (
@@ -520,6 +524,29 @@ object TrainingOracles {
         |    / count(*) * 1e4 + 0.5) / 1e4 AS recycled_ratio
         |FROM sh JOIN own USING (s)
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // t12: Spark's sum(when)/count division is exact-integer-operand
+    // double division, so hapax_ratio is bit-identical; zipf_slope goes
+    // through regr_slope in both engines with the same ln() inputs and
+    // the floor-based 4-decimal rounding absorbing algorithmic last-ulp
+    // differences in the aggregate.
+    "t12_lexical_zipf" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT lang, tok, count(*) AS f FROM tok GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, f,
+        |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk
+        |  FROM tf)
+        |SELECT lang,
+        |  count(*) AS vocab,
+        |  floor(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e4 + 0.5) / 1e4
+        |    AS hapax_ratio,
+        |  floor(regr_slope(CASE WHEN rk <= 50 THEN ln(f) END,
+        |                   CASE WHEN rk <= 50 THEN ln(rk) END) * 1e4 + 0.5) / 1e4
+        |    AS zipf_slope
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t09_unigram_logprob" ->
       """WITH tok AS (

@@ -154,8 +154,13 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SOAK_r09.json")
     // 3 points by default: the mid multiplier keeps a measured exponent
-    // for a family whose 10× point the predictor cap skips (d06)
-    val mults = if (args.length > 1) args.drop(1).toSeq.map(_.toInt) else Seq(1, 3, 10)
+    // for a family whose 10× point the predictor cap skips (d06).
+    // Non-numeric extra args select a subset of families (incremental
+    // probes into a side artifact without re-running the full set).
+    val extra = args.drop(1).toSeq
+    val multArgs = extra.filter(_.forall(_.isDigit))
+    val familyFilter = extra.filterNot(_.forall(_.isDigit)).toSet
+    val mults = if (multArgs.nonEmpty) multArgs.map(_.toInt) else Seq(1, 3, 10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -181,11 +186,19 @@ object ScaleProbe {
         m -> d.toString
       }
 
-      val families = Seq(
+      val allFamilies = Seq(
         "d06_simhash_pairs", "d09_simhash64_pairs", "d13_simhash64_capped",
         "d08_lsh_recall", "d11_shared_passages", "d12_shared_passages_capped",
         "c06_contamination", "q27_salted_join", "st09_exactly_once_sink",
-        "d05_embed_neardup", "s05_knn_ivfpq")
+        "d05_embed_neardup", "s05_knn_ivfpq",
+        // late-r9 additions: the bucketed co-located join (min-of-2 reps
+        // means the measured point is the amortized layout-reused join —
+        // the story the operator exists to tell) and the corpus-wide
+        // kNN-graph (Σ|cell|² like d05 but with linear 3N output rows)
+        "q37_bucketed_colocated", "s06_knn_join")
+      val families =
+        if (familyFilter.isEmpty) allFamilies
+        else allFamilies.filter(familyFilter.contains)
 
       // candidate-pair predictors from the REAL signature tables — the
       // adjudication data for any superlinear wall-time reading

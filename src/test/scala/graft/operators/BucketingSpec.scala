@@ -53,4 +53,41 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
         col("l_orderkey") === col("o_orderkey")).count()
     assert(joined.count() === expected)
   }
+
+  test("q37's join+per-order-agg fragment runs with zero Exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val frag = RelationalQueries.bucketedPerOrder(spark, dir)
+    frag.collect() // materialize THIS QueryExecution so AQE finalizes it
+    // the adaptive plan's toString appends an "== Initial Plan ==" copy —
+    // read only the final plan section
+    val plan = frag.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(plan.contains("Bucketed: true"), s"expected bucketed scans:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join+agg fragment must not shuffle:\n$plan")
+    // The two Sort nodes under the SMJ are WITHIN-PARTITION sorts of
+    // already-bucket-sorted files — no shuffle, linear merge work. Spark
+    // 3+ deliberately never reports bucket sort order from the scan
+    // (spark.sql.legacy.bucketedTableScan.outputOrdering), so they can't
+    // be elided without a legacy conf; the scale win is the Exchange
+    // elision pinned above.
+    val sortNodes = plan.linesIterator.filter(
+      _.replaceAll("^[\\s:+*()\\d-]*", "").startsWith("Sort [")).toSeq
+    assert(sortNodes.size === 2, s"expected the 2 local SMJ sorts: $sortNodes")
+
+    // and the layout never changes the answer: q37 vs the plain-parquet join
+    val viaBuckets = RelationalQueries.all("q37_bucketed_colocated")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val plain = spark.read.parquet(s"$dir/orders.parquet")
+      .join(spark.read.parquet(s"$dir/lineitem.parquet"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
+      .groupBy(col("n_items"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("qty")).as("sum_qty"))
+      .orderBy(col("n_items"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuckets === plain)
+  }
 }
