@@ -142,11 +142,14 @@ object SimilarityQueries {
 
   /** The shared IVF build (seed → one quantized-integer Lloyd step →
     * final ranking of every vector against the refined centroids): rk=1
-    * is cell MEMBERSHIP, rk≤P the probe set. Consumed by s03/s04 (ANN)
-    * and d10 (SemDeDup blocking). */
-  private def ivfRanked(s: SparkSession, dir: String): DataFrame = {
+    * is cell MEMBERSHIP, rk≤P the probe set. Consumed by s03/s04 (ANN),
+    * d10 (SemDeDup blocking) and s06c (kNN-graph blocking). `k` is the
+    * centroid count — the data-adaptive partition knob: at corpus scale
+    * it grows with N (cells ≈ N / target_cell_size) so Σ|cell|² work
+    * stays linear; the gate queries pin the 16-cell build their oracles
+    * replicate. */
+  private def ivfRanked(s: SparkSession, dir: String, k: Int = 16): DataFrame = {
     val e = embs(s, dir)
-    val k = 16
     // seed centroids: the k lowest vec_ids (deterministic)
     val seeds = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -394,8 +397,61 @@ object SimilarityQueries {
     * round-then-tiebreak discipline as s01 keeps the order FP-noise-proof
     * so the DuckDB oracle hash-matches.
     */
-  val s06_knn_join: Q = (s, dir) => {
-    val e = embs(s, dir).withColumn("bucket", signBucket(col("v"), 8))
+  val s06_knn_join: Q = (s, dir) => knnJoin(s, dir)
+
+  /** s06b: the same kNN-graph at a WIDER bucket (12 bits → 4096 cells).
+    * The bucket width IS the scale knob: SOAK_r09b measured the 8-bit
+    * graph superlinear (wall exponent ~1.8 on 10× vectors) because with
+    * the cell count FIXED the candidate space Σ|cell|² grows as N²/cells —
+    * the same arithmetic that motivated d13's cap. Holding E[cell] constant
+    * (bits ≈ log2(N / target_cell_size)) restores linear growth with the
+    * identical plan shape; recall lost to the finer cells is recovered by
+    * multi-probing neighbor cells (s04's pattern), not by re-widening.
+    */
+  val s06b_knn_join_wide: Q = (s, dir) => knnJoin(s, dir, bits = 12)
+
+  /** s06c: kNN-graph blocked on IVF CELLS instead of sign-LSH buckets —
+    * the data-ADAPTIVE variant, and the production pick for clustered
+    * corpora. SOAK_r09b's adjudication of s06/s06b: on clustered data,
+    * extra hyperplane bits only split cells where signs actually vary, so
+    * even the log₂(N) width rule leaves residual superlinearity (measured
+    * exponents 1.8 fixed-8 → 1.3-1.4 at 12/scaled bits). IVF centroids
+    * place themselves where the data is — balanced cells by construction —
+    * and the centroid count is the scale knob ([[ivfRanked]]'s `k`,
+    * cells ≈ N / target_cell_size keeps Σ|cell|² linear). Same build as
+    * s03/d10 (oracle replicates it in SQL), same output shape and ranking
+    * discipline as s06.
+    */
+  val s06c_knn_ivf_graph: Q = (s, dir) => ivfKnnGraph(s, dir)
+
+  /** s06c body, caller-sized cell count (probe + deployment seam).
+    * `sim` floor-rounds the RAW cosine (bit-identical in both engines)
+    * instead of re-rounding the round-6 ranking value: an IVF cell pair
+    * here landed exactly on a .xxxx5 double-rounding boundary where
+    * Spark's and DuckDB's round() disagree — rounding once from the raw
+    * double sidesteps the boundary entirely. */
+  def ivfKnnGraph(s: SparkSession, dir: String, cells: Int = 16, k: Int = 3): DataFrame = {
+    val mem = ivfRanked(s, dir, cells).filter(col("rk") === 1)
+      .select(col("cid").as("cell"), col("vec_id"), col("v"), col("n2"))
+    val q = mem.select(col("cell").as("qcell"), col("vec_id").as("qid"),
+      col("v").as("qv"), col("n2").as("qn2"))
+    val scored = mem.join(q,
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", round(col("cosr"), 6))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
+        (floor(col("cosr") * 1e4 + 0.5) / 1e4).as("sim"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
+  /** s06 body, caller-sized bucket width (the parameter is the API for
+    * the corpus-size-dependent cell count — same move as q36's estKeys
+    * and d12's posting cap). */
+  def knnJoin(s: SparkSession, dir: String, bits: Int = 8, k: Int = 3): DataFrame = {
+    val e = embs(s, dir).withColumn("bucket", signBucket(col("v"), bits))
     val nb = e.select(col("bucket"), col("vec_id"), col("v"), col("n2"))
     val q = e.select(col("bucket").as("qbucket"), col("vec_id").as("qid"),
       col("v").as("qv"), col("n2").as("qn2"))
@@ -404,7 +460,7 @@ object SimilarityQueries {
       .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 3)
+      .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
         round(col("cos"), 4).as("sim"))
       .orderBy(col("qid"), col("rk"))
@@ -413,6 +469,8 @@ object SimilarityQueries {
   val all: Map[String, Q] = Map(
     "s01_knn_brute" -> s01_knn_brute,
     "s06_knn_join" -> s06_knn_join,
+    "s06b_knn_join_wide" -> s06b_knn_join_wide,
+    "s06c_knn_ivf_graph" -> s06c_knn_ivf_graph,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,

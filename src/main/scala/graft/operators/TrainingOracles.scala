@@ -138,14 +138,16 @@ object TrainingOracles {
       |n AS (
       |  SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM e)""".stripMargin
 
-  /** 8-bit axis-aligned sign bucket — bit j from v[j+1] (1-based lists). */
-  private val bucketExpr = (0 until 8)
+  /** axis-aligned sign bucket — bit j from v[j+1] (1-based lists). */
+  private def bucketExprBits(bits: Int): String = (0 until bits)
     .map(j => s"(CASE WHEN v[${j + 1}] > 0.0 THEN ${1L << j} ELSE 0 END)")
     .mkString(" + ")
+  private val bucketExpr = bucketExprBits(8)
 
   private def knnSql(useBucket: Boolean, k: Int,
-                     queryPred: String = "vec_id < 10"): String = {
-    val bucketCol = if (useBucket) s", $bucketExpr AS bucket" else ""
+                     queryPred: String = "vec_id < 10",
+                     bits: Int = 8): String = {
+    val bucketCol = if (useBucket) s", ${bucketExprBits(bits)} AS bucket" else ""
     val bucketJoin = if (useBucket) "AND n.bucket = q.qbucket" else ""
     val qBucket = if (useBucket) ", bucket AS qbucket" else ""
     s"""$embPrelude,
@@ -313,6 +315,26 @@ object TrainingOracles {
          |  CASE WHEN d.dropped_id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM cells c LEFT JOIN d ON c.vec_id = d.dropped_id
          |ORDER BY c.vec_id""".stripMargin,
+    // s06c: kNN-graph on the same IVF cells d10 blocks on — the prelude
+    // replicates the engine's build (seeds, quantized Lloyd step,
+    // re-assignment), then within-cell candidates rank by the s01/s06
+    // round-then-tiebreak discipline.
+    "s06c_knn_ivf_graph" ->
+      s"""$ivfCellsPrelude,
+         |sc AS (
+         |  SELECT q.vec_id AS qid, n.vec_id,
+         |    list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) AS cosr,
+         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |  FROM cells n JOIN cells q
+         |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
+         |r AS (
+         |  SELECT qid, vec_id, cosr,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc)
+         |SELECT qid, rk, vec_id AS neighbor,
+         |  floor(cosr * 1e4 + 0.5) / 1e4 AS sim
+         |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keeper""".stripMargin,
@@ -448,8 +470,11 @@ object TrainingOracles {
     "s01_knn_brute" -> knnSql(useBucket = false, k = 10),
     "s02_knn_lsh" -> knnSql(useBucket = true, k = 5),
     // s06: the kNN-graph — every vector is a query (same template, the
-    // query predicate widens to the whole corpus, k = 3).
+    // query predicate widens to the whole corpus, k = 3). s06b is the
+    // 12-bit wide-bucket form: the corpus-size-dependent scale knob,
+    // probe-measured (SOAK_r09b) to restore linear candidate growth.
     "s06_knn_join" -> knnSql(useBucket = true, k = 3, queryPred = "TRUE"),
+    "s06b_knn_join_wide" -> knnSql(useBucket = true, k = 3, queryPred = "TRUE", bits = 12),
 
     "t01_lang_id" ->
       """WITH d AS (

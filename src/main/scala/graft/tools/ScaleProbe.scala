@@ -119,6 +119,9 @@ object ScaleProbe {
       .select(col("id").as("l_orderkey"), explode(sequence(lit(1), lines)).as("l_linenumber"))
       .withColumn("l_extendedprice",
         round(pmod(xxhash64(col("l_orderkey"), col("l_linenumber").cast("long")), lit(9000000L)) / 100.0 + 1000.0, 2))
+      // integral 1..50 like the sf tables' quantity column (q37 sums it)
+      .withColumn("l_quantity",
+        (pmod(xxhash64(col("l_orderkey"), col("l_linenumber").cast("long"), lit(7L)), lit(50L)) + 1).cast("double"))
     (orders, lineitem)
   }
 
@@ -194,8 +197,18 @@ object ScaleProbe {
         // late-r9 additions: the bucketed co-located join (min-of-2 reps
         // means the measured point is the amortized layout-reused join —
         // the story the operator exists to tell) and the corpus-wide
-        // kNN-graph (Σ|cell|² like d05 but with linear 3N output rows)
-        "q37_bucketed_colocated", "s06_knn_join")
+        // kNN-graph. s06's FIXED 8-bit blocking measured superlinear here
+        // (Σ|cell|² = N²/cells with cells constant — exponent ~1.8); s06b
+        // is the wide-bucket scale knob that should restore ~linear.
+        "q37_bucketed_colocated", "s06_knn_join", "s06b_knn_join_wide",
+        // probe-only: the DEPLOYMENT rule the fixed-width runs motivate —
+        // bucket bits grow with the corpus (8/10/11 at 1×/3×/10×) so
+        // E[cell] is constant and candidate growth stays linear
+        "s06_knn_join_scaled",
+        // the data-adaptive blocking: IVF cells at the gate's fixed 16,
+        // and with the centroid count growing with the corpus (16×m) —
+        // the production answer where clustered data saturates sign-LSH
+        "s06c_knn_ivf_graph", "s06c_knn_ivf_graph_scaled")
       val families =
         if (familyFilter.isEmpty) allFamilies
         else allFamilies.filter(familyFilter.contains)
@@ -216,8 +229,21 @@ object ScaleProbe {
       }
 
       val warm = dirs.head._2 // warm codegen/JIT on the 1× corpus first
+      // family → query fn, per scale multiplier. The scaled-s06 row is
+      // probe-only (not a gate entry): it exercises the public knnJoin
+      // bits knob with bits = 8 + round(log2(m)) — constant expected cell
+      // size — so the artifact carries the log-rule's measured line next
+      // to the fixed-width exponents it corrects.
+      def familyFn(f: String, m: Int): (SparkSession, String) => DataFrame = f match {
+        case "s06_knn_join_scaled" =>
+          val bits = 8 + math.round(math.log(m.toDouble) / math.log(2.0)).toInt
+          (s, d) => graft.operators.SimilarityQueries.knnJoin(s, d, bits = bits)
+        case "s06c_knn_ivf_graph_scaled" =>
+          (s, d) => graft.operators.SimilarityQueries.ivfKnnGraph(s, d, cells = 16 * m)
+        case _ => graft.SparkEntry.queries(f)
+      }
       families.foreach { f =>
-        try { graft.SparkEntry.queries(f)(spark, warm).count(); () }
+        try { familyFn(f, 1)(spark, warm).count(); () }
         catch { case e: Throwable => println(s"warm $f failed: ${e.getMessage}") }
       }
 
@@ -239,8 +265,8 @@ object ScaleProbe {
         ps.map { case (m, p) => s"x$m=$p" }.mkString(" ")) }
 
       val results = families.map { f =>
-        val fn = graft.SparkEntry.queries(f)
         val perScale = dirs.map { case (m, dir) =>
+          val fn = familyFn(f, m)
           val feasible = bandPreds.get(f).flatMap(_.find(_._1 == m).map(_._2 <= CandCap))
             .getOrElse(true)
           // min-of-2 reps per point: single-rep wall times on sub-second
@@ -253,7 +279,9 @@ object ScaleProbe {
           if (r.isEmpty) println(s"$f x$m: SKIPPED (predicted candidates exceed cap)")
           (m, r)
         }
-        // real-data anchor at sf0.1 (same code path, driver data)
+        // real-data anchor at sf0.1 (same code path, driver data; the
+        // scaled-s06 row anchors at its 1× parameterization)
+        val fn = familyFn(f, 1)
         val anchor = Seq(measure(spark)(fn(spark, "/root/testdata/sf0.1").count()),
           measure(spark)(fn(spark, "/root/testdata/sf0.1").count())).minBy(_.secs)
         val run = perScale.collect { case (m, Some(r)) => (m, r) }
