@@ -246,6 +246,37 @@ object CurationQueries {
       .orderBy(col("source"))
   }
 
+  /** c14: TEMPERATURE-flattened source mixing — the "alpha sampling" step
+    * between c09's uniform flattening and the natural distribution. With
+    * α = 0.5 the per-source keep-rate is sqrt(n_min / n_s): the smallest
+    * source keeps everything, a source 100× larger keeps 10× the smallest
+    * source's share instead of 1× (c09) or 100× (natural) — the standard
+    * multilingual/mixture re-weighting for training corpora. Same
+    * deterministic md5-hex threshold machinery as c09 (no RNG state,
+    * stable under partitioning and appends); sqrt of an exact-integer
+    * ratio is correctly rounded in both engines, so the 16-bit threshold
+    * is bit-identical and the oracle hash-matches. Plan shape: one
+    * source-cardinality agg broadcast back onto a narrow filter scan —
+    * the corpus shuffles nothing.
+    */
+  val c14_temperature_mix: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
+      .localCheckpoint() // two consumers, source-cardinality rows (c09's cut)
+    val minN = counts.agg(min(col("n_total")).as("n_min"))
+    val thr = counts.crossJoin(minN)
+      .withColumn("t16",
+        floor(lit(65536.0) * sqrt(col("n_min") / col("n_total"))).cast("long"))
+      .select(col("source"), col("n_total"),
+        when(col("t16") >= 65536L, lit("zzzz"))
+          .otherwise(lpad(lower(hex(col("t16"))), 4, "0")).as("thr"))
+    docs.join(broadcast(thr), "source")
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+      .groupBy(col("source"), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   /** c10: BPE tokenizer training — the first 3 merge rules learned from
     * the corpus (byte-pair encoding, the tokenizer-training core step).
     *
@@ -378,6 +409,7 @@ object CurationQueries {
     "t07_pii_redaction" -> t07_pii_redaction,
     "c08_pmi_bigrams" -> c08_pmi_bigrams,
     "c09_domain_resample" -> c09_domain_resample,
+    "c14_temperature_mix" -> c14_temperature_mix,
     "c10_bpe_merges" -> c10_bpe_merges,
     "c13_bpe_encode" -> c13_bpe_encode,
     "c01_sampled_docs" -> c01_sampled_docs,
@@ -476,6 +508,25 @@ object CurationQueries {
         |         ELSE lpad(lower(hex(CAST(floor(65536.0 * tgt / n_total) AS BIGINT))), 4, '0')
         |    END AS thr
         |  FROM counts CROSS JOIN tgt)
+        |SELECT d.source, thr.n_total, count(*) AS n_kept
+        |FROM documents d JOIN thr ON d.source = thr.source
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thr
+        |GROUP BY d.source, thr.n_total
+        |ORDER BY d.source""".stripMargin,
+    // c14: c09's threshold machinery with the sqrt temperature rule —
+    // sqrt of an exact-integer ratio is correctly rounded IEEE in both
+    // engines, so floor(65536·sqrt(...)) is bit-identical.
+    "c14_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, count(*) AS n_total FROM documents GROUP BY source),
+        |mn AS (SELECT min(n_total) AS n_min FROM counts),
+        |thr AS (
+        |  SELECT source, n_total,
+        |    CASE WHEN CAST(floor(65536.0 * sqrt(CAST(n_min AS DOUBLE) / n_total)) AS BIGINT) >= 65536
+        |         THEN 'zzzz'
+        |         ELSE lpad(lower(hex(CAST(floor(65536.0 * sqrt(CAST(n_min AS DOUBLE) / n_total)) AS BIGINT))), 4, '0')
+        |    END AS thr
+        |  FROM counts CROSS JOIN mn)
         |SELECT d.source, thr.n_total, count(*) AS n_kept
         |FROM documents d JOIN thr ON d.source = thr.source
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < thr.thr
