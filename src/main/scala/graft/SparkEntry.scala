@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       TextQueries.all ++ Multimodal.all ++ ScaleQueries.all ++ PbfQueries.all ++
-      CurationQueries.all ++ EventJoins.all ++ graft.streaming.StreamReplay.all
+      CurationQueries.all ++ EventJoins.all ++ GraphQueries.all ++
+      graft.streaming.StreamReplay.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

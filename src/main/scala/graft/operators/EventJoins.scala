@@ -184,7 +184,39 @@ object EventJoins {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** a08: SCD2 build — collapse each user's event stream into TYPE-2
+    * slowly-changing-dimension validity intervals over their event_type
+    * "state": a new version opens only when the state CHANGES
+    * (consecutive duplicates collapse), `valid_to` is the next version's
+    * `valid_from` (half-open intervals), and the open interval is flagged
+    * current. This is the dimension-snapshot primitive every warehouse
+    * ETL and point-in-time training-feature join is built on; a01's
+    * as-of join is exactly the probe side of the interval table this
+    * builds.
+    *
+    * Plan: the user sampling predicate is pushed to the scan; then ONE
+    * sort-shuffle on user_id serves all three windows (change-detection
+    * lag, version row_number, interval lead — identical
+    * (user_id; ts, event_id) ordering, so Catalyst plans a single
+    * Exchange and reuses the sort). Per-user state is bounded by that
+    * user's change count; no corpus-wide window exists.
+    */
+  val a08_scd2: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") % 50 === 0)
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("version"), col("event_type").as("state"),
+        col("ts").as("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Map[String, Q] = Map(
+    "a08_scd2" -> a08_scd2,
     "a07_transitions" -> a07_transitions,
     "a01_asof_join" -> a01_asof_join,
     "a02_range_join" -> a02_range_join,
@@ -195,6 +227,25 @@ object EventJoins {
   )
 
   val oracles: Map[String, String] = Map(
+    // a08: same lag-collapse → windowed version/lead shape; row_number
+    // width differs (int vs bigint) but the driver compares values.
+    "a08_scd2" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, ts, event_type FROM events
+        |  WHERE user_id % 50 = 0),
+        |ch AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM f),
+        |k AS (SELECT * FROM ch WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  event_type AS state,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     "a07_transitions" ->
       """WITH t AS (
         |  SELECT event_type,

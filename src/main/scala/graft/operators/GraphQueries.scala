@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the kNN graph (see [[SimilarityQueries.knnJoin]]
+  * for the edge derivation and [[SimilarityQueries.g01_knn_triangles]] for
+  * the triangle census). PageRank here is the corpus-importance signal a
+  * curation pipeline uses to weight documents by how central they sit in
+  * the similarity graph.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Rank mass is carried as INTEGER micro-units of 1e-12 so every
+    * cross-engine and cross-partitioning sum is exact (same move as e02's
+    * quantized centroid sums): per-edge contribution is integral floor
+    * division `rq div odeg`, in-mass is an exact long sum, and the only
+    * double ops per iteration are two floor-quantized scalar multiplies —
+    * deterministic regardless of row order, so DuckDB's unrolled-CTE twin
+    * lands on the identical integers after any number of iterations
+    * (double last-ulp noise would otherwise COMPOUND per iteration).
+    */
+  val RankScale = 1000000000000L
+
+  /** Alpha-only PageRank: rank' = (1-d)/N + d * Σ_in contrib. Dangling
+    * vertices (no out-edges — e.g. singleton-bucket vectors in the kNN
+    * graph) keep receiving the teleport term but their mass is NOT
+    * redistributed, so total mass may shrink below 1 — the standard
+    * alpha-only formulation, declared rather than hidden.
+    *
+    * Scale shape: each iteration is one src-keyed join (edges × ranks)
+    * and one dst-keyed partial+final agg — both key-uniform; the vertex
+    * count rides along as a broadcast 1-row aggregate; `localCheckpoint`
+    * truncates lineage per iteration exactly like d07's label
+    * propagation. Iteration count is fixed (caller-sized), so plan depth
+    * is bounded; no driver-side collection anywhere.
+    */
+  def pagerank(verts: DataFrame, edges: DataFrame,
+      iters: Int = 8, damping: Double = 0.85): DataFrame = {
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ed = edges.join(odeg, Seq("src")).localCheckpoint()
+    val nv = verts.agg(count(lit(1)).as("n_v"))
+    val base = verts.crossJoin(broadcast(nv)).localCheckpoint()
+    var ranks = base.select(col("vx"), col("n_v"),
+      expr(s"$RankScale div n_v").as("rq"))
+    for (_ <- 1 to iters) {
+      val inMass = ed.join(ranks.select(col("vx"), col("rq")), col("src") === col("vx"))
+        .select(col("dst"), expr("rq div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = base
+        .join(inMass, col("vx") === col("dst"), "left")
+        .select(col("vx"), col("n_v"),
+          (floor(lit(1.0 - damping) * lit(RankScale.toDouble) / col("n_v")).cast("long") +
+            floor(lit(damping) * coalesce(col("m"), lit(0L))).cast("long")).as("rq"))
+        .localCheckpoint()
+    }
+    ranks.select(col("vx"), col("rq"))
+  }
+
+  /** g02: PageRank over the s06 kNN graph — 8 quantized iterations,
+    * top-20 most-central vectors. The LIMIT is a global TakeOrdered (no
+    * unpartitioned window), deterministic on (rank desc, id).
+    */
+  val g02_pagerank: Q = (s, dir) => {
+    val edges = SimilarityQueries.knnJoin(s, dir)
+      .select(col("qid").as("src"), col("neighbor").as("dst"))
+    val verts = graft.Tables.embeddings(s, dir).select(col("vec_id").as("vx"))
+    pagerank(verts, edges)
+      .orderBy(col("rq").desc, col("vx"))
+      .limit(20)
+      .select(col("vx"), col("rq").as("rank_q"))
+  }
+
+  val all: Map[String, Q] = Map(
+    "g02_pagerank" -> g02_pagerank,
+  )
+}

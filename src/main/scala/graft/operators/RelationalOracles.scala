@@ -5,6 +5,35 @@ package graft.operators
   */
 object RelationalOracles {
   val all: Map[String, String] = Map(
+    // q38: MERGE semantics spelled out as the same full-outer + CASE the
+    // engine plans; delete precedence over update is in the changeset
+    // derivation (k%13 excluded from updates) on both sides.
+    "q38_merge_upsert" ->
+      """WITH mk AS (SELECT max(o_orderkey) AS max_key FROM orders),
+        |del AS (
+        |  SELECT o_orderkey AS k, 'D' AS op,
+        |    CAST(NULL AS DOUBLE) AS new_price, CAST(NULL AS BIGINT) AS new_cust
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |upd AS (
+        |  SELECT o_orderkey AS k, 'U' AS op,
+        |    o_totalprice * 1.05 AS new_price, CAST(NULL AS BIGINT) AS new_cust
+        |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0),
+        |ins AS (
+        |  SELECT o_orderkey + max_key AS k, 'I' AS op,
+        |    o_totalprice AS new_price, o_custkey AS new_cust
+        |  FROM orders CROSS JOIN mk WHERE o_orderkey % 11 = 0),
+        |chg AS (
+        |  SELECT * FROM del UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT coalesce(o.o_orderkey, c.k) AS key,
+        |  coalesce(c.new_cust, o.o_custkey) AS custkey,
+        |  CASE WHEN c.op IS NULL THEN 'kept'
+        |       WHEN c.op = 'U' THEN 'updated'
+        |       ELSE 'inserted' END AS action,
+        |  floor(coalesce(c.new_price, o.o_totalprice) * 100 + 0.5) / 100 AS totalprice
+        |FROM orders o FULL JOIN chg c ON o.o_orderkey = c.k
+        |WHERE c.op IS NULL OR c.op != 'D'
+        |ORDER BY key""".stripMargin,
+
     // q37: bucketing changes the LAYOUT, never the result — the oracle is
     // the plain join over the raw parquet. sum(l_quantity) is exact
     // (integral doubles), so no rounding is needed.

@@ -708,7 +708,48 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
   }
 
+  /** q38: MERGE (CDC changeset application) — the upsert primitive every
+    * incremental pipeline needs and Spark has no built-in DML for on
+    * plain parquet. A deterministic changeset derived from the target
+    * (deletes: key%13, updates: key%7 at +5% price with delete taking
+    * precedence, inserts: key%11 re-keyed past max_key) is applied with
+    * MERGE semantics in ONE full-outer shuffle join on the key:
+    * WHEN MATCHED AND op='D' → drop, MATCHED AND op='U' → update,
+    * NOT MATCHED BY TARGET → insert, NOT MATCHED BY SOURCE → keep.
+    *
+    * Scale shape: both sides shuffle once on the merge key — and because
+    * the target is bucketable on that key (q37's layout), a real
+    * incremental pipeline runs this exact plan with ZERO target-side
+    * exchange, changeset-side only. The max_key re-key scalar is the
+    * 1-row-aggregate broadcast pattern; no driver-side state.
+    */
+  val q38_merge_upsert: Q = (s, dir) => {
+    val ord = Tables.orders(s, dir)
+    val mk = ord.agg(max(col("o_orderkey")).as("max_key"))
+    val del = ord.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey").as("k"), lit("D").as("op"),
+        lit(null).cast("double").as("new_price"), lit(null).cast("long").as("new_cust"))
+    val upd = ord.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderkey").as("k"), lit("U").as("op"),
+        (col("o_totalprice") * 1.05).as("new_price"), lit(null).cast("long").as("new_cust"))
+    val ins = ord.filter(col("o_orderkey") % 11 === 0).crossJoin(broadcast(mk))
+      .select((col("o_orderkey") + col("max_key")).as("k"), lit("I").as("op"),
+        col("o_totalprice").as("new_price"), col("o_custkey").as("new_cust"))
+    val chg = del.unionByName(upd).unionByName(ins)
+    ord.join(chg, col("o_orderkey") === col("k"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "D")
+      .select(
+        coalesce(col("o_orderkey"), col("k")).as("key"),
+        coalesce(col("new_cust"), col("o_custkey")).as("custkey"),
+        when(col("op").isNull, "kept").when(col("op") === "U", "updated")
+          .otherwise("inserted").as("action"),
+        (floor(coalesce(col("new_price"), col("o_totalprice")) * 100 + 0.5) / 100)
+          .as("totalprice"))
+      .orderBy(col("key"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q38_merge_upsert" -> q38_merge_upsert,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,

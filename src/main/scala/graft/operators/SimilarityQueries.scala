@@ -466,7 +466,59 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rk"))
   }
 
+  /** g01: triangle census on the kNN graph — the graph-analytics tier
+    * over the dataset map s06 builds. Undirected distinct edges come from
+    * the top-3 neighbor lists; triangles are counted once each via
+    * DEGREE ORIENTATION: every edge points from its (degree, id)-smaller
+    * endpoint to the larger, wedges enumerate ordered out-neighbor pairs,
+    * and a closing-edge semi-join confirms the third side. Output is the
+    * one-row census (vertices, edges, wedges, triangles, global
+    * clustering coefficient) — the dataset-geometry health check run on
+    * an embedding corpus before sampling from its neighborhoods.
+    *
+    * Scale shape: orientation is THE classic trick that makes distributed
+    * triangle counting feasible — a hub of degree d contributes C(d,2)
+    * wedges un-oriented, but oriented its out-degree is bounded (every
+    * out-neighbor has degree ≥ its own), capping wedge fan-out at
+    * O(m^{3/2}) total regardless of skew. Every join is key-uniform:
+    * vertex-keyed degree joins, src-keyed wedge self-join, (x,y)-keyed
+    * closing semi-join. No broadcast of corpus-sized state anywhere.
+    */
+  val g01_knn_triangles: Q = (s, dir) => {
+    val edges = knnJoin(s, dir)
+      .select(least(col("qid"), col("neighbor")).as("a"),
+        greatest(col("qid"), col("neighbor")).as("b"))
+      .distinct()
+    val deg = edges.select(col("a").as("vx")).unionAll(edges.select(col("b").as("vx")))
+      .groupBy(col("vx")).agg(count(lit(1)).as("deg"))
+    val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = edges
+      .join(deg.select(col("vx").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("vx").as("b"), col("deg").as("db")), Seq("b"))
+      .select(
+        when(aFirst, col("a")).otherwise(col("b")).as("src"),
+        when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val e1 = oriented.select(col("src").as("u"), col("dst").as("x"), col("ddeg").as("dx"))
+    val e2 = oriented.select(col("src").as("u2"), col("dst").as("y"), col("ddeg").as("dy"))
+    val wedges = e1.join(e2, col("u") === col("u2") &&
+        (col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y"))))
+      .select(col("x"), col("y"))
+    val closing = oriented.select(col("src").as("x"), col("dst").as("y"))
+    val tri = wedges.join(closing, Seq("x", "y"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val ne = edges.agg(count(lit(1)).as("n_edges"))
+    val stats = deg.agg(count(lit(1)).as("n_vertices"),
+      sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
+    stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(floor(lit(3.0) * col("n_triangles") / col("n_wedges") * 1e4 + 0.5) / 1e4)
+          .as("gcc"))
+  }
+
   val all: Map[String, Q] = Map(
+    "g01_knn_triangles" -> g01_knn_triangles,
     "s01_knn_brute" -> s01_knn_brute,
     "s06_knn_join" -> s06_knn_join,
     "s06b_knn_join_wide" -> s06b_knn_join_wide,

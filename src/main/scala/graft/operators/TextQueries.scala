@@ -321,7 +321,60 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** Default query-term set for [[t13_bm25]] — three content terms of the
+    * synthetic corpus with visibly different document frequencies. */
+  val DefaultBm25Terms: Seq[String] = Seq("join", "stream", "vector")
+
+  /** t13: BM25 retrieval — score every document against a query-term set
+    * with the classic Okapi weighting (k1, b caller-sized; defaults 1.2 /
+    * 0.75) and keep the top-k per term. The retrieval primitive a
+    * contamination scan or RAG-corpus audit runs per probe query.
+    *
+    * Plan, scale-first: the token explode is filtered to the query terms
+    * BEFORE any shuffle, so shuffle volume is the postings of |terms|
+    * terms, not the corpus token stream; corpus scalars (N, avgdl) are a
+    * 1-row aggregate broadcast by crossJoin; document frequency is a
+    * |terms|-row aggregate joined by broadcast; the final top-k window
+    * partitions by term (|terms| partitions, each holding only that
+    * term's posting list — bounded by df, never by corpus size). Scores
+    * floor-round at 6 decimals BEFORE ranking so the (score desc, doc_id)
+    * order is identical across engines regardless of last-ulp ln/div
+    * noise.
+    */
+  def bm25(s: SparkSession, dir: String,
+      terms: Seq[String] = DefaultBm25Terms,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), toks.as("w"))
+      .withColumn("dl", size(col("w")))
+    val stats = d.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = d
+      .select(col("doc_id"), col("dl"),
+        explode(filter(col("w"), t => t.isin(terms: _*))).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score", floor(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))) *
+          1e6 + 0.5) / 1e6)
+    val w = Window.partitionBy(col("term"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topK)
+      .select(col("term"), col("rk"), col("doc_id"), col("tf"), col("score"))
+      .orderBy(col("term"), col("rk"))
+  }
+
+  val t13_bm25: Q = (s, dir) => bm25(s, dir)
+
   val all: Map[String, Q] = Map(
+    "t13_bm25" -> t13_bm25,
     "t12_lexical_zipf" -> t12_lexical_zipf,
     "t11_novelty" -> t11_novelty,
     "t10_keywords" -> t10_keywords,

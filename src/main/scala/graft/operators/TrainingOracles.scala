@@ -144,6 +144,45 @@ object TrainingOracles {
     .mkString(" + ")
   private val bucketExpr = bucketExprBits(8)
 
+  /** g02 twin: kNN edges as in the s06 template, then `iters` PageRank
+    * steps unrolled as chained CTEs. All rank arithmetic is quantized
+    * BIGINT (exact `//` contributions, exact sums, floor-quantized
+    * teleport/damping scalars) so the unrolled SQL reproduces the
+    * engine's iterate bit-for-bit. */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT v.vx,
+         |    CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+         |         * 1000000000000.0 / nv.n_v) AS BIGINT)
+         |    + CAST(floor(CAST(0.85 AS DOUBLE) * coalesce(s.m, 0)) AS BIGINT) AS rq
+         |  FROM verts v CROSS JOIN nv
+         |  LEFT JOIN (
+         |    SELECT ed.dst, CAST(sum(r.rq // ed.odeg) AS BIGINT) AS m
+         |    FROM ed JOIN r${i - 1} r ON ed.src = r.vx GROUP BY ed.dst) s
+         |  ON v.vx = s.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""$embPrelude,
+       |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
+       |sc AS (
+       |  SELECT q.vec_id AS qid, n.vec_id,
+       |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+       |  FROM nb n JOIN nb q ON n.vec_id != q.vec_id AND n.bucket = q.bucket),
+       |r AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc),
+       |edg AS (SELECT qid AS src, vec_id AS dst FROM r WHERE rk <= 3),
+       |od AS (SELECT src, count(*) AS odeg FROM edg GROUP BY src),
+       |ed AS (SELECT edg.src, edg.dst, od.odeg FROM edg JOIN od USING (src)),
+       |verts AS (SELECT vec_id AS vx FROM e),
+       |nv AS (SELECT count(*) AS n_v FROM verts),
+       |r0 AS (SELECT vx, 1000000000000 // n_v AS rq FROM verts CROSS JOIN nv),
+       |$steps
+       |SELECT vx, rq AS rank_q FROM r$iters
+       |ORDER BY rq DESC, vx LIMIT 20""".stripMargin
+  }
+
   private def knnSql(useBucket: Boolean, k: Int,
                      queryPred: String = "vec_id < 10",
                      bits: Int = 8): String = {
@@ -474,6 +513,58 @@ object TrainingOracles {
     // 12-bit wide-bucket form: the corpus-size-dependent scale knob,
     // probe-measured (SOAK_r09b) to restore linear candidate growth.
     "s06_knn_join" -> knnSql(useBucket = true, k = 3, queryPred = "TRUE"),
+    // g02: same s06 edge derivation, then 8 UNROLLED PageRank iterations
+    // (generated below) on quantized-integer rank mass — exact integer
+    // sums make the iterate identical across engines; see
+    // GraphQueries.RankScale for why doubles can't carry iterated rank.
+    "g02_pagerank" -> pagerankSql(iters = 8),
+    // g01: the s06 edge derivation (same bucket/round/rank discipline)
+    // feeds a degree-oriented triangle count — orientation, wedge
+    // ordering, and the closing-edge EXISTS mirror the engine exactly.
+    "g01_knn_triangles" ->
+      s"""$embPrelude,
+         |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
+         |sc AS (
+         |  SELECT q.vec_id AS qid, n.vec_id,
+         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |  FROM nb n JOIN nb q ON n.vec_id != q.vec_id AND n.bucket = q.bucket),
+         |r AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc),
+         |ed AS (
+         |  SELECT DISTINCT least(qid, vec_id) AS a, greatest(qid, vec_id) AS b
+         |  FROM r WHERE rk <= 3),
+         |dg AS (
+         |  SELECT vx, count(*) AS deg FROM (
+         |    SELECT a AS vx FROM ed UNION ALL SELECT b AS vx FROM ed)
+         |  GROUP BY vx),
+         |orient AS (
+         |  SELECT
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN ed.a ELSE ed.b END AS src,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN ed.b ELSE ed.a END AS dst,
+         |    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND ed.a < ed.b)
+         |         THEN db.deg ELSE da.deg END AS ddeg
+         |  FROM ed JOIN dg da ON ed.a = da.vx JOIN dg db ON ed.b = db.vx),
+         |wg AS (
+         |  SELECT e1.dst AS x, e2.dst AS y
+         |  FROM orient e1 JOIN orient e2 ON e1.src = e2.src
+         |   AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles FROM wg
+         |  WHERE EXISTS (SELECT 1 FROM orient o WHERE o.src = wg.x AND o.dst = wg.y)),
+         |stats AS (
+         |  SELECT count(*) AS n_vertices,
+         |    CAST(sum(CAST(deg * (deg - 1) / 2 AS BIGINT)) AS BIGINT) AS n_wedges
+         |  FROM dg),
+         |ne AS (SELECT count(*) AS n_edges FROM ed)
+         |SELECT stats.n_vertices, ne.n_edges, stats.n_wedges, tri.n_triangles,
+         |  CASE WHEN stats.n_wedges = 0 THEN 0.0
+         |       ELSE floor(3.0 * tri.n_triangles / stats.n_wedges * 1e4 + 0.5) / 1e4
+         |  END AS gcc
+         |FROM stats CROSS JOIN ne CROSS JOIN tri""".stripMargin,
     "s06b_knn_join_wide" -> knnSql(useBucket = true, k = 3, queryPred = "TRUE", bits = 12),
 
     "t01_lang_id" ->
@@ -555,6 +646,35 @@ object TrainingOracles {
     // through regr_slope in both engines with the same ln() inputs and
     // the floor-based 4-decimal rounding absorbing algorithmic last-ulp
     // differences in the aggregate.
+    // t13: mirrors the engine's expression tree exactly (same literal
+    // constants 2.2 / 1.2 / 0.25 / 0.75, same association order), with
+    // the 6-decimal floor-round applied BEFORE the rank window so the
+    // (score desc, doc_id) order can't diverge on last-ulp ln noise.
+    "t13_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dd AS (SELECT doc_id, len(w) AS dl, w FROM d),
+        |st AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dd),
+        |ex AS (SELECT doc_id, dl, unnest(w) AS term FROM dd),
+        |tf AS (
+        |  SELECT term, doc_id, dl, count(*) AS tf FROM ex
+        |  WHERE term IN ('join', 'stream', 'vector')
+        |  GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT tf.term, tf.doc_id, tf.tf,
+        |    floor(ln((st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+        |      * (tf.tf * 2.2)
+        |      / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl))
+        |      * 1e6 + 0.5) / 1e6 AS score
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN st),
+        |r AS (
+        |  SELECT term, doc_id, tf, score,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id) AS rk
+        |  FROM sc)
+        |SELECT term, rk, doc_id, tf, score FROM r
+        |WHERE rk <= 5 ORDER BY term, rk""".stripMargin,
+
     "t12_lexical_zipf" ->
       """WITH tok AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
