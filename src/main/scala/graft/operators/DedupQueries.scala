@@ -502,7 +502,45 @@ object DedupQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** d14: directional n-gram CONTAINMENT — |A∩B| / |A| per ordered doc
+    * pair, the quote/subset-duplication signal symmetric Jaccard (d04)
+    * misses: a short doc fully embedded in a long one has low Jaccard
+    * (union is dominated by the long doc) but containment 1.0 from the
+    * short side. The curation use is one-sided: drop or down-weight the
+    * CONTAINED doc, keep the container.
+    *
+    * Plan: identical pair space to d04 — one shingle explode, inverted-
+    * index posting lists, one (a,b)-keyed count agg — then BOTH
+    * directions are emitted from the single unordered pair row (an
+    * in-row array explode, no second join, no second shuffle), so the
+    * directional listing costs exactly one extra projection over d04.
+    */
+  val d14_containment: Q = (s, dir) => {
+    val sh = shingles(Tables.documents(s, dir))
+    val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inv = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val pairs = inv.select(explode(expr(
+      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    val inter = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val na = docN.select(col("doc_id").as("doc_a"), col("n").as("na"))
+    val nb = docN.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+    inter.join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
+      .select(explode(array(
+        struct(col("doc_a").as("contained"), col("doc_b").as("container"),
+          (floor(col("inter") / col("na") * 10000 + 0.5) / 10000).as("containment")),
+        struct(col("doc_b").as("contained"), col("doc_a").as("container"),
+          (floor(col("inter") / col("nb") * 10000 + 0.5) / 10000).as("containment")))).as("e"))
+      .select(col("e.contained").as("contained"), col("e.container").as("container"),
+        col("e.containment").as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("contained"), col("container"))
+  }
+
   val all: Map[String, Q] = Map(
+    "d14_containment" -> d14_containment,
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_minhash_lsh" -> d02_minhash_lsh,
     "d03_simhash" -> d03_simhash,

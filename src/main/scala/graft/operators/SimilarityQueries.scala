@@ -517,7 +517,42 @@ object SimilarityQueries {
           .as("gcc"))
   }
 
+  /** e03: Matryoshka truncation audit — recall@5 of the first-16-dims
+    * cosine ranking against the full 64-dim ranking, per query. THE
+    * acceptance gate before deploying truncated (MRL-style) embeddings
+    * for cheap pre-ranking: how many of the true top-5 does the 4×
+    * cheaper prefix ranking keep?
+    *
+    * Plan: one corpus scan computes both scores per candidate row (the
+    * truncated slice and its norm ride along), so both rank windows and
+    * the intersection count come from a single join against the
+    * broadcast query set — the intersection needs no self-join because
+    * each candidate row carries BOTH its ranks. At 100 TB this runs on a
+    * query sample by construction (the audit is per-query, not
+    * per-corpus).
+    */
+  val e03_matryoshka_recall: Q = (s, dir) => {
+    val e = embs(s, dir)
+      .withColumn("v16", slice(col("v"), 1, 16))
+      .withColumn("n16", dot(col("v16"), col("v16")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        col("v16").as("qv16"), col("n16").as("qn16"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosf", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cost", round(cosine(col("qv16"), col("v16"), col("qn16"), col("n16")), 6))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("vec_id"))
+    val wt = Window.partitionBy(col("qid")).orderBy(col("cost").desc, col("vec_id"))
+    scored.withColumn("rkf", row_number().over(wf))
+      .withColumn("rkt", row_number().over(wt))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rkf") <= 5 && col("rkt") <= 5, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", floor(col("n_hit") / lit(5.0) * 1e4 + 0.5) / 1e4)
+      .orderBy(col("qid"))
+  }
+
   val all: Map[String, Q] = Map(
+    "e03_matryoshka_recall" -> e03_matryoshka_recall,
     "g01_knn_triangles" -> g01_knn_triangles,
     "s01_knn_brute" -> s01_knn_brute,
     "s06_knn_join" -> s06_knn_join,

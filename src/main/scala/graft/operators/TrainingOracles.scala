@@ -513,6 +513,56 @@ object TrainingOracles {
     // 12-bit wide-bucket form: the corpus-size-dependent scale knob,
     // probe-measured (SOAK_r09b) to restore linear candidate growth.
     "s06_knn_join" -> knnSql(useBucket = true, k = 3, queryPred = "TRUE"),
+    // e03: both rankings from one scored row set; the 6-decimal rounds
+    // happen before both rank windows, same as s01/s06.
+    "e03_matryoshka_recall" ->
+      s"""$embPrelude,
+         |t AS (
+         |  SELECT vec_id, v, n2, v[1:16] AS v16,
+         |    list_dot_product(v[1:16], v[1:16]) AS n16 FROM n),
+         |q AS (
+         |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, v16 AS qv16, n16 AS qn16
+         |  FROM t WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT qid, t.vec_id,
+         |    round(list_dot_product(qv, t.v) / sqrt(qn2 * t.n2), 6) AS cosf,
+         |    round(list_dot_product(qv16, t.v16) / sqrt(qn16 * t.n16), 6) AS cost
+         |  FROM t JOIN q ON t.vec_id != q.qid),
+         |r AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, vec_id) AS rkf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cost DESC, vec_id) AS rkt
+         |  FROM sc)
+         |SELECT qid,
+         |  CAST(sum(CASE WHEN rkf <= 5 AND rkt <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  floor(sum(CASE WHEN rkf <= 5 AND rkt <= 5 THEN 1 ELSE 0 END) / 5.0 * 1e4 + 0.5) / 1e4
+         |    AS recall
+         |FROM r GROUP BY qid ORDER BY qid""".stripMargin,
+    // d14: d04's pair derivation, both containment directions from the
+    // single unordered pair row.
+    "d14_containment" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT doc_a AS contained, doc_b AS container,
+        |    floor(inter / na * 10000 + 0.5) / 10000 AS containment FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a,
+        |    floor(inter / nb * 10000 + 0.5) / 10000 FROM pairs)
+        |SELECT contained, container, containment FROM bd
+        |WHERE containment >= 0.8 ORDER BY contained, container""".stripMargin,
     // g02: same s06 edge derivation, then 8 UNROLLED PageRank iterations
     // (generated below) on quantized-integer rank mass — exact integer
     // sums make the iterate identical across engines; see
