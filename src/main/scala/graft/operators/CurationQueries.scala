@@ -404,7 +404,39 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** c15: stratified WEIGHTED sampling without replacement — Sequential
+    * Poisson (priority) sampling, Ohlsson 1998: per item a priority key
+    * u/w from a deterministic hash-uniform u and weight w (chars here —
+    * "sample docs proportional to size"), keep the k smallest per
+    * stratum. The πps workhorse for building training mixtures where
+    * plain Bernoulli (c01) can't honor weights and exact Gumbel/A-ES
+    * ranking would need ln() (libm-divergent across engines); the
+    * priority key is ONE IEEE division of exact integers — bit-identical
+    * everywhere, so the sample is reproducible across engines, runs and
+    * partitionings.
+    *
+    * Plan: the key is computed scan-side (md5 + conv, codegen'd), and
+    * the per-stratum top-k is a bounded window over source partitions —
+    * identical shape to q09; at 100 TB the window input is pre-pruned by
+    * nothing but the scan because every row carries its own priority (no
+    * global sort, no driver state).
+    */
+  val c15_weighted_sample: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("skey", (u + 1).cast("double") / col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"), col("skey"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
+    "c15_weighted_sample" -> c15_weighted_sample,
     "c12_mlm_mask" -> c12_mlm_mask,
     "t07_pii_redaction" -> t07_pii_redaction,
     "c08_pmi_bigrams" -> c08_pmi_bigrams,
@@ -443,6 +475,21 @@ object CurationQueries {
 
   /** DuckDB oracle twins (driver hash-compares values column-sorted). */
   val oracles: Map[String, String] = Map(
+    // c15: DuckDB's 0x-string cast is its hex→int path; the priority is
+    // the identical exact-integer IEEE division, so no rounding is
+    // needed anywhere, including on the emitted key.
+    "c15_weighted_sample" ->
+      """WITH k AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |         AS BIGINT) + 1 AS DOUBLE) / n_chars AS skey
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, n_chars, skey,
+        |    row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rk
+        |  FROM k)
+        |SELECT source, rk, doc_id, n_chars, skey FROM r
+        |WHERE rk <= 20 ORDER BY source, rk""".stripMargin,
     "c10_bpe_merges" ->
       s"""WITH RECURSIVE words AS (
          |  SELECT word, count(*) AS n FROM (

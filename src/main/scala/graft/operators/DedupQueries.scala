@@ -301,9 +301,12 @@ object DedupQueries {
     val inter = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val na = docN.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val nb = docN.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-    // unhinted: AQE broadcasts docN while it fits (it does here) and
-    // falls back to shuffle join when doc count outgrows the threshold
-    inter.join(na, "doc_a").join(nb, "doc_b")
+    // shuffle_hash with the doc-count side as build: the 10× probe
+    // (SOAK_r09c) showed the static planner UNDER-estimates the exploded
+    // pair side and broadcasts IT — at 50k docs the build blew Spark's
+    // hard 8 GiB broadcast cap. Pinning the build on docN is correct at
+    // every scale (doc-keyed shuffle, per-partition build is |docs|/P).
+    inter.join(na.hint("shuffle_hash"), "doc_a").join(nb.hint("shuffle_hash"), "doc_b")
       // explicit half-up: integer-ratio jaccards land exactly on .00005
       // boundaries where Spark (half-up) and DuckDB (half-even) diverge
       .withColumn("jaccard", floor(col("inter") /
@@ -515,19 +518,41 @@ object DedupQueries {
     * in-row array explode, no second join, no second shuffle), so the
     * directional listing costs exactly one extra projection over d04.
     */
-  val d14_containment: Q = (s, dir) => {
+  val d14_containment: Q = (s, dir) => containmentPairs(s, dir, maxPosting = None)
+
+  /** d15: d14 under d12's posting-size cap — a shingle shared by more
+    * than `cap` docs (boilerplate) is dropped BEFORE the pair explode,
+    * the declared approximation that turns the exact listing's hot-gram
+    * quadratic tail (probe-measured: d14's uncapped explode exhausts an
+    * 8 GiB driver at 10× on a 31-word vocab corpus) into Σ min(|p|,cap)²
+    * growth. Denominators stay the FULL per-doc shingle counts, so a
+    * capped containment only ever under-reports — it can't promote a
+    * pair above threshold that the exact listing wouldn't emit. */
+  def cappedContainment(s: SparkSession, dir: String,
+      cap: Int = DefaultPassageCap): DataFrame =
+    containmentPairs(s, dir, maxPosting = Some(cap))
+
+  val d15_containment_capped: Q = (s, dir) => cappedContainment(s, dir)
+
+  private def containmentPairs(s: SparkSession, dir: String,
+      maxPosting: Option[Int]): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
     val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inv = sh.groupBy(col("s"))
+    val inv0 = sh.groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
+    val inv = maxPosting.map(c => inv0.filter(size(col("ds")) <= c)).getOrElse(inv0)
     val pairs = inv.select(explode(expr(
       "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
     val inter = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
     val na = docN.select(col("doc_id").as("doc_a"), col("n").as("na"))
     val nb = docN.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-    inter.join(na, Seq("doc_a")).join(nb, Seq("doc_b"))
+    // same shuffle_hash build-side pin as jaccardPairsFrom — the 10×
+    // probe run on THIS operator is what surfaced the planner's
+    // pair-side broadcast (8 GiB cap hit at 50k docs)
+    inter.join(na.hint("shuffle_hash"), Seq("doc_a"))
+      .join(nb.hint("shuffle_hash"), Seq("doc_b"))
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
           (floor(col("inter") / col("na") * 10000 + 0.5) / 10000).as("containment")),
@@ -540,6 +565,7 @@ object DedupQueries {
   }
 
   val all: Map[String, Q] = Map(
+    "d15_containment_capped" -> d15_containment_capped,
     "d14_containment" -> d14_containment,
     "d01_dedup_exact" -> d01_dedup_exact,
     "d02_minhash_lsh" -> d02_minhash_lsh,

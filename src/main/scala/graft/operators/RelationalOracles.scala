@@ -5,6 +5,22 @@ package graft.operators
   */
 object RelationalOracles {
   val all: Map[String, String] = Map(
+    // q39: deliberately the OTHER algorithm — full recompute over the
+    // post-merge state. The engine maintains base+delta; integer-cents
+    // quantization before summation makes the two EXACTLY equal.
+    "q39_incremental_agg" ->
+      """WITH merged AS (
+        |  SELECT o_orderstatus AS status,
+        |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
+        |         THEN o_totalprice * 1.05 ELSE o_totalprice END AS price
+        |  FROM orders WHERE o_orderkey % 13 != 0
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 = 0)
+        |SELECT status,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
     // q38: MERGE semantics spelled out as the same full-outer + CASE the
     // engine plans; delete precedence over update is in the changeset
     // derivation (k%13 excluded from updates) on both sides.

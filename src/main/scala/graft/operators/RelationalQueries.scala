@@ -748,7 +748,50 @@ object RelationalQueries {
       .orderBy(col("key"))
   }
 
+  /** q39: INCREMENTAL VIEW MAINTENANCE — maintain a per-status aggregate
+    * under q38's changeset by combining the base aggregate with a
+    * delta aggregate (delete → (−1, −cents), update → (0, Δcents),
+    * insert → (+1, +cents)) instead of recomputing, the core trick that
+    * turns an O(history) nightly rebuild into an O(changeset) refresh.
+    * The ORACLE deliberately uses the other algorithm — full recompute
+    * over the post-merge state — so the gate checks maintain ≡ recompute,
+    * not just expression parity. Money is quantized to integer cents
+    * before summation (e02's move), so base+delta equals recompute
+    * EXACTLY, independent of engine, partitioning, and summation order —
+    * a double sum would differ in late ulps between the two algorithms.
+    * Groups maintained down to zero rows are dropped (active-group
+    * semantics, matching what a recompute can see).
+    *
+    * Plan: two status-keyed partial+final aggs (base over the table,
+    * delta over the changeset — the latter is changeset-sized, the point
+    * of IVM) and one tiny full-outer merge on the handful of group keys.
+    */
+  val q39_incremental_agg: Q = (s, dir) => {
+    val cents = (c: Column) => floor(c * 100 + 0.5).cast("long")
+    val ord = Tables.orders(s, dir)
+    val base = ord.groupBy(col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("c0"))
+    val del = ord.filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderstatus").as("status"), lit(-1L).as("dn"),
+        (cents(col("o_totalprice")) * lit(-1L)).as("dc"))
+    val upd = ord.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderstatus").as("status"), lit(0L).as("dn"),
+        (cents(col("o_totalprice") * 1.05) - cents(col("o_totalprice"))).as("dc"))
+    val ins = ord.filter(col("o_orderkey") % 11 === 0)
+      .select(col("o_orderstatus").as("status"), lit(1L).as("dn"),
+        cents(col("o_totalprice")).as("dc"))
+    val delta = del.unionByName(upd).unionByName(ins)
+      .groupBy(col("status")).agg(sum(col("dn")).as("dn"), sum(col("dc")).as("dc"))
+    base.join(delta, Seq("status"), "full_outer")
+      .select(col("status"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L))).as("sum_cents"))
+      .filter(col("n_orders") > 0)
+      .orderBy(col("status"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q39_incremental_agg" -> q39_incremental_agg,
     "q38_merge_upsert" -> q38_merge_upsert,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,

@@ -484,10 +484,18 @@ object SimilarityQueries {
     * vertex-keyed degree joins, src-keyed wedge self-join, (x,y)-keyed
     * closing semi-join. No broadcast of corpus-sized state anywhere.
     */
-  val g01_knn_triangles: Q = (s, dir) => {
-    val edges = knnJoin(s, dir)
-      .select(least(col("qid"), col("neighbor")).as("a"),
-        greatest(col("qid"), col("neighbor")).as("b"))
+  val g01_knn_triangles: Q = (s, dir) =>
+    triangleCensus(knnJoin(s, dir)
+      .select(col("qid").as("src"), col("neighbor").as("dst")))
+
+  /** The census over ANY directed edge list (src, dst) — exposed so the
+    * edge-build blocking knob (knnJoin's `bits`, ivfKnnGraph's `cells`)
+    * composes with the graph stage, which is linear in edges on its own:
+    * the scale exponent of the whole pipeline is the edge build's. */
+  def triangleCensus(rawEdges: DataFrame): DataFrame = {
+    val edges = rawEdges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
       .distinct()
     val deg = edges.select(col("a").as("vx")).unionAll(edges.select(col("b").as("vx")))
       .groupBy(col("vx")).agg(count(lit(1)).as("deg"))

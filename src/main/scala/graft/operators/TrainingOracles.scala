@@ -538,6 +538,34 @@ object TrainingOracles {
          |  floor(sum(CASE WHEN rkf <= 5 AND rkt <= 5 THEN 1 ELSE 0 END) / 5.0 * 1e4 + 0.5) / 1e4
          |    AS recall
          |FROM r GROUP BY qid ORDER BY qid""".stripMargin,
+    // d15: d14 with the posting cap replicated — the pair space is
+    // restricted to shingles shared by <= 64 docs; denominators stay the
+    // full per-doc counts, exactly as the engine declares.
+    "d15_containment_capped" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |  FROM w),
+        |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
+        |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 64),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
+        |    any_value(a.n) AS na, any_value(b.n) AS nb
+        |  FROM ex a JOIN keep USING (s) JOIN ex b
+        |    ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |bd AS (
+        |  SELECT doc_a AS contained, doc_b AS container,
+        |    floor(inter / na * 10000 + 0.5) / 10000 AS containment FROM pairs
+        |  UNION ALL
+        |  SELECT doc_b, doc_a,
+        |    floor(inter / nb * 10000 + 0.5) / 10000 FROM pairs)
+        |SELECT contained, container, containment FROM bd
+        |WHERE containment >= 0.8 ORDER BY contained, container""".stripMargin,
     // d14: d04's pair derivation, both containment directions from the
     // single unordered pair row.
     "d14_containment" ->

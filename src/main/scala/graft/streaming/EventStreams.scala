@@ -48,8 +48,65 @@ object EventStreams {
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming SCD2 (the streaming twin of EventJoins.a08): per-user
+    * TYPE-2 dimension maintenance with keyed custom state — a version
+    * opens when the user's event_type state CHANGES (consecutive
+    * duplicates collapse), the closed version emits immediately with
+    * `valid_to` = the opening event's time, and the still-open version
+    * emits as `is_current` once the watermark passes `lastTs + horizonMs`
+    * (the event-time timeout standing in for "end of history" — in a live
+    * pipeline the open version simply stays in state). Within-batch walk
+    * in (ts, event_id) order for the same backfill-equals-live guarantee
+    * sessionize documents.
+    *
+    * Timestamps emit as epoch millis (the domain the walk compares in),
+    * keeping the sink rows encoder-plain; the batch oracle transposes
+    * a08's lag/lead SQL to the same ms domain.
+    */
+  def scd2(events: Dataset[Event], horizonMs: Long = 40L * 86400 * 1000,
+           watermark: String = "10 minutes"): Dataset[ScdOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ScdState, ScdOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], st: GroupState[ScdState]) =>
+          if (st.hasTimedOut) {
+            val s = st.get
+            st.remove()
+            Iterator.single(ScdOut(userId, s.version, s.stateType, s.validFromMs, None, 1))
+          } else {
+            val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ScdOut]
+            var cur = st.getOption.orNull
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              if (cur == null) {
+                cur = ScdState(1L, e.event_type, t, t)
+              } else if (e.event_type != cur.stateType) {
+                closed += ScdOut(userId, cur.version, cur.stateType, cur.validFromMs, Some(t), 0)
+                cur = ScdState(cur.version + 1, e.event_type, t, t)
+              } else {
+                cur = cur.copy(lastMs = t)
+              }
+            }
+            st.update(cur)
+            st.setTimeoutTimestamp(cur.lastMs + horizonMs)
+            closed.iterator
+          }
+      }
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
+
+  final case class ScdState(version: Long, stateType: String,
+                            validFromMs: Long, lastMs: Long)
+
+  final case class ScdOut(user_id: Long, version: Long, state: String,
+                          valid_from_ms: Long, valid_to_ms: Option[Long],
+                          is_current: Int)
 
   final case class SessionState(nEvents: Long, totalValue: Double,
                                 firstTs: Long, lastTs: Long)

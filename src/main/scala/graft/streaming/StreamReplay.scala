@@ -586,6 +586,36 @@ object StreamReplay {
         round(col("total_value"), 2).as("total_value"), col("duration_ms"))
       .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
 
+  /** st11: STREAMING SCD2 ([[EventStreams.scd2]] — the streaming twin of
+    * the batch a08 interval build): closed dimension versions emit the
+    * moment the state-change event arrives; the open version emits as
+    * `is_current` when the event-time timeout fires at `lastTs + 40d`
+    * (horizon > the 30-day corpus span, so within the replay only the
+    * far-future ticks can fire it — "end of history"). Tick rows build
+    * their own single-version state for negative user ids, stripped by
+    * the OUTPUT-side filter like st07. Oracle = a08's lag/lead SQL
+    * transposed to the ms domain over ALL users.
+    */
+  val st11_scd2_stream: Q = (s, dir) => st11Shaped(s, dir, chunks = 1)
+
+  /** st11b: SCD2 replayed MULTI-BATCH (8 event-time-ranged chunks):
+    * version counters and the open version's state genuinely carry
+    * across batch boundaries — a change in batch k closes a version
+    * opened in batch j<k with the exact valid_from the earlier batch
+    * recorded — and the settled result stays hash-identical to the
+    * batch oracle because time-ranged chunking delivers each user's
+    * events in event-time order and the 40-day horizon keeps every
+    * timeout behind the in-stream watermark. */
+  val st11b_scd2_multibatch: Q = (s, dir) => st11Shaped(s, dir, chunks = 8)
+
+  private def st11Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
+    replay(s, dir, OutputMode.Append(),
+      ds => EventStreams.scd2(ds).toDF(), chunks = chunks)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from_ms"), col("valid_to_ms"), col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+
   /** st08: STREAM-STATIC ENRICHMENT — every micro-batch of the event
     * stream inner-joins a static broadcast dimension (customer, keyed by
     * user_id = c_custkey) inside the streaming query itself, the standard
@@ -681,9 +711,31 @@ object StreamReplay {
     "st07b_session_multibatch" -> st07b_session_multibatch,
     "st08_enrich_stream" -> st08_enrich_stream,
     "st09_exactly_once_sink" -> st09_exactly_once_sink,
+    "st11_scd2_stream" -> st11_scd2_stream,
+    "st11b_scd2_multibatch" -> st11b_scd2_multibatch,
   )
 
   private val baseOracles: Map[String, String] = Map(
+    // a08's SCD2 lag-collapse/lead-interval SQL transposed to the ms
+    // domain over all users; the streaming side's timeout row IS the
+    // NULL-lead current row here
+    "st11_scd2_stream" ->
+      """WITH f AS (
+        |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms, event_type
+        |  FROM events),
+        |ch AS (
+        |  SELECT *, lag(event_type) OVER
+        |    (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |  FROM f),
+        |k AS (SELECT * FROM ch WHERE prev IS NULL OR prev != event_type)
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  event_type AS state,
+        |  ms AS valid_from_ms,
+        |  lead(ms) OVER w AS valid_to_ms,
+        |  CASE WHEN lead(ms) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM k WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+        |ORDER BY user_id, version""".stripMargin,
     // a03's >30min-gap session split in the ms domain, shaped to
     // (n_events, total_value, duration_ms); rows sort fully by the driver
     "st07_session_stream" ->
@@ -798,6 +850,7 @@ object StreamReplay {
     "st05b_interval_join_multibatch" -> baseOracles("st05_interval_join_stream"),
     "st06c_dedup_crossbatch" -> baseOracles("st06_dedup_stream"),
     "st07b_session_multibatch" -> baseOracles("st07_session_stream"),
+    "st11b_scd2_multibatch" -> baseOracles("st11_scd2_stream"),
     "st08_enrich_stream" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value

@@ -208,7 +208,18 @@ object ScaleProbe {
         // the data-adaptive blocking: IVF cells at the gate's fixed 16,
         // and with the centroid count growing with the corpus (16×m) —
         // the production answer where clustered data saturates sign-LSH
-        "s06c_knn_ivf_graph", "s06c_knn_ivf_graph_scaled")
+        "s06c_knn_ivf_graph", "s06c_knn_ivf_graph_scaled",
+        // latest-r9 additions: the graph-analytics tier over the kNN
+        // edges (g01 wedge space is bounded by degree orientation; g02 is
+        // 8 fixed join+agg rounds — both should track the knnJoin edge
+        // build's own exponent, everything after edges being linear), and
+        // d14, whose directional emit rides d04's inverted-index pair
+        // space (expected ~linear like d11 under the shingle spread)
+        "g01_knn_triangles", "g02_pagerank", "d14_containment",
+        // the capped guard d14's own 10× probe run motivated (its exact
+        // pair listing exhausted an 8 GiB driver at 50k docs on the
+        // 31-word vocab — hot 3-shingles are the d11 story again)
+        "d15_containment_capped")
       val families =
         if (familyFilter.isEmpty) allFamilies
         else allFamilies.filter(familyFilter.contains)

@@ -51,6 +51,21 @@ class ContainmentSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out === Seq((4L, 5L, 1.0), (5L, 4L, 1.0)))
   }
 
+  test("d15 cap drops hot-shingle pair space; wide-enough cap is exact") {
+    val sp = spark; import sp.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("containcap").toString
+    // five identical docs: one shingle with posting size 5 → 20 directed
+    // pairs exactly; cap 4 removes the posting BEFORE the explode (zero
+    // pairs), cap 5 keeps the listing identical to the uncapped d14
+    (1L to 5L).map(i => (i, "x y z")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = DedupQueries.all("d14_containment")(spark, dir).collect()
+    assert(exact.length === 20)
+    assert(DedupQueries.cappedContainment(spark, dir, cap = 4).collect().isEmpty)
+    assert(DedupQueries.cappedContainment(spark, dir, cap = 5).collect()
+      .map(_.toString).sorted === exact.map(_.toString).sorted)
+  }
+
   test("partial overlap below 0.8 on both sides emits nothing") {
     // docs share shingle "a b c" only: 1/2 and 1/3 both < 0.8
     val out = run(Seq(

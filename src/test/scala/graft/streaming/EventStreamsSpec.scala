@@ -399,4 +399,37 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.map(_.getAs[Long]("event_id")).sorted.toSeq === Seq(1L, 2L))
     assert(rows.forall(_.schema.fieldNames.contains("batch_id")))
   }
+
+  test("scd2 collapses duplicate states, closes versions on change, emits current on timeout") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // a 2h horizon so the far-future row can fire the open version's
+    // event-time timeout inside the test
+    val query = EventStreams.scd2(input.toDS(), horizonMs = 2L * 3600 * 1000)
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode(OutputMode.Append()).start()
+    // batch 1: click, click (collapse), view (closes v1) — v2 stays open
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "click", 1.0),
+      EventStreams.Event(2, ts(1, 10), 10, "click", 1.0),
+      EventStreams.Event(3, ts(1, 20), 10, "view", 1.0))
+    query.processAllAvailable()
+    // batch 2: same user flips back to click — v2 closes with the
+    // valid_from recorded in batch 1 (cross-batch state carry)
+    input.addData(EventStreams.Event(4, ts(1, 40), 10, "click", 1.0))
+    query.processAllAvailable()
+    // watermark mover: far-future different user fires user 10's timeout
+    input.addData(EventStreams.Event(5, ts(9, 0), 99, "view", 1.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(6, ts(11, 0), 98, "view", 1.0))
+    query.processAllAvailable()
+    val u10 = spark.table("scd2_out").as[EventStreams.ScdOut].collect()
+      .filter(_.user_id == 10L).sortBy(_.version)
+    assert(u10.map(o => (o.version, o.state, o.valid_from_ms, o.valid_to_ms, o.is_current)).toSeq === Seq(
+      (1L, "click", ts(1, 0).getTime, Some(ts(1, 20).getTime), 0),
+      (2L, "view", ts(1, 20).getTime, Some(ts(1, 40).getTime), 0),
+      (3L, "click", ts(1, 40).getTime, None, 1)))
+    query.stop()
+  }
 }
