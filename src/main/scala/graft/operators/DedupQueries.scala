@@ -48,12 +48,18 @@ object DedupQueries {
       .select(col("doc_id"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 3)
     tok.select(col("doc_id"),
-      explode(array_distinct(transform(
+      array_distinct(transform(
         sequence(lit(1), size(col("tk")) - 2),
         i => concat_ws(" ",
           element_at(col("tk"), i), element_at(col("tk"), i + 1),
-          element_at(col("tk"), i + 2)))))
-        .as("s"))
+          element_at(col("tk"), i + 2)))).as("sh"))
+      // the per-doc distinct count rides the explode as `n` — the
+      // jaccard/containment consumers need it per PAIR, and carrying it
+      // here (free: same projection) lets them read it off the posting
+      // struct instead of joining a doc-count table back onto the
+      // exploded pair stream (a join the 10× probe showed the static
+      // planner can fatally misplan — see jaccardPairsFrom)
+      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
   }
 
   private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -290,23 +296,26 @@ object DedupQueries {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
     jaccardPairsFrom(shingles(Tables.documents(s, dir)))
 
+  /** JOIN-FREE pair scoring: each posting element is (doc_id, n), so the
+    * exploded pair rows carry BOTH set sizes and the whole query is
+    * explode → one (pair, sizes)-keyed count agg. History: the original
+    * plan joined a doc-count table onto the aggregated pair stream; the
+    * 10× probe (SOAK_r09c) caught the static planner UNDER-estimating
+    * the explode side and broadcasting IT into that join (Spark's hard
+    * 8 GiB cap at 50k docs). Pinning the build side fixed the cliff but
+    * taxed sf0.1 ~1.1s; carrying n on the posting struct removes the
+    * join layer entirely — strictly fewer shuffles than the original at
+    * every scale, and nothing left for the planner to misplan. */
   private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
-    val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inv = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) >= 2)
     val pairs = inv.select(explode(expr(
-      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    val inter = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val na = docN.select(col("doc_id").as("doc_a"), col("n").as("na"))
-    val nb = docN.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-    // shuffle_hash with the doc-count side as build: the 10× probe
-    // (SOAK_r09c) showed the static planner UNDER-estimates the exploded
-    // pair side and broadcasts IT — at 50k docs the build blew Spark's
-    // hard 8 GiB broadcast cap. Pinning the build on docN is correct at
-    // every scale (doc-keyed shuffle, per-partition build is |docs|/P).
-    inter.join(na.hint("shuffle_hash"), "doc_a").join(nb.hint("shuffle_hash"), "doc_b")
+      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x.doc_id, 'na', x.n, 'b', y.doc_id, 'nb', y.n))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.na").as("na"),
+        col("p.b").as("doc_b"), col("p.nb").as("nb"))
+    pairs.groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       // explicit half-up: integer-ratio jaccards land exactly on .00005
       // boundaries where Spark (half-up) and DuckDB (half-even) diverge
       .withColumn("jaccard", floor(col("inter") /
@@ -534,25 +543,24 @@ object DedupQueries {
 
   val d15_containment_capped: Q = (s, dir) => cappedContainment(s, dir)
 
+  /** Same join-free shape as [[jaccardPairsFrom]] (n rides the posting
+    * struct); the 10× probe run on THIS operator is what surfaced the
+    * planner's pair-side broadcast (8 GiB cap hit at 50k docs). The cap
+    * filter applies to the posting BEFORE the explode; denominators are
+    * the full per-doc counts carried from the shingle projection. */
   private def containmentPairs(s: SparkSession, dir: String,
       maxPosting: Option[Int]): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
-    val docN = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inv0 = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
       .filter(size(col("ds")) >= 2)
     val inv = maxPosting.map(c => inv0.filter(size(col("ds")) <= c)).getOrElse(inv0)
     val pairs = inv.select(explode(expr(
-      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-    val inter = pairs.groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val na = docN.select(col("doc_id").as("doc_a"), col("n").as("na"))
-    val nb = docN.select(col("doc_id").as("doc_b"), col("n").as("nb"))
-    // same shuffle_hash build-side pin as jaccardPairsFrom — the 10×
-    // probe run on THIS operator is what surfaced the planner's
-    // pair-side broadcast (8 GiB cap hit at 50k docs)
-    inter.join(na.hint("shuffle_hash"), Seq("doc_a"))
-      .join(nb.hint("shuffle_hash"), Seq("doc_b"))
+      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x.doc_id, 'na', x.n, 'b', y.doc_id, 'nb', y.n))))")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.na").as("na"),
+        col("p.b").as("doc_b"), col("p.nb").as("nb"))
+    pairs.groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
           (floor(col("inter") / col("na") * 10000 + 0.5) / 10000).as("containment")),
@@ -564,7 +572,40 @@ object DedupQueries {
       .orderBy(col("contained"), col("container"))
   }
 
+  /** d16: FUZZY vocabulary matching — levenshtein ≤ 2 pairs over the
+    * corpus's distinct-token table with corpus frequencies attached, the
+    * typo-candidate listing a text pipeline uses for vocabulary
+    * normalization (typos are rare tokens within small edit distance of
+    * a frequent correction — the frequency asymmetry is in the output).
+    *
+    * Blocking: edit distance ≤ 2 bounds |len(a) − len(b)| ≤ 2, so the
+    * shorter-side token keys the join and the longer side explodes to
+    * its three candidate length buckets — each qualifying pair joins
+    * exactly once (at key len(a), with (len, token) ordering as the
+    * dedup tiebreak). The pair space is VOCABULARY², already
+    * length-blocked; vocabulary grows sublinearly in corpus size
+    * (Heaps' law), and the expensive `levenshtein` only runs on
+    * length-compatible candidates. All shuffles key on token/length —
+    * corpus rows are combined map-side in the first aggregate.
+    */
+  val d16_fuzzy_vocab: Q = (s, dir) => {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("len", length(col("tok")))
+    val a = vocab.select(col("tok").as("tok_a"), col("n").as("na"), col("len").as("la"))
+    val b = vocab.select(col("tok").as("tok_b"), col("n").as("nb"), col("len").as("lb"))
+      .withColumn("bkt", explode(array(col("lb") - 2, col("lb") - 1, col("lb"))))
+    a.join(b, col("la") === col("bkt") &&
+        (col("la") < col("lb") || (col("la") === col("lb") && col("tok_a") < col("tok_b"))))
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 2)
+      .select(col("tok_a"), col("tok_b"), col("dist"), col("na"), col("nb"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
   val all: Map[String, Q] = Map(
+    "d16_fuzzy_vocab" -> d16_fuzzy_vocab,
     "d15_containment_capped" -> d15_containment_capped,
     "d14_containment" -> d14_containment,
     "d01_dedup_exact" -> d01_dedup_exact,

@@ -215,7 +215,21 @@ object EventJoins {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** a09: gap sessionization via the BUILT-IN `session_window` aggregate
+    * — the one-aggregate alternative to a03's two-window composition,
+    * and the exact code path st12 runs as a stream (same function,
+    * [[graft.streaming.EventStreams.sessionWindowAgg]]). Declared tie
+    * difference vs a03: half-open windows split at gap EXACTLY 30min;
+    * session_end is the window end (last event + gap). One shuffle on
+    * (user, merged-window) — Catalyst plans session-window merging as a
+    * single partial+final aggregate over user-keyed partitions.
+    */
+  val a09_session_window: Q = (s, dir) =>
+    graft.streaming.EventStreams.sessionWindowAgg(Tables.events(s, dir))
+      .orderBy(col("user_id"), col("session_start"))
+
   val all: Map[String, Q] = Map(
+    "a09_session_window" -> a09_session_window,
     "a08_scd2" -> a08_scd2,
     "a07_transitions" -> a07_transitions,
     "a01_asof_join" -> a01_asof_join,
@@ -227,6 +241,27 @@ object EventJoins {
   )
 
   val oracles: Map[String, String] = Map(
+    // a09: half-open session_window semantics — gap >= 30min splits
+    // (vs a03's > rule), session_end = max(ts) + the gap
+    "a09_session_window" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTES
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS session_no
+        |  FROM o)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTES AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_no
+        |ORDER BY user_id, session_start""".stripMargin,
     // a08: same lag-collapse → windowed version/lead shape; row_number
     // width differs (int vs bigint) but the driver compares values.
     "a08_scd2" ->

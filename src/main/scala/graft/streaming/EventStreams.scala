@@ -98,6 +98,31 @@ object EventStreams {
       }
   }
 
+  /** Gap-sessionization via Spark's NATIVE `session_window` aggregate —
+    * the built-in alternative to [[sessionize]]'s custom state (brief
+    * preference (a): compose existing ops first; the custom path exists
+    * for the shapes this can't express, e.g. sessionize's per-event
+    * walk). ONE function serves batch and streaming: `withWatermark` is
+    * a no-op on a batch frame, and in a stream it lets the merging
+    * session state emit on window close.
+    *
+    * Tie semantics differ from a03/st07 BY DESIGN and are declared: the
+    * built-in merges half-open [t, t+gap) windows, so a follow-up event
+    * at EXACTLY gap distance starts a NEW session, where a03's
+    * `gap > 30min` split rule keeps it. The oracle twin uses the
+    * half-open rule (`gap >= 30min` splits) and `session_end =
+    * max(ts) + gap` (the window end, not the last event).
+    */
+  def sessionWindowAgg(events: DataFrame,
+      gap: String = "30 minutes", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("tv"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"),
+        round(col("tv"), 2).as("total_value"))
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 

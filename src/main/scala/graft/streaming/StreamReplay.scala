@@ -586,6 +586,32 @@ object StreamReplay {
         round(col("total_value"), 2).as("total_value"), col("duration_ms"))
       .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
 
+  /** st12: NATIVE session-window aggregation as a stream — the SAME
+    * function a09 runs as a batch query ([[EventStreams.sessionWindowAgg]];
+    * `withWatermark` is a no-op in batch and the state-eviction contract
+    * here). Spark's merging session state emits each (user, session) when
+    * the watermark passes the window end; the far-future ticks close the
+    * final open sessions. Tick rows session on their negative user ids
+    * and are stripped by the output filter. Oracle = the half-open-gap
+    * session SQL a09 declares (split at gap ≥ 30min, end = last + gap).
+    */
+  val st12_session_window_stream: Q = (s, dir) => st12Shaped(s, dir, chunks = 1)
+
+  /** st12b: the same merging-session aggregate replayed MULTI-BATCH (8
+    * event-time-ranged chunks) — sessions spanning a chunk boundary are
+    * merged BY THE STATE STORE across micro-batches (the built-in's
+    * session-merge path that single-batch replay never exercises), and
+    * the settled output must still equal the batch oracle. */
+  val st12b_session_window_multibatch: Q = (s, dir) => st12Shaped(s, dir, chunks = 8)
+
+  private def st12Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
+    replay(s, dir, OutputMode.Append(),
+      ds => EventStreams.sessionWindowAgg(ds.toDF()), chunks = chunks)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
   /** st11: STREAMING SCD2 ([[EventStreams.scd2]] — the streaming twin of
     * the batch a08 interval build): closed dimension versions emit the
     * moment the state-change event arrives; the open version emits as
@@ -713,6 +739,8 @@ object StreamReplay {
     "st09_exactly_once_sink" -> st09_exactly_once_sink,
     "st11_scd2_stream" -> st11_scd2_stream,
     "st11b_scd2_multibatch" -> st11b_scd2_multibatch,
+    "st12_session_window_stream" -> st12_session_window_stream,
+    "st12b_session_window_multibatch" -> st12b_session_window_multibatch,
   )
 
   private val baseOracles: Map[String, String] = Map(
@@ -851,6 +879,11 @@ object StreamReplay {
     "st06c_dedup_crossbatch" -> baseOracles("st06_dedup_stream"),
     "st07b_session_multibatch" -> baseOracles("st07_session_stream"),
     "st11b_scd2_multibatch" -> baseOracles("st11_scd2_stream"),
+    // st12: the stream IS a09's function — so is its oracle
+    "st12_session_window_stream" ->
+      graft.operators.EventJoins.oracles("a09_session_window"),
+    "st12b_session_window_multibatch" ->
+      graft.operators.EventJoins.oracles("a09_session_window"),
     "st08_enrich_stream" ->
       """SELECT c_mktsegment, count(*) AS n_events,
         |  round(sum(value), 2) AS total_value
