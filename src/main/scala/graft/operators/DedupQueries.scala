@@ -55,11 +55,19 @@ object DedupQueries {
           element_at(col("tk"), i + 2)))).as("sh"))
       // the per-doc distinct count rides the explode as `n` — the
       // jaccard/containment consumers need it per PAIR, and carrying it
-      // here (free: same projection) lets them read it off the posting
-      // struct instead of joining a doc-count table back onto the
-      // exploded pair stream (a join the 10× probe showed the static
-      // planner can fatally misplan — see jaccardPairsFrom)
-      .select(col("doc_id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      // here lets them read it off the posting list instead of joining a
+      // doc-count table back onto the exploded pair stream (a join the
+      // 10× probe showed the static planner can fatally misplan — see
+      // jaccardPairsFrom). HOW it rides matters: n must travel INSIDE
+      // the generator's element struct. The obvious
+      // `select(size($"sh"), explode($"sh"))` keeps a reference to the
+      // array across the Generate, which then retains the full array on
+      // every exploded row — ContainAB measured that shape at ~20× the
+      // historical projection on a 10× corpus (19.0s vs 0.93s). This
+      // shape measures within noise of the historical one.
+      .select(col("doc_id"), explode(transform(col("sh"),
+        x => struct(x.as("s"), size(col("sh")).as("n")))).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.s").as("s"))
   }
 
   private val HexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
@@ -306,23 +314,65 @@ object DedupQueries {
     * taxed sf0.1 ~1.1s; carrying n on the posting struct removes the
     * join layer entirely — strictly fewer shuffles than the original at
     * every scale, and nothing left for the planner to misplan. */
-  private def jaccardPairsFrom(sh: DataFrame): DataFrame = {
-    val inv = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val pairs = inv.select(explode(expr(
-      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x.doc_id, 'na', x.n, 'b', y.doc_id, 'nb', y.n))))")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.na").as("na"),
-        col("p.b").as("doc_b"), col("p.nb").as("nb"))
-    pairs.groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+  private def jaccardPairsFrom(sh: DataFrame): DataFrame =
+    pairCounts(invertedPostings(sh, maxPosting = None))
       // explicit half-up: integer-ratio jaccards land exactly on .00005
       // boundaries where Spark (half-up) and DuckDB (half-even) diverge
       .withColumn("jaccard", floor(col("inter") /
         (col("na") + col("nb") - col("inter")) * 10000 + 0.5) / 10000)
       .filter(col("jaccard") >= 0.6)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Posting lists with the per-doc shingle count PACKED into each
+    * element (`doc_id * 2^20 + n`; n < 2^20 — documents have bounded
+    * shingle counts, and a guard would only matter past million-shingle
+    * docs). Why pack instead of `collect_list(struct(...))`: sort_array
+    * over struct arrays falls back to interpreted per-element ordering,
+    * which the 30× probe measured at ~25× the long-array sort on hot
+    * postings — packed longs keep the sort codegen'd AND sort by doc_id
+    * (high bits) exactly like the plain list did. The cap filter runs
+    * BEFORE the sort so capped-away hot postings are never sorted at
+    * all. */
+  private val PackBase = 1L << 20
+
+  /** dev seam for tools/ContainAB. */
+  private[graft] def devInvertedPostings(sh: DataFrame, maxPosting: Option[Int]): DataFrame =
+    invertedPostings(sh, maxPosting)
+
+  /** dev seam for tools/ContainAB. */
+  private[graft] def devPairCounts(inv: DataFrame): DataFrame = pairCounts(inv)
+
+  private def invertedPostings(sh: DataFrame, maxPosting: Option[Int]): DataFrame = {
+    val inv = sh.groupBy(col("s"))
+      .agg(collect_list(col("doc_id") * PackBase + col("n")).as("ds0"))
+      .filter(size(col("ds0")) >= 2)
+    val kept = maxPosting.map(c => inv.filter(size(col("ds0")) <= c)).getOrElse(inv)
+    kept.select(sort_array(col("ds0")).as("ds"))
   }
+
+  /** Ordered-pair explode over packed postings → (pa, pb), both still
+    * PACKED. The flattened pair array holds two longs per pair — byte-
+    * identical to the historical doc_id-only shape (a 4-field unpacked
+    * struct here measured ~3× slower at 10×: the per-posting pair array
+    * materializes in full before explode, so struct width directly
+    * scales allocation and GC on hot postings). Callers aggregate on the
+    * packed pair (same narrow 2-long keys as ever — packing is
+    * injective) and unpack AFTER the aggregation, on the collapsed
+    * rows. */
+  private def packedPairs(inv: DataFrame): DataFrame =
+    inv.select(explode(expr(
+      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
+        "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a").as("pa"), col("p.b").as("pb"))
+
+  /** Count per packed pair, then unpack ids and sizes on the collapsed
+    * aggregate output → (doc_a, na, doc_b, nb, inter). */
+  private def pairCounts(inv: DataFrame): DataFrame =
+    packedPairs(inv)
+      .groupBy(col("pa"), col("pb")).agg(count(lit(1)).as("inter"))
+      .select(expr(s"pa div $PackBase").as("doc_a"), (col("pa") % PackBase).as("na"),
+        expr(s"pb div $PackBase").as("doc_b"), (col("pb") % PackBase).as("nb"),
+        col("inter"))
 
   /** d08: LSH recall audit — what fraction of the exact Jaccard-≥0.6
     * ground-truth pairs (d04) do the MinHash banding candidates (d02)
@@ -551,16 +601,7 @@ object DedupQueries {
   private def containmentPairs(s: SparkSession, dir: String,
       maxPosting: Option[Int]): DataFrame = {
     val sh = shingles(Tables.documents(s, dir))
-    val inv0 = sh.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val inv = maxPosting.map(c => inv0.filter(size(col("ds")) <= c)).getOrElse(inv0)
-    val pairs = inv.select(explode(expr(
-      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x.doc_id, 'na', x.n, 'b', y.doc_id, 'nb', y.n))))")).as("p"))
-      .select(col("p.a").as("doc_a"), col("p.na").as("na"),
-        col("p.b").as("doc_b"), col("p.nb").as("nb"))
-    pairs.groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+    pairCounts(invertedPostings(sh, maxPosting))
       .select(explode(array(
         struct(col("doc_a").as("contained"), col("doc_b").as("container"),
           (floor(col("inter") / col("na") * 10000 + 0.5) / 10000).as("containment")),

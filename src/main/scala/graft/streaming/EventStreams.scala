@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -122,6 +122,69 @@ object EventStreams {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
         round(col("tv"), 2).as("total_value"))
+
+  /** Spark 4's `transformWithState` surface (the successor API to
+    * flatMapGroupsWithState: named state variables with per-state
+    * encoders + explicit timers): a continuously-maintained per-user
+    * PROFILE (lifetime event/purchase counts + spend) that emits once,
+    * when the event-time timer at `lastSeen + horizonMs` fires — the
+    * feature-store "user rollup" pattern. Each batch folds its rows into
+    * the ValueState and REPLACES the pending timer (the superseded timer
+    * is deleted, so exactly one emission per user regardless of batch
+    * count). Aggregation order within/across batches is irrelevant:
+    * counts are exact and the double spend rounds at emission.
+    */
+  class RunningProfileProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, Event, ProfileOut] {
+    @transient private var state: ValueState[ProfileState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ProfileState]("profile",
+        org.apache.spark.sql.Encoders.product[ProfileState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ProfileOut] = {
+      var cur = if (state.exists()) state.get()
+        else ProfileState(0L, 0L, 0.0, Long.MinValue, 0L)
+      rows.foreach { e =>
+        cur = ProfileState(cur.n + 1,
+          cur.purchases + (if (e.event_type == "purchase") 1L else 0L),
+          cur.total + e.value, math.max(cur.lastMs, e.ts.getTime), cur.timerMs)
+      }
+      if (cur.timerMs != 0L) getHandle.deleteTimer(cur.timerMs)
+      val t = cur.lastMs + horizonMs
+      getHandle.registerTimer(t)
+      state.update(cur.copy(timerMs = t))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ProfileOut] = {
+      val s = state.get()
+      state.clear()
+      Iterator.single(ProfileOut(userId, s.n, s.purchases,
+        math.floor(s.total * 100 + 0.5) / 100))
+    }
+  }
+
+  /** `transformWithState` wiring for [[RunningProfileProcessor]] —
+    * event-time timers, append output. */
+  def runningProfile(events: Dataset[Event],
+      horizonMs: Long = 40L * 86400 * 1000,
+      watermark: String = "10 minutes"): Dataset[ProfileOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningProfileProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class ProfileState(n: Long, purchases: Long, total: Double,
+                                lastMs: Long, timerMs: Long)
+
+  final case class ProfileOut(user_id: Long, n_events: Long,
+                              n_purchases: Long, total_value: Double)
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)

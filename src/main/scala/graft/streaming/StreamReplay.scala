@@ -586,6 +586,31 @@ object StreamReplay {
         round(col("total_value"), 2).as("total_value"), col("duration_ms"))
       .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
 
+  /** st13: `transformWithState` (Spark 4's arbitrary-state successor to
+    * flatMapGroupsWithState — named/encoded state variables + explicit
+    * timer registry): per-user lifetime profile maintained in a
+    * ValueState, emitted exactly once when the event-time timer at
+    * lastSeen+40d fires (ticks move the watermark there) — each batch
+    * REPLACES the pending timer, so multi-batch replay emits no
+    * duplicates. Oracle = the plain per-user batch aggregate: however
+    * the stream chunks, the settled profile must equal GROUP BY.
+    */
+  val st13_profile_tws: Q = (s, dir) => st13Shaped(s, dir, chunks = 1)
+
+  /** st13b: the same processor over 8 event-time chunks — state folds
+    * and timer replacement genuinely cross batch boundaries. */
+  val st13b_profile_tws_multibatch: Q = (s, dir) => st13Shaped(s, dir, chunks = 8)
+
+  private def st13Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
+    // transformWithState is RocksDB-only in Spark 4 — pin the provider
+    // for this replay regardless of the process-level default
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.runningProfile(ds).toDF(), chunks = chunks,
+      stateStore = Some("rocksdb")).df
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("n_events"), col("n_purchases"), col("total_value"))
+      .orderBy(col("user_id"))
+
   /** st12: NATIVE session-window aggregation as a stream — the SAME
     * function a09 runs as a batch query ([[EventStreams.sessionWindowAgg]];
     * `withWatermark` is a no-op in batch and the state-eviction contract
@@ -741,7 +766,17 @@ object StreamReplay {
     "st11b_scd2_multibatch" -> st11b_scd2_multibatch,
     "st12_session_window_stream" -> st12_session_window_stream,
     "st12b_session_window_multibatch" -> st12b_session_window_multibatch,
+    "st13_profile_tws" -> st13_profile_tws,
+    "st13b_profile_tws_multibatch" -> st13b_profile_tws_multibatch,
   )
+
+  /** st13/st13b twin: the plain per-user batch aggregate. */
+  private val profileOracle: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_purchases,
+      |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     // a08's SCD2 lag-collapse/lead-interval SQL transposed to the ms
@@ -879,6 +914,10 @@ object StreamReplay {
     "st06c_dedup_crossbatch" -> baseOracles("st06_dedup_stream"),
     "st07b_session_multibatch" -> baseOracles("st07_session_stream"),
     "st11b_scd2_multibatch" -> baseOracles("st11_scd2_stream"),
+    // st13: the settled profile must equal the plain batch aggregate,
+    // however the stream was chunked
+    "st13_profile_tws" -> profileOracle,
+    "st13b_profile_tws_multibatch" -> profileOracle,
     // st12: the stream IS a09's function — so is its oracle
     "st12_session_window_stream" ->
       graft.operators.EventJoins.oracles("a09_session_window"),

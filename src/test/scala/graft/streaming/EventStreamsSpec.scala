@@ -432,4 +432,46 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "click", ts(1, 40).getTime, None, 1)))
     query.stop()
   }
+
+  test("transformWithState profile emits once, after timer replacement across batches") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Event]
+      val query = EventStreams.runningProfile(input.toDS(), horizonMs = 2L * 3600 * 1000)
+        .writeStream.format("memory").queryName("tws_profile")
+        .outputMode(OutputMode.Append()).start()
+      // batch 1 arms a timer at ts(1,30)+2h; batch 2 must REPLACE it
+      input.addData(
+        EventStreams.Event(1, ts(1, 0), 10, "view", 1.5),
+        EventStreams.Event(2, ts(1, 30), 10, "purchase", 2.25))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(3, ts(2, 0), 10, "purchase", 3.0))
+      query.processAllAvailable()
+      assert(spark.table("tws_profile").count() === 0) // nothing emitted yet
+      // watermark movers: first past the SUPERSEDED timer (3:30) but not
+      // the live one (4:00) — a stale timer would emit a 2-event profile
+      input.addData(EventStreams.Event(4, ts(3, 50), 99, "view", 0.0))
+      query.processAllAvailable()
+      assert(spark.table("tws_profile").as[EventStreams.ProfileOut].collect()
+        .count(_.user_id == 10L) === 0)
+      // then far past the live timer: exactly one full profile emits
+      input.addData(EventStreams.Event(5, ts(9, 0), 98, "view", 0.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(6, ts(12, 0), 97, "view", 0.0))
+      query.processAllAvailable()
+      val u10 = spark.table("tws_profile").as[EventStreams.ProfileOut].collect()
+        .filter(_.user_id == 10L)
+      assert(u10.toSeq === Seq(EventStreams.ProfileOut(10L, 3L, 2L, 6.75)))
+      query.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
