@@ -435,7 +435,43 @@ object CurationQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** c16: the END-TO-END curation pipeline as ONE query — exact-dedup
+    * keepers → token-count quality gate → sequential-Poisson weighted
+    * sample per source (the d01 → t02-ish → c15 chain a real corpus
+    * build runs nightly), composed so Catalyst optimizes ACROSS stage
+    * boundaries instead of across jobs.
+    *
+    * Scale shape: the keeper stage carries every downstream column
+    * through the content-hash aggregate (`min`/`min_by` — copies share
+    * text, so text-derived fields agree; source attribution follows the
+    * min-doc_id keeper, declared) — NO join back to the corpus, the
+    * lesson the d14 probe taught this round. The quality gate is a
+    * filter on the agg output; the sample is the c15 per-stratum
+    * bounded window with map-side WindowGroupLimit. One content-hash
+    * shuffle + one source-window shuffle, total.
+    */
+  val c16_curation_e2e: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val keep = Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min_by(col("source"), col("doc_id")).as("source"),
+        min(col("n_chars")).as("n_chars"),
+        min(size(split(col("text"), " "))).as("n_tokens"))
+      .filter(col("n_tokens") >= 20)
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("skey"), col("doc_id"))
+    keep.withColumn("skey", (u + 1).cast("double") / col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"))
+      .orderBy(col("source"), col("rk"))
+  }
+
   val all: Map[String, Q] = Map(
+    "c16_curation_e2e" -> c16_curation_e2e,
     "c15_weighted_sample" -> c15_weighted_sample,
     "c12_mlm_mask" -> c12_mlm_mask,
     "t07_pii_redaction" -> t07_pii_redaction,
@@ -478,6 +514,28 @@ object CurationQueries {
     // c15: DuckDB's 0x-string cast is its hex→int path; the priority is
     // the identical exact-integer IEEE division, so no rounding is
     // needed anywhere, including on the emitted key.
+    // c16: keeper fields via min/min_by through the hash agg (copies
+    // share text, so token/char counts agree; source follows the
+    // min-doc_id keeper), then the c15 sample over the survivors.
+    "c16_curation_e2e" ->
+      """WITH keep AS (
+        |  SELECT min(doc_id) AS doc_id,
+        |    min_by(source, doc_id) AS source,
+        |    min(n_chars) AS n_chars,
+        |    min(len(string_split(text, ' '))) AS n_tokens
+        |  FROM documents GROUP BY md5(text)),
+        |q AS (SELECT * FROM keep WHERE n_tokens >= 20),
+        |k AS (
+        |  SELECT source, doc_id, n_tokens,
+        |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+        |         AS BIGINT) + 1 AS DOUBLE) / n_chars AS skey
+        |  FROM q),
+        |r AS (
+        |  SELECT source, doc_id, n_tokens, skey,
+        |    row_number() OVER (PARTITION BY source ORDER BY skey, doc_id) AS rk
+        |  FROM k)
+        |SELECT source, rk, doc_id, n_tokens FROM r
+        |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     "c15_weighted_sample" ->
       """WITH k AS (
         |  SELECT source, doc_id, n_chars,

@@ -601,6 +601,24 @@ object StreamReplay {
     * and timer replacement genuinely cross batch boundaries. */
   val st13b_profile_tws_multibatch: Q = (s, dir) => st13Shaped(s, dir, chunks = 8)
 
+  /** State-depth soak hook for the transformWithState path (the st13
+    * twin of [[soakSessionize]]): replay `dir`'s events through
+    * [[EventStreams.runningProfile]] in `chunks` event-time batches,
+    * RocksDB pinned (TWS requires it), capturing every micro-batch's
+    * progress so the soak can record state rows / store memory / TIMER
+    * count per batch — the timer registry is the structure the old API
+    * doesn't have, and each batch here deletes + re-registers every
+    * active user's timer. */
+  private[graft] def soakProfile(s: SparkSession, dir: String, chunks: Int):
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val r = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.runningProfile(ds).toDF(), chunks = chunks,
+      stateStore = Some("rocksdb"), progressSink = Some(buf))
+    (r.df.filter(col("user_id") >= 0).count(), buf.toSeq)
+  }
+
   private def st13Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     // transformWithState is RocksDB-only in Spark 4 — pin the provider
     // for this replay regardless of the process-level default

@@ -189,7 +189,17 @@ object StreamingSoakPhase {
     spark.stop()
   }
 
-  def runJson(s: SparkSession, nEvents: Long, nUsers: Long, chunks: Int): String = {
+  def runJson(s: SparkSession, nEvents: Long, nUsers: Long, chunks: Int): String =
+    runJsonWith(s, nEvents, nUsers, chunks, "sessionize",
+      (sp, d, c) => graft.streaming.StreamReplay.soakSessionize(sp, d, c, Some("rocksdb")))
+
+  /** Same corpus + telemetry, parameterized over the replay hook — the
+    * transformWithState soak (SOAK_r09f) reuses everything but the
+    * stateful operator under test. */
+  def runJsonWith(s: SparkSession, nEvents: Long, nUsers: Long, chunks: Int,
+      opLabel: String,
+      run: (SparkSession, String, Int) =>
+        (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])): String = {
     import scala.jdk.CollectionConverters._
     val dir = graft.Scratch.tempDir("streamsoak")
     try {
@@ -212,8 +222,7 @@ object StreamingSoakPhase {
       import graft.CpuStat.{ticks => cpuTicks, pct => cpuPct}
       val c0 = cpuTicks()
       val t0 = System.nanoTime()
-      val (sessions, progress) = graft.streaming.StreamReplay.soakSessionize(
-        s, dir.toString, chunks, Some("rocksdb"))
+      val (sessions, progress) = run(s, dir.toString, chunks)
       val secs = (System.nanoTime() - t0) / 1e9
       val (stealPct, sysPct) = cpuPct(c0, cpuTicks())
       val peakHeapMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
@@ -229,10 +238,37 @@ object StreamingSoakPhase {
            |"state_rows":$rows,"state_mem_mb":${mem >> 20},
            |"rocksdb_sst_mb":${sst >> 20}}""".stripMargin.replace("\n", "")
       }.mkString("[", ",", "]")
-      s"""{"events":$nEvents,"users":$nUsers,"chunks":$chunks,
-         |"state_store":"rocksdb","sessions_emitted":$sessions,
+      s"""{"events":$nEvents,"users":$nUsers,"chunks":$chunks,"op":"$opLabel",
+         |"state_store":"rocksdb","rows_emitted":$sessions,
          |"seconds":${f"$secs%.1f"},"run_steal_pct":$stealPct,"run_sys_pct":$sysPct,
          |"peak_heap_mb":$peakHeapMb,"batches":$batches}""".stripMargin.replace("\n", "")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+  }
+}
+
+/** transformWithState state-depth soak (SOAK_r09f): the st13 per-user
+  * profile processor replayed over the same 10M-event / 200k-user corpus
+  * as the r8 sessionize soak — per batch, every active user's ValueState
+  * folds and its event-time timer is deleted + re-registered, so this
+  * measures the TWS timer registry under churn as well as value state at
+  * depth. Usage: scripts/run.sh graft.tools.TwsSoak [outJson] [nEvents]
+  */
+object TwsSoak {
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SOAK_r09f.json")
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val json = StreamingSoakPhase.runJsonWith(spark, n, nUsers = n / 50, chunks = 8,
+      opLabel = "transformWithState_profile",
+      (sp, d, c) => graft.streaming.StreamReplay.soakProfile(sp, d, c))
+    val w = new java.io.PrintWriter(new java.io.File(outJson),
+      java.nio.charset.StandardCharsets.UTF_8)
+    try w.println(s"""{"streaming_tws":$json}""") finally w.close()
+    println(s"TWS SOAK OK -> $outJson")
+    spark.stop()
   }
 }
