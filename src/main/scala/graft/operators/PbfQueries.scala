@@ -304,17 +304,93 @@ object PbfQueries {
       .orderBy(col("box_id"))
   }
 
+  /** p05: cell-blocked SPATIAL kNN over the p04 scatter cloud — for the
+    * 10 lowest-id points, the 5 nearest neighbors by EXACT integer
+    * nano-degree squared distance among candidates in the query's 3×3
+    * cell neighborhood at 2^26-nano granularity (~0.067°; ~44 points per
+    * cell on this cloud). Declared approximation at cell reach: a true
+    * neighbor farther than one cell away is out of scope — the s02
+    * bucket-limited ANN trade transplanted to coordinate space (ring
+    * expansion is the exact-path extension; 3×3 is the one-probe form).
+    *
+    * Scale shape: the query set (with its 9 probe cells) broadcasts; the
+    * point cloud is scanned once and joined on the cell key, so work is
+    * Σ|probed cell|, never corpus². All distance math is BIGINT
+    * (Δ ≤ 2·10⁹ nano → squares ≤ 4·10¹⁸, sum < 2⁶³): no floating point
+    * anywhere, so the DuckDB twin is bit-exact by construction — no
+    * rounding discipline needed at all.
+    */
+  def p05_spatial_knn(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTranscoded(spark, "p04", p04PbfPath)
+    import org.apache.spark.sql.expressions.Window
+    val pts = spark.read.format("osmpbf").load(p04PbfPath)
+      .filter(col("type") === "node")
+      .select(col("id"),
+        round(col("lat") * 1e9).cast("long").as("latn"),
+        round(col("lon") * 1e9).cast("long").as("lonn"))
+      .withColumn("cla", shiftright(col("latn"), 26))
+      .withColumn("clo", shiftright(col("lonn"), 26))
+    val q0 = pts.filter(col("id") <= 10)
+      .select(col("id").as("qid"), col("latn").as("qla"), col("lonn").as("qlo"),
+        col("cla"), col("clo"))
+    val probes = (for (da <- -1 to 1; dlo <- -1 to 1) yield (da, dlo))
+      .map { case (da, dlo) =>
+        q0.select(col("qid"), col("qla"), col("qlo"),
+          (col("cla") + da).as("ca"), (col("clo") + dlo).as("co"))
+      }.reduce(_ unionByName _)
+    val cand = pts.join(broadcast(probes),
+        col("cla") === col("ca") && col("clo") === col("co") &&
+          col("id") =!= col("qid"))
+      .withColumn("d2",
+        (col("latn") - col("qla")) * (col("latn") - col("qla")) +
+          (col("lonn") - col("qlo")) * (col("lonn") - col("qlo")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("id").as("neighbor"), col("d2"))
+      .orderBy(col("qid"), col("rk"))
+  }
+
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_ways_and_deps" -> (p01_ways_and_deps(_, _)),
     "p02_way_lengths" -> (p02_way_lengths(_, _)),
     "p03_zorder_bbox" -> (p03_zorder_bbox(_, _)),
-    "p04_spatial_join" -> (p04_spatial_join(_, _)))
+    "p04_spatial_join" -> (p04_spatial_join(_, _)),
+    "p05_spatial_knn" -> (p05_spatial_knn(_, _)))
 
   /** DuckDB twins over the transcoded parquet at the fingerprinted
     * [[OracleRoot]] subpaths (dumped by the queries themselves before
     * they return; the paths resolve at dump time, so the SQL always
     * points at the twin THIS code version produced). */
   lazy val oracles: Map[String, String] = Map(
+    // p05: same nano recovery as p02, same 2^26 cells, 3×3 probe via two
+    // unnested offset tables — all-BIGINT, so equality is bit-exact.
+    "p05_spatial_knn" ->
+      s"""WITH n AS (
+         |  SELECT id, CAST(round(lat * 1e9) AS BIGINT) AS latn,
+         |         CAST(round(lon * 1e9) AS BIGINT) AS lonn
+         |  FROM read_parquet('$p04Out/type=node/*.parquet')),
+         |p AS (
+         |  SELECT id, latn, lonn, latn >> 26 AS cla, lonn >> 26 AS clo
+         |  FROM n),
+         |q AS (
+         |  SELECT id AS qid, latn AS qla, lonn AS qlo,
+         |         cla + a.da AS ca, clo + b.db AS co
+         |  FROM p
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS da) a
+         |  CROSS JOIN (SELECT unnest([-1, 0, 1]) AS db) b
+         |  WHERE id <= 10),
+         |cand AS (
+         |  SELECT q.qid, p.id,
+         |    (p.latn - q.qla) * (p.latn - q.qla)
+         |    + (p.lonn - q.qlo) * (p.lonn - q.qlo) AS d2
+         |  FROM p JOIN q ON p.cla = q.ca AND p.clo = q.co AND p.id != q.qid),
+         |r AS (
+         |  SELECT qid, id, d2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rk
+         |  FROM cand)
+         |SELECT qid, rk, id AS neighbor, d2 FROM r
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
     // ways matching the predicate + their dependent nodes (indexed.rs
     // semantics); map value extraction is m[k][1] in DuckDB
     "p01_ways_and_deps" ->
