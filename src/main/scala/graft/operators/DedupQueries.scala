@@ -343,8 +343,16 @@ object DedupQueries {
   private[graft] def devPairCounts(inv: DataFrame): DataFrame = pairCounts(inv)
 
   private def invertedPostings(sh: DataFrame, maxPosting: Option[Int]): DataFrame = {
+    // Guarded pack: a doc with >= 2^20 distinct shingles or a negative
+    // doc_id would silently corrupt pair identities (Spark div/% truncate
+    // toward zero, breaking unpack for negatives) — fail the task loudly
+    // instead. The branch is codegen'd and costs one compare per shingle.
+    val packed = expr(
+      s"if(doc_id >= 0 and n < $PackBase, doc_id * $PackBase + n, " +
+        "cast(raise_error(concat('packed posting out of range: doc_id=', " +
+        "cast(doc_id as string), ' n=', cast(n as string))) as bigint))")
     val inv = sh.groupBy(col("s"))
-      .agg(collect_list(col("doc_id") * PackBase + col("n")).as("ds0"))
+      .agg(collect_list(packed).as("ds0"))
       .filter(size(col("ds0")) >= 2)
     val kept = maxPosting.map(c => inv.filter(size(col("ds0")) <= c)).getOrElse(inv)
     kept.select(sort_array(col("ds0")).as("ds"))

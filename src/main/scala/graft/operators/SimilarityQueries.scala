@@ -540,9 +540,16 @@ object SimilarityQueries {
     * per-corpus).
     */
   val e03_matryoshka_recall: Q = (s, dir) => {
+    // Zero-norm prefix guard: a vector whose first 16 dims are all zero
+    // would make the truncated cosine divide by zero — Spark's Divide
+    // yields NULL there while DuckDB yields IEEE inf/NaN, so the two rank
+    // windows would diverge. Such a vector has no defined truncated
+    // ranking anyway; drop it from the audit on BOTH sides (oracle twin
+    // carries the same predicate).
     val e = embs(s, dir)
       .withColumn("v16", slice(col("v"), 1, 16))
       .withColumn("n16", dot(col("v16"), col("v16")))
+      .filter(col("n16") > 0.0)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
         col("v16").as("qv16"), col("n16").as("qn16"))

@@ -519,7 +519,8 @@ object TrainingOracles {
       s"""$embPrelude,
          |t AS (
          |  SELECT vec_id, v, n2, v[1:16] AS v16,
-         |    list_dot_product(v[1:16], v[1:16]) AS n16 FROM n),
+         |    list_dot_product(v[1:16], v[1:16]) AS n16 FROM n
+         |  WHERE list_dot_product(v[1:16], v[1:16]) > 0),
          |q AS (
          |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, v16 AS qv16, n16 AS qn16
          |  FROM t WHERE vec_id < 10),

@@ -131,8 +131,13 @@ object EventStreams {
     * feature-store "user rollup" pattern. Each batch folds its rows into
     * the ValueState and REPLACES the pending timer (the superseded timer
     * is deleted, so exactly one emission per user regardless of batch
-    * count). Aggregation order within/across batches is irrelevant:
-    * counts are exact and the double spend rounds at emission.
+    * count). Aggregation order within/across batches is irrelevant BY
+    * CONSTRUCTION: counts are exact, and spend is quantized to integer
+    * CENTS per event before folding (the q39/e02 discipline) — the
+    * sequential stream fold and the oracle's arbitrary-order SUM are the
+    * same exact integer, instead of relying on a final cent-round to
+    * absorb double-accumulation ulp drift (which can straddle a .005
+    * boundary on larger corpora — the st07 latent pattern).
     */
   class RunningProfileProcessor(horizonMs: Long)
       extends StatefulProcessor[Long, Event, ProfileOut] {
@@ -145,11 +150,12 @@ object EventStreams {
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[ProfileOut] = {
       var cur = if (state.exists()) state.get()
-        else ProfileState(0L, 0L, 0.0, Long.MinValue, 0L)
+        else ProfileState(0L, 0L, 0L, Long.MinValue, 0L)
       rows.foreach { e =>
         cur = ProfileState(cur.n + 1,
           cur.purchases + (if (e.event_type == "purchase") 1L else 0L),
-          cur.total + e.value, math.max(cur.lastMs, e.ts.getTime), cur.timerMs)
+          cur.totalCents + math.floor(e.value * 100 + 0.5).toLong,
+          math.max(cur.lastMs, e.ts.getTime), cur.timerMs)
       }
       if (cur.timerMs != 0L) getHandle.deleteTimer(cur.timerMs)
       val t = cur.lastMs + horizonMs
@@ -162,8 +168,10 @@ object EventStreams {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[ProfileOut] = {
       val s = state.get()
       state.clear()
+      // one IEEE division of an exact integer — bit-identical to the
+      // oracle's sum(per-event cents) / 100.0
       Iterator.single(ProfileOut(userId, s.n, s.purchases,
-        math.floor(s.total * 100 + 0.5) / 100))
+        s.totalCents / 100.0))
     }
   }
 
@@ -180,7 +188,7 @@ object EventStreams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  final case class ProfileState(n: Long, purchases: Long, total: Double,
+  final case class ProfileState(n: Long, purchases: Long, totalCents: Long,
                                 lastMs: Long, timerMs: Long)
 
   final case class ProfileOut(user_id: Long, n_events: Long,

@@ -788,12 +788,16 @@ object StreamReplay {
     "st13b_profile_tws_multibatch" -> st13b_profile_tws_multibatch,
   )
 
-  /** st13/st13b twin: the plain per-user batch aggregate. */
+  /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
+    * per-event integer CENTS (mirroring ProfileState's fold) so the
+    * arbitrary-order SUM here and the sequential stream fold are the
+    * same exact integer; / 100.0 is then one IEEE division both sides. */
   private val profileOracle: String =
     """SELECT user_id, count(*) AS n_events,
       |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
       |    AS BIGINT) AS n_purchases,
-      |  floor(sum(value) * 100 + 0.5) / 100 AS total_value
+      |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+      |    AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(

@@ -57,6 +57,12 @@ object ContainAB {
     time("invOld")(invOld)
     time("invNew")(invNew)
 
+    // NOTE: this arm is the HINT-PINNED post-fix variant of the historical
+    // pipeline, not the historical plan itself — the true pre-fix code was
+    // unhinted and let AQE broadcast the join sides (which is exactly the
+    // 8 GiB-cliff shape SOAK_r09c caught). The shuffle_hash hints pin the
+    // build side the way the engine-wide fix did, so this A/B measures
+    // "fixed join-layer pipeline" vs "join-free packed postings".
     def pairOld = {
       val docN = shOld.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val pairs = invOld.select(explode(expr(
