@@ -653,8 +653,67 @@ object DedupQueries {
       .orderBy(col("tok_a"), col("tok_b"))
   }
 
+  /** SQL fragment: the ≤1-deletion neighborhood of `x` (one variant per
+    * deleted position; empty-safe). Composable — d17 nests it for the
+    * ≤2-deletion neighborhood. */
+  private def dels(x: String): String =
+    s"if(length($x) = 0, array(), transform(sequence(1, length($x)), " +
+      s"i -> concat(substr($x, 1, i - 1), substr($x, i + 1))))"
+
+  /** d17: d16's fuzzy vocabulary matching with DELETION-NEIGHBORHOOD
+    * blocking (SymSpell): each token emits its ≤2-deletion variants as
+    * join keys; candidate pairs form only within identical-variant
+    * buckets. LOSSLESS for edit distance ≤ 2 — an alignment with k ≤ 2
+    * ops yields a common subsequence reachable by ≤ k deletions from
+    * each side (a substitution deletes one char from each string, an
+    * insert/delete one from one side), so every lev ≤ 2 pair shares a
+    * variant. The bucket join over-generates (shared variant only bounds
+    * lev ≤ 4), so the exact `levenshtein` still gates every candidate —
+    * same filter, same oracle as d16.
+    *
+    * 100 TB story (vs d16's within-length-bucket ALL-PAIRS, Σ|V_len|²):
+    * a token's candidates are its ~C(len,≤2) variant buckets' occupants
+    * — local neighborhoods, not whole length classes — so candidate
+    * count grows ~linearly in vocabulary while d16's grows
+    * quadratically (probe-measured in SOAK_r10.json, FuzzyProbe).
+    * Variant generation is O(len²) rows per token through codegen'd
+    * array ops; every shuffle keys on the variant string and the hot
+    * (short) variants' buckets are bounded by the short-token
+    * vocabulary itself.
+    */
+  val d17_fuzzy_vocab_blocked: Q = (s, dir) => {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("len", length(col("tok")))
+    // ≤2-deletion neighborhood as distinct join keys (self + 1-del + 2-del)
+    val neigh = expr(s"array_distinct(concat(array(tok), ${dels("tok")}, " +
+      s"flatten(transform(${dels("tok")}, y -> ${dels("y")}))))")
+    val keyed = vocab.select(explode(neigh).as("v"),
+      struct(col("len"), col("tok"), col("n")).as("e"))
+    // variant buckets → sorted postings → ordered pairs; struct sort is
+    // (len, tok)-major, exactly d16's (shorter-first, lexicographic tie)
+    // pair orientation. Buckets here are LOCAL neighborhoods (tiny), so
+    // the interpreted struct-array sort d04 had to avoid is irrelevant.
+    val pairs = keyed.groupBy(col("v")).agg(collect_set(col("e")).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(sort_array(col("ts")).as("ts"))
+      .select(explode(expr(
+        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts) - i - 1), " +
+          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(col("p.a.tok").as("tok_a"), col("p.b.tok").as("tok_b"),
+        col("p.a.n").as("na"), col("p.b.n").as("nb"))
+      .distinct() // a pair may share many variants; one levenshtein each
+    pairs
+      .withColumn("dist", levenshtein(col("tok_a"), col("tok_b")))
+      .filter(col("dist") <= 2)
+      .select(col("tok_a"), col("tok_b"), col("dist"), col("na"), col("nb"))
+      .orderBy(col("tok_a"), col("tok_b"))
+  }
+
   val all: Map[String, Q] = Map(
     "d16_fuzzy_vocab" -> d16_fuzzy_vocab,
+    "d17_fuzzy_vocab_blocked" -> d17_fuzzy_vocab_blocked,
     "d15_containment_capped" -> d15_containment_capped,
     "d14_containment" -> d14_containment,
     "d01_dedup_exact" -> d01_dedup_exact,

@@ -4,12 +4,12 @@ package graft.operators
   * Spark side exactly (driver hash-compares after sorting columns by name).
   */
 object RelationalOracles {
-  val all: Map[String, String] = Map(
-    // q39: deliberately the OTHER algorithm — full recompute over the
-    // post-merge state. The engine maintains base+delta; integer-cents
-    // quantization before summation makes the two EXACTLY equal.
-    "q39_incremental_agg" ->
-      """WITH merged AS (
+  // q39: deliberately the OTHER algorithm — full recompute over the
+  // post-merge state. The engine maintains base+delta; integer-cents
+  // quantization before summation makes the two EXACTLY equal.
+  // q39b (bucketed-layout variant) reads identical data → same oracle.
+  private val q39Sql =
+    """WITH merged AS (
         |  SELECT o_orderstatus AS status,
         |    CASE WHEN o_orderkey % 7 = 0 AND o_orderkey % 13 != 0
         |         THEN o_totalprice * 1.05 ELSE o_totalprice END AS price
@@ -20,12 +20,14 @@ object RelationalOracles {
         |SELECT status,
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(floor(price * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
-        |FROM merged GROUP BY status ORDER BY status""".stripMargin,
-    // q38: MERGE semantics spelled out as the same full-outer + CASE the
-    // engine plans; delete precedence over update is in the changeset
-    // derivation (k%13 excluded from updates) on both sides.
-    "q38_merge_upsert" ->
-      """WITH mk AS (SELECT max(o_orderkey) AS max_key FROM orders),
+        |FROM merged GROUP BY status ORDER BY status""".stripMargin
+
+  // q38: MERGE semantics spelled out as the same full-outer + CASE the
+  // engine plans; delete precedence over update is in the changeset
+  // derivation (k%13 excluded from updates) on both sides.
+  // q38b (bucketed-layout variant) reads identical data → same oracle.
+  private val q38Sql =
+    """WITH mk AS (SELECT max(o_orderkey) AS max_key FROM orders),
         |del AS (
         |  SELECT o_orderkey AS k, 'D' AS op,
         |    CAST(NULL AS DOUBLE) AS new_price, CAST(NULL AS BIGINT) AS new_cust
@@ -48,7 +50,13 @@ object RelationalOracles {
         |  floor(coalesce(c.new_price, o.o_totalprice) * 100 + 0.5) / 100 AS totalprice
         |FROM orders o FULL JOIN chg c ON o.o_orderkey = c.k
         |WHERE c.op IS NULL OR c.op != 'D'
-        |ORDER BY key""".stripMargin,
+        |ORDER BY key""".stripMargin
+
+  val all: Map[String, String] = Map(
+    "q39_incremental_agg" -> q39Sql,
+    "q39b_incremental_bucketed" -> q39Sql,
+    "q38_merge_upsert" -> q38Sql,
+    "q38b_merge_bucketed" -> q38Sql,
 
     // q37: bucketing changes the LAYOUT, never the result — the oracle is
     // the plain join over the raw parquet. sum(l_quantity) is exact

@@ -638,9 +638,39 @@ object RelationalQueries {
 
   /** One-time bucketed layouts per (session, sfDir) — see [[q37_bucketed_colocated]].
     * Key includes the session identity because catalog entries die with
-    * the session; values are the registered table names. */
+    * the session; values are (orders table, lineitem table, scratch dir).
+    *
+    * SCRATCH CONTRACT (the oracle-twin discipline from r6): the layout is
+    * session-scoped scratch, not a managed dataset — a JVM shutdown hook
+    * deletes every scratch dir this process created, and a library
+    * consumer embedding graft in a long-lived JVM can reclaim earlier
+    * with [[dropBucketed]] (drops the session's `graft_bkt_*` catalog
+    * entries + deletes their files; the next call rebuilds). */
   private val bucketedReady =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+  private lazy val scratchHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      bucketedReady.values.forEach { case (_, _, d) =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        catch { case _: Throwable => () }
+      }
+    }))
+  }
+
+  /** Drop this session's bucketed-layout catalog entries and delete
+    * their scratch now instead of at JVM exit. */
+  def dropBucketed(s: SparkSession): Unit = {
+    import scala.jdk.CollectionConverters._
+    val prefix = s"${System.identityHashCode(s)}:"
+    bucketedReady.keySet.asScala.filter(_.startsWith(prefix)).toSeq.foreach { k =>
+      Option(bucketedReady.remove(k)).foreach { case (ordT, liT, d) =>
+        s.sql(s"DROP TABLE IF EXISTS $ordT")
+        s.sql(s"DROP TABLE IF EXISTS $liT")
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        catch { case _: Throwable => () }
+      }
+    }
+  }
 
   /** Write `orders` and `lineitem` bucketed AND sorted by the join key
     * (8 buckets here; thousands at 100 TB). The `repartition(n, key)`
@@ -654,8 +684,9 @@ object RelationalQueries {
     * paid at ingest, not per query.
     */
   def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
-    val key = System.identityHashCode(s) + ":" + dir
-    bucketedReady.computeIfAbsent(key, _ => {
+    scratchHook // install the exit-time scratch cleanup once
+    val key = s"${System.identityHashCode(s)}:$dir"
+    val (ordT, liT, _) = bucketedReady.computeIfAbsent(key, _ => {
       val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
         "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
       val (ordT, liT) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
@@ -668,8 +699,9 @@ object RelationalQueries {
         .repartition(buckets, col("l_orderkey"))
         .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$scratch/lineitem").mode("overwrite").saveAsTable(liT)
-      (ordT, liT)
+      (ordT, liT, scratch)
     })
+    (ordT, liT)
   }
 
   /** q37: bucketed CO-LOCATED join — the recurring big×big join with the
@@ -725,14 +757,37 @@ object RelationalQueries {
     */
   val q38_merge_upsert: Q = (s, dir) => {
     val ord = Tables.orders(s, dir)
-    val mk = ord.agg(max(col("o_orderkey")).as("max_key"))
-    val del = ord.filter(col("o_orderkey") % 13 === 0)
+    mergeUpsertFrom(ord, ord)
+  }
+
+  /** q38b: the SAME merge apply against q37's BUCKETED layout — the
+    * "zero-target-exchange incremental apply" claim, executed: the
+    * target scan reports `HashPartitioning(o_orderkey, 8)` straight off
+    * the bucketed files, so the full-outer merge join needs NO Exchange
+    * above the target side — only the (changeset-sized) source shuffles
+    * to match. `BucketingSpec` pins exactly that on the executed plan;
+    * the gate pins hash-identity with q38 (same rows, same oracle). At
+    * 100 TB this is the difference between re-shuffling the full fact
+    * table per changeset application and moving only the changeset.
+    */
+  val q38b_merge_bucketed: Q = (s, dir) => {
+    val (ordT, _) = ensureBucketed(s, dir)
+    // the changeset arrives from OUTSIDE the layout in a real pipeline —
+    // derive it from the plain table (identical rows) so the bucketed
+    // scan exists only on the target side of the merge join
+    mergeUpsertFrom(s.table(ordT).hint("merge"), Tables.orders(s, dir))
+  }
+
+  /** q38's body over an explicit (target, changeset-source) pair. */
+  private def mergeUpsertFrom(ord: DataFrame, chgSrc: DataFrame): DataFrame = {
+    val mk = chgSrc.agg(max(col("o_orderkey")).as("max_key"))
+    val del = chgSrc.filter(col("o_orderkey") % 13 === 0)
       .select(col("o_orderkey").as("k"), lit("D").as("op"),
         lit(null).cast("double").as("new_price"), lit(null).cast("long").as("new_cust"))
-    val upd = ord.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
+    val upd = chgSrc.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
       .select(col("o_orderkey").as("k"), lit("U").as("op"),
         (col("o_totalprice") * 1.05).as("new_price"), lit(null).cast("long").as("new_cust"))
-    val ins = ord.filter(col("o_orderkey") % 11 === 0).crossJoin(broadcast(mk))
+    val ins = chgSrc.filter(col("o_orderkey") % 11 === 0).crossJoin(broadcast(mk))
       .select((col("o_orderkey") + col("max_key")).as("k"), lit("I").as("op"),
         col("o_totalprice").as("new_price"), col("o_custkey").as("new_cust"))
     val chg = del.unionByName(upd).unionByName(ins)
@@ -766,9 +821,23 @@ object RelationalQueries {
     * delta over the changeset — the latter is changeset-sized, the point
     * of IVM) and one tiny full-outer merge on the handful of group keys.
     */
-  val q39_incremental_agg: Q = (s, dir) => {
+  val q39_incremental_agg: Q = (s, dir) => incrementalAggFrom(Tables.orders(s, dir))
+
+  /** q39b: the IVM refresh reading its base and changeset from q37's
+    * bucketed layout — the plan every scheduled refresh would run once
+    * the fact table lives bucketed: the base aggregate is a partial agg
+    * directly over the bucketed scan (the only Exchanges in the plan
+    * carry post-partial-agg group rows — a handful of statuses — never
+    * raw fact rows), and the delta side stays changeset-sized by IVM
+    * construction. Same maintained-vs-recomputed oracle as q39.
+    */
+  val q39b_incremental_bucketed: Q = (s, dir) => {
+    val (ordT, _) = ensureBucketed(s, dir)
+    incrementalAggFrom(s.table(ordT))
+  }
+
+  private def incrementalAggFrom(ord: DataFrame): DataFrame = {
     val cents = (c: Column) => floor(c * 100 + 0.5).cast("long")
-    val ord = Tables.orders(s, dir)
     val base = ord.groupBy(col("o_orderstatus").as("status"))
       .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("c0"))
     val del = ord.filter(col("o_orderkey") % 13 === 0)
@@ -792,7 +861,9 @@ object RelationalQueries {
 
   val all: Map[String, Q] = Map(
     "q39_incremental_agg" -> q39_incremental_agg,
+    "q39b_incremental_bucketed" -> q39b_incremental_bucketed,
     "q38_merge_upsert" -> q38_merge_upsert,
+    "q38b_merge_bucketed" -> q38b_merge_bucketed,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,

@@ -554,6 +554,21 @@ object TrainingOracles {
         | AND (a.len < b.len OR (a.len = b.len AND a.tok < b.tok))
         |WHERE levenshtein(a.tok, b.tok) <= 2
         |ORDER BY tok_a, tok_b""".stripMargin,
+    // d17: SAME oracle as d16 by construction — deletion-neighborhood
+    // blocking is lossless for lev <= 2, so the listing is identical;
+    // only the candidate space differs. The shared SQL IS the claim.
+    "d17_fuzzy_vocab_blocked" ->
+      """WITH v AS (
+        |  SELECT tok, count(*) AS n, length(tok) AS len FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY tok),
+        |b AS (SELECT tok, n, len, unnest([len - 2, len - 1, len]) AS bkt FROM v)
+        |SELECT a.tok AS tok_a, b.tok AS tok_b,
+        |  levenshtein(a.tok, b.tok) AS dist, a.n AS na, b.n AS nb
+        |FROM v a JOIN b ON a.len = b.bkt
+        | AND (a.len < b.len OR (a.len = b.len AND a.tok < b.tok))
+        |WHERE levenshtein(a.tok, b.tok) <= 2
+        |ORDER BY tok_a, tok_b""".stripMargin,
     // d15: d14 with the posting cap replicated — the pair space is
     // restricted to shingles shared by <= 64 docs; denominators stay the
     // full per-doc counts, exactly as the engine declares.

@@ -90,4 +90,77 @@ class BucketingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.toSeq).toSeq
     assert(viaBuckets === plain)
   }
+
+  // AQE-transparent child traversal shared by the plan-shape pins below
+  private def planChildren(n: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  private def collectNodes(n: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] =
+    n +: planChildren(n).flatMap(collectNodes)
+
+  test("q38b merge apply: changeset shuffles, the bucketed target side never does") {
+    val dir = "/root/testdata/sf0.001"
+    val q38b = RelationalQueries.all("q38b_merge_bucketed")(spark, dir)
+    q38b.collect() // finalize AQE
+    val plan = q38b.queryExecution.executedPlan
+    val planStr = plan.toString.split("== Initial Plan ==").head
+    def isTargetScan(n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.bucketedScan && f.tableIdentifier.exists(_.table.startsWith("graft_bkt_orders"))
+      case _ => false
+    }
+    // locate the merge join and split its subtrees into target side
+    // (contains the bucketed scan) and changeset side
+    val smj = collectNodes(plan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString == "FullOuter" => j
+    }.getOrElse(fail(s"expected full-outer SMJ:\n$planStr"))
+    val sides = Seq(smj.left, smj.right).map(collectNodes)
+    val (targetSide, chgSide) = sides.partition(_.exists(isTargetScan)) match {
+      case (Seq(t), Seq(c)) => (t, c)
+      case other => fail(s"expected the bucketed scan on exactly one join side: $other")
+    }
+    def shuffles(ns: Seq[org.apache.spark.sql.execution.SparkPlan]) =
+      ns.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles(targetSide) === 0,
+      s"no Exchange may sit between the merge join and the bucketed target scan:\n$planStr")
+    assert(shuffles(chgSide) >= 1,
+      s"the changeset side is the one that shuffles to the bucket layout:\n$planStr")
+    // and the layout never changes the answer: q38b ≡ q38 row-for-row
+    val viaBuckets = q38b.collect().map(_.toSeq).toSeq
+    val plain = RelationalQueries.all("q38_merge_upsert")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuckets === plain)
+  }
+
+  test("q39b IVM refresh: only post-partial-agg group rows ever shuffle") {
+    val dir = "/root/testdata/sf0.001"
+    val q39b = RelationalQueries.all("q39b_incremental_bucketed")(spark, dir)
+    q39b.collect()
+    val plan = q39b.queryExecution.executedPlan
+    // every shuffle in the refresh must carry aggregated group rows
+    // (HashAggregate below it), never raw fact rows
+    def belowIsAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      planChildren(n).headOption.exists {
+        case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+        case c => belowIsAgg(c) // see through unary pass-throughs
+      }
+    val shuffles = collectNodes(plan)
+      .filter(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+      .map(belowIsAgg)
+    assert(shuffles.nonEmpty, "expected the status-keyed agg exchanges")
+    assert(shuffles.forall(identity),
+      s"every exchange must sit above a partial aggregate:\n${plan.toString}")
+    val viaBuckets = q39b.collect().map(_.toSeq).toSeq
+    val plain = RelationalQueries.all("q39_incremental_agg")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaBuckets === plain)
+  }
 }
