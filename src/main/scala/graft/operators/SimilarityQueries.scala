@@ -163,7 +163,14 @@ object SimilarityQueries {
     }
     // one Lloyd step: assign to nearest seed, average per cell
     val assigned0 = ranked(e, seeds).filter(col("rk") === 1)
-    val refined = assigned0
+    ranked(e, lloydRefine(assigned0))
+  }
+
+  /** The shared quantized Lloyd step: per-cell dimension means from
+    * PRE-QUANTIZED integers (see [[ivfRanked]]'s scaladoc) → refined
+    * (cid, cv) centroids. Input needs (cid, v). */
+  private def lloydRefine(assigned: DataFrame): DataFrame =
+    assigned
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
       .groupBy(col("cid"), col("dim"))
       .agg((sum(floor(col("x") * 1048576.0 + 0.5).cast("long")).cast("double")
@@ -171,8 +178,6 @@ object SimilarityQueries {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
       .select(col("cid"), expr("transform(pairs, p -> p.m)").as("cv"))
-    ranked(e, refined)
-  }
 
   private def ivfKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     // final ranking against refined centroids: rk=1 is corpus membership,
@@ -430,9 +435,13 @@ object SimilarityQueries {
     * here landed exactly on a .xxxx5 double-rounding boundary where
     * Spark's and DuckDB's round() disagree — rounding once from the raw
     * double sidesteps the boundary entirely. */
-  def ivfKnnGraph(s: SparkSession, dir: String, cells: Int = 16, k: Int = 3): DataFrame = {
-    val mem = ivfRanked(s, dir, cells).filter(col("rk") === 1)
-      .select(col("cid").as("cell"), col("vec_id"), col("v"), col("n2"))
+  def ivfKnnGraph(s: SparkSession, dir: String, cells: Int = 16, k: Int = 3): DataFrame =
+    knnWithinCells(ivfRanked(s, dir, cells).filter(col("rk") === 1)
+      .select(col("cid").as("cell"), col("vec_id"), col("v"), col("n2")), k)
+
+  /** The shared s06c/s06d kNN tail: within-cell candidate join + per-query
+    * ranking window over (cell, vec_id, v, n2) memberships. */
+  private def knnWithinCells(mem: DataFrame, k: Int): DataFrame = {
     val q = mem.select(col("cell").as("qcell"), col("vec_id").as("qid"),
       col("v").as("qv"), col("n2").as("qn2"))
     val scored = mem.join(q,
@@ -445,6 +454,74 @@ object SimilarityQueries {
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
         (floor(col("cosr") * 1e4 + 0.5) / 1e4).as("sim"))
       .orderBy(col("qid"), col("rk"))
+  }
+
+  /** s06d: s06c with TWO-LEVEL (hierarchical) centroid assignment — the
+    * fix for the N² the SOAK_r09d prescription named: at the deployment
+    * rule cells ∝ N, FLAT nearest-centroid assignment costs N·cells ∝ N²
+    * distance evaluations (it was the assignment, not the candidate join,
+    * that kept s06c_scaled superlinear). Here ⌈√cells⌉ of the centroids
+    * double as COARSE anchors: each point ranks the anchors (N·√cells),
+    * then ranks only the fine centroids assigned to its anchor
+    * (N·E[cells/√cells] = N·√cells) — total N·√cells, i.e. N^1.5 at
+    * cells ∝ N instead of N², and O(N) at the equally-valid rule
+    * cells ∝ √N. Assignment is HIERARCHICAL-approximate (a point whose
+    * true nearest fine centroid lives under a different anchor lands in
+    * a neighboring cell — the standard IVF-HNSW/two-level-IVF trade),
+    * so s06d is its own operator with its own oracle replicating the
+    * two-level choice exactly; graph quality is the s04 multi-probe
+    * story, not re-flattening.
+    *
+    * Plan shape: three broadcast joins (anchors, anchors, grouped fine
+    * centroids — all tiny) + three vec_id-keyed arg-min HASH AGGREGATES
+    * (min over (d2, cid) structs ≡ the rank-1 window row, but partial-
+    * aggregatable and sort-free), then the same within-cell kNN tail as
+    * s06c. No window touches an N·cells row set anywhere.
+    */
+  val s06d_knn_ivf_hier: Q = (s, dir) => ivfKnnGraphHier(s, dir)
+
+  /** s06d body, caller-sized (probe + deployment seam). */
+  def ivfKnnGraphHier(s: SparkSession, dir: String, cells: Int = 16, k: Int = 3): DataFrame = {
+    val nCoarse = math.ceil(math.sqrt(cells.toDouble)).toInt
+    val e = embs(s, dir)
+    val seeds = e.orderBy(col("vec_id")).limit(cells)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val refined = lloydRefine(hierAssign(e, seeds, nCoarse).select(col("cid"), col("v")))
+    knnWithinCells(hierAssign(e, refined, nCoarse)
+      .select(col("cid").as("cell"), col("vec_id"), col("v"), col("n2")), k)
+  }
+
+  /** Two-level nearest-centroid assignment of (vec_id, v, n2) points to
+    * (cid, cv) centroids; coarse layer = the nCoarse lowest-cid
+    * centroids. Arg-min via min(struct(d2, cid, …)) — lexicographic
+    * struct ordering reproduces the (d2, cid) rank-1 tiebreak as a
+    * partial-aggregatable hash agg. Returns (vec_id, v, n2, cid). */
+  private def hierAssign(points: DataFrame, cents: DataFrame, nCoarse: Int): DataFrame = {
+    val anchors = cents.orderBy(col("cid")).limit(nCoarse)
+      .select(col("cid").as("acid"), col("cv").as("acv"))
+    // fine → coarse: every centroid under its nearest anchor (cells·√cells)
+    val c2a = cents.join(broadcast(anchors))
+      .withColumn("ad2", dot(col("cv"), col("cv")) + dot(col("acv"), col("acv"))
+        - lit(2.0) * dot(col("cv"), col("acv")))
+      .groupBy(col("cid"))
+      .agg(min(struct(col("ad2"), col("acid"), col("cv"))).as("m"))
+      .select(col("m.acid").as("acid"), col("cid"), col("m.cv").as("cv"))
+    // point → coarse (N·√cells)
+    val p2a = points.join(broadcast(anchors))
+      .withColumn("ad2", col("n2") + dot(col("acv"), col("acv"))
+        - lit(2.0) * dot(col("v"), col("acv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("ad2"), col("acid"), col("v"), col("n2"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.n2").as("n2"),
+        col("m.acid").as("acid"))
+    // point → fine within its coarse group (N·E[cells/√cells])
+    p2a.join(broadcast(c2a), Seq("acid"))
+      .withColumn("d2", col("n2") + dot(col("cv"), col("cv"))
+        - lit(2.0) * dot(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("v"), col("n2"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.n2").as("n2"),
+        col("m.cid").as("cid"))
   }
 
   /** s06 body, caller-sized bucket width (the parameter is the API for
@@ -573,6 +650,7 @@ object SimilarityQueries {
     "s06_knn_join" -> s06_knn_join,
     "s06b_knn_join_wide" -> s06b_knn_join_wide,
     "s06c_knn_ivf_graph" -> s06c_knn_ivf_graph,
+    "s06d_knn_ivf_hier" -> s06d_knn_ivf_hier,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,
