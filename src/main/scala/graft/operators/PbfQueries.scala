@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.sources.pbf.{IndexedPbf, OsmPbf, PbfConfig, PbfWriter}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** PBF-native query surface entries (SURVEY.md §2 F-operators over the raw
@@ -322,33 +322,105 @@ object PbfQueries {
     */
   def p05_spatial_knn(spark: SparkSession, sfDir: String): DataFrame = {
     ensureTranscoded(spark, "p04", p04PbfPath)
-    import org.apache.spark.sql.expressions.Window
-    val pts = spark.read.format("osmpbf").load(p04PbfPath)
+    ringKnn(p04Points(spark), col("id") <= 10, k = 5, fixedRadius = Some(1))
+  }
+
+  /** p05b: the RING-EXPANSION exact path p05's scaladoc declares — the
+    * same cell-blocked probe, but a query whose 3×3 neighborhood is not
+    * provably exact (fewer than k candidates, or a kth distance that an
+    * unseen point beyond the searched boundary could still beat) expands
+    * to 5×5, 7×7, … until the kth distance is strictly inside the
+    * searched region's margin. The result is EXACT kNN — so the oracle
+    * is the brute-force all-pairs ranking, the strongest possible twin:
+    * the blocking must reproduce brute force, not its own approximation.
+    *
+    * Scale shape: identical to p05 per round (broadcast probe set, one
+    * equi-join on the cell key, Σ|probed cell| work); the expansion loop
+    * is a driver-side scalar convergence check (count of unsettled
+    * queries — the d07/g02 pattern) and converges in 1 round on this
+    * cloud (~44 points/cell ≫ k), with the corner-case tail paying one
+    * extra round each. All distance/margin math stays BIGINT.
+    */
+  def p05b_spatial_knn_ring(spark: SparkSession, sfDir: String): DataFrame = {
+    ensureTranscoded(spark, "p04", p04PbfPath)
+    ringKnn(p04Points(spark), col("id") <= 10, k = 5)
+  }
+
+  private def p04Points(spark: SparkSession): DataFrame =
+    spark.read.format("osmpbf").load(p04PbfPath)
       .filter(col("type") === "node")
       .select(col("id"),
         round(col("lat") * 1e9).cast("long").as("latn"),
         round(col("lon") * 1e9).cast("long").as("lonn"))
+
+  /** Cell-blocked integer kNN over (id, latn, lonn) points at 2^26-nano
+    * cells. `fixedRadius = Some(r)` is the one-probe approximate form
+    * (p05's declared trade); `None` ring-expands until exact: a query is
+    * SETTLED once it holds ≥ k candidates whose kth squared distance is
+    * strictly below the squared margin to the searched boundary — every
+    * unseen point differs by ≥ margin in lat or lon, so nothing outside
+    * can displace (or tie-break into) the top k. All queries re-probe
+    * together at r+1 (the probe set is broadcast-tiny by contract);
+    * termination is guaranteed at the cloud's own cell span. Exposed for
+    * [[graft.operators]] specs to drive with crafted clouds. */
+  private[operators] def ringKnn(ptsRaw: DataFrame, queryPred: Column, k: Int,
+      fixedRadius: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = ptsRaw
       .withColumn("cla", shiftright(col("latn"), 26))
       .withColumn("clo", shiftright(col("lonn"), 26))
-    val q0 = pts.filter(col("id") <= 10)
+    val q0 = pts.filter(queryPred)
       .select(col("id").as("qid"), col("latn").as("qla"), col("lonn").as("qlo"),
-        col("cla"), col("clo"))
-    val probes = (for (da <- -1 to 1; dlo <- -1 to 1) yield (da, dlo))
-      .map { case (da, dlo) =>
-        q0.select(col("qid"), col("qla"), col("qlo"),
-          (col("cla") + da).as("ca"), (col("clo") + dlo).as("co"))
-      }.reduce(_ unionByName _)
-    val cand = pts.join(broadcast(probes),
-        col("cla") === col("ca") && col("clo") === col("co") &&
-          col("id") =!= col("qid"))
-      .withColumn("d2",
-        (col("latn") - col("qla")) * (col("latn") - col("qla")) +
-          (col("lonn") - col("qlo")) * (col("lonn") - col("qlo")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
-    cand.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5)
+        col("cla").as("qcla"), col("clo").as("qclo"))
+    def rankedAt(r: Int): DataFrame = {
+      val probes = q0
+        .withColumn("da", explode(expr(s"sequence(${-r}L, ${r}L)")))
+        .withColumn("db", explode(expr(s"sequence(${-r}L, ${r}L)")))
+        .select(col("qid"), col("qla"), col("qlo"),
+          (col("qcla") + col("da")).as("ca"), (col("qclo") + col("db")).as("co"))
+      val cand = pts.join(broadcast(probes),
+          col("cla") === col("ca") && col("clo") === col("co") &&
+            col("id") =!= col("qid"))
+        .withColumn("d2",
+          (col("latn") - col("qla")) * (col("latn") - col("qla")) +
+            (col("lonn") - col("qlo")) * (col("lonn") - col("qlo")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("d2"), col("id"))
+      cand.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    }
+    def shape(ranked: DataFrame): DataFrame = ranked
       .select(col("qid"), col("rk"), col("id").as("neighbor"), col("d2"))
       .orderBy(col("qid"), col("rk"))
+    fixedRadius match {
+      case Some(r) => shape(rankedAt(r))
+      case None =>
+        // cover-all bound: a region of this radius spans the whole cloud
+        // from any in-cloud query cell
+        val b = pts.agg(
+          (max(col("cla")) - min(col("cla"))).as("sa"),
+          (max(col("clo")) - min(col("clo"))).as("so")).head()
+        val maxR = math.max(b.getLong(0), b.getLong(1)).toInt + 1
+        var r = 1
+        while (r < maxR) {
+          val ranked = rankedAt(r)
+          // margin to the searched boundary: region is
+          // [(qc−r)·2^26, (qc+r+1)·2^26) on each axis, outside points
+          // differ by ≥ this in lat or lon; strict compare guards the
+          // equal-distance smaller-id tiebreak
+          val m = least(
+            col("qla") - shiftleft(col("qcla") - r, 26) + 1,
+            shiftleft(col("qcla") + r + 1, 26) - col("qla"),
+            col("qlo") - shiftleft(col("qclo") - r, 26) + 1,
+            shiftleft(col("qclo") + r + 1, 26) - col("qlo"))
+          val stats = ranked.groupBy(col("qid"))
+            .agg(count(lit(1)).as("cnt"), max(col("d2")).as("kd2"))
+          val unsettled = q0.join(stats, Seq("qid"), "left")
+            .filter(coalesce(col("cnt"), lit(0L)) < k ||
+              col("kd2") >= m * m).count()
+          if (unsettled == 0) return shape(ranked)
+          r += 1
+        }
+        shape(rankedAt(maxR))
+    }
   }
 
   def all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -356,7 +428,8 @@ object PbfQueries {
     "p02_way_lengths" -> (p02_way_lengths(_, _)),
     "p03_zorder_bbox" -> (p03_zorder_bbox(_, _)),
     "p04_spatial_join" -> (p04_spatial_join(_, _)),
-    "p05_spatial_knn" -> (p05_spatial_knn(_, _)))
+    "p05_spatial_knn" -> (p05_spatial_knn(_, _)),
+    "p05b_spatial_knn_ring" -> (p05b_spatial_knn_ring(_, _)))
 
   /** DuckDB twins over the transcoded parquet at the fingerprinted
     * [[OracleRoot]] subpaths (dumped by the queries themselves before
@@ -385,6 +458,27 @@ object PbfQueries {
          |    (p.latn - q.qla) * (p.latn - q.qla)
          |    + (p.lonn - q.qlo) * (p.lonn - q.qlo) AS d2
          |  FROM p JOIN q ON p.cla = q.ca AND p.clo = q.co AND p.id != q.qid),
+         |r AS (
+         |  SELECT qid, id, d2,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rk
+         |  FROM cand)
+         |SELECT qid, rk, id AS neighbor, d2 FROM r
+         |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin,
+    // p05b: ring expansion claims EXACTNESS, so its oracle is the
+    // BRUTE-FORCE all-pairs ranking — no cells, no probes: the blocking
+    // must reproduce brute force bit-for-bit (all-BIGINT both sides).
+    "p05b_spatial_knn_ring" ->
+      s"""WITH n AS (
+         |  SELECT id, CAST(round(lat * 1e9) AS BIGINT) AS latn,
+         |         CAST(round(lon * 1e9) AS BIGINT) AS lonn
+         |  FROM read_parquet('$p04Out/type=node/*.parquet')),
+         |q AS (
+         |  SELECT id AS qid, latn AS qla, lonn AS qlo FROM n WHERE id <= 10),
+         |cand AS (
+         |  SELECT q.qid, p.id,
+         |    (p.latn - q.qla) * (p.latn - q.qla)
+         |    + (p.lonn - q.qlo) * (p.lonn - q.qlo) AS d2
+         |  FROM n p JOIN q ON p.id != q.qid),
          |r AS (
          |  SELECT qid, id, d2,
          |    row_number() OVER (PARTITION BY qid ORDER BY d2, id) AS rk

@@ -209,6 +209,9 @@ object ScaleProbe {
         // and with the centroid count growing with the corpus (16×m) —
         // the production answer where clustered data saturates sign-LSH
         "s06c_knn_ivf_graph", "s06c_knn_ivf_graph_scaled",
+        // r10: the two-level assignment fix for s06c_scaled's N·cells —
+        // same cells ∝ N rule, assignment through √cells anchors
+        "s06d_knn_ivf_hier_scaled",
         // latest-r9 additions: the graph-analytics tier over the kNN
         // edges (g01 wedge space is bounded by degree orientation; g02 is
         // 8 fixed join+agg rounds — both should track the knnJoin edge
@@ -251,6 +254,8 @@ object ScaleProbe {
           (s, d) => graft.operators.SimilarityQueries.knnJoin(s, d, bits = bits)
         case "s06c_knn_ivf_graph_scaled" =>
           (s, d) => graft.operators.SimilarityQueries.ivfKnnGraph(s, d, cells = 16 * m)
+        case "s06d_knn_ivf_hier_scaled" =>
+          (s, d) => graft.operators.SimilarityQueries.ivfKnnGraphHier(s, d, cells = 16 * m)
         case _ => graft.SparkEntry.queries(f)
       }
       families.foreach { f =>
