@@ -37,22 +37,45 @@ object GraphQueries {
     * is bounded; no driver-side collection anywhere.
     */
   def pagerank(verts: DataFrame, edges: DataFrame,
-      iters: Int = 8, damping: Double = 0.85): DataFrame = {
+      iters: Int = 8, damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val ed = edges.join(odeg, Seq("src")).localCheckpoint()
     val nv = verts.agg(count(lit(1)).as("n_v"))
     val base = verts.crossJoin(broadcast(nv)).localCheckpoint()
+    // dangling = vertices with no out-edge; their rank mass is what the
+    // full formulation spreads uniformly each iteration
+    val dang =
+      if (redistributeDangling)
+        Some(verts.join(edges.select(col("src").as("vx")).distinct(),
+          Seq("vx"), "left_anti").localCheckpoint())
+      else None
     var ranks = base.select(col("vx"), col("n_v"),
       expr(s"$RankScale div n_v").as("rq"))
     for (_ <- 1 to iters) {
       val inMass = ed.join(ranks.select(col("vx"), col("rq")), col("src") === col("vx"))
         .select(col("dst"), expr("rq div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = base
-        .join(inMass, col("vx") === col("dst"), "left")
+      // full variant: the dangling mass is one exact-integer 1-row
+      // aggregate, broadcast into the update — each vertex receives
+      // `dmass div n_v` extra in-mass (integral floor share, the same
+      // exact-arithmetic discipline as every other term)
+      val withMass = dang match {
+        case Some(dg) =>
+          val dm = dg.join(ranks.select(col("vx"), col("rq")), Seq("vx"))
+            .agg(coalesce(sum(col("rq")), lit(0L)).as("dmass"))
+          base.join(inMass, col("vx") === col("dst"), "left")
+            .crossJoin(broadcast(dm))
+            .withColumn("mm",
+              coalesce(col("m"), lit(0L)) + expr("dmass div n_v"))
+        case None =>
+          base.join(inMass, col("vx") === col("dst"), "left")
+            .withColumn("mm", coalesce(col("m"), lit(0L)))
+      }
+      ranks = withMass
         .select(col("vx"), col("n_v"),
           (floor(lit(1.0 - damping) * lit(RankScale.toDouble) / col("n_v")).cast("long") +
-            floor(lit(damping) * coalesce(col("m"), lit(0L))).cast("long")).as("rq"))
+            floor(lit(damping) * col("mm")).cast("long")).as("rq"))
         .localCheckpoint()
     }
     ranks.select(col("vx"), col("rq"))
@@ -72,7 +95,26 @@ object GraphQueries {
       .select(col("vx"), col("rq").as("rank_q"))
   }
 
+  /** g02b: the FULL PageRank formulation — g02's alpha-only iterate plus
+    * per-iteration dangling-mass redistribution (the r9 verdict's cheap
+    * completeness win): the mass parked on out-degree-0 vertices is
+    * summed exactly (one 1-row integer aggregate, broadcast) and spread
+    * uniformly as `dmass div n_v` extra in-mass per vertex. Total rank
+    * mass is now conserved up to floor losses (`PageRankSpec` pins the
+    * bound); g02 stays frozen as the declared alpha-only form.
+    */
+  val g02b_pagerank_full: Q = (s, dir) => {
+    val edges = SimilarityQueries.knnJoin(s, dir)
+      .select(col("qid").as("src"), col("neighbor").as("dst"))
+    val verts = graft.Tables.embeddings(s, dir).select(col("vec_id").as("vx"))
+    pagerank(verts, edges, redistributeDangling = true)
+      .orderBy(col("rq").desc, col("vx"))
+      .limit(20)
+      .select(col("vx"), col("rq").as("rank_q"))
+  }
+
   val all: Map[String, Q] = Map(
     "g02_pagerank" -> g02_pagerank,
+    "g02b_pagerank_full" -> g02b_pagerank_full,
   )
 }

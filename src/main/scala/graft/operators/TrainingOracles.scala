@@ -149,14 +149,27 @@ object TrainingOracles {
     * BIGINT (exact `//` contributions, exact sums, floor-quantized
     * teleport/damping scalars) so the unrolled SQL reproduces the
     * engine's iterate bit-for-bit. */
-  private def pagerankSql(iters: Int): String = {
+  private def pagerankSql(iters: Int, full: Boolean = false): String = {
+    // full form: per step, the previous ranks' dangling mass (vertices
+    // absent from od) sums exactly and spreads as `dmass // n_v` extra
+    // in-mass — mirrors the engine's broadcast 1-row aggregate
     val steps = (1 to iters).map { i =>
-      s"""r$i AS (
+      val dangCte = if (full)
+        s"""d$i AS (
+           |  SELECT CAST(coalesce(sum(r.rq), 0) AS BIGINT) AS dmass
+           |  FROM r${i - 1} r LEFT JOIN od ON r.vx = od.src
+           |  WHERE od.src IS NULL),
+           |""".stripMargin
+      else ""
+      val dangJoin = if (full) s" CROSS JOIN d$i dd" else ""
+      val massExpr = if (full) "(coalesce(s.m, 0) + dd.dmass // nv.n_v)"
+        else "coalesce(s.m, 0)"
+      s"""${dangCte}r$i AS (
          |  SELECT v.vx,
          |    CAST(floor((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
          |         * 1000000000000.0 / nv.n_v) AS BIGINT)
-         |    + CAST(floor(CAST(0.85 AS DOUBLE) * coalesce(s.m, 0)) AS BIGINT) AS rq
-         |  FROM verts v CROSS JOIN nv
+         |    + CAST(floor(CAST(0.85 AS DOUBLE) * $massExpr) AS BIGINT) AS rq
+         |  FROM verts v CROSS JOIN nv$dangJoin
          |  LEFT JOIN (
          |    SELECT ed.dst, CAST(sum(r.rq // ed.odeg) AS BIGINT) AS m
          |    FROM ed JOIN r${i - 1} r ON ed.src = r.vx GROUP BY ed.dst) s
@@ -703,6 +716,7 @@ object TrainingOracles {
     // sums make the iterate identical across engines; see
     // GraphQueries.RankScale for why doubles can't carry iterated rank.
     "g02_pagerank" -> pagerankSql(iters = 8),
+    "g02b_pagerank_full" -> pagerankSql(iters = 8, full = true),
     // g01: the s06 edge derivation (same bucket/round/rank discipline)
     // feeds a degree-oriented triangle count — orientation, wedge
     // ordering, and the closing-edge EXISTS mirror the engine exactly.

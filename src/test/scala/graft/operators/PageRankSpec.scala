@@ -53,6 +53,39 @@ class PageRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.values.sum < S)
   }
 
+  private def runFull(vs: Seq[Long], es: Seq[(Long, Long)], iters: Int = 8): Map[Long, Long] = {
+    val sp = spark; import sp.implicits._
+    GraphQueries.pagerank(vs.toDF("vx"), es.toDF("src", "dst"), iters = iters,
+      redistributeDangling = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("g02b full form conserves rank mass up to floor losses where alpha-only leaks") {
+    // same sink-hub graph as the dangling test: 1→3, 2→3, vertex 3
+    // dangling. Full form teleports 3's mass back uniformly each step.
+    val vs = Seq(1L, 2L, 3L)
+    val es = Seq((1L, 3L), (2L, 3L))
+    val full = runFull(vs, es)
+    val alphaOnly = run(vs, es)
+    // conservation: every term loses < 1 unit per floor (2 floors/vertex)
+    // plus < n_v units on the dmass share, per iteration; 8 iterations of
+    // a 3-vertex graph bound the total deficit far under 100 units of S
+    assert(full.values.sum <= S)
+    assert(full.values.sum >= S - 100)
+    // alpha-only provably leaks on this graph; full holds strictly more
+    assert(alphaOnly.values.sum < full.values.sum)
+    // and the dangling hub still outranks its spokes
+    assert(full(3L) > full(1L) && full(1L) === full(2L))
+  }
+
+  test("full form equals alpha-only exactly when no vertex dangles") {
+    // directed cycle: no dangling mass to move — the two formulations
+    // must produce identical integers
+    val vs = Seq(1L, 2L, 3L, 4L)
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    assert(runFull(vs, es) === run(vs, es))
+  }
+
   test("iterate is exactly reproducible across partitionings") {
     // 12 vertices, chain + chords: quantized arithmetic must give the
     // same integers under 1 partition and under 7.
