@@ -148,6 +148,17 @@ object RelationalOracles {
         |  FROM orders)
         |WHERE rk <= 3
         |ORDER BY o_custkey, rk""".stripMargin,
+    // q09b: the optimizer-rule rewrite must be invisible in the result —
+    // same oracle as the plain-window q09, word for word
+    "q09b_window_topk_rewritten" ->
+      """SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3
+        |ORDER BY o_custkey, rk""".stripMargin,
 
     "q10_window_running" ->
       """SELECT user_id, event_id,

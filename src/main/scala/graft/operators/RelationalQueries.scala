@@ -156,6 +156,30 @@ object RelationalQueries {
       .orderBy(col("o_custkey"), col("rk"))
   }
 
+  /** q09b: the IDENTICAL canonical filter-over-window query as q09 —
+    * same oracle — executed UNDER [[graft.plans.TopKWindowRewrite]], so
+    * the gate runs the optimizer rule end-to-end, not just its spec: the
+    * executed plan must carry the TopKPerKeyPartial/Final heap stages in
+    * place of the rank filter (`TopKWindowRewriteSpec` pins that on this
+    * entry's own plan). Runs on a CHILD session (`newSession`: shared
+    * SparkContext, private SessionState) so registering the rule + the
+    * planner strategy and disabling Spark's sort-based
+    * WindowGroupLimit never leaks into the sibling gate queries that
+    * Verify dumps concurrently on the parent session — q09 stays the
+    * measured plain-window twin. Regime note: o_custkey cardinality
+    * (~1.5k/sf0.01, ~15k/sf0.1) sits squarely in the heap operator's
+    * measured win region (TopKBench: faster below ~100k keys).
+    */
+  val q09b_window_topk_rewritten: Q = (s0, dir) => {
+    val s = s0.newSession()
+    s.experimental.extraOptimizations = Seq(graft.plans.TopKWindowRewrite)
+    s.experimental.extraStrategies = Seq(graft.plans.TopKPerKeyStrategy)
+    // let the heap operator stand alone in the plan (Spark would
+    // otherwise insert its sort-based pre-prune below the same window)
+    s.conf.set("spark.sql.optimizer.windowGroupLimitThreshold", "-1")
+    q09_window_topk(s, dir)
+  }
+
   /** q10: window running/lag/moving frames over events per user. Ordering
     * key is the unique event_id (never the ns timestamp — ns truncation
     * would make tie order oracle-divergent).
@@ -885,6 +909,7 @@ object RelationalQueries {
     "q07_full_outer" -> q07_full_outer,
     "q08_dup_check" -> q08_dup_check,
     "q09_window_topk" -> q09_window_topk,
+    "q09b_window_topk_rewritten" -> q09b_window_topk_rewritten,
     "q10_window_running" -> q10_window_running,
     "q11_rollup" -> q11_rollup,
     "q30_grouping_sets" -> q30_grouping_sets,

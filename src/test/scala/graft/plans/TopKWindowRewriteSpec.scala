@@ -40,6 +40,34 @@ class TopKWindowRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private def optimized(df: DataFrame): String = df.queryExecution.optimizedPlan.toString
 
+  test("gate entry q09b executes through the heap stages; q09 keeps the plain window") {
+    val dir = "/root/testdata/sf0.001"
+    // q09b builds its own child session with the rule registered via
+    // experimental — run it off THIS spec's parent to prove the
+    // registration path Verify exercises (not the extensions conf above)
+    val q09b = graft.operators.RelationalQueries.all(
+      "q09b_window_topk_rewritten")(spark, dir)
+    q09b.collect()
+    val planB = q09b.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(planB.contains("TopKPerKeyPartial") && planB.contains("TopKPerKeyFinal"),
+      s"q09b must run the heap stages:\n$planB")
+    assert(!planB.contains("WindowGroupLimit"), s"Spark's sort-based prune stays off:\n$planB")
+    // the child-session registration must not leak into the parent's
+    // sibling queries: q09 on the PARENT (rule conf-gated off here to
+    // mimic a plain Verify session) keeps the window plan
+    spark.conf.set(TopKWindowRewrite.EnabledKey, "false")
+    try {
+      val q09 = graft.operators.RelationalQueries.all("q09_window_topk")(spark, dir)
+      q09.collect()
+      val planA = q09.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!planA.contains("TopKPerKey"), s"q09 stays on the window path:\n$planA")
+      // and the rewrite is result-invisible
+      assert(q09b.collect().map(_.toSeq).toSeq === q09.collect().map(_.toSeq).toSeq)
+    } finally spark.conf.unset(TopKWindowRewrite.EnabledKey)
+  }
+
   test("window-top-k rewrites to TopKPerKeyNode; result identical to the window path") {
     val df = topk(li, 3)
     val plan = optimized(df)
