@@ -491,6 +491,54 @@ object SimilarityQueries {
       .select(col("cid").as("cell"), col("vec_id"), col("v"), col("n2")), k)
   }
 
+  /** s07: RECALL AUDIT of the hierarchical kNN graph — what fraction of
+    * the true (brute-force) top-3 neighbor edges does s06d's two-level
+    * blocking keep? The d08/e03 discipline applied to the one r10
+    * operator that is hierarchical-APPROXIMATE by construction: a point
+    * routed through the wrong anchor lands in a neighboring cell and its
+    * true neighbors fall outside the candidate join. The number every
+    * deployment needs before trading flat assignment's N·cells for
+    * N·√cells. Exact integer counts; one IEEE division at the end.
+    *
+    * At 100 TB the truth side runs on a query SAMPLE by construction
+    * (brute force is the audit's cost, not the graph's) — the corpus
+    * here IS the sample scale.
+    */
+  val s07_hier_knn_recall: Q = (s, dir) =>
+    knnGraphRecall(s, dir, ivfKnnGraphHier(s, dir))
+
+  /** s07b: the SAME audit against s06c's FLAT-assignment graph — the
+    * pair (s07, s07b) separates the two losses: s07b measures what
+    * cell-blocking alone costs vs brute force; s07 − s07b is the
+    * marginal routing error the two-level hierarchy adds. The knob
+    * decision at scale is exactly this pair of numbers against the
+    * SOAK_r10b wall-time pair.
+    */
+  val s07b_flat_knn_recall: Q = (s, dir) =>
+    knnGraphRecall(s, dir, ivfKnnGraph(s, dir))
+
+  private def knnGraphRecall(s: SparkSession, dir: String,
+      graph: DataFrame): DataFrame = {
+    val e = embs(s, dir)
+    // truth: unblocked top-3 over the whole corpus (s01's ranking
+    // discipline, corpus-wide query side)
+    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select(col("qid"), col("vec_id").as("neighbor"))
+      .localCheckpoint() // referenced twice (count + semi-join)
+    val approx = graph.select(col("qid"), col("neighbor")).localCheckpoint()
+    val hit = truth.join(approx, Seq("qid", "neighbor"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_approx"), col("n_hit"),
+        when(col("n_true") === 0, lit(0.0)).otherwise(
+          floor(col("n_hit") / col("n_true") * 10000 + 0.5) / 10000).as("recall"))
+  }
+
   /** Two-level nearest-centroid assignment of (vec_id, v, n2) points to
     * (cid, cv) centroids; coarse layer = the nCoarse lowest-cid
     * centroids. Arg-min via min(struct(d2, cid, …)) — lexicographic
@@ -651,6 +699,8 @@ object SimilarityQueries {
     "s06b_knn_join_wide" -> s06b_knn_join_wide,
     "s06c_knn_ivf_graph" -> s06c_knn_ivf_graph,
     "s06d_knn_ivf_hier" -> s06d_knn_ivf_hier,
+    "s07_hier_knn_recall" -> s07_hier_knn_recall,
+    "s07b_flat_knn_recall" -> s07b_flat_knn_recall,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,

@@ -144,6 +144,87 @@ object TrainingOracles {
     .mkString(" + ")
   private val bucketExpr = bucketExprBits(8)
 
+  /** s06d/s07 shared build: the TWO-LEVEL IVF membership in SQL — 16
+    * seed centroids, 4 anchors (lowest cids), seed/fine centroids grouped
+    * under their nearest anchor, every point probing only its anchor's
+    * group in BOTH assignment rounds (seed assign → quantized Lloyd →
+    * final). row_number rk=1 ≡ the engine's min(struct(d2, cid)). */
+  private val hierCellsPrelude =
+    s"""$embPrelude,
+       |seeds AS (
+       |  SELECT vec_id AS cid, v AS cv FROM n ORDER BY vec_id LIMIT 16),
+       |an0 AS (SELECT cid AS acid, cv AS acv FROM seeds ORDER BY cid LIMIT 4),
+       |s2a AS (
+       |  SELECT cid, cv, acid FROM (
+       |    SELECT s.cid, s.cv, a.acid,
+       |      row_number() OVER (PARTITION BY s.cid ORDER BY
+       |        list_dot_product(s.cv, s.cv) + list_dot_product(a.acv, a.acv)
+       |        - 2.0 * list_dot_product(s.cv, a.acv), a.acid) AS rk
+       |    FROM seeds s CROSS JOIN an0 a) t WHERE rk = 1),
+       |p0 AS (
+       |  SELECT vec_id, v, n2, acid FROM (
+       |    SELECT n.vec_id, n.v, n.n2, a.acid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 + list_dot_product(a.acv, a.acv)
+       |        - 2.0 * list_dot_product(n.v, a.acv), a.acid) AS rk
+       |    FROM n CROSS JOIN an0 a) t WHERE rk = 1),
+       |a0 AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT p.vec_id, p.v, s.cid,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        p.n2 + list_dot_product(s.cv, s.cv)
+       |        - 2.0 * list_dot_product(p.v, s.cv), s.cid) AS rk
+       |    FROM p0 p JOIN s2a s ON p.acid = s.acid) t WHERE rk = 1),
+       |dims AS (
+       |  SELECT cid, d['dim'] AS dim,
+       |    CAST(floor(d['x'] * 1048576.0 + 0.5) AS BIGINT) AS xi
+       |  FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
+       |          i -> struct_pack(dim := i, x := v[i]))) AS d FROM a0)),
+       |cm AS (
+       |  SELECT cid, dim, CAST(sum(xi) AS DOUBLE) / count(*) / 1048576.0 AS m
+       |  FROM dims GROUP BY cid, dim),
+       |cents AS (
+       |  SELECT cid, list(m ORDER BY dim) AS cv FROM cm GROUP BY cid),
+       |an1 AS (SELECT cid AS acid, cv AS acv FROM cents ORDER BY cid LIMIT 4),
+       |c2a AS (
+       |  SELECT cid, cv, acid FROM (
+       |    SELECT c.cid, c.cv, a.acid,
+       |      row_number() OVER (PARTITION BY c.cid ORDER BY
+       |        list_dot_product(c.cv, c.cv) + list_dot_product(a.acv, a.acv)
+       |        - 2.0 * list_dot_product(c.cv, a.acv), a.acid) AS rk
+       |    FROM cents c CROSS JOIN an1 a) t WHERE rk = 1),
+       |p1 AS (
+       |  SELECT vec_id, v, n2, acid FROM (
+       |    SELECT n.vec_id, n.v, n.n2, a.acid,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
+       |        n.n2 + list_dot_product(a.acv, a.acv)
+       |        - 2.0 * list_dot_product(n.v, a.acv), a.acid) AS rk
+       |    FROM n CROSS JOIN an1 a) t WHERE rk = 1),
+       |cells AS (
+       |  SELECT vec_id, v, n2, cell FROM (
+       |    SELECT p.vec_id, p.v, p.n2, c.cid AS cell,
+       |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
+       |        p.n2 + list_dot_product(c.cv, c.cv)
+       |        - 2.0 * list_dot_product(p.v, c.cv), c.cid) AS rk
+       |    FROM p1 p JOIN c2a c ON p.acid = c.acid) t WHERE rk = 1)""".stripMargin
+
+  /** s06d: the two-level membership + the s06c within-cell kNN tail. */
+  private val s06dSql =
+    s"""$hierCellsPrelude,
+       |sc AS (
+       |  SELECT q.vec_id AS qid, n.vec_id,
+       |    list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) AS cosr,
+       |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+       |  FROM cells n JOIN cells q
+       |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
+       |r AS (
+       |  SELECT qid, vec_id, cosr,
+       |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT qid, rk, vec_id AS neighbor,
+       |  floor(cosr * 1e4 + 0.5) / 1e4 AS sim
+       |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   /** g02 twin: kNN edges as in the s06 template, then `iters` PageRank
     * steps unrolled as chained CTEs. All rank arithmetic is quantized
     * BIGINT (exact `//` contributions, exact sums, floor-quantized
@@ -391,77 +472,76 @@ object TrainingOracles {
     // their nearest anchor, each point probing only its anchor's group,
     // in BOTH assignment rounds (seed assign → quantized Lloyd → final).
     // row_number rk=1 here ≡ the engine's min(struct(d2, cid)) arg-min.
-    "s06d_knn_ivf_hier" ->
-      s"""$embPrelude,
-         |seeds AS (
-         |  SELECT vec_id AS cid, v AS cv FROM n ORDER BY vec_id LIMIT 16),
-         |an0 AS (SELECT cid AS acid, cv AS acv FROM seeds ORDER BY cid LIMIT 4),
-         |s2a AS (
-         |  SELECT cid, cv, acid FROM (
-         |    SELECT s.cid, s.cv, a.acid,
-         |      row_number() OVER (PARTITION BY s.cid ORDER BY
-         |        list_dot_product(s.cv, s.cv) + list_dot_product(a.acv, a.acv)
-         |        - 2.0 * list_dot_product(s.cv, a.acv), a.acid) AS rk
-         |    FROM seeds s CROSS JOIN an0 a) t WHERE rk = 1),
-         |p0 AS (
-         |  SELECT vec_id, v, n2, acid FROM (
-         |    SELECT n.vec_id, n.v, n.n2, a.acid,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        n.n2 + list_dot_product(a.acv, a.acv)
-         |        - 2.0 * list_dot_product(n.v, a.acv), a.acid) AS rk
-         |    FROM n CROSS JOIN an0 a) t WHERE rk = 1),
-         |a0 AS (
-         |  SELECT vec_id, v, cid FROM (
-         |    SELECT p.vec_id, p.v, s.cid,
-         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-         |        p.n2 + list_dot_product(s.cv, s.cv)
-         |        - 2.0 * list_dot_product(p.v, s.cv), s.cid) AS rk
-         |    FROM p0 p JOIN s2a s ON p.acid = s.acid) t WHERE rk = 1),
-         |dims AS (
-         |  SELECT cid, d['dim'] AS dim,
-         |    CAST(floor(d['x'] * 1048576.0 + 0.5) AS BIGINT) AS xi
-         |  FROM (SELECT cid, unnest(list_transform(range(1, len(v) + 1),
-         |          i -> struct_pack(dim := i, x := v[i]))) AS d FROM a0)),
-         |cm AS (
-         |  SELECT cid, dim, CAST(sum(xi) AS DOUBLE) / count(*) / 1048576.0 AS m
-         |  FROM dims GROUP BY cid, dim),
-         |cents AS (
-         |  SELECT cid, list(m ORDER BY dim) AS cv FROM cm GROUP BY cid),
-         |an1 AS (SELECT cid AS acid, cv AS acv FROM cents ORDER BY cid LIMIT 4),
-         |c2a AS (
-         |  SELECT cid, cv, acid FROM (
-         |    SELECT c.cid, c.cv, a.acid,
-         |      row_number() OVER (PARTITION BY c.cid ORDER BY
-         |        list_dot_product(c.cv, c.cv) + list_dot_product(a.acv, a.acv)
-         |        - 2.0 * list_dot_product(c.cv, a.acv), a.acid) AS rk
-         |    FROM cents c CROSS JOIN an1 a) t WHERE rk = 1),
-         |p1 AS (
-         |  SELECT vec_id, v, n2, acid FROM (
-         |    SELECT n.vec_id, n.v, n.n2, a.acid,
-         |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-         |        n.n2 + list_dot_product(a.acv, a.acv)
-         |        - 2.0 * list_dot_product(n.v, a.acv), a.acid) AS rk
-         |    FROM n CROSS JOIN an1 a) t WHERE rk = 1),
-         |cells AS (
-         |  SELECT vec_id, v, n2, cell FROM (
-         |    SELECT p.vec_id, p.v, p.n2, c.cid AS cell,
-         |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-         |        p.n2 + list_dot_product(c.cv, c.cv)
-         |        - 2.0 * list_dot_product(p.v, c.cv), c.cid) AS rk
-         |    FROM p1 p JOIN c2a c ON p.acid = c.acid) t WHERE rk = 1),
-         |sc AS (
+    "s06d_knn_ivf_hier" -> s06dSql,
+    // s07b: identical audit against the FLAT-assignment cells (the s03/
+    // d10/s06c build) — the (s07, s07b) pair separates blocking loss
+    // from hierarchy routing loss.
+    "s07b_flat_knn_recall" ->
+      s"""$ivfCellsPrelude,
+         |asc0 AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
-         |    list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) AS cosr,
          |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
          |  FROM cells n JOIN cells q
          |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
-         |r AS (
-         |  SELECT qid, vec_id, cosr,
-         |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |  FROM sc)
-         |SELECT qid, rk, vec_id AS neighbor,
-         |  floor(cosr * 1e4 + 0.5) / 1e4 AS sim
-         |FROM r WHERE rk <= 3 ORDER BY qid, rk""".stripMargin,
+         |approx AS (
+         |  SELECT qid, vec_id AS neighbor FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM asc0) t WHERE rk <= 3),
+         |tsc AS (
+         |  SELECT q.vec_id AS qid, n.vec_id,
+         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |  FROM n JOIN n q ON n.vec_id != q.vec_id),
+         |truth AS (
+         |  SELECT qid, vec_id AS neighbor FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM tsc) t WHERE rk <= 3),
+         |hit AS (
+         |  SELECT truth.qid FROM truth JOIN approx
+         |    ON truth.qid = approx.qid AND truth.neighbor = approx.neighbor)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+         |       ELSE floor((SELECT count(*) FROM hit)::DOUBLE /
+         |            (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
+         |  END AS recall""".stripMargin,
+    // s07: the s06d membership build verbatim, its within-cell top-3
+    // edges vs the unblocked brute-force top-3 — recall as exact counts.
+    "s07_hier_knn_recall" ->
+      s"""$hierCellsPrelude,
+         |asc0 AS (
+         |  SELECT q.vec_id AS qid, n.vec_id,
+         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |  FROM cells n JOIN cells q
+         |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
+         |approx AS (
+         |  SELECT qid, vec_id AS neighbor FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM asc0) t WHERE rk <= 3),
+         |tsc AS (
+         |  SELECT q.vec_id AS qid, n.vec_id,
+         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |  FROM n JOIN n q ON n.vec_id != q.vec_id),
+         |truth AS (
+         |  SELECT qid, vec_id AS neighbor FROM (
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM tsc) t WHERE rk <= 3),
+         |hit AS (
+         |  SELECT truth.qid FROM truth JOIN approx
+         |    ON truth.qid = approx.qid AND truth.neighbor = approx.neighbor)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+         |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+         |       ELSE floor((SELECT count(*) FROM hit)::DOUBLE /
+         |            (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
+         |  END AS recall""".stripMargin,
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
