@@ -14,6 +14,20 @@ object Scratch {
       java.nio.file.Files.createTempDirectory(shm, prefix)
     else java.nio.file.Files.createTempDirectory(prefix)
   }
+
+  /** Dirs registered here are deleted by ONE JVM shutdown hook — the
+    * cleanup contract for session-scoped derived layouts (bucketed /
+    * partitioned scratch): they must never accumulate across processes. */
+  private val tracked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tracked.forEach { d =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+        catch { case _: Throwable => () }
+      }))
+  }
+  def track(dir: String): Unit = { hook; tracked.add(dir); () }
+  def untrack(dir: String): Unit = { tracked.remove(dir); () }
 }
 
 /** Box-contention telemetry from /proc/stat: this box has long windows of

@@ -53,6 +53,17 @@ object RelationalOracles {
         |ORDER BY key""".stripMargin
 
   val all: Map[String, String] = Map(
+    // q40: partitioning changes the LAYOUT, never the result — the
+    // oracle is the plain join over the raw parquet; strftime('%Y-%m')
+    // ≡ date_format('yyyy-MM') (both zero-padded, session-UTC)
+    "q40_partition_pruned_join" ->
+      """WITH m AS (
+        |  SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS m
+        |  FROM orders WHERE o_orderkey % 9973 = 7)
+        |SELECT strftime(l_shipdate, '%Y-%m') AS l_shipmonth,
+        |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.m
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_incremental_agg" -> q39Sql,
     "q39b_incremental_bucketed" -> q39Sql,
     "q38_merge_upsert" -> q38Sql,

@@ -672,14 +672,6 @@ object RelationalQueries {
     * entries + deletes their files; the next call rebuilds). */
   private val bucketedReady =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
-  private lazy val scratchHook: Unit = {
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      bucketedReady.values.forEach { case (_, _, d) =>
-        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
-        catch { case _: Throwable => () }
-      }
-    }))
-  }
 
   /** Drop this session's bucketed-layout catalog entries and delete
     * their scratch now instead of at JVM exit. */
@@ -690,6 +682,7 @@ object RelationalQueries {
       Option(bucketedReady.remove(k)).foreach { case (ordT, liT, d) =>
         s.sql(s"DROP TABLE IF EXISTS $ordT")
         s.sql(s"DROP TABLE IF EXISTS $liT")
+        graft.Scratch.untrack(d)
         try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
         catch { case _: Throwable => () }
       }
@@ -708,13 +701,13 @@ object RelationalQueries {
     * paid at ingest, not per query.
     */
   def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
-    scratchHook // install the exit-time scratch cleanup once
     val key = s"${System.identityHashCode(s)}:$dir"
     val (ordT, liT, _) = bucketedReady.computeIfAbsent(key, _ => {
       val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
         "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
       val (ordT, liT) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
       val scratch = java.nio.file.Files.createTempDirectory("graft-bkt").toString
+      graft.Scratch.track(scratch)
       Tables.orders(s, dir)
         .repartition(buckets, col("o_orderkey"))
         .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
@@ -762,6 +755,47 @@ object RelationalQueries {
       .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("qty"))
+  }
+
+  /** One-time hive-partitioned lineitem layout per (session, sfDir):
+    * partitioned by ship month (`l_shipmonth=yyyy-MM/`). Same scratch
+    * contract as [[ensureBucketed]] (tracked, deleted at JVM exit). */
+  private val partitionedReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensurePartitioned(s: SparkSession, dir: String): String =
+    partitionedReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-part").toString
+      graft.Scratch.track(scratch)
+      Tables.lineitem(s, dir)
+        .withColumn("l_shipmonth", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.partitionBy("l_shipmonth").mode("overwrite")
+        .parquet(s"$scratch/lineitem")
+      s"$scratch/lineitem"
+    })
+
+  /** q40: DYNAMIC PARTITION PRUNING — the other half of the layout story
+    * next to q37's bucketing: the fact table lives hive-partitioned by
+    * ship month, and a join against a SMALL FILTERED dim of months makes
+    * Spark prune fact partitions AT RUNTIME from the dim's broadcast
+    * result (`PartitionFilters: [... dynamicpruning#...]` on the scan —
+    * `PartitionPruningSpec` pins it on this entry's own plan). The dim
+    * predicate (`o_orderkey % 9973 = 7`) is deliberately opaque to
+    * static pruning: no constant-folding can reduce it to a month list,
+    * so the pruning HAS to be dynamic. At 100 TB this is THE mechanism
+    * that turns "join fact to a dim slice" from a full scan into reading
+    * only the matching date partitions — free with a declarative plan,
+    * impossible to bolt on afterwards.
+    */
+  val q40_partition_pruned_join: Q = (s, dir) => {
+    val fact = s.read.parquet(ensurePartitioned(s, dir))
+    val dim = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 9973 === 7)
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m")).distinct()
+    fact.join(broadcast(dim), col("l_shipmonth") === col("m"))
+      .groupBy(col("l_shipmonth"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_shipmonth"))
   }
 
   /** q38: MERGE (CDC changeset application) — the upsert primitive every
@@ -888,6 +922,7 @@ object RelationalQueries {
     "q39b_incremental_bucketed" -> q39b_incremental_bucketed,
     "q38_merge_upsert" -> q38_merge_upsert,
     "q38b_merge_bucketed" -> q38b_merge_bucketed,
+    "q40_partition_pruned_join" -> q40_partition_pruned_join,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,

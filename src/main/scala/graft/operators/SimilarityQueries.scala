@@ -691,8 +691,38 @@ object SimilarityQueries {
       .orderBy(col("qid"))
   }
 
+  /** e04: BINARY-embedding audit — recall@5 of 64-bit SIGN-SIGNATURE
+    * hamming ranking against the full-float cosine ranking, per query.
+    * The acceptance gate before shipping 1-bit embeddings (64 bits vs
+    * 64 floats = 256× smaller index, hamming = xor+popcount): how many
+    * of the true top-5 does the binary ranking keep? Completes the
+    * quantization ladder e01 (int8) → s05 (PQ) → e03 (truncation) with
+    * the cheapest codes of all. Hamming is exact integer math in both
+    * engines (bit 63 rides the two's-complement sign bit identically —
+    * the d09 convention), so only the e03-style rank windows need the
+    * round-6 discipline.
+    */
+  val e04_signbit_recall: Q = (s, dir) => {
+    val e = embs(s, dir).withColumn("sig", signBucket(col("v"), 64))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
+        col("sig").as("qsig"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosf", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("ham", expr("bit_count(sig ^ qsig)"))
+    val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("vec_id"))
+    val wh = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id"))
+    scored.withColumn("rkf", row_number().over(wf))
+      .withColumn("rkh", row_number().over(wh))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rkf") <= 5 && col("rkh") <= 5, 1L).otherwise(0L)).as("n_hit"))
+      .withColumn("recall", floor(col("n_hit") / lit(5.0) * 1e4 + 0.5) / 1e4)
+      .orderBy(col("qid"))
+  }
+
   val all: Map[String, Q] = Map(
     "e03_matryoshka_recall" -> e03_matryoshka_recall,
+    "e04_signbit_recall" -> e04_signbit_recall,
     "g01_knn_triangles" -> g01_knn_triangles,
     "s01_knn_brute" -> s01_knn_brute,
     "s06_knn_join" -> s06_knn_join,

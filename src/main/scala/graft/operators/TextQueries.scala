@@ -373,8 +373,42 @@ object TextQueries {
 
   val t13_bm25: Q = (s, dir) => bm25(s, dir)
 
+  /** t14: RARITY SCORING — the LM-perplexity-style quality signal in
+    * EXACT integer arithmetic: each token instance scores `T div C(w)`
+    * (corpus token total over the token's corpus count — the integral
+    * inverse-probability, the log-free analog of surprisal), a document
+    * scores the sum, and the listing is the top-20 rarest-vocabulary
+    * documents — the OOV/noise shortlist a curation pipeline reviews
+    * first. Why not log-prob: `log`/`ln` are libm calls whose last ulp
+    * differs between engines, which would break the hash gate; integral
+    * floor division ranks documents identically for audit purposes and
+    * is partitioning-invariant by construction.
+    *
+    * Plan shape: one token explode feeds both the vocab count (token-
+    * keyed partial+final agg) and the instance join (token-keyed — the
+    * SAME key, so the join reuses the shuffle partitioning); T is a
+    * broadcast 1-row aggregate; per-doc agg then TakeOrdered(20). At
+    * 100 TB the vocab side is Heaps'-law sublinear and every shuffle is
+    * key-uniform.
+    */
+  val t14_rarity_score: Q = (s, dir) => {
+    val tk = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = vocab.agg(sum(col("c")).as("t"))
+    tk.join(vocab, Seq("tok"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), expr("t div c").as("r"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("r")).as("rarity"))
+      .withColumn("mean_rarity", expr("rarity div n_tok"))
+      .orderBy(col("rarity").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val all: Map[String, Q] = Map(
     "t13_bm25" -> t13_bm25,
+    "t14_rarity_score" -> t14_rarity_score,
     "t12_lexical_zipf" -> t12_lexical_zipf,
     "t11_novelty" -> t11_novelty,
     "t10_keywords" -> t10_keywords,

@@ -473,6 +473,32 @@ object TrainingOracles {
     // in BOTH assignment rounds (seed assign → quantized Lloyd → final).
     // row_number rk=1 here ≡ the engine's min(struct(d2, cid)) arg-min.
     "s06d_knn_ivf_hier" -> s06dSql,
+    // e04: 64-bit sign signature via the d09 bit-63 two's-complement
+    // convention; hamming = bit_count(xor) — exact integers both sides;
+    // rank windows carry the e03 round-6 discipline.
+    "e04_signbit_recall" ->
+      s"""$embPrelude,
+         |sb AS (
+         |  SELECT vec_id, v, n2,
+         |    CAST(${bucketExprBits(64)} AS BIGINT) AS sig FROM n),
+         |q AS (
+         |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, sig AS qsig
+         |  FROM sb WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT qid, s.vec_id,
+         |    round(list_dot_product(qv, s.v) / sqrt(qn2 * s.n2), 6) AS cosf,
+         |    bit_count(xor(s.sig, qsig)) AS ham
+         |  FROM sb s JOIN q ON s.vec_id != q.qid),
+         |r AS (
+         |  SELECT qid, vec_id,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosf DESC, vec_id) AS rkf,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id) AS rkh
+         |  FROM sc)
+         |SELECT qid,
+         |  CAST(sum(CASE WHEN rkf <= 5 AND rkh <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |  floor(sum(CASE WHEN rkf <= 5 AND rkh <= 5 THEN 1 ELSE 0 END) / 5.0 * 1e4 + 0.5) / 1e4
+         |    AS recall
+         |FROM r GROUP BY qid ORDER BY qid""".stripMargin,
     // s07b: identical audit against the FLAT-assignment cells (the s03/
     // d10/s06c build) — the (s07, s07b) pair separates blocking loss
     // from hierarchy routing loss.
@@ -929,6 +955,21 @@ object TrainingOracles {
     // constants 2.2 / 1.2 / 0.25 / 0.75, same association order), with
     // the 6-decimal floor-round applied BEFORE the rank window so the
     // (score desc, doc_id) order can't diverge on last-ulp ln noise.
+    // t14: integral inverse-probability rarity — exact integer floor
+    // division everywhere, so the two engines agree bit-for-bit.
+    "t14_rarity_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM v),
+        |r AS (
+        |  SELECT doc_id, t // c AS r
+        |  FROM tk JOIN v USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(r) AS BIGINT) AS rarity,
+        |  CAST(sum(r) // count(*) AS BIGINT) AS mean_rarity
+        |FROM r GROUP BY doc_id
+        |ORDER BY rarity DESC, doc_id LIMIT 20""".stripMargin,
     "t13_bm25" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -174,6 +174,73 @@ object EventStreams {
         s.totalCents / 100.0))
     }
   }
+
+  /** `transformWithState` with TWO state variables per key — the
+    * multi-state shape st13's single ValueState doesn't exercise: a
+    * LISTSTATE holding the user's last-3 events (the feature-store
+    * "recent activity" rollup) plus a ValueState for timer bookkeeping.
+    * Each batch merges its rows into the kept top-3 by (ms, event_id)
+    * descending — a DETERMINISTIC merge, so arrival order and batch
+    * boundaries are invisible — and REPLACES the pending event-time
+    * timer (the st13 protocol); the settled list emits as ranked rows
+    * when the timer fires. Oracle = the per-user row_number window over
+    * the whole table: however the stream chunks, last-3 must equal the
+    * batch top-3.
+    */
+  class RecentEventsProcessor(horizonMs: Long, keep: Int = 3)
+      extends StatefulProcessor[Long, Event, RecentOut] {
+    @transient private var entries: ListState[RecentEntry] = _
+    @transient private var meta: ValueState[RecentMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      entries = getHandle.getListState[RecentEntry]("recent",
+        org.apache.spark.sql.Encoders.product[RecentEntry], TTLConfig.NONE)
+      meta = getHandle.getValueState[RecentMeta]("meta",
+        org.apache.spark.sql.Encoders.product[RecentMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[RecentOut] = {
+      val incoming = rows.map(e => RecentEntry(e.ts.getTime, e.event_id)).toSeq
+      val merged = (entries.get().toSeq ++ incoming)
+        .sortBy(r => (-r.ms, -r.event_id)).take(keep)
+      entries.clear()
+      entries.put(merged.toArray)
+      val m = if (meta.exists()) meta.get() else RecentMeta(Long.MinValue, 0L)
+      val lastMs = (m.lastMs +: incoming.map(_.ms)).max
+      if (m.timerMs != 0L) getHandle.deleteTimer(m.timerMs)
+      val t = lastMs + horizonMs
+      getHandle.registerTimer(t)
+      meta.update(RecentMeta(lastMs, t))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[RecentOut] = {
+      val out = entries.get().toSeq
+        .sortBy(r => (-r.ms, -r.event_id))
+        .zipWithIndex
+        .map { case (r, i) => RecentOut(userId, i + 1, r.event_id, r.ms) }
+      entries.clear(); meta.clear()
+      out.iterator
+    }
+  }
+
+  /** [[RecentEventsProcessor]] wiring — event-time timers, append. */
+  def recentEvents(events: Dataset[Event],
+      horizonMs: Long = 40L * 86400 * 1000,
+      watermark: String = "10 minutes"): Dataset[RecentOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new RecentEventsProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class RecentEntry(ms: Long, event_id: Long)
+  final case class RecentMeta(lastMs: Long, timerMs: Long)
+  final case class RecentOut(user_id: Long, rk: Int, event_id: Long, ms: Long)
 
   /** `transformWithState` wiring for [[RunningProfileProcessor]] —
     * event-time timers, append output. */

@@ -619,6 +619,30 @@ object StreamReplay {
     (r.df.filter(col("user_id") >= 0).count(), buf.toSeq)
   }
 
+  /** st14: `transformWithState` with TWO state variables (ListState +
+    * ValueState) — per-user LAST-3 events kept in a ListState, merged
+    * deterministically per batch and emitted as ranked rows when the
+    * replaced event-time timer fires (see
+    * [[EventStreams.RecentEventsProcessor]]). Oracle = the per-user
+    * batch row_number top-3 by (ms desc, event_id desc): batch count
+    * must be invisible.
+    */
+  val st14_recent_tws: Q = (s, dir) => st14Shaped(s, dir, chunks = 1)
+
+  /** st14b: the same processor over 8 event-time chunks — the kept list
+    * genuinely merges ACROSS batches (a batch-3 event can evict a
+    * batch-1 entry, and a user silent after batch 2 must still carry
+    * batch-1/2 entries to the timer). */
+  val st14b_recent_tws_multibatch: Q = (s, dir) => st14Shaped(s, dir, chunks = 8)
+
+  private def st14Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.recentEvents(ds).toDF(), chunks = chunks,
+      stateStore = Some("rocksdb")).df
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("rk"), col("event_id"), col("ms"))
+      .orderBy(col("user_id"), col("rk"))
+
   private def st13Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     // transformWithState is RocksDB-only in Spark 4 — pin the provider
     // for this replay regardless of the process-level default
@@ -786,6 +810,8 @@ object StreamReplay {
     "st12b_session_window_multibatch" -> st12b_session_window_multibatch,
     "st13_profile_tws" -> st13_profile_tws,
     "st13b_profile_tws_multibatch" -> st13b_profile_tws_multibatch,
+    "st14_recent_tws" -> st14_recent_tws,
+    "st14b_recent_tws_multibatch" -> st14b_recent_tws_multibatch,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -799,6 +825,18 @@ object StreamReplay {
       |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
       |    AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** st14/st14b twin: per-user batch top-3 by (ms desc, event_id desc). */
+  private val recentOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) // 1000 AS ms FROM events),
+      |r AS (
+      |  SELECT user_id, event_id, ms,
+      |    CAST(row_number() OVER (PARTITION BY user_id
+      |      ORDER BY ms DESC, event_id DESC) AS INT) AS rk
+      |  FROM e)
+      |SELECT user_id, rk, event_id, CAST(ms AS BIGINT) AS ms
+      |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     // a08's SCD2 lag-collapse/lead-interval SQL transposed to the ms
@@ -940,6 +978,10 @@ object StreamReplay {
     // however the stream was chunked
     "st13_profile_tws" -> profileOracle,
     "st13b_profile_tws_multibatch" -> profileOracle,
+    // st14: the settled last-3 list must equal the batch top-3 window
+    // (ms desc, event_id desc — the processor's merge order verbatim)
+    "st14_recent_tws" -> recentOracle,
+    "st14b_recent_tws_multibatch" -> recentOracle,
     // st12: the stream IS a09's function — so is its oracle
     "st12_session_window_stream" ->
       graft.operators.EventJoins.oracles("a09_session_window"),

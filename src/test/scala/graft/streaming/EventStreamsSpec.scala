@@ -474,4 +474,47 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("ListState last-3: a later batch evicts an earlier batch's entry from kept state") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Event]
+      val query = EventStreams.recentEvents(input.toDS(), horizonMs = 2L * 3600 * 1000)
+        .writeStream.format("memory").queryName("tws_recent")
+        .outputMode(OutputMode.Append()).start()
+      // batch 1 fills the list (events 1,2,3); batch 2's later events 4,5
+      // must evict 1 and 2 FROM STATE — the cross-batch ListState carry
+      input.addData(
+        EventStreams.Event(1, ts(1, 0), 10, "view", 1.0),
+        EventStreams.Event(2, ts(1, 10), 10, "view", 1.0),
+        EventStreams.Event(3, ts(1, 20), 10, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        EventStreams.Event(4, ts(1, 40), 10, "click", 1.0),
+        EventStreams.Event(5, ts(2, 0), 10, "click", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("tws_recent").count() === 0) // timer not fired yet
+      // fire the (replaced) timer at ts(2,0)+2h via watermark movers
+      input.addData(EventStreams.Event(6, ts(9, 0), 99, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(7, ts(12, 0), 98, "view", 1.0))
+      query.processAllAvailable()
+      val u10 = spark.table("tws_recent").as[EventStreams.RecentOut].collect()
+        .filter(_.user_id == 10L).sortBy(_.rk)
+      assert(u10.map(o => (o.rk, o.event_id, o.ms)).toSeq === Seq(
+        (1, 5L, ts(2, 0).getTime),
+        (2, 4L, ts(1, 40).getTime),
+        (3, 3L, ts(1, 20).getTime)))
+      query.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
