@@ -470,7 +470,46 @@ object CurationQueries {
       .orderBy(col("source"), col("rk"))
   }
 
+  /** c17: DECONTAMINATED train/test split — c02's group-stable md5 split
+    * hardened the way an eval-safe pipeline must be: any TRAIN document
+    * that is a MinHash-LSH near-dup candidate (d02's banding, the same
+    * pipeline) of a VAL or TEST document is QUARANTINED out of train —
+    * the near-duplicate leakage that c06's exact-contamination check
+    * can't see (paraphrased/near-copied eval documents still inflate
+    * scores). Output = per-bucket doc counts with `quarantined` as its
+    * own bucket, so the eviction volume is itself a monitored number.
+    *
+    * Plan shape: the split column is a scalar md5 (no shuffle); the
+    * adjacency is d02's banded pair stream joined twice against the tiny
+    * (doc_id, split) projection — key-uniform joins on doc ids — and the
+    * eviction is one left-semi membership test. At 100 TB the candidate
+    * stream is the d02 posting-bucket space (measured linear, r6), never
+    * corpus².
+    */
+  val c17_decontaminated_split: Q = (s, dir) => {
+    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val docs = Tables.documents(s, dir).withColumn("split",
+      when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test"))
+    val splits = docs.select(col("doc_id"), col("split")).localCheckpoint()
+    val adj = DedupQueries.minhashPairs(s, dir)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+    val contaminated = adj.filter(col("sa") === "train" && col("sb") =!= "train")
+      .select(col("doc_a").as("doc_id"))
+      .unionAll(adj.filter(col("sb") === "train" && col("sa") =!= "train")
+        .select(col("doc_b").as("doc_id")))
+      .distinct()
+    docs.join(contaminated.withColumn("quar", lit(1)), Seq("doc_id"), "left")
+      .withColumn("bucket",
+        when(col("split") === "train" && col("quar") === 1, "quarantined")
+          .otherwise(col("split")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Map[String, Q] = Map(
+    "c17_decontaminated_split" -> c17_decontaminated_split,
     "c16_curation_e2e" -> c16_curation_e2e,
     "c15_weighted_sample" -> c15_weighted_sample,
     "c12_mlm_mask" -> c12_mlm_mask,

@@ -94,8 +94,9 @@ object DedupQueries {
     minhashPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
 
   /** (doc_a, doc_b) candidate pairs, doc_a < doc_b — shared by d02 (the
-    * listing) and d07 (the clustering over them). */
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    * listing), d07 (the clustering over them), and c17 (the
+    * decontaminated split's cross-split adjacency). */
+  private[operators] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairsFrom(shingles(Tables.documents(s, dir)))
 
   private def minhashPairsFrom(sh: DataFrame): DataFrame =

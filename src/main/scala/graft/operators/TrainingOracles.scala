@@ -473,6 +473,31 @@ object TrainingOracles {
     // in BOTH assignment rounds (seed assign → quantized Lloyd → final).
     // row_number rk=1 here ≡ the engine's min(struct(d2, cid)) arg-min.
     "s06d_knn_ivf_hier" -> s06dSql,
+    // c17: d02's banding CTE + c02's split expression; quarantine =
+    // train docs adjacent (candidate pair) to any val/test doc.
+    "c17_decontaminated_split" ->
+      s"""WITH $minhashCte,
+         |sp AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |adj AS (
+         |  SELECT p.doc_a, p.doc_b, a.split AS sa, b.split AS sb
+         |  FROM pairs p
+         |  JOIN sp a ON p.doc_a = a.doc_id
+         |  JOIN sp b ON p.doc_b = b.doc_id),
+         |cont AS (
+         |  SELECT doc_a AS doc_id FROM adj WHERE sa = 'train' AND sb != 'train'
+         |  UNION
+         |  SELECT doc_b FROM adj WHERE sb = 'train' AND sa != 'train'),
+         |f AS (
+         |  SELECT CASE WHEN sp.split = 'train' AND cont.doc_id IS NOT NULL
+         |              THEN 'quarantined' ELSE sp.split END AS bucket, n_chars
+         |  FROM sp LEFT JOIN cont ON sp.doc_id = cont.doc_id)
+         |SELECT bucket, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+         |FROM f GROUP BY bucket ORDER BY bucket""".stripMargin,
     // e04: 64-bit sign signature via the d09 bit-63 two's-complement
     // convention; hamming = bit_count(xor) — exact integers both sides;
     // rank windows carry the e03 round-6 discipline.

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -241,6 +241,68 @@ object EventStreams {
   final case class RecentEntry(ms: Long, event_id: Long)
   final case class RecentMeta(lastMs: Long, timerMs: Long)
   final case class RecentOut(user_id: Long, rk: Int, event_id: Long, ms: Long)
+
+  /** The third `transformWithState` state shape: a MAPSTATE keyed by
+    * event type holding per-type counts — the per-user histogram a
+    * feature store maintains incrementally instead of re-aggregating.
+    * Point-updates touch ONLY the incoming types' entries (with RocksDB
+    * each map entry is its own store key — a 1000-type user costs one
+    * read+write per arriving type, not a 1000-entry state rewrite, which
+    * is exactly why MapState exists over a ValueState[Map]). Counts are
+    * exact integers; emission at the replaced event-time timer, st13
+    * protocol throughout.
+    */
+  class TypeHistogramProcessor(horizonMs: Long)
+      extends StatefulProcessor[Long, Event, TypeCountOut] {
+    @transient private var counts: MapState[String, Long] = _
+    @transient private var meta: ValueState[RecentMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      counts = getHandle.getMapState[String, Long]("counts",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      meta = getHandle.getValueState[RecentMeta]("meta",
+        org.apache.spark.sql.Encoders.product[RecentMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[TypeCountOut] = {
+      var lastMs = if (meta.exists()) meta.get().lastMs else Long.MinValue
+      rows.foreach { e =>
+        val k = e.event_type
+        val cur = if (counts.containsKey(k)) counts.getValue(k) else 0L
+        counts.updateValue(k, cur + 1)
+        lastMs = math.max(lastMs, e.ts.getTime)
+      }
+      val m = if (meta.exists()) meta.get() else RecentMeta(Long.MinValue, 0L)
+      if (m.timerMs != 0L) getHandle.deleteTimer(m.timerMs)
+      val t = lastMs + horizonMs
+      getHandle.registerTimer(t)
+      meta.update(RecentMeta(lastMs, t))
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TypeCountOut] = {
+      val out = counts.iterator().map { case (k, v) => TypeCountOut(userId, k, v) }.toSeq
+      counts.clear(); meta.clear()
+      out.iterator
+    }
+  }
+
+  /** [[TypeHistogramProcessor]] wiring — event-time timers, append. */
+  def typeHistogram(events: Dataset[Event],
+      horizonMs: Long = 40L * 86400 * 1000,
+      watermark: String = "10 minutes"): Dataset[TypeCountOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new TypeHistogramProcessor(horizonMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  final case class TypeCountOut(user_id: Long, event_type: String, n: Long)
 
   /** `transformWithState` wiring for [[RunningProfileProcessor]] —
     * event-time timers, append output. */

@@ -643,6 +643,26 @@ object StreamReplay {
       .select(col("user_id"), col("rk"), col("event_id"), col("ms"))
       .orderBy(col("user_id"), col("rk"))
 
+  /** st15: `transformWithState` MAPSTATE — the per-user event-type
+    * histogram maintained by point-updates ([[EventStreams.TypeHistogramProcessor]];
+    * with st13's ValueState and st14's ListState this covers all three
+    * TWS state shapes). Oracle = the plain GROUP BY user_id, event_type.
+    */
+  val st15_type_histogram_tws: Q = (s, dir) => st15Shaped(s, dir, chunks = 1)
+
+  /** st15b: 8 event-time chunks — map entries accumulate ACROSS batches
+    * (a type first seen in batch 1 must still count its batch-7
+    * arrivals). */
+  val st15b_type_histogram_multibatch: Q = (s, dir) => st15Shaped(s, dir, chunks = 8)
+
+  private def st15Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
+    replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.typeHistogram(ds).toDF(), chunks = chunks,
+      stateStore = Some("rocksdb")).df
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("event_type"), col("n"))
+      .orderBy(col("user_id"), col("event_type"))
+
   private def st13Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     // transformWithState is RocksDB-only in Spark 4 — pin the provider
     // for this replay regardless of the process-level default
@@ -812,6 +832,8 @@ object StreamReplay {
     "st13b_profile_tws_multibatch" -> st13b_profile_tws_multibatch,
     "st14_recent_tws" -> st14_recent_tws,
     "st14b_recent_tws_multibatch" -> st14b_recent_tws_multibatch,
+    "st15_type_histogram_tws" -> st15_type_histogram_tws,
+    "st15b_type_histogram_multibatch" -> st15b_type_histogram_multibatch,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -837,6 +859,12 @@ object StreamReplay {
       |  FROM e)
       |SELECT user_id, rk, event_id, CAST(ms AS BIGINT) AS ms
       |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
+
+  /** st15/st15b twin: the per-user event-type histogram. */
+  private val histogramOracle: String =
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY user_id, event_type
+      |ORDER BY user_id, event_type""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
     // a08's SCD2 lag-collapse/lead-interval SQL transposed to the ms
@@ -982,6 +1010,9 @@ object StreamReplay {
     // (ms desc, event_id desc — the processor's merge order verbatim)
     "st14_recent_tws" -> recentOracle,
     "st14b_recent_tws_multibatch" -> recentOracle,
+    // st15: the settled histogram must equal the plain batch GROUP BY
+    "st15_type_histogram_tws" -> histogramOracle,
+    "st15b_type_histogram_multibatch" -> histogramOracle,
     // st12: the stream IS a09's function — so is its oracle
     "st12_session_window_stream" ->
       graft.operators.EventJoins.oracles("a09_session_window"),
