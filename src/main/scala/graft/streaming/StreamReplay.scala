@@ -663,6 +663,30 @@ object StreamReplay {
       .select(col("user_id"), col("event_type"), col("n"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** st14/st15 soak hooks (the [[soakProfile]] twins for the ListState
+    * and MapState processors): per batch the soak records state rows /
+    * store memory while every active user's list merges (st14) or map
+    * entries point-update (st15) under RocksDB. */
+  private[graft] def soakRecent(s: SparkSession, dir: String, chunks: Int):
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val r = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.recentEvents(ds).toDF(), chunks = chunks,
+      stateStore = Some("rocksdb"), progressSink = Some(buf))
+    (r.df.filter(col("user_id") >= 0).count(), buf.toSeq)
+  }
+
+  private[graft] def soakHistogram(s: SparkSession, dir: String, chunks: Int):
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val r = replayRaw(s, dir, OutputMode.Append(),
+      ds => EventStreams.typeHistogram(ds).toDF(), chunks = chunks,
+      stateStore = Some("rocksdb"), progressSink = Some(buf))
+    (r.df.filter(col("user_id") >= 0).count(), buf.toSeq)
+  }
+
   private def st13Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     // transformWithState is RocksDB-only in Spark 4 — pin the provider
     // for this replay regardless of the process-level default

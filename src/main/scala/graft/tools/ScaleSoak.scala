@@ -254,20 +254,40 @@ object StreamingSoakPhase {
   * depth. Usage: scripts/run.sh graft.tools.TwsSoak [outJson] [nEvents]
   */
 object TwsSoak {
+  private val ops: Map[String, (SparkSession, String, Int) =>
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])] = Map(
+    "profile" -> ((sp, d, c) => graft.streaming.StreamReplay.soakProfile(sp, d, c)),
+    // r10: the ListState (last-3 merge) and MapState (type histogram)
+    // processors at the same 10M-event depth — all three TWS state
+    // shapes soaked under RocksDB churn
+    "recent" -> ((sp, d, c) => graft.streaming.StreamReplay.soakRecent(sp, d, c)),
+    "histogram" -> ((sp, d, c) => graft.streaming.StreamReplay.soakHistogram(sp, d, c)))
+
+  /** Usage: scripts/run.sh graft.tools.TwsSoak [outJson] [nEvents] [op…]
+    * (ops from {profile, recent, histogram}; default profile — the
+    * SOAK_r09f shape). */
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SOAK_r09f.json")
-    val n = args.drop(1).headOption.map(_.toLong).getOrElse(10000000L)
+    val n = args.drop(1).headOption.filter(_.forall(_.isDigit))
+      .map(_.toLong).getOrElse(10000000L)
+    val selected = {
+      val names = args.drop(1).filterNot(_.forall(_.isDigit)).toSeq
+      if (names.nonEmpty) names else Seq("profile")
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val json = StreamingSoakPhase.runJsonWith(spark, n, nUsers = n / 50, chunks = 8,
-      opLabel = "transformWithState_profile",
-      (sp, d, c) => graft.streaming.StreamReplay.soakProfile(sp, d, c))
+    val parts = selected.map { op =>
+      val json = StreamingSoakPhase.runJsonWith(spark, n, nUsers = n / 50, chunks = 8,
+        opLabel = s"transformWithState_$op", ops(op))
+      println(s"$op phase done")
+      s""""streaming_tws_$op":$json"""
+    }
     val w = new java.io.PrintWriter(new java.io.File(outJson),
       java.nio.charset.StandardCharsets.UTF_8)
-    try w.println(s"""{"streaming_tws":$json}""") finally w.close()
+    try w.println(parts.mkString("{", ",", "}")) finally w.close()
     println(s"TWS SOAK OK -> $outJson")
     spark.stop()
   }
