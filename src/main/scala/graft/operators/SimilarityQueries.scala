@@ -40,6 +40,20 @@ object SimilarityQueries {
   private def cosine(a: Column, b: Column, na2: Column, nb2: Column): Column =
     dot(a, b) / sqrt(na2 * nb2)
 
+  /** INTEGER rank key at 1e-6 granularity: floor(cos·1e6 + 0.5) as LONG.
+    * The r10 sf0.1 gate sweep caught the old `round(cos, 6)` →
+    * `round(·, 4)` discipline diverging between engines (Spark round()
+    * is HALF_UP, DuckDB's HALF_EVEN — they disagree exactly on .5
+    * boundary values, and at 10× the pair count several sims landed on
+    * one). Migrated family-wide: ranking orders by this exact integer,
+    * display goes through [[sim4]], and no engine round() remains
+    * anywhere in the similarity family. */
+  private def rank6(cosr: Column): Column = floor(cosr * 1e6 + 0.5).cast("long")
+
+  /** Displayed similarity: ONE half-up quantization from the RAW cosine
+    * (the s06c discipline) — identical IEEE ops in both engines. */
+  private def sim4(cosr: Column): Column = floor(cosr * 1e4 + 0.5) / 1e4
+
   /** sign-LSH bucket over the first `bits` dims: bit j set iff v[j] > 0.
     * Axis-aligned hyperplanes — deterministic, no stored model. */
   private def signBucket(v: Column, bits: Int): Column =
@@ -56,20 +70,22 @@ object SimilarityQueries {
 
   /** s01: brute-force cosine top-k (k=10) for a fixed query set
     * (vec_id < 10). The query side is tiny and broadcast; the corpus is
-    * scanned exactly once. Ranking uses round(cos, 6) + vec_id so the
-    * order is insensitive to last-ulp FP noise.
+    * scanned exactly once. Ranking uses the exact-integer [[rank6]] key
+    * + vec_id so the order is insensitive to last-ulp FP noise AND free
+    * of engine round() semantics.
     */
   val s01_knn_brute: Q = (s, dir) => {
     val e = embs(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", rank6(col("cosr")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("sim"))
+        sim4(col("cosr")).as("sim"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -85,12 +101,13 @@ object SimilarityQueries {
         col("n2").as("qn2"), col("bucket").as("qbucket"))
     val scored = e.join(broadcast(q),
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", rank6(col("cosr")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("sim"))
+        sim4(col("cosr")).as("sim"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -106,7 +123,7 @@ object SimilarityQueries {
     val b = e.select(col("bucket").as("bucket_b"), col("vec_id").as("ib"),
       col("v").as("vb"), col("n2").as("nb2"))
     a.join(b, col("bucket") === col("bucket_b") && col("ia") < col("ib"))
-      .withColumn("cos", round(cosine(col("va"), col("vb"), col("na2"), col("nb2")), 4))
+      .withColumn("cos", sim4(cosine(col("va"), col("vb"), col("na2"), col("nb2"))))
       .filter(col("cos") >= 0.4)
       .select(col("ia").as("vec_a"), col("ib").as("vec_b"), col("cos"))
       .orderBy(col("vec_a"), col("vec_b"))
@@ -190,12 +207,13 @@ object SimilarityQueries {
         col("n2").as("qn2"), col("cid").as("qcell"))
     val scored = cells.join(broadcast(q),
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", rank6(col("cosr")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("sim"))
+        sim4(col("cosr")).as("sim"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -289,10 +307,11 @@ object SimilarityQueries {
     val wCand = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
     val wFinal = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("crk", row_number().over(wCand)).filter(col("crk") <= 20)
-      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", rank6(col("cosr")))
       .withColumn("rk", row_number().over(wFinal)).filter(col("rk") <= 5)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("sim"))
+        sim4(col("cosr")).as("sim"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -382,7 +401,7 @@ object SimilarityQueries {
     val b = cells.select(col("cell").as("cell_b"), col("vec_id").as("ib"),
       col("v").as("vb"), col("n2").as("nb2"))
     val dropped = a.join(b, col("cell") === col("cell_b") && col("ia") < col("ib"))
-      .filter(round(cosine(col("va"), col("vb"), col("na2"), col("nb2")), 4) >= 0.4)
+      .filter(sim4(cosine(col("va"), col("vb"), col("na2"), col("nb2"))) >= 0.4)
       .select(col("ib").as("dropped_id")).distinct()
     cells.select(col("vec_id"), col("cell"))
       .join(dropped, col("vec_id") === col("dropped_id"), "left")
@@ -447,7 +466,7 @@ object SimilarityQueries {
     val scored = mem.join(q,
         col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
       .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
-      .withColumn("cos", round(col("cosr"), 6))
+      .withColumn("cos", rank6(col("cosr")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
@@ -525,7 +544,8 @@ object SimilarityQueries {
     val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", rank6(col("cosr")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("qid"), col("vec_id").as("neighbor"))
       .localCheckpoint() // referenced twice (count + semi-join)
@@ -582,12 +602,13 @@ object SimilarityQueries {
       col("v").as("qv"), col("n2").as("qn2"))
     val scored = nb.join(q,
         col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
-      .withColumn("cos", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
+      .withColumn("cos", rank6(col("cosr")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
-        round(col("cos"), 4).as("sim"))
+        sim4(col("cosr")).as("sim"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -679,8 +700,8 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
         col("v16").as("qv16"), col("n16").as("qn16"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cosf", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
-      .withColumn("cost", round(cosine(col("qv16"), col("v16"), col("qn16"), col("n16")), 6))
+      .withColumn("cosf", rank6(cosine(col("qv"), col("v"), col("qn2"), col("n2"))))
+      .withColumn("cost", rank6(cosine(col("qv16"), col("v16"), col("qn16"), col("n16"))))
     val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("vec_id"))
     val wt = Window.partitionBy(col("qid")).orderBy(col("cost").desc, col("vec_id"))
     scored.withColumn("rkf", row_number().over(wf))
@@ -708,7 +729,7 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
         col("sig").as("qsig"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cosf", round(cosine(col("qv"), col("v"), col("qn2"), col("n2")), 6))
+      .withColumn("cosf", rank6(cosine(col("qv"), col("v"), col("qn2"), col("n2"))))
       .withColumn("ham", expr("bit_count(sig ^ qsig)"))
     val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("vec_id"))
     val wh = Window.partitionBy(col("qid")).orderBy(col("ham").asc, col("vec_id"))

@@ -214,7 +214,7 @@ object TrainingOracles {
        |sc AS (
        |  SELECT q.vec_id AS qid, n.vec_id,
        |    list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) AS cosr,
-       |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+       |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
        |  FROM cells n JOIN cells q
        |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
        |r AS (
@@ -260,7 +260,7 @@ object TrainingOracles {
        |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
        |sc AS (
        |  SELECT q.vec_id AS qid, n.vec_id,
-       |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+       |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
        |  FROM nb n JOIN nb q ON n.vec_id != q.vec_id AND n.bucket = q.bucket),
        |r AS (
        |  SELECT qid, vec_id,
@@ -289,13 +289,14 @@ object TrainingOracles {
        |q AS (
        |  SELECT vec_id AS qid, v AS qv, n2 AS qn2$qBucket FROM nb WHERE $queryPred),
        |sc AS (
-       |  SELECT qid, n.vec_id, round(list_dot_product(qv, n.v) / sqrt(qn2 * n.n2), 6) AS cos
+       |  SELECT qid, n.vec_id, list_dot_product(qv, n.v) / sqrt(qn2 * n.n2) AS cosr,
+       |    CAST(floor(list_dot_product(qv, n.v) / sqrt(qn2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
        |  FROM nb n JOIN q ON n.vec_id != q.qid $bucketJoin),
        |r AS (
-       |  SELECT qid, vec_id, cos,
+       |  SELECT qid, vec_id, cosr,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
        |  FROM sc)
-       |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
+       |SELECT qid, rk, vec_id AS neighbor, floor(cosr * 1e4 + 0.5) / 1e4 AS sim
        |FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
   }
 
@@ -346,13 +347,14 @@ object TrainingOracles {
        |  FROM fr WHERE rk <= NPROBE AND vec_id < 10),
        |sc AS (
        |  SELECT qid, c.vec_id,
-       |    round(list_dot_product(qv, c.v) / sqrt(qn2 * c.n2), 6) AS cos
+       |    list_dot_product(qv, c.v) / sqrt(qn2 * c.n2) AS cosr,
+       |    CAST(floor(list_dot_product(qv, c.v) / sqrt(qn2 * c.n2) * 1e6 + 0.5) AS BIGINT) AS cos
        |  FROM cells c JOIN q ON c.cell = q.qcell AND c.vec_id != q.qid),
        |r AS (
-       |  SELECT qid, vec_id, cos,
+       |  SELECT qid, vec_id, cosr,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
        |  FROM sc)
-       |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
+       |SELECT qid, rk, vec_id AS neighbor, floor(cosr * 1e4 + 0.5) / 1e4 AS sim
        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   /** s05's oracle: the full IVF-PQ pipeline in SQL — per-subspace seed →
@@ -420,15 +422,16 @@ object TrainingOracles {
        |  FROM adc),
        |rr AS (
        |  SELECT c.qid, c.vec_id,
-       |    round(list_dot_product(q.qv, cl.v) / sqrt(q.qn2 * cl.n2), 6) AS cos
+       |    list_dot_product(q.qv, cl.v) / sqrt(q.qn2 * cl.n2) AS cosr,
+       |    CAST(floor(list_dot_product(q.qv, cl.v) / sqrt(q.qn2 * cl.n2) * 1e6 + 0.5) AS BIGINT) AS cos
        |  FROM cand c JOIN q ON c.qid = q.qid
        |  JOIN cells cl ON cl.vec_id = c.vec_id
        |  WHERE c.crk <= 20),
        |r AS (
-       |  SELECT qid, vec_id, cos,
+       |  SELECT qid, vec_id, cosr,
        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
        |  FROM rr)
-       |SELECT qid, rk, vec_id AS neighbor, round(cos, 4) AS sim
+       |SELECT qid, rk, vec_id AS neighbor, floor(cosr * 1e4 + 0.5) / 1e4 AS sim
        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
   val all: Map[String, String] = Map(
@@ -443,7 +446,7 @@ object TrainingOracles {
          |  SELECT DISTINCT b.vec_id AS dropped_id
          |  FROM cells a JOIN cells b
          |    ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |  WHERE round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) >= 0.4)
+         |  WHERE floor(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) * 1e4 + 0.5) / 1e4 >= 0.4)
          |SELECT c.vec_id, c.cell,
          |  CASE WHEN d.dropped_id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM cells c LEFT JOIN d ON c.vec_id = d.dropped_id
@@ -457,7 +460,7 @@ object TrainingOracles {
          |sc AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
          |    list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) AS cosr,
-         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
          |  FROM cells n JOIN cells q
          |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
          |r AS (
@@ -511,7 +514,7 @@ object TrainingOracles {
          |  FROM sb WHERE vec_id < 10),
          |sc AS (
          |  SELECT qid, s.vec_id,
-         |    round(list_dot_product(qv, s.v) / sqrt(qn2 * s.n2), 6) AS cosf,
+         |    CAST(floor(list_dot_product(qv, s.v) / sqrt(qn2 * s.n2) * 1e6 + 0.5) AS BIGINT) AS cosf,
          |    bit_count(xor(s.sig, qsig)) AS ham
          |  FROM sb s JOIN q ON s.vec_id != q.qid),
          |r AS (
@@ -531,7 +534,7 @@ object TrainingOracles {
       s"""$ivfCellsPrelude,
          |asc0 AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
-         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
          |  FROM cells n JOIN cells q
          |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
          |approx AS (
@@ -541,7 +544,7 @@ object TrainingOracles {
          |    FROM asc0) t WHERE rk <= 3),
          |tsc AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
-         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
          |  FROM n JOIN n q ON n.vec_id != q.vec_id),
          |truth AS (
          |  SELECT qid, vec_id AS neighbor FROM (
@@ -565,7 +568,7 @@ object TrainingOracles {
       s"""$hierCellsPrelude,
          |asc0 AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
-         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
          |  FROM cells n JOIN cells q
          |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
          |approx AS (
@@ -575,7 +578,7 @@ object TrainingOracles {
          |    FROM asc0) t WHERE rk <= 3),
          |tsc AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
-         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
          |  FROM n JOIN n q ON n.vec_id != q.vec_id),
          |truth AS (
          |  SELECT qid, vec_id AS neighbor FROM (
@@ -721,9 +724,9 @@ object TrainingOracles {
          |nb AS (
          |  SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |  round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) AS cos
+         |  floor(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) * 1e4 + 0.5) / 1e4 AS cos
          |FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE round(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2), 4) >= 0.4
+         |WHERE floor(list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) * 1e4 + 0.5) / 1e4 >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin,
 
     "s01_knn_brute" -> knnSql(useBucket = false, k = 10),
@@ -746,8 +749,8 @@ object TrainingOracles {
          |  FROM t WHERE vec_id < 10),
          |sc AS (
          |  SELECT qid, t.vec_id,
-         |    round(list_dot_product(qv, t.v) / sqrt(qn2 * t.n2), 6) AS cosf,
-         |    round(list_dot_product(qv16, t.v16) / sqrt(qn16 * t.n16), 6) AS cost
+         |    CAST(floor(list_dot_product(qv, t.v) / sqrt(qn2 * t.n2) * 1e6 + 0.5) AS BIGINT) AS cosf,
+         |    CAST(floor(list_dot_product(qv16, t.v16) / sqrt(qn16 * t.n16) * 1e6 + 0.5) AS BIGINT) AS cost
          |  FROM t JOIN q ON t.vec_id != q.qid),
          |r AS (
          |  SELECT qid, vec_id,
@@ -856,7 +859,7 @@ object TrainingOracles {
          |nb AS (SELECT vec_id, v, n2, $bucketExpr AS bucket FROM n),
          |sc AS (
          |  SELECT q.vec_id AS qid, n.vec_id,
-         |    round(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2), 6) AS cos
+         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
          |  FROM nb n JOIN nb q ON n.vec_id != q.vec_id AND n.bucket = q.bucket),
          |r AS (
          |  SELECT qid, vec_id,
