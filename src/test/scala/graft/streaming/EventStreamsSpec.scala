@@ -475,6 +475,46 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("MapState histogram: per-type counts accumulate across batches, emit once at timer") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStreams.Event]
+      val query = EventStreams.typeHistogram(input.toDS(), horizonMs = 2L * 3600 * 1000)
+        .writeStream.format("memory").queryName("tws_hist")
+        .outputMode(OutputMode.Append()).start()
+      // batch 1 seeds view=2, click=1; batch 2 must point-update the
+      // EXISTING view entry (cross-batch map-entry carry) and add purchase
+      input.addData(
+        EventStreams.Event(1, ts(1, 0), 10, "view", 1.0),
+        EventStreams.Event(2, ts(1, 10), 10, "view", 1.0),
+        EventStreams.Event(3, ts(1, 20), 10, "click", 1.0))
+      query.processAllAvailable()
+      input.addData(
+        EventStreams.Event(4, ts(1, 40), 10, "view", 1.0),
+        EventStreams.Event(5, ts(2, 0), 10, "purchase", 1.0))
+      query.processAllAvailable()
+      assert(spark.table("tws_hist").count() === 0) // timer not fired yet
+      input.addData(EventStreams.Event(6, ts(9, 0), 99, "view", 1.0))
+      query.processAllAvailable()
+      input.addData(EventStreams.Event(7, ts(12, 0), 98, "view", 1.0))
+      query.processAllAvailable()
+      val u10 = spark.table("tws_hist").as[EventStreams.TypeCountOut].collect()
+        .filter(_.user_id == 10L).sortBy(_.event_type)
+      assert(u10.map(o => (o.event_type, o.n)).toSeq === Seq(
+        ("click", 1L), ("purchase", 1L), ("view", 3L)))
+      query.stop()
+    } finally {
+      prevProvider match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("ListState last-3: a later batch evicts an earlier batch's entry from kept state") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
