@@ -270,13 +270,17 @@ object ScaleProbe {
       // (the r8 D11 soak's asymmetry pattern: the prediction IS the
       // measurement where the explode is the thing being guarded against)
       val CandCap = 2000000000L
+      // predictors only for banded families actually selected — a
+      // family-filtered probe run must not pay 9 signature aggregations
+      // over every staged corpus for families it will never time
       val bandPreds: Map[String, Seq[(Int, Long)]] = Map(
-        "d06_simhash_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 16, 4, 4) },
-        "d09_simhash64_pairs" -> dirs.map { case (m, d) => m -> bandPairPrediction(d, 64, 4, 16) },
+        "d06_simhash_pairs" -> (() => dirs.map { case (m, d) => m -> bandPairPrediction(d, 16, 4, 4) }),
+        "d09_simhash64_pairs" -> (() => dirs.map { case (m, d) => m -> bandPairPrediction(d, 64, 4, 16) }),
         // d13: the capped predictor sum-over-buckets C(min(n, cap), 2) —
         // the quantity the cap is supposed to make linear
-        "d13_simhash64_capped" -> dirs.map { case (m, d) =>
-          m -> bandPairPrediction(d, 64, 4, 16, cap = Some(256)) })
+        "d13_simhash64_capped" -> (() => dirs.map { case (m, d) =>
+          m -> bandPairPrediction(d, 64, 4, 16, cap = Some(256)) }))
+        .collect { case (f, mk) if families.contains(f) => f -> mk() }
       bandPreds.foreach { case (f, ps) => println(s"$f cand-pair preds: " +
         ps.map { case (m, p) => s"x$m=$p" }.mkString(" ")) }
 
