@@ -64,6 +64,18 @@ object RelationalOracles {
         |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q41: AQE's runtime re-plan changes the SCHEDULE, never the result —
+    // oracle = the plain skew-mapped join + aggregate
+    "q41_aqe_skew_join" ->
+      """WITH li AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0 THEN 7
+        |              ELSE l_orderkey END AS k, l_quantity, l_extendedprice
+        |  FROM lineitem)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM li JOIN orders ON li.k = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q39_incremental_agg" -> q39Sql,
     "q39b_incremental_bucketed" -> q39Sql,
     "q38_merge_upsert" -> q38Sql,

@@ -798,6 +798,53 @@ object RelationalQueries {
       .orderBy(col("l_shipmonth"))
   }
 
+  /** q41: AQE SKEW-JOIN — the runtime answer to the problem q27 solves
+    * by hand: a probe side where ~30% of rows collapse onto 7 hot keys
+    * joins an (effectively) unique build side, and Adaptive Query
+    * Execution SPLITS the oversized shuffle partitions at runtime
+    * (`OptimizeSkewedJoin`: hot partitions are divided into sub-reads,
+    * the build side duplicated per split — the executed SMJ shows
+    * `skew=true`, `PartitionPruningSpec`'s sibling `SkewJoinSpec` pins
+    * it). Together the pair documents the deployment rule: salt when the
+    * skew is KNOWN and the salted layout can be reused (q27); let AQE
+    * re-plan when it isn't (this). Runs on a child session because the
+    * detection thresholds must come down to demonstration scale — never
+    * mutate the shared gate session (the q09b discipline).
+    */
+  val q41_aqe_skew_join: Q = (s0, dir) => {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // keep the SMJ
+    // 32 shuffle partitions regardless of the parent: skew detection
+    // compares a partition against the MEDIAN — with few partitions the
+    // uniform share is already large and nothing looks skewed
+    s.conf.set("spark.sql.shuffle.partitions", "32")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    // a third of the probe rows collapse onto ONE existing order key.
+    // Two demonstration-scale realities tools/SkewProbe measured the
+    // hard way (both are free at production scale): the probe side
+    // needs MULTIPLE MAPPERS (a skewed reduce partition splits by
+    // mapper-chunk ranges — a single-file single-row-group scan leaves
+    // one unsplittable chunk), and the shuffled payload needs BYTE
+    // weight (skew detection is byte-based; a constant hot key over
+    // low-entropy columns compresses the skew away — l_extendedprice
+    // carries real entropy).
+    val hot = col("l_orderkey") % 3 === 0
+    val li = Tables.lineitem(s, dir)
+      .repartition(16)
+      .select(when(hot, lit(7L)).otherwise(col("l_orderkey")).as("k"),
+        col("l_quantity"), col("l_extendedprice"))
+    val ord = Tables.orders(s, dir)
+      .select(col("o_orderkey").as("k"), col("o_orderstatus"))
+    li.join(ord.hint("merge"), Seq("k"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** q38: MERGE (CDC changeset application) — the upsert primitive every
     * incremental pipeline needs and Spark has no built-in DML for on
     * plain parquet. A deterministic changeset derived from the target
@@ -923,6 +970,7 @@ object RelationalQueries {
     "q38_merge_upsert" -> q38_merge_upsert,
     "q38b_merge_bucketed" -> q38b_merge_bucketed,
     "q40_partition_pruned_join" -> q40_partition_pruned_join,
+    "q41_aqe_skew_join" -> q41_aqe_skew_join,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,
