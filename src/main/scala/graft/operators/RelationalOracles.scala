@@ -64,6 +64,16 @@ object RelationalOracles {
         |  count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN m ON strftime(l_shipdate, '%Y-%m') = m.m
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q42: aggregate pushdown changes WHERE the numbers come from
+    // (parquet footer stats vs data pages), never what they are — the
+    // oracle recomputes from the raw rows, so the gate checks
+    // stats-path ≡ data-path
+    "q42_agg_pushdown" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS l_shipmonth,
+        |  count(*) AS n_rows,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // q41: AQE's runtime re-plan changes the SCHEDULE, never the result —
     // oracle = the plain skew-mapped join + aggregate
     "q41_aqe_skew_join" ->

@@ -845,6 +845,50 @@ object RelationalQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q42: PARQUET AGGREGATE PUSHDOWN — the scan itself answers the
+    * aggregate from parquet FOOTER STATISTICS (row-group row counts and
+    * column min/max), never materializing a single data page: the DSv2
+    * parquet reader with `spark.sql.parquet.aggregatePushdown` pushes
+    * COUNT(*)/MIN/MAX — and, over q40's hive-partitioned layout, the
+    * GROUP BY on the partition column too — into the scan
+    * (`PushedAggregation` + `PushedGroupBy` on the scan node,
+    * `AggPushdownSpec` pins both on this entry's own plan and pins
+    * result equality against the default non-pushdown reader). At 100 TB
+    * this is the difference between "read every page of the fact table
+    * to report per-partition counts and value ranges" and a
+    * footer-metadata-only pass — the audit/profiling queries a curation
+    * pipeline runs daily become nearly free. Runs on a child session
+    * because the DSv2 reader switch (`useV1SourceList=""`) must not leak
+    * into Verify's concurrent sibling queries (the q09b/q41 discipline);
+    * the layout is built via the PARENT session so the per-(session,dir)
+    * scratch cache is shared with q40 instead of rewriting the layout on
+    * every call.
+    *
+    * Pushdown eligibility is structural, not lucky: no filter (a data
+    * filter would force page reads), MIN/MAX on primitive columns with
+    * parquet stats, grouping only by the partition column. The oracle
+    * recomputes the same aggregate from the RAW rows — so the gate
+    * checks stats-path ≡ data-path, the property that matters.
+    */
+  val q42_agg_pushdown: Q = (s0, dir) => {
+    val layout = ensurePartitioned(s0, dir)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.useV1SourceList", "") // parquet via DSv2
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    aggPushdownShape(s, layout)
+  }
+
+  /** q42's aggregate over an explicit layout path — shared with the
+    * spec so the pinned plan is exactly the gate entry's. */
+  def aggPushdownShape(s: SparkSession, layout: String): DataFrame =
+    s.read.parquet(layout)
+      .groupBy(col("l_shipmonth"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_quantity")).as("min_qty"), max(col("l_quantity")).as("max_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy(col("l_shipmonth"))
+
   /** q38: MERGE (CDC changeset application) — the upsert primitive every
     * incremental pipeline needs and Spark has no built-in DML for on
     * plain parquet. A deterministic changeset derived from the target
@@ -971,6 +1015,7 @@ object RelationalQueries {
     "q38b_merge_bucketed" -> q38b_merge_bucketed,
     "q40_partition_pruned_join" -> q40_partition_pruned_join,
     "q41_aqe_skew_join" -> q41_aqe_skew_join,
+    "q42_agg_pushdown" -> q42_agg_pushdown,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,

@@ -406,9 +406,65 @@ object TextQueries {
       .limit(20)
   }
 
+  /** t15: COLLOCATION MINING (word2phrase-style) — the top-30 bigrams by
+    * corpus-wide association lift, the statistic phrase-detection passes
+    * use to decide which adjacent word pairs should become single tokens
+    * before tokenizer training. Lift = observed bigram count over its
+    * independence expectation: `c(ab)·U / (c(a)·c(b))` with U the corpus
+    * token total — the log-free monotone twin of PMI (log is a libm call
+    * whose last ulp differs between engines; the RATIO ranks identically
+    * and stays exact). Scaled to 1e4 fixed-point and floor-divided in
+    * BIGINT on both engines, so the hash gate holds bit-for-bit (the
+    * t14 discipline). A `c(ab) ≥ 5` support floor kills the hapax noise
+    * that dominates raw PMI rankings. Deterministic total order:
+    * (lift desc, bigram asc) — unique, so the LIMIT is stable.
+    *
+    * Plan shape: one token explode → token-keyed unigram agg (vocab is
+    * Heaps'-law sublinear); one bigram explode → bigram-keyed agg with
+    * the support floor applied BEFORE the joins (the candidate set
+    * collapses to the frequent-bigram vocabulary); two token-keyed
+    * broadcast-or-shuffle joins against the unigram counts; U is the
+    * 1-row-aggregate broadcast. At 100 TB every shuffle is
+    * vocabulary-keyed, never corpus-keyed — exactly how word2phrase
+    * scales. BIGINT headroom: c(ab)·U·1e4 needs c(ab)·U < 9.2e14, ample
+    * below ~1e9 token corpora per run; past that the lift moves to
+    * DECIMAL(38) with the same floor-divide discipline.
+    */
+  val t15_collocations: Q = (s, dir) => collocations(s, dir)
+
+  /** t15's body with the support floor and listing size as knobs (the
+    * d12/d13/t13 parameterization discipline; the gate entry runs
+    * minCount=5 / topK=30, the spec drives hand-computable corpora). */
+  def collocations(s: SparkSession, dir: String,
+                   minCount: Long = 5L, topK: Int = 30): DataFrame = {
+    val tk = Tables.documents(s, dir)
+      .select(explode(toks).as("tok"))
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val tot = uni.agg(sum(col("c")).as("u"))
+    val bg = Tables.documents(s, dir)
+      .filter(size(toks) >= 2) // sequence(1, 0) would DESCEND, not empty
+      .select(explode(expr(
+        "transform(sequence(1, size(split(text,' ')) - 1)," +
+          " i -> concat_ws(' ', element_at(split(text,' '), i)," +
+          " element_at(split(text,' '), i+1)))")).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bg
+      .join(uni.select(col("tok").as("ta"), col("c").as("c_a")),
+        expr("element_at(split(bg,' '), 1) = ta"))
+      .join(uni.select(col("tok").as("tb"), col("c").as("c_b")),
+        expr("element_at(split(bg,' '), 2) = tb"))
+      .crossJoin(broadcast(tot))
+      .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(c_ab * u * 10000) div (c_a * c_b)").as("lift_e4"))
+      .orderBy(col("lift_e4").desc, col("bg"))
+      .limit(topK)
+  }
+
   val all: Map[String, Q] = Map(
     "t13_bm25" -> t13_bm25,
     "t14_rarity_score" -> t14_rarity_score,
+    "t15_collocations" -> t15_collocations,
     "t12_lexical_zipf" -> t12_lexical_zipf,
     "t11_novelty" -> t11_novelty,
     "t10_keywords" -> t10_keywords,

@@ -985,6 +985,30 @@ object TrainingOracles {
     // (score desc, doc_id) order can't diverge on last-ulp ln noise.
     // t14: integral inverse-probability rarity — exact integer floor
     // division everywhere, so the two engines agree bit-for-bit.
+    // t15: lift in 1e4 fixed-point BIGINT floor-division on both engines
+    // (the t14 log-free discipline); support floor c_ab >= 5; total order
+    // (lift desc, bg asc) is unique so the LIMIT is stable
+    "t15_collocations" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS u FROM uni),
+        |w AS (
+        |  SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg0 AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |    i -> w[i] || ' ' || w[i+1])) AS bg FROM w),
+        |bgc AS (
+        |  SELECT bg, CAST(count(*) AS BIGINT) AS c_ab FROM bg0
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |j AS (
+        |  SELECT bg, c_ab, a.c AS c_a, b.c AS c_b FROM bgc
+        |  JOIN uni a ON a.tok = string_split(bg, ' ')[1]
+        |  JOIN uni b ON b.tok = string_split(bg, ' ')[2])
+        |SELECT bg, c_ab, c_a, c_b,
+        |  (c_ab * u * 10000) // (c_a * c_b) AS lift_e4
+        |FROM j, tot ORDER BY lift_e4 DESC, bg LIMIT 30""".stripMargin,
     "t14_rarity_score" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),

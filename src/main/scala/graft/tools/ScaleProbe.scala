@@ -222,7 +222,14 @@ object ScaleProbe {
         // the capped guard d14's own 10× probe run motivated (its exact
         // pair listing exhausted an 8 GiB driver at 50k docs on the
         // 31-word vocab — hot 3-shingles are the d11 story again)
-        "d15_containment_capped")
+        "d15_containment_capped",
+        // r10 late additions: collocation mining (bigram-vocab-keyed —
+        // Heaps-sublinear joins should read ~linear in corpus wall) and
+        // the footer-stats aggregate (min-of-2 reps means the measured
+        // point is the stats-only read over the already-built layout —
+        // the recurring-audit story the operator exists to tell; the
+        // layout build itself is rep 1, amortized like q37's)
+        "t15_collocations", "q42_agg_pushdown")
       val families =
         if (familyFilter.isEmpty) allFamilies
         else allFamilies.filter(familyFilter.contains)
