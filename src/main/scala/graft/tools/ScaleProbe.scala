@@ -122,6 +122,12 @@ object ScaleProbe {
       // integral 1..50 like the sf tables' quantity column (q37 sums it)
       .withColumn("l_quantity",
         (pmod(xxhash64(col("l_orderkey"), col("l_linenumber").cast("long"), lit(7L)), lit(50L)) + 1).cast("double"))
+      // ship dates spread over the sf tables' ~25 months so q40/q42's
+      // hive layout gets the same partition cardinality at every scale
+      // (partitions must NOT grow with N — that's the layout's contract)
+      .withColumn("l_shipdate", expr(
+        "to_timestamp(date_add(date'1996-01-01', " +
+          "cast(pmod(xxhash64(l_orderkey, 13L), 760) as int)))"))
     (orders, lineitem)
   }
 
