@@ -406,18 +406,21 @@ object TextQueries {
       .limit(20)
   }
 
-  /** t15: COLLOCATION MINING (word2phrase-style) — the top-30 bigrams by
-    * corpus-wide association lift, the statistic phrase-detection passes
-    * use to decide which adjacent word pairs should become single tokens
-    * before tokenizer training. Lift = observed bigram count over its
-    * independence expectation: `c(ab)·U / (c(a)·c(b))` with U the corpus
-    * token total — the log-free monotone twin of PMI (log is a libm call
-    * whose last ulp differs between engines; the RATIO ranks identically
-    * and stays exact). Scaled to 1e4 fixed-point and floor-divided in
-    * BIGINT on both engines, so the hash gate holds bit-for-bit (the
-    * t14 discipline). A `c(ab) ≥ 5` support floor kills the hapax noise
-    * that dominates raw PMI rankings. Deterministic total order:
-    * (lift desc, bigram asc) — unique, so the LIMIT is stable.
+  /** t15: RANKED COLLOCATIONS (word2phrase-style) — the top-30 bigrams
+    * by corpus-wide association lift: the RANKED companion to
+    * [[CurationQueries.c08_pmi_bigrams]], which SCORES every qualifying
+    * bigram with rounded-double PMI but deliberately orders by (x, y)
+    * because ranking on a rounded libm log is a cross-engine tie hazard.
+    * Lift = observed bigram count over its independence expectation,
+    * `c(ab)·U / (c(a)·c(b))` with U the corpus token total — a constant
+    * multiple (U/B, B = total bigrams) of the argument inside c08's
+    * log, so ORDERING BY LIFT IS EXACTLY ORDERING BY PMI, computed
+    * without libm: scaled to 1e4 fixed-point and floor-divided in
+    * BIGINT on both engines, the hash gate holds bit-for-bit (the t14
+    * discipline) and the top-k that c08 can't safely produce becomes
+    * gate-checkable. Same `c(ab) ≥ 5` support floor. Deterministic
+    * total order: (lift desc, bigram asc) — unique, so the LIMIT is
+    * stable.
     *
     * Plan shape: one token explode → token-keyed unigram agg (vocab is
     * Heaps'-law sublinear); one bigram explode → bigram-keyed agg with
