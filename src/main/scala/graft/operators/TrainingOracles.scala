@@ -18,7 +18,9 @@ object TrainingOracles {
     s"SELECT doc_id, $b AS band, md5($cols) AS h FROM sig"
   }.mkString("\n  UNION ALL\n  ")
 
-  private val minhashCte =
+  // private[graft]: the st16 streaming ingest-gate oracle reuses these
+  // exact signature CTEs — stream ≡ batch blocking is the claim under test
+  private[graft] val minhashCte =
     s"""w AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |  WHERE len(string_split(text, ' ')) >= 3),

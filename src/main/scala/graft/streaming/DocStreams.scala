@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+
+/** STREAMING NEAR-DUP INGEST GATE — the online twin of d02's MinHash+LSH
+  * blocking (`DedupQueries.lshBands`, `DedupQueries.scala`): as documents
+  * stream in, each is flagged near-dup iff some LOWER-doc_id document
+  * anywhere in the corpus so far shares one of its four LSH band values.
+  * This is the admission filter a crawl-ingest pipeline runs BEFORE
+  * paying storage/compute for a document — the batch dedup family
+  * (d01–d17) decides retroactively; this decides at the door, keeping
+  * per-band minimum owners as keyed streaming state.
+  *
+  * Two deliberate design points:
+  *
+  *  - **The signature is computed STATELESSLY per row** (higher-order
+  *    functions over the in-row shingle array: `array_min(transform(...))`
+  *    per hash, then the four band md5s), not via d02's explode +
+  *    groupBy(doc_id) aggregation — in a stream that aggregation would be
+  *    a second stateful operator; per-row it is ordinary codegen'd
+  *    expression work, and `min` over the same md5 set is the SAME number
+  *    regardless of whether it is folded by an aggregate or an array
+  *    function. The signature definition (16 md5 min-hashes over distinct
+  *    3-gram token shingles, salted `"i:"`, 4 bands of 4 joined by '|')
+  *    matches d02 EXACTLY, so the oracle reuses d02's CTEs.
+  *  - **The dup rule is min-owner, not first-seen**: a doc is flagged iff
+  *    `min(all doc_ids sharing the band so far) < doc_id`. Arrival order
+  *    within a micro-batch is nondeterministic; the min rule makes the
+  *    flags a pure function of the SET of documents delivered up to and
+  *    including the doc's own batch — and with the replay's doc_id-ranged
+  *    chunking (lower ids are never delivered later), a pure function of
+  *    the corpus, equal to the batch rule. That is what makes the stream
+  *    oracle-checkable AND backfill ≡ live.
+  *
+  * At 100 TB: state is one long per (band, value) bucket — the band-value
+  * key space is the d02 bucket space, key-uniform by construction of the
+  * md5; the d13 lesson (degenerate hot buckets) applies to the candidate
+  * EMISSION side only, and here every doc emits exactly 4 band rows
+  * regardless of bucket occupancy, so there is no quadratic tail at all:
+  * the stream does O(1) state work per (doc, band). RocksDB moves the
+  * bucket-owner map off-heap (`graft.stateStore=rocksdb`, the st-family
+  * override).
+  */
+object DocStreams {
+
+  final case class DocBand(doc_id: Long, band: Int, h: String)
+  final case class BandDup(doc_id: Long, band: Int, dup: Long)
+
+  /** The four (band, h) LSH rows per document, as stateless per-row
+    * expressions — usable identically on a batch or streaming frame.
+    * Signature constants (16 hashes, 3-gram shingles, 4×4 bands) are
+    * d02's; see `DedupQueries.lshBands`. Docs under 3 tokens emit no
+    * rows (they have no shingle, hence no signature — same as d02). */
+  def bandRows(docs: DataFrame): Dataset[DocBand] = {
+    import docs.sparkSession.implicits._
+    val tk = split(col("text"), " ")
+    val sh = array_distinct(transform(
+      sequence(lit(1), size(col("tk")) - 2),
+      i => concat_ws(" ",
+        element_at(col("tk"), i), element_at(col("tk"), i + 1),
+        element_at(col("tk"), i + 2))))
+    val mins: Seq[Column] = (0 until 16).map(i =>
+      array_min(transform(col("sh"), x => md5(concat(lit(s"$i:"), x)))).as(s"mh$i"))
+    val bandCols = (0 until 4).map(b =>
+      md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)))
+    docs
+      .select(col("doc_id"), tk.as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), sh.as("sh"))
+      .select(col("doc_id") +: mins: _*)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "h")))
+      .as[DocBand]
+  }
+
+  /** Per-(band, value) minimum-owner state: one ValueState[Long]. Each
+    * batch folds its rows' min doc_id into the stored owner and emits
+    * every input row with `dup = owner' < doc_id` — the min-owner rule
+    * above. No timers, no watermark: `TimeMode.None`, state lives for
+    * the stream (an ingest gate never forgets an owner; production would
+    * add TTL only as an explicit recall-loss decision). */
+  class BandOwnerProcessor extends StatefulProcessor[String, DocBand, BandDup] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[DocBand],
+        timerValues: TimerValues): Iterator[BandDup] = {
+      val buf = rows.toArray
+      var newOwner = if (owner.exists()) owner.get() else Long.MaxValue
+      buf.foreach(b => newOwner = math.min(newOwner, b.doc_id))
+      owner.update(newOwner)
+      val o = newOwner
+      buf.iterator.map(b => BandDup(b.doc_id, b.band, if (o < b.doc_id) 1L else 0L))
+    }
+  }
+
+  /** [[BandOwnerProcessor]] wiring: band rows keyed by (band, value). */
+  def nearDupFlags(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    bandRows(docs)
+      .groupByKey(b => s"${b.band}:${b.h}")
+      .transformWithState(new BandOwnerProcessor,
+        TimeMode.None(), OutputMode.Append())
+      .toDF()
+  }
+}

@@ -663,6 +663,110 @@ object StreamReplay {
       .select(col("user_id"), col("event_type"), col("n"))
       .orderBy(col("user_id"), col("event_type"))
 
+  /** st16: STREAMING NEAR-DUP INGEST GATE — d02's MinHash+LSH blocking
+    * as an admission filter: each arriving document is flagged near-dup
+    * iff a lower-doc_id document seen so far shares one of its four LSH
+    * band values, with per-(band, value) minimum owners as
+    * `transformWithState` ValueState (see [[DocStreams]] for the
+    * min-owner determinism argument and the stateless per-row signature).
+    * The settled per-(doc, band) flags fold to a per-doc verdict and
+    * LEFT-join the doc scaffold so shingle-less documents (< 3 tokens —
+    * no signature, same as d02) report 0 — that fold is display-side
+    * batch work over the sink; the stateful cross-batch owner tracking
+    * is the streaming surface under test. Oracle recomputes the rule
+    * from d02's own signature CTEs: stream ≡ batch blocking, the
+    * ingest-gate-equals-retroactive-dedup guarantee.
+    */
+  val st16_neardup_ingest: Q = (s, dir) => st16Shaped(s, dir, chunks = 1)
+
+  /** st16b: the ingest gate replayed MULTI-BATCH — the documents table
+    * staged as 8 doc_id-RANGED chunk files consumed one per micro-batch
+    * (lower ids never arrive later, the replay leg of the min-owner
+    * rule), so every cross-chunk duplicate must be caught by a state
+    * HIT across the batch boundary, not by same-batch comparison. Same
+    * oracle as st16. */
+  val st16b_neardup_multibatch: Q = (s, dir) => st16Shaped(s, dir, chunks = 8)
+
+  private def st16Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame = {
+    val flags = replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks)
+      .groupBy(col("doc_id")).agg(max(col("dup")).as("near_dup"))
+    graft.Tables.documents(s, dir).select(col("doc_id"))
+      .join(flags, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("near_dup"), lit(0L)).as("near_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Documents-table replay for the ingest-gate entries: the
+    * [[replayRaw]] file-stream protocol minus the event-time machinery
+    * (no watermark, no ticks — the processor runs `TimeMode.None` and
+    * emits per batch, so there is nothing for a tick to close).
+    * `chunks > 1` stages the table as doc_id-RANGED chunk files consumed
+    * one per micro-batch. RocksDB pinned: transformWithState is
+    * RocksDB-only in Spark 4 (the st13 note). */
+  private def replayDocs(outer: SparkSession, dir: String,
+      transform: DataFrame => DataFrame, chunks: Int): DataFrame = {
+    val s: SparkSession = outer.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Scratch.tempDir("graftdocreplay")
+    val stage = Files.createDirectory(base.resolve("in"))
+    val ckpt = base.resolve("ckpt").toString
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val srcFiles: Seq[java.io.File] =
+      if (src.isDirectory)
+        src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .sortBy(_.getAbsolutePath).toSeq
+      else Seq(src)
+    require(srcFiles.nonEmpty, s"no parquet files found under $src")
+    val sink = s"graft_docreplay_${sinkId.incrementAndGet()}"
+    try {
+      val staged: Seq[Path] =
+        if (chunks > 1) {
+          // one distributed range-sort by doc_id; part index = range
+          // index = delivery order (the replayRaw chunk protocol)
+          val tmp = Files.createTempDirectory(base, "chunkwrite")
+          s.read.parquet(src.getAbsolutePath)
+            .repartitionByRange(chunks, col("doc_id"))
+            .write.mode("overwrite").parquet(tmp.toString)
+          val parts = tmp.toFile.listFiles()
+            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .sortBy(_.getName)
+          require(parts.length > 1,
+            s"multi-batch doc replay needs >1 chunk files, got ${parts.length}")
+          parts.toSeq.zipWithIndex.map { case (f, i) =>
+            Files.move(f.toPath, stage.resolve(f"chunk-$i%05d.parquet"))
+          }
+        } else srcFiles.zipWithIndex.map { case (f, i) =>
+          Files.copy(f.toPath, stage.resolve(f"real-$i%05d.parquet"))
+        }
+      val mt0 = System.currentTimeMillis() - staged.size * 2000L
+      staged.zipWithIndex.foreach { case (p, i) =>
+        Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(mt0 + i * 1000L))
+      }
+      val raw = s.readStream
+        .schema(s.read.parquet(staged.head.toString).schema)
+        .option("maxFilesPerTrigger", if (chunks > 1) "1" else staged.size.toString)
+        .parquet(stage.toString)
+      val query = transform(raw)
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("memory").queryName(sink).start()
+      try {
+        query.processAllAvailable()
+        s.table(sink).localCheckpoint()
+      } finally {
+        query.stop()
+        s.catalog.dropTempView(sink)
+      }
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** st14/st15 soak hooks (the [[soakProfile]] twins for the ListState
     * and MapState processors): per batch the soak records state rows /
     * store memory while every active user's list merges (st14) or map
@@ -858,6 +962,8 @@ object StreamReplay {
     "st14b_recent_tws_multibatch" -> st14b_recent_tws_multibatch,
     "st15_type_histogram_tws" -> st15_type_histogram_tws,
     "st15b_type_histogram_multibatch" -> st15b_type_histogram_multibatch,
+    "st16_neardup_ingest" -> st16_neardup_ingest,
+    "st16b_neardup_multibatch" -> st16b_neardup_multibatch,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -885,6 +991,20 @@ object StreamReplay {
       |FROM r WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin
 
   /** st15/st15b twin: the per-user event-type histogram. */
+  /** st16/st16b twin: near-dup iff a lower doc_id shares a band value —
+    * over the SAME 16-hash / 4-band signature CTEs as d02's oracle. */
+  private val nearDupOracle: String =
+    s"""WITH ${graft.operators.TrainingOracles.minhashCte},
+       |own AS (SELECT band, h, min(doc_id) AS owner FROM bands GROUP BY 1, 2),
+       |flag AS (
+       |  SELECT b.doc_id,
+       |    max(CASE WHEN o.owner < b.doc_id THEN 1 ELSE 0 END) AS nd
+       |  FROM bands b JOIN own o ON b.band = o.band AND b.h = o.h
+       |  GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(f.nd, 0) AS BIGINT) AS near_dup
+       |FROM documents d LEFT JOIN flag f ON d.doc_id = f.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val histogramOracle: String =
     """SELECT user_id, event_type, count(*) AS n
       |FROM events GROUP BY user_id, event_type
@@ -1037,6 +1157,11 @@ object StreamReplay {
     // st15: the settled histogram must equal the plain batch GROUP BY
     "st15_type_histogram_tws" -> histogramOracle,
     "st15b_type_histogram_multibatch" -> histogramOracle,
+    // st16: the ingest gate must equal the BATCH blocking rule — the
+    // oracle recomputes min-owner flags from d02's own signature CTEs
+    // (the unreferenced `pairs` CTE in the shared prelude is inert)
+    "st16_neardup_ingest" -> nearDupOracle,
+    "st16b_neardup_multibatch" -> nearDupOracle,
     // st12: the stream IS a09's function — so is its oracle
     "st12_session_window_stream" ->
       graft.operators.EventJoins.oracles("a09_session_window"),
