@@ -704,7 +704,9 @@ object StreamReplay {
     * one per micro-batch. RocksDB pinned: transformWithState is
     * RocksDB-only in Spark 4 (the st13 note). */
   private def replayDocs(outer: SparkSession, dir: String,
-      transform: DataFrame => DataFrame, chunks: Int): DataFrame = {
+      transform: DataFrame => DataFrame, chunks: Int,
+      progressSink: Option[scala.collection.mutable.Buffer[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]] = None): DataFrame = {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -756,6 +758,7 @@ object StreamReplay {
         .format("memory").queryName(sink).start()
       try {
         query.processAllAvailable()
+        progressSink.foreach(_ ++= query.recentProgress)
         s.table(sink).localCheckpoint()
       } finally {
         query.stop()
@@ -765,6 +768,19 @@ object StreamReplay {
       try org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
       catch { case _: java.io.IOException => () }
     }
+  }
+
+  /** st16 soak hook: the ingest gate replayed over a generated document
+    * corpus with per-batch progress captured — state rows here are
+    * (band, value) bucket owners (~4× the distinct-signature count),
+    * and the returned count is the number of FLAGGED documents. */
+  private[graft] def soakNearDup(s: SparkSession, dir: String, chunks: Int):
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val flags = replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks,
+      progressSink = Some(buf))
+    (flags.filter(col("dup") === 1L).select(col("doc_id")).distinct().count(), buf.toSeq)
   }
 
   /** st14/st15 soak hooks (the [[soakProfile]] twins for the ListState

@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** st16 ingest-gate soak: the streaming near-dup admission filter
+  * replayed over a GENERATED document corpus at depth (default 500k docs
+  * = 100× the sf0.1 table, ~2M band-owner state entries under RocksDB),
+  * 8 doc_id-ranged chunks — per-batch latency, state rows, and RocksDB
+  * SST size recorded, the SOAK_r09f/r10c instrumentation applied to the
+  * documents-stream path. The corpus is `ScaleProbe.genDocs` (sf0.1
+  * statistics: ~54-word docs over the shared vocabulary, an exact
+  * duplicate every 625 docs), so the flagged count has a floor of the
+  * planted dup groups plus whatever vocabulary collisions the 4-band LSH
+  * admits — the soak asserts the floor, not an exact count.
+  *
+  * Usage: scripts/run.sh graft.tools.IngestSoak [outJson] [nDocs]
+  */
+object IngestSoak {
+  def main(args: Array[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val outJson = args.headOption.getOrElse("SOAK_r10f.json")
+    val n = args.drop(1).headOption.map(_.toLong).getOrElse(500000L)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = graft.Scratch.tempDir("ingestsoak")
+    try {
+      ScaleProbe.genDocs(spark, n).write.parquet(s"$dir/documents.parquet")
+      val heapPools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      heapPools.foreach(_.resetPeakUsage())
+      import graft.CpuStat.{ticks, pct}
+      val c0 = ticks(); val t0 = System.nanoTime()
+      val (flagged, progress) =
+        graft.streaming.StreamReplay.soakNearDup(spark, dir.toString, chunks = 8)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val (stealPct, sysPct) = pct(c0, ticks())
+      val peakHeapMb = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+      val batches = progress.filter(_.numInputRows > 0).map { p =>
+        val so = Option(p.stateOperators).toSeq.flatten.headOption
+        val custom = so.map(_.customMetrics.asScala.map { case (k, v) => k -> v.longValue }.toMap)
+          .getOrElse(Map.empty)
+        s"""{"batch":${p.batchId},"input_rows":${p.numInputRows},
+           |"batch_ms":${p.batchDuration},
+           |"state_rows":${so.map(_.numRowsTotal).getOrElse(0L)},
+           |"state_mem_mb":${so.map(_.memoryUsedBytes).getOrElse(0L) >> 20},
+           |"rocksdb_sst_mb":${custom.getOrElse("rocksdbSstFileSize", 0L) >> 20}}"""
+          .stripMargin.replace("\n", "")
+      }.mkString("[", ",", "]")
+      // planted floor: one flagged copy per exact-dup group (id % 625 == 1)
+      val plantedDups = (1L until n by 625L).count(_ % 625 == 1)
+      val json =
+        s"""{"streaming_neardup_ingest":{"docs":$n,"chunks":8,"op":"st16_neardup_ingest",
+           |"state_store":"rocksdb","docs_flagged":$flagged,
+           |"planted_dup_floor":$plantedDups,
+           |"seconds":${f"$secs%.1f"},"run_steal_pct":$stealPct,"run_sys_pct":$sysPct,
+           |"peak_heap_mb":$peakHeapMb,"batches":$batches}}""".stripMargin.replace("\n", "")
+      require(flagged >= plantedDups,
+        s"flagged $flagged below the planted-duplicate floor $plantedDups")
+      val w = new java.io.PrintWriter(new java.io.File(outJson),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try w.println(json) finally w.close()
+      println(s"INGEST SOAK OK -> $outJson (flagged=$flagged floor=$plantedDups)")
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
+      catch { case _: java.io.IOException => () }
+      spark.stop()
+    }
+  }
+}
