@@ -442,7 +442,11 @@ object TextQueries {
                    minCount: Long = 5L, topK: Int = 30): DataFrame = {
     val tk = Tables.documents(s, dir)
       .select(explode(toks).as("tok"))
-    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // localCheckpoint: uni feeds THREE consumers (c_a join, c_b join, the
+    // U total) — without the cut each one re-runs the corpus-wide token
+    // explode + count (the d08 shared-subtree discipline; PlanAudit
+    // showed three full scan+agg subtrees before the cut)
+    val uni = tk.groupBy(col("tok")).agg(count(lit(1)).as("c")).localCheckpoint()
     val tot = uni.agg(sum(col("c")).as("u"))
     val bg = Tables.documents(s, dir)
       .filter(size(toks) >= 2) // sequence(1, 0) would DESCEND, not empty
