@@ -715,12 +715,22 @@ object StreamReplay {
     val stage = Files.createDirectory(base.resolve("in"))
     val ckpt = base.resolve("ckpt").toString
     val src = new java.io.File(s"$dir/documents.parquet")
+    // recursive listing, matching replayRaw: a partitioned/nested
+    // documents.parquet directory is a valid batch-read layout, so the
+    // replay must stage those files too (a non-recursive listing would
+    // silently stage a SUBSET of a mixed layout — partial corpus into
+    // the stream, full corpus into the oracle)
     val srcFiles: Seq[java.io.File] =
-      if (src.isDirectory)
-        src.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-          !f.getName.startsWith("_") && !f.getName.startsWith("."))
-          .sortBy(_.getAbsolutePath).toSeq
-      else Seq(src)
+      if (src.isDirectory) {
+        val walk = Files.walk(src.toPath)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala.map(_.toFile)
+            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+              !f.getName.startsWith("_") && !f.getName.startsWith("."))
+            .toSeq.sortBy(_.getAbsolutePath)
+        } finally walk.close()
+      } else Seq(src)
     require(srcFiles.nonEmpty, s"no parquet files found under $src")
     val sink = s"graft_docreplay_${sinkId.incrementAndGet()}"
     try {

@@ -49,8 +49,9 @@ object IngestSoak {
            |"rocksdb_sst_mb":${custom.getOrElse("rocksdbSstFileSize", 0L) >> 20}}"""
           .stripMargin.replace("\n", "")
       }.mkString("[", ",", "]")
-      // planted floor: one flagged copy per exact-dup group (id % 625 == 1)
-      val plantedDups = (1L until n by 625L).count(_ % 625 == 1)
+      // planted floor: one flagged copy per exact-dup group (the
+      // generator copies doc id-1 onto every id ≡ 1 mod 625)
+      val plantedDups = (1L until n by 625L).size.toLong
       val json =
         s"""{"streaming_neardup_ingest":{"docs":$n,"chunks":8,"op":"st16_neardup_ingest",
            |"state_store":"rocksdb","docs_flagged":$flagged,
