@@ -74,6 +74,18 @@ object RelationalOracles {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q43: the variant layout changes HOW the field is materialized
+    // (write-once binary shred + scan-pushed extraction vs per-query
+    // JSON text parse), never its value — oracle re-parses the original
+    // JSON strings
+    "q43_variant_shred" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS bucket,
+        |  count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q41: AQE's runtime re-plan changes the SCHEDULE, never the result —
     // oracle = the plain skew-mapped join + aggregate
     "q41_aqe_skew_join" ->

@@ -889,6 +889,54 @@ object RelationalQueries {
         max(col("l_extendedprice")).as("max_price"))
       .orderBy(col("l_shipmonth"))
 
+  /** One-time VARIANT layout per (session, sfDir): events' JSON `props`
+    * string parsed to a stored parquet VARIANT column next to
+    * `event_type` (same tracked-scratch contract as [[ensurePartitioned]]
+    * / [[ensureBucketed]]). */
+  private val variantReady =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def ensureVariant(s: SparkSession, dir: String): String =
+    variantReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val scratch = java.nio.file.Files.createTempDirectory("graft-var").toString
+      graft.Scratch.track(scratch)
+      Tables.events(s, dir).select(col("event_type"), col("props"))
+        .select(col("event_type"), parse_json(col("props")).as("v"))
+        .write.mode("overwrite").parquet(s"$scratch/events_v")
+      s"$scratch/events_v"
+    })
+
+  /** q43: VARIANT SHREDDING — semi-structured data stored as Spark 4's
+    * VARIANT type and field extraction pushed INTO the parquet scan:
+    * `props` parses once at write time (`parse_json` → a binary
+    * variant column), and the DSv2 reader pushes `variant_get(v, '$.k')`
+    * down as `PushedVariantExtractions` so the scan materializes the
+    * extracted BIGINT directly — no JSON text parse per row per query,
+    * which is the difference between q19's `get_json_object` (re-parse
+    * the string on EVERY query) and a semi-structured COLUMN a 100 TB
+    * events store can afford to query daily. `VariantSpec` pins the
+    * pushdown on this entry's own plan and result equality against the
+    * string-path twin. Child session for the DSv2 switch (the q42
+    * discipline); layout built via the parent session so the scratch
+    * cache is shared across calls.
+    */
+  val q43_variant_shred: Q = (s0, dir) => {
+    val layout = ensureVariant(s0, dir)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.useV1SourceList", "") // parquet via DSv2
+    variantShape(s, layout)
+  }
+
+  /** q43's aggregate over an explicit variant layout — shared with the
+    * spec so the pinned plan is exactly the gate entry's. */
+  def variantShape(s: SparkSession, layout: String): DataFrame =
+    s.read.parquet(layout)
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'bigint')").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"), col("bucket"))
+
   /** q38: MERGE (CDC changeset application) — the upsert primitive every
     * incremental pipeline needs and Spark has no built-in DML for on
     * plain parquet. A deterministic changeset derived from the target
@@ -1016,6 +1064,7 @@ object RelationalQueries {
     "q40_partition_pruned_join" -> q40_partition_pruned_join,
     "q41_aqe_skew_join" -> q41_aqe_skew_join,
     "q42_agg_pushdown" -> q42_agg_pushdown,
+    "q43_variant_shred" -> q43_variant_shred,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,

@@ -241,7 +241,11 @@ object ScaleProbe {
         // point is the stats-only read over the already-built layout —
         // the recurring-audit story the operator exists to tell; the
         // layout build itself is rep 1, amortized like q37's)
-        "t15_collocations", "q42_agg_pushdown")
+        "t15_collocations", "q42_agg_pushdown",
+        // variant shred: min-of-2 reps → the measured point is the
+        // scan-pushed extraction over the already-built layout (rep 1
+        // pays the one-time parse_json write, like q42's)
+        "q43_variant_shred")
       val families =
         if (familyFilter.isEmpty) allFamilies
         else allFamilies.filter(familyFilter.contains)
