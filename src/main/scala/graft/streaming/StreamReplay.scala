@@ -161,6 +161,7 @@ object StreamReplay {
                      copiesAsBatches: Boolean = false,
                      stateStore: Option[String] = null,
                      parquetSinkDir: Option[String] = None,
+                     foreachBatchFn: Option[(DataFrame, Long) => Unit] = None,
                      progressSink: Option[scala.collection.mutable.Buffer[
                        org.apache.spark.sql.streaming.StreamingQueryProgress]] = None): Replayed = {
     require(chunks == 1 || stageCopies == 1,
@@ -288,12 +289,13 @@ object StreamReplay {
       val writer = transform(events)
         .writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt)
-      val query = parquetSinkDir match {
-        case Some(out) =>
+      val query = (foreachBatchFn, parquetSinkDir) match {
+        case (Some(fn), _) => writer.foreachBatch(fn).start()
+        case (None, Some(out)) =>
           writer.foreachBatch { (b: DataFrame, id: Long) =>
             EventStreams.writeBatchIdempotent(b, id, out)
           }.start()
-        case None => writer.format("memory").queryName(sink).start()
+        case _ => writer.format("memory").queryName(sink).start()
       }
       try {
         query.processAllAvailable()
@@ -328,9 +330,10 @@ object StreamReplay {
         val dupDropped = stateProgress
           .flatMap(so => Option(so.customMetrics.get("numDroppedDuplicateRows")))
           .map(_.longValue).sum
-        Replayed(parquetSinkDir match {
-          case Some(out) => s.read.parquet(out).localCheckpoint()
-          case None => s.table(sink).localCheckpoint()
+        Replayed((foreachBatchFn, parquetSinkDir) match {
+          case (Some(_), _) => s.emptyDataFrame // custom sink: caller reads its target
+          case (None, Some(out)) => s.read.parquet(out).localCheckpoint()
+          case _ => s.table(sink).localCheckpoint()
         }, maxTs, batches, lateDropped, dupDropped)
       } finally {
         query.stop()
@@ -950,6 +953,43 @@ object StreamReplay {
     }
   }
 
+  /** st17: STREAMING CDC APPLY — the exactly-once READ-MODIFY-WRITE sink
+    * (see [[EventStreams.applyChangeset]] for the versioned-snapshot
+    * protocol): 8 event-time chunks each MERGE into a queryable per-user
+    * profile TABLE (state in the table, not the state store — the
+    * pattern deployed when downstream must query the maintained state).
+    * After the stream settles, the LAST batch is re-delivered through
+    * the same public body with a deliberately WRONG payload (the whole
+    * events table) — the `_SUCCESS` guard must skip on batchId alone; a
+    * guard failure would catastrophically inflate the last version and
+    * hash-mismatch, so retry idempotence is pinned by the gate itself,
+    * harder than st09's benign-payload retry. Oracle = the plain
+    * per-user recompute over the whole table: maintain ≡ recompute (the
+    * q39 rule), now across a STREAMED apply loop. No ticks: the stream
+    * side is stateless (the merge state lives in the table), so nothing
+    * event-timed needs closing. */
+  val st17_cdc_apply: Q = (s, dir) => {
+    val target = Files.createTempDirectory("graft-st17-target").toString
+    try {
+      replayRaw(s, dir, OutputMode.Append(),
+        ds => ds.toDF(),
+        ticks = false, chunks = 8,
+        foreachBatchFn = Some((b: DataFrame, id: Long) =>
+          EventStreams.applyChangeset(b, id, target)))
+      val lastId = EventStreams.latestVersion(target)
+        .map(p => new java.io.File(p).getName.drop(1).toLong)
+        .getOrElse(sys.error(s"no committed version under $target"))
+      EventStreams.applyChangeset( // at-least-once retry, hostile payload
+        graft.Tables.events(s, dir), lastId, target)
+      s.read.parquet(EventStreams.latestVersion(target).get)
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -990,6 +1030,7 @@ object StreamReplay {
     "st15b_type_histogram_multibatch" -> st15b_type_histogram_multibatch,
     "st16_neardup_ingest" -> st16_neardup_ingest,
     "st16b_neardup_multibatch" -> st16b_neardup_multibatch,
+    "st17_cdc_apply" -> st17_cdc_apply,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -1188,6 +1229,14 @@ object StreamReplay {
     // (the unreferenced `pairs` CTE in the shared prelude is inert)
     "st16_neardup_ingest" -> nearDupOracle,
     "st16b_neardup_multibatch" -> nearDupOracle,
+    // st17: maintain ≡ recompute across the streamed apply loop — the
+    // oracle recomputes the per-user profile from the raw table; integer
+    // cents make the equality exact whatever the chunking
+    "st17_cdc_apply" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // st12: the stream IS a09's function — so is its oracle
     "st12_session_window_stream" ->
       graft.operators.EventJoins.oracles("a09_session_window"),

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** st17's versioned-snapshot MERGE protocol (`EventStreams.applyChangeset`
+  * / `latestVersion`): commit-marker idempotence keyed on batchId alone,
+  * torn-write recovery from the prior version, strictly-below version
+  * derivation, and maintain ≡ recompute over an applied sequence. The
+  * gate pins the streamed loop end-to-end (including a hostile-payload
+  * retry); this pins the protocol arms a green gate can't distinguish.
+  */
+class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("cdc-apply-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def batchDf(rows: Seq[(Long, Double)]) = {
+    val sp = spark; import sp.implicits._
+    rows.toDF("user_id", "value")
+  }
+
+  private def readLatest(target: String) =
+    spark.read.parquet(EventStreams.latestVersion(target).get)
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+  test("applied sequence equals recompute; committed batch skips on batchId alone") {
+    val target = java.nio.file.Files.createTempDirectory("cdc").toString
+    EventStreams.applyChangeset(batchDf(Seq((1L, 1.00), (2L, 2.50))), 0L, target)
+    EventStreams.applyChangeset(batchDf(Seq((1L, 0.49), (3L, 10.0))), 1L, target)
+    val settled = readLatest(target)
+    // user 1: 2 events, 100+49 cents; user 2: 1, 250; user 3: 1, 1000
+    assert(settled === Seq((1L, 2L, 149L), (2L, 1L, 250L), (3L, 1L, 1000L)))
+    // hostile replay of a committed batch: must be a no-op whatever the payload
+    EventStreams.applyChangeset(batchDf(Seq((9L, 999.0))), 1L, target)
+    assert(readLatest(target) === settled)
+  }
+
+  test("torn write (no _SUCCESS) is rewritten from the prior version") {
+    val target = java.nio.file.Files.createTempDirectory("cdc").toString
+    EventStreams.applyChangeset(batchDf(Seq((1L, 1.00))), 0L, target)
+    EventStreams.applyChangeset(batchDf(Seq((1L, 2.00))), 1L, target)
+    val settled = readLatest(target)
+    // simulate a crash after data files landed but before the commit marker
+    val v1 = new java.io.File(target, "v1")
+    assert(new java.io.File(v1, "_SUCCESS").delete())
+    assert(EventStreams.latestVersion(target).get.endsWith("v0"),
+      "an uncommitted version must be invisible")
+    EventStreams.applyChangeset(batchDf(Seq((1L, 2.00))), 1L, target)
+    assert(readLatest(target) === settled)
+  }
+
+  test("version derivation is strictly-below: a later id never reads itself") {
+    val target = java.nio.file.Files.createTempDirectory("cdc").toString
+    EventStreams.applyChangeset(batchDf(Seq((1L, 1.00))), 3L, target) // sparse id
+    assert(EventStreams.latestVersion(target, below = 3L).isEmpty)
+    assert(EventStreams.latestVersion(target, below = 4L).get.endsWith("v3"))
+    assert(readLatest(target) === Seq((1L, 1L, 100L)))
+  }
+}
