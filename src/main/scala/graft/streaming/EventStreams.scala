@@ -665,8 +665,6 @@ object EventStreams {
       }
       .start()
 
-  /** The foreachBatch body: overwrite exactly this batch's partition.
-    * Public so the idempotence property is directly testable. */
   /** STREAMING CDC APPLY — the exactly-once READ-MODIFY-WRITE sink
     * (st17): each micro-batch folds into a queryable per-user profile
     * TABLE via MERGE, the state-in-the-table pattern a pipeline uses
@@ -727,13 +725,16 @@ object EventStreams {
   def latestVersion(targetDir: String, below: Long = Long.MaxValue): Option[String] = {
     val dirs = Option(new java.io.File(targetDir).listFiles()).getOrElse(Array.empty)
     dirs.filter(d => d.isDirectory && d.getName.startsWith("v") &&
-        d.getName.drop(1).forall(_.isDigit) &&
+        d.getName.length > 1 && d.getName.drop(1).forall(_.isDigit) &&
         new java.io.File(d, "_SUCCESS").exists())
       .map(d => (d.getName.drop(1).toLong, d))
       .filter(_._1 < below)
       .sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
   }
 
+  /** The st09 foreachBatch body: overwrite exactly this batch's
+    * partition. Public so the idempotence property is directly
+    * testable. */
   def writeBatchIdempotent(batch: DataFrame, batchId: Long, outDir: String): Unit =
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")

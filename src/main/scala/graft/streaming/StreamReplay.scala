@@ -168,6 +168,8 @@ object StreamReplay {
       "chunked staging and stageCopies are mutually exclusive")
     require(!copiesAsBatches || stageCopies > 1,
       "copiesAsBatches requires stageCopies > 1")
+    require(foreachBatchFn.isEmpty || parquetSinkDir.isEmpty,
+      "foreachBatchFn and parquetSinkDir are mutually exclusive sinks")
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
