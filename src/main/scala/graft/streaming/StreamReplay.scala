@@ -785,6 +785,34 @@ object StreamReplay {
     }
   }
 
+  /** st17 soak hook: the CDC apply loop replayed over a generated events
+    * corpus with per-batch progress captured. NOTE what this soak is FOR:
+    * unlike the state-store soaks (flat batches expected), the plain-
+    * parquet snapshot apply REWRITES the whole target per batch — the
+    * honest expectation is per-batch wall growing with the accumulated
+    * target, and the measurement quantifies exactly the cost q38b's
+    * bucketed layout / a table format's compaction exists to remove.
+    * Returns (final target rows, progress). */
+  private[graft] def soakCdcApply(s: SparkSession, dir: String, chunks: Int):
+      (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    val target = Files.createTempDirectory("graft-cdcsoak-target").toString
+    try {
+      replayRaw(s, dir, OutputMode.Append(),
+        ds => ds.toDF(), ticks = false, chunks = chunks,
+        foreachBatchFn = Some((b: DataFrame, id: Long) =>
+          EventStreams.applyChangeset(b, id, target)),
+        progressSink = Some(buf))
+      val n = EventStreams.latestVersion(target)
+        .map(p => s.read.parquet(p).count()).getOrElse(0L)
+      (n, buf.toSeq)
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** st16 soak hook: the ingest gate replayed over a generated document
     * corpus with per-batch progress captured — state rows here are
     * (band, value) bucket owners (~4× the distinct-signature count),

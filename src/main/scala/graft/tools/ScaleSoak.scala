@@ -199,7 +199,8 @@ object StreamingSoakPhase {
   def runJsonWith(s: SparkSession, nEvents: Long, nUsers: Long, chunks: Int,
       opLabel: String,
       run: (SparkSession, String, Int) =>
-        (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress])): String = {
+        (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]),
+      stateStoreLabel: String = "rocksdb"): String = {
     import scala.jdk.CollectionConverters._
     val dir = graft.Scratch.tempDir("streamsoak")
     try {
@@ -239,7 +240,7 @@ object StreamingSoakPhase {
            |"rocksdb_sst_mb":${sst >> 20}}""".stripMargin.replace("\n", "")
       }.mkString("[", ",", "]")
       s"""{"events":$nEvents,"users":$nUsers,"chunks":$chunks,"op":"$opLabel",
-         |"state_store":"rocksdb","rows_emitted":$sessions,
+         |"state_store":"$stateStoreLabel","rows_emitted":$sessions,
          |"seconds":${f"$secs%.1f"},"run_steal_pct":$stealPct,"run_sys_pct":$sysPct,
          |"peak_heap_mb":$peakHeapMb,"batches":$batches}""".stripMargin.replace("\n", "")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile)
@@ -261,7 +262,17 @@ object TwsSoak {
     // processors at the same 10M-event depth — all three TWS state
     // shapes soaked under RocksDB churn
     "recent" -> ((sp, d, c) => graft.streaming.StreamReplay.soakRecent(sp, d, c)),
-    "histogram" -> ((sp, d, c) => graft.streaming.StreamReplay.soakHistogram(sp, d, c)))
+    "histogram" -> ((sp, d, c) => graft.streaming.StreamReplay.soakHistogram(sp, d, c)),
+    // r10: the st17 CDC apply loop — NOT a state-store path: each batch
+    // rewrites the parquet snapshot target (state_rows/sst columns read
+    // 0 — the state lives in the table, not the store). Regime note,
+    // per the SOAK_r10g measurement: with batch changesets (1.25M
+    // events) much larger than the user-keyed target (200k rows) the
+    // apply is CHANGESET-dominated and per-batch wall is flat (~1s);
+    // the O(target)-rewrite growth regime is the opposite shape — small
+    // changesets against a big table — which is exactly where q38b's
+    // bucketed layout / table-format compaction takes over
+    "cdc" -> ((sp, d, c) => graft.streaming.StreamReplay.soakCdcApply(sp, d, c)))
 
   /** Usage: scripts/run.sh graft.tools.TwsSoak [outJson] [nEvents] [op…]
     * (ops from {profile, recent, histogram}; default profile — the
@@ -280,10 +291,15 @@ object TwsSoak {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val parts = selected.map { op =>
+      // cdc is NOT a transformWithState path: the state lives in the
+      // parquet snapshot table, not a store — label it what it is
+      val (label, store) =
+        if (op == "cdc") ("foreachBatch_cdc_apply", "parquet_table")
+        else (s"transformWithState_$op", "rocksdb")
       val json = StreamingSoakPhase.runJsonWith(spark, n, nUsers = n / 50, chunks = 8,
-        opLabel = s"transformWithState_$op", ops(op))
+        opLabel = label, ops(op), stateStoreLabel = store)
       println(s"$op phase done")
-      s""""streaming_tws_$op":$json"""
+      s""""streaming_${if (op == "cdc") "cdc" else s"tws_$op"}":$json"""
     }
     val w = new java.io.PrintWriter(new java.io.File(outJson),
       java.nio.charset.StandardCharsets.UTF_8)
