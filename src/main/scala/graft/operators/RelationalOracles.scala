@@ -86,6 +86,14 @@ object RelationalOracles {
         |SELECT event_type, k % 10 AS bucket,
         |  count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS sum_k
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q44: statistics change the JOIN ORDER, never the result — the
+    // oracle writes the join in the natural order over the raw parquet
+    "q44_cbo_reorder" ->
+      """SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q41: AQE's runtime re-plan changes the SCHEDULE, never the result —
     // oracle = the plain skew-mapped join + aggregate
     "q41_aqe_skew_join" ->

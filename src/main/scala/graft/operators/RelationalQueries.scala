@@ -937,6 +937,73 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_rows"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"), col("bucket"))
 
+  /** One-time ANALYZE'd catalog tables per (session, sfDir): lineitem /
+    * orders / customer saved as catalog tables (tracked scratch, the
+    * [[ensureBucketed]] contract) with table AND join-key column
+    * statistics computed — the input the cost-based optimizer plans
+    * from. */
+  private val statsReady =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
+
+  def ensureStats(s: SparkSession, dir: String): (String, String, String) =
+    statsReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val (liT, ordT, custT) = (s"graft_cbo_lineitem_$sfx",
+        s"graft_cbo_orders_$sfx", s"graft_cbo_customer_$sfx")
+      val scratch = java.nio.file.Files.createTempDirectory("graft-cbo").toString
+      graft.Scratch.track(scratch)
+      Tables.lineitem(s, dir).write
+        .option("path", s"$scratch/lineitem").mode("overwrite").saveAsTable(liT)
+      Tables.orders(s, dir).write
+        .option("path", s"$scratch/orders").mode("overwrite").saveAsTable(ordT)
+      Tables.customer(s, dir).write
+        .option("path", s"$scratch/customer").mode("overwrite").saveAsTable(custT)
+      s.sql(s"ANALYZE TABLE $liT COMPUTE STATISTICS FOR COLUMNS l_orderkey")
+      s.sql(s"ANALYZE TABLE $ordT COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
+      s.sql(s"ANALYZE TABLE $custT COMPUTE STATISTICS FOR COLUMNS c_custkey")
+      (liT, ordT, custT)
+    })
+
+  /** q44: COST-BASED JOIN REORDER — the optimizer tier none of the other
+    * entries exercises: ANALYZE'd row + column statistics feed Catalyst's
+    * CBO (`spark.sql.cbo.enabled` + `joinReorder.enabled`), and a
+    * three-table join written in a deliberately BAD syntactic order
+    * (fact × dim adjacent with no direct key; their predicates only
+    * arrive via the third table) is re-associated from ESTIMATED
+    * CARDINALITIES: the statistics say orders⋈customer is the small
+    * intermediate, so CBO joins the dimensions first and the fact table
+    * last — the no-stats planner keeps the syntactic (fact-first) shape.
+    * `CboSpec` pins the reorder (innermost join flips to the
+    * customer-key join exactly when CBO+stats are on) and result
+    * equality both ways; the oracle never sees the catalog tables at
+    * all. At 100 TB join order IS the query plan's cost: a mis-ordered
+    * chain materializes a fact-sized intermediate per step, and
+    * statistics are how the engine avoids it without hand-tuning every
+    * query. Child session for the CBO confs (the q41/q42 discipline);
+    * tables + stats built once per (session, dir) via the parent.
+    */
+  val q44_cbo_reorder: Q = (s0, dir) => {
+    val (liT, ordT, custT) = ensureStats(s0, dir)
+    val s = s0.newSession()
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    cboShape(s, liT, ordT, custT)
+  }
+
+  /** q44's query over explicit catalog tables — shared with the spec so
+    * the pinned plans are exactly the gate entry's. The `ON true`
+    * adjacency is the point: l and c have no direct join key, so the
+    * syntactic tree starts from the worst association and the planner
+    * must find the right one. */
+  def cboShape(s: SparkSession, liT: String, ordT: String, custT: String): DataFrame =
+    s.sql(
+      s"""SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n
+         |FROM $liT l JOIN $custT c ON true
+         |JOIN $ordT o ON l.l_orderkey = o.o_orderkey
+         |             AND o.o_custkey = c.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin)
+
   /** q38: MERGE (CDC changeset application) — the upsert primitive every
     * incremental pipeline needs and Spark has no built-in DML for on
     * plain parquet. A deterministic changeset derived from the target
@@ -1065,6 +1132,7 @@ object RelationalQueries {
     "q41_aqe_skew_join" -> q41_aqe_skew_join,
     "q42_agg_pushdown" -> q42_agg_pushdown,
     "q43_variant_shred" -> q43_variant_shred,
+    "q44_cbo_reorder" -> q44_cbo_reorder,
     "q37_bucketed_colocated" -> q37_bucketed_colocated,
     "q35_unpivot" -> q35_unpivot,
     "q34_recursive_cte" -> q34_recursive_cte,
