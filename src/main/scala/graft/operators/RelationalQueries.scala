@@ -673,6 +673,24 @@ object RelationalQueries {
   private val bucketedReady =
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
+  /** Shared memo contract for the one-time scratch layouts (bucketed /
+    * hive-partitioned / variant / ANALYZE'd): one build per (session,
+    * sfDir) keyed by session identity, a fresh tracked scratch dir per
+    * build (JVM-exit cleanup via [[graft.Scratch]]), and a
+    * per-(session, dir) suffix for catalog-table names. The contract
+    * lives HERE once — each `ensure*` is just its build body. */
+  private def memoLayout[T](
+      cache: java.util.concurrent.ConcurrentHashMap[String, T],
+      s: SparkSession, dir: String, prefix: String)(
+      build: (String, String) => T): T =
+    cache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
+      val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
+        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+      val scratch = java.nio.file.Files.createTempDirectory(prefix).toString
+      graft.Scratch.track(scratch)
+      build(scratch, sfx)
+    })
+
   /** Drop this session's bucketed-layout catalog entries and delete
     * their scratch now instead of at JVM exit. */
   def dropBucketed(s: SparkSession): Unit = {
@@ -701,13 +719,8 @@ object RelationalQueries {
     * paid at ingest, not per query.
     */
   def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
-    val key = s"${System.identityHashCode(s)}:$dir"
-    val (ordT, liT, _) = bucketedReady.computeIfAbsent(key, _ => {
-      val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
-        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+    val (ordT, liT, _) = memoLayout(bucketedReady, s, dir, "graft-bkt") { (scratch, sfx) =>
       val (ordT, liT) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
-      val scratch = java.nio.file.Files.createTempDirectory("graft-bkt").toString
-      graft.Scratch.track(scratch)
       Tables.orders(s, dir)
         .repartition(buckets, col("o_orderkey"))
         .write.bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
@@ -717,7 +730,7 @@ object RelationalQueries {
         .write.bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$scratch/lineitem").mode("overwrite").saveAsTable(liT)
       (ordT, liT, scratch)
-    })
+    }
     (ordT, liT)
   }
 
@@ -764,15 +777,13 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def ensurePartitioned(s: SparkSession, dir: String): String =
-    partitionedReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft-part").toString
-      graft.Scratch.track(scratch)
+    memoLayout(partitionedReady, s, dir, "graft-part") { (scratch, _) =>
       Tables.lineitem(s, dir)
         .withColumn("l_shipmonth", date_format(col("l_shipdate"), "yyyy-MM"))
         .write.partitionBy("l_shipmonth").mode("overwrite")
         .parquet(s"$scratch/lineitem")
       s"$scratch/lineitem"
-    })
+    }
 
   /** q40: DYNAMIC PARTITION PRUNING — the other half of the layout story
     * next to q37's bucketing: the fact table lives hive-partitioned by
@@ -897,14 +908,12 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def ensureVariant(s: SparkSession, dir: String): String =
-    variantReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val scratch = java.nio.file.Files.createTempDirectory("graft-var").toString
-      graft.Scratch.track(scratch)
+    memoLayout(variantReady, s, dir, "graft-var") { (scratch, _) =>
       Tables.events(s, dir).select(col("event_type"), col("props"))
         .select(col("event_type"), parse_json(col("props")).as("v"))
         .write.mode("overwrite").parquet(s"$scratch/events_v")
       s"$scratch/events_v"
-    })
+    }
 
   /** q43: VARIANT SHREDDING — semi-structured data stored as Spark 4's
     * VARIANT type and field extraction pushed INTO the parquet scan:
@@ -946,13 +955,9 @@ object RelationalQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
   def ensureStats(s: SparkSession, dir: String): (String, String, String) =
-    statsReady.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
-        "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
+    memoLayout(statsReady, s, dir, "graft-cbo") { (scratch, sfx) =>
       val (liT, ordT, custT) = (s"graft_cbo_lineitem_$sfx",
         s"graft_cbo_orders_$sfx", s"graft_cbo_customer_$sfx")
-      val scratch = java.nio.file.Files.createTempDirectory("graft-cbo").toString
-      graft.Scratch.track(scratch)
       Tables.lineitem(s, dir).write
         .option("path", s"$scratch/lineitem").mode("overwrite").saveAsTable(liT)
       Tables.orders(s, dir).write
@@ -963,7 +968,7 @@ object RelationalQueries {
       s.sql(s"ANALYZE TABLE $ordT COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_custkey")
       s.sql(s"ANALYZE TABLE $custT COMPUTE STATISTICS FOR COLUMNS c_custkey")
       (liT, ordT, custT)
-    })
+    }
 
   /** q44: COST-BASED JOIN REORDER — the optimizer tier none of the other
     * entries exercises: ANALYZE'd row + column statistics feed Catalyst's

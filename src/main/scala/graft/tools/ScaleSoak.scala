@@ -275,8 +275,9 @@ object TwsSoak {
     "cdc" -> ((sp, d, c) => graft.streaming.StreamReplay.soakCdcApply(sp, d, c)))
 
   /** Usage: scripts/run.sh graft.tools.TwsSoak [outJson] [nEvents] [op…]
-    * (ops from {profile, recent, histogram}; default profile — the
-    * SOAK_r09f shape). */
+    * (ops from {profile, recent, histogram, cdc}; default profile — the
+    * SOAK_r09f shape; cdc is the st17 snapshot-apply loop that produced
+    * SOAK_r10g). */
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SOAK_r09f.json")
     val n = args.drop(1).headOption.filter(_.forall(_.isDigit))
