@@ -1116,5 +1116,47 @@ object TrainingOracles {
         |  list_min([md5(substring(text, CAST(i AS INT), 8))
         |            for i in range(1, greatest(length(text) - 7, 1) + 1)]) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ---- x01-x03: sketch entries, gated via exact twin + envelope ----
+    // The sketch VALUES are impl-defined (Spark HLL++/GK/DataSketches ≠
+    // DuckDB's), so the oracle emits the EXACT side — which both engines
+    // compute identically — plus literal TRUE for each within_bound
+    // boolean the engine derives from sketch vs exact. A sketch outside
+    // its published envelope flips a boolean and fails the row hash.
+    "x01_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp_exact,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_part_exact,
+        |  TRUE AS supp_within_bound,
+        |  TRUE AS part_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // exact twin = the element at rank ceil(q*n) (discrete quantile — a
+    // raw parquet double, no interpolation arithmetic to diverge on)
+    "x02_approx_quantiles" ->
+      """WITH ranked AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY o_totalprice) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.5) AS BIGINT)
+        |           THEN o_totalprice END) AS p50_exact,
+        |  max(CASE WHEN rk = CAST(ceil(n * 0.99) AS BIGINT)
+        |           THEN o_totalprice END) AS p99_exact,
+        |  TRUE AS p50_within_bound,
+        |  TRUE AS p99_within_bound
+        |FROM ranked GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "x03_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
+        |  FROM toks WHERE len(tok) > 0 GROUP BY tok)
+        |SELECT tok AS token, exact_count, TRUE AS within_bound
+        |FROM cnt ORDER BY exact_count DESC, tok LIMIT 20""".stripMargin,
   )
 }

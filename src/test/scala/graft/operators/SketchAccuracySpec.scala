@@ -5,14 +5,16 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Accuracy bounds for the two sketch entries (x01 HLL distinct, x02
-  * Greenwald-Khanna quantiles) — the gate records them rows-only because
-  * their exact outputs are implementation-defined, so these specs carry
-  * the correctness claim instead: each sketch must land within its
-  * published error envelope of the EXACT twin computed on the same data
-  * (q15's exact count-distinct shape for x01, t08's exact-rank shape for
-  * x02). sf0.01 keeps the run fast while the groups are large enough
-  * (~6k-15k rows) that the bounds are meaningful.
+/** Accuracy bounds for the sketch entries (x01 HLL distinct, x02
+  * Greenwald-Khanna quantiles, x03 frequent items). Since r11 the gate
+  * entries gate these envelopes THEMSELVES (exact twin + within_bound
+  * booleans, hash-checked against a DuckDB oracle emitting TRUE), so
+  * these specs (a) keep the raw sketch forms honest against
+  * independently-computed exact values — the assertions that predate the
+  * gate shape — and (b) pin that the gate entries' booleans actually
+  * come out TRUE at spec scale. sf0.01 keeps the run fast while the
+  * groups are large enough (~6k-15k rows) that the bounds are
+  * meaningful.
   */
 class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -36,7 +38,7 @@ class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
     // rsd is set to 0.02 in the entry; HLL++'s error is a standard
     // deviation, so ±5% (2.5 sigma) is a safely-passing yet meaningful
     // envelope on real group sizes (hundreds to thousands of distincts)
-    val approx = ScaleQueries.x01_approx_distinct(spark, dir).collect()
+    val approx = ScaleQueries.approxDistinctSketch(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val exact = graft.Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
@@ -58,7 +60,7 @@ class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
     // within n/acc of q*n (acc=1000 in the entry). Assert the realized
     // rank error directly — the honest metric for a GK sketch — with a
     // small +0.005 slack for rank-tie plateaus.
-    val approx = ScaleQueries.x02_approx_quantiles(spark, dir).collect()
+    val approx = ScaleQueries.quantileSketch(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val groups = graft.Tables.orders(spark, dir)
       .select(col("o_orderpriority"), col("o_totalprice"))
@@ -83,7 +85,7 @@ class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
     // within n/8192 of the true count. Assert both: (a) each reported
     // estimate is within the bound of the exact count, (b) the exact
     // top-k tokens whose counts clear the bound by a margin all appear.
-    val hh = ScaleQueries.x03_heavy_hitters(spark, dir).collect()
+    val hh = ScaleQueries.heavyHitterSketch(spark, dir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh.size === 20)
     val toks = graft.Tables.documents(spark, dir)
@@ -107,6 +109,27 @@ class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
     val cutoff = exact(19)._2
     exact.take(20).filter(_._2 > cutoff + 2 * bound).foreach { case (tok, c) =>
       assert(hh.contains(tok), s"exact heavy hitter '$tok' ($c) missing from sketch top-20")
+    }
+  }
+
+  test("gate entries: every within_bound boolean comes out TRUE at spec scale") {
+    // the r11 gate shape derives these booleans in-query and the DuckDB
+    // oracle emits literal TRUE — this pins the same invariant locally
+    // so an envelope regression fails here before it fails the gate
+    val x1 = ScaleQueries.x01_approx_distinct(spark, dir).collect()
+    assert(x1.nonEmpty)
+    x1.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4), s"x01 out of envelope: $r")
+    }
+    val x2 = ScaleQueries.x02_approx_quantiles(spark, dir).collect()
+    assert(x2.nonEmpty)
+    x2.foreach { r =>
+      assert(r.getBoolean(3) && r.getBoolean(4), s"x02 out of envelope: $r")
+    }
+    val x3 = ScaleQueries.x03_heavy_hitters(spark, dir).collect()
+    assert(x3.length === 20)
+    x3.foreach { r =>
+      assert(r.getBoolean(2), s"x03 out of envelope: $r")
     }
   }
 }
