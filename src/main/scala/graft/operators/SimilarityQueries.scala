@@ -519,9 +519,11 @@ object SimilarityQueries {
     * deployment needs before trading flat assignment's N·cells for
     * N·√cells. Exact integer counts; one IEEE division at the end.
     *
-    * At 100 TB the truth side runs on a query SAMPLE by construction
-    * (brute force is the audit's cost, not the graph's) — the corpus
-    * here IS the sample scale.
+    * At 100 TB the truth side runs on a query SAMPLE — `queryMod` is
+    * that knob (audit every vec_id ≡ 0 mod m), making the brute-force
+    * side O(N·N/m) with the recall estimate unbiased over the sampled
+    * queries. The gate default m=1 (every query) IS the sample at this
+    * corpus scale; s07c is the sampled form the deployment runs.
     */
   val s07_hier_knn_recall: Q = (s, dir) =>
     knnGraphRecall(s, dir, ivfKnnGraphHier(s, dir))
@@ -536,12 +538,28 @@ object SimilarityQueries {
   val s07b_flat_knn_recall: Q = (s, dir) =>
     knnGraphRecall(s, dir, ivfKnnGraph(s, dir))
 
-  private def knnGraphRecall(s: SparkSession, dir: String,
-      graph: DataFrame): DataFrame = {
+  /** s07c: the SAMPLED audit — s07's recall estimated from the 1-in-5
+    * query sample (vec_id ≡ 0 mod 5), the form a 100 TB deployment
+    * actually runs: the graph build is unchanged, the brute-force truth
+    * side shrinks from N·N to N·N/5, and the sample recall estimates
+    * s07's within sampling error. Its own oracle replicates the sample
+    * predicate exactly, so the estimate itself is hash-gated.
+    */
+  val s07c_hier_knn_recall_sampled: Q = (s, dir) =>
+    knnGraphRecall(s, dir, ivfKnnGraphHier(s, dir), queryMod = 5L)
+
+  /** Recall audit body (public: the ScaleProbe soak drives the sampled
+    * form at 10×/30×). `queryMod` samples the QUERY side — truth ranks
+    * and graph edges are audited only for vec_id ≡ 0 mod `queryMod`;
+    * the candidate/neighbor side is always the full corpus, so sampling
+    * changes which queries are audited, never any query's truth. */
+  def knnGraphRecall(s: SparkSession, dir: String,
+      graph: DataFrame, queryMod: Long = 1L): DataFrame = {
     val e = embs(s, dir)
-    // truth: unblocked top-3 over the whole corpus (s01's ranking
-    // discipline, corpus-wide query side)
-    val q = e.select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
+    // truth: unblocked top-3 over the sampled query side (s01's ranking
+    // discipline; m=1 → corpus-wide)
+    val q = e.filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     val truth = e.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
@@ -549,7 +567,8 @@ object SimilarityQueries {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("qid"), col("vec_id").as("neighbor"))
       .localCheckpoint() // referenced twice (count + semi-join)
-    val approx = graph.select(col("qid"), col("neighbor")).localCheckpoint()
+    val approx = graph.select(col("qid"), col("neighbor"))
+      .filter(pmod(col("qid"), lit(queryMod)) === 0).localCheckpoint()
     val hit = truth.join(approx, Seq("qid", "neighbor"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
@@ -752,6 +771,7 @@ object SimilarityQueries {
     "s06d_knn_ivf_hier" -> s06d_knn_ivf_hier,
     "s07_hier_knn_recall" -> s07_hier_knn_recall,
     "s07b_flat_knn_recall" -> s07b_flat_knn_recall,
+    "s07c_hier_knn_recall_sampled" -> s07c_hier_knn_recall_sampled,
     "s02_knn_lsh" -> s02_knn_lsh,
     "s03_knn_ivf" -> s03_knn_ivf,
     "s04_knn_ivf_multiprobe" -> s04_knn_ivf_multiprobe,

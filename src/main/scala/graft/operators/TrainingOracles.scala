@@ -436,6 +436,47 @@ object TrainingOracles {
        |SELECT qid, rk, vec_id AS neighbor, floor(cosr * 1e4 + 0.5) / 1e4 AS sim
        |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  /** The s07-family recall audit over a cell-membership prelude (which
+    * must define CTEs `n` — vectors with norms — and `cells`): within-
+    * cell top-3 graph edges vs the unblocked brute-force top-3, recall
+    * as exact integer counts. `queryMod` is the engine's query-sample
+    * knob: both sides audit only vec_id ≡ 0 mod m (m=1 → every query),
+    * the neighbor side always the full corpus. */
+  private def recallAuditSql(prelude: String, queryMod: Int): String = {
+    val qs = if (queryMod == 1) "" else s" AND q.vec_id % $queryMod = 0"
+    s"""$prelude,
+       |asc0 AS (
+       |  SELECT q.vec_id AS qid, n.vec_id,
+       |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
+       |  FROM cells n JOIN cells q
+       |    ON n.cell = q.cell AND n.vec_id != q.vec_id$qs),
+       |approx AS (
+       |  SELECT qid, vec_id AS neighbor FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |    FROM asc0) t WHERE rk <= 3),
+       |tsc AS (
+       |  SELECT q.vec_id AS qid, n.vec_id,
+       |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
+       |  FROM n JOIN n q ON n.vec_id != q.vec_id$qs),
+       |truth AS (
+       |  SELECT qid, vec_id AS neighbor FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |    FROM tsc) t WHERE rk <= 3),
+       |hit AS (
+       |  SELECT truth.qid FROM truth JOIN approx
+       |    ON truth.qid = approx.qid AND truth.neighbor = approx.neighbor)
+       |SELECT
+       |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+       |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+       |       ELSE floor((SELECT count(*) FROM hit)::DOUBLE /
+       |            (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
+       |  END AS recall""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "s03_knn_ivf" -> ivfSql(1),
     "s04_knn_ivf_multiprobe" -> ivfSql(2),
@@ -532,72 +573,14 @@ object TrainingOracles {
     // s07b: identical audit against the FLAT-assignment cells (the s03/
     // d10/s06c build) — the (s07, s07b) pair separates blocking loss
     // from hierarchy routing loss.
-    "s07b_flat_knn_recall" ->
-      s"""$ivfCellsPrelude,
-         |asc0 AS (
-         |  SELECT q.vec_id AS qid, n.vec_id,
-         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
-         |  FROM cells n JOIN cells q
-         |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
-         |approx AS (
-         |  SELECT qid, vec_id AS neighbor FROM (
-         |    SELECT qid, vec_id,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |    FROM asc0) t WHERE rk <= 3),
-         |tsc AS (
-         |  SELECT q.vec_id AS qid, n.vec_id,
-         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
-         |  FROM n JOIN n q ON n.vec_id != q.vec_id),
-         |truth AS (
-         |  SELECT qid, vec_id AS neighbor FROM (
-         |    SELECT qid, vec_id,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |    FROM tsc) t WHERE rk <= 3),
-         |hit AS (
-         |  SELECT truth.qid FROM truth JOIN approx
-         |    ON truth.qid = approx.qid AND truth.neighbor = approx.neighbor)
-         |SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-         |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
-         |       ELSE floor((SELECT count(*) FROM hit)::DOUBLE /
-         |            (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
-         |  END AS recall""".stripMargin,
+    "s07b_flat_knn_recall" -> recallAuditSql(ivfCellsPrelude, queryMod = 1),
     // s07: the s06d membership build verbatim, its within-cell top-3
     // edges vs the unblocked brute-force top-3 — recall as exact counts.
-    "s07_hier_knn_recall" ->
-      s"""$hierCellsPrelude,
-         |asc0 AS (
-         |  SELECT q.vec_id AS qid, n.vec_id,
-         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
-         |  FROM cells n JOIN cells q
-         |    ON n.cell = q.cell AND n.vec_id != q.vec_id),
-         |approx AS (
-         |  SELECT qid, vec_id AS neighbor FROM (
-         |    SELECT qid, vec_id,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |    FROM asc0) t WHERE rk <= 3),
-         |tsc AS (
-         |  SELECT q.vec_id AS qid, n.vec_id,
-         |    CAST(floor(list_dot_product(q.v, n.v) / sqrt(q.n2 * n.n2) * 1e6 + 0.5) AS BIGINT) AS cos
-         |  FROM n JOIN n q ON n.vec_id != q.vec_id),
-         |truth AS (
-         |  SELECT qid, vec_id AS neighbor FROM (
-         |    SELECT qid, vec_id,
-         |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
-         |    FROM tsc) t WHERE rk <= 3),
-         |hit AS (
-         |  SELECT truth.qid FROM truth JOIN approx
-         |    ON truth.qid = approx.qid AND truth.neighbor = approx.neighbor)
-         |SELECT
-         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_true,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM approx) AS n_approx,
-         |  (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
-         |  CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
-         |       ELSE floor((SELECT count(*) FROM hit)::DOUBLE /
-         |            (SELECT count(*) FROM truth) * 10000 + 0.5) / 10000
-         |  END AS recall""".stripMargin,
+    "s07_hier_knn_recall" -> recallAuditSql(hierCellsPrelude, queryMod = 1),
+    // s07c: s07 on the 1-in-5 query sample — the audit form a deployment
+    // runs; the sample predicate restricts the QUERY side of both truth
+    // and graph edges, mirroring the engine's queryMod knob exactly.
+    "s07c_hier_knn_recall_sampled" -> recallAuditSql(hierCellsPrelude, queryMod = 5),
 
     "d01_dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies

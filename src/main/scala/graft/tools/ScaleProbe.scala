@@ -245,7 +245,14 @@ object ScaleProbe {
         // variant shred: min-of-2 reps → the measured point is the
         // scan-pushed extraction over the already-built layout (rep 1
         // pays the one-time parse_json write, like q42's)
-        "q43_variant_shred")
+        "q43_variant_shred",
+        // r11: the SAMPLED kNN recall audit (s07c's queryMod knob) at
+        // the deployment rule — cells ∝ N for the graph build and
+        // queryMod ∝ N so the audited query set stays ~200 at every
+        // scale. Truth side is then O(sample·N): the whole audit should
+        // read ~linear, vs the corpus-wide s07 whose truth side is N²
+        // by declared role (the r10 weak mark this knob closes).
+        "s07c_sampled_audit_scaled")
       val families =
         if (familyFilter.isEmpty) allFamilies
         else allFamilies.filter(familyFilter.contains)
@@ -279,6 +286,11 @@ object ScaleProbe {
           (s, d) => graft.operators.SimilarityQueries.ivfKnnGraph(s, d, cells = 16 * m)
         case "s06d_knn_ivf_hier_scaled" =>
           (s, d) => graft.operators.SimilarityQueries.ivfKnnGraphHier(s, d, cells = 16 * m)
+        case "s07c_sampled_audit_scaled" =>
+          // ~200 audited queries at every scale (2000·m vectors / 10·m)
+          (s, d) => graft.operators.SimilarityQueries.knnGraphRecall(s, d,
+            graft.operators.SimilarityQueries.ivfKnnGraphHier(s, d, cells = 16 * m),
+            queryMod = 10L * m)
         case _ => graft.SparkEntry.queries(f)
       }
       families.foreach { f =>
