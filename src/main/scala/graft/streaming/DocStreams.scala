@@ -107,4 +107,50 @@ object DocStreams {
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
+
+  /** TTL'd [[BandOwnerProcessor]] — the explicit recall-loss knob the
+    * no-TTL doc names: the same min-owner rule, but each (band, value)
+    * owner is stored under `TTLConfig(ttl)` (processing-time mode — the
+    * only mode state TTL supports), so an owner not rewritten within
+    * `ttl` EXPIRES and a duplicate arriving after that is ADMITTED — a
+    * recall loss the deployment chooses deliberately, buying bounded
+    * state: live rows ≈ bands × distinct signatures seen within one TTL
+    * horizon, instead of the whole corpus history. Every write refreshes
+    * the owner's TTL, so a bucket that keeps seeing traffic never
+    * forgets — only cold buckets age out. The quantified delta vs the
+    * unbounded gate is pinned in `TtlIngestGateSpec`. */
+  class BandOwnerProcessorTtl(ttlMillis: Long)
+      extends StatefulProcessor[String, DocBand, BandDup] {
+    @transient private var owner: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      owner = getHandle.getValueState[Long]("owner",
+        org.apache.spark.sql.Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
+
+    override def handleInputRows(key: String, rows: Iterator[DocBand],
+        timerValues: TimerValues): Iterator[BandDup] = {
+      val buf = rows.toArray
+      // an expired owner reads as absent — exactly the forget semantics
+      var newOwner = if (owner.exists()) owner.get() else Long.MaxValue
+      buf.foreach(b => newOwner = math.min(newOwner, b.doc_id))
+      owner.update(newOwner) // refreshes the TTL horizon
+      val o = newOwner
+      buf.iterator.map(b => BandDup(b.doc_id, b.band, if (o < b.doc_id) 1L else 0L))
+    }
+  }
+
+  /** [[BandOwnerProcessorTtl]] wiring (processing-time mode, required
+    * for state TTL). With `ttlMillis` far above the batch cadence this
+    * is behaviorally identical to [[nearDupFlags]] — which is what the
+    * st18 gate entry verifies against st16's own oracle; the recall
+    * loss only appears when arrival gaps exceed the TTL. */
+  def nearDupFlagsTtl(docs: DataFrame, ttlMillis: Long): DataFrame = {
+    import docs.sparkSession.implicits._
+    bandRows(docs)
+      .groupByKey(b => s"${b.band}:${b.h}")
+      .transformWithState(new BandOwnerProcessorTtl(ttlMillis),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+      .toDF()
+  }
 }

@@ -693,9 +693,15 @@ object EventStreams {
     * table format adds compaction; the exactly-once versioning protocol
     * here is the part that transfers unchanged. */
   def applyChangeset(batch: DataFrame, batchId: Long, targetDir: String): Unit = {
-    val vDir = new java.io.File(targetDir, s"v$batchId")
-    if (new java.io.File(vDir, "_SUCCESS").exists()) return // committed: skip
     val s = batch.sparkSession
+    // the snapshot store rides the Hadoop FileSystem seam (the S2/
+    // transcode discipline), so the versioned dirs + commit markers work
+    // on `s3a:`/`hdfs:` exactly like the parquet data they guard
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")))
+      return // committed: skip
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
@@ -721,15 +727,28 @@ object EventStreams {
   }
 
   /** Latest COMMITTED (`_SUCCESS`-marked) version dir under `targetDir`
-    * with id strictly below `below`; None before the first commit. */
+    * with id strictly below `below`; None before the first commit.
+    * Listing and marker probes go through the Hadoop FileSystem API
+    * (resolved from the active session's hadoopConfiguration, so a
+    * custom scheme registered there — `RemoteFsSpec`'s object-store
+    * stand-in, or `s3a:` in production — is honored). */
   def latestVersion(targetDir: String, below: Long = Long.MaxValue): Option[String] = {
-    val dirs = Option(new java.io.File(targetDir).listFiles()).getOrElse(Array.empty)
-    dirs.filter(d => d.isDirectory && d.getName.startsWith("v") &&
-        d.getName.length > 1 && d.getName.drop(1).forall(_.isDigit) &&
-        new java.io.File(d, "_SUCCESS").exists())
-      .map(d => (d.getName.drop(1).toLong, d))
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val hc = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = target.getFileSystem(hc)
+    val dirs =
+      if (fs.exists(target)) fs.listStatus(target).toSeq else Seq.empty
+    dirs.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("v") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit) &&
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))
+    }
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath))
       .filter(_._1 < below)
-      .sortBy(_._1).lastOption.map(_._2.getAbsolutePath)
+      .sortBy(_._1).lastOption.map(_._2.toString)
   }
 
   /** The st09 foreachBatch body: overwrite exactly this batch's

@@ -692,8 +692,35 @@ object StreamReplay {
     * oracle as st16. */
   val st16b_neardup_multibatch: Q = (s, dir) => st16Shaped(s, dir, chunks = 8)
 
-  private def st16Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame = {
-    val flags = replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks)
+  /** st18: the ingest gate under STATE TTL — [[DocStreams.nearDupFlagsTtl]]
+    * with a 1-hour TTL, replayed multi-batch like st16b. At gate cadence
+    * (batches ms–s apart) no owner can expire, so the output must EQUAL
+    * st16's — same oracle — while the executed path is the TTL'd one:
+    * processing-time mode, TTL bookkeeping on every state read/write,
+    * refresh-on-update. The recall loss the knob exists for (a duplicate
+    * arriving after the owner aged out is admitted) is wall-clock by
+    * nature, so it is pinned deterministically in `TtlIngestGateSpec`
+    * with a short TTL and controlled batch gaps; at 100 TB the TTL is
+    * what bounds the owner map to the traffic of one TTL horizon instead
+    * of the full corpus history. */
+  val st18_neardup_ingest_ttl: Q = (s, dir) =>
+    st16Shaped(s, dir, chunks = 8, ttlMillis = Some(3600L * 1000))
+
+  private def st16Shaped(s: SparkSession, dir: String, chunks: Int,
+      ttlMillis: Option[Long] = None): DataFrame = {
+    val gate: DataFrame => DataFrame = ttlMillis match {
+      case Some(ttl) => docs => DocStreams.nearDupFlagsTtl(docs, ttl)
+      case None => docs => DocStreams.nearDupFlags(docs)
+    }
+    // ProcessingTime-mode TWS reports shouldRunAnotherBatch = true
+    // UNCONDITIONALLY (TransformWithStateExecBase — the engine must keep
+    // running batches so TTL/timers can fire), so `processAllAvailable`
+    // never converges for the TTL'd gate: the replay must instead await
+    // the sink reaching the EXACT total output size, known up front
+    // (one row per input band row, whatever the batch boundaries).
+    val awaitRows = ttlMillis.map(_ =>
+      DocStreams.bandRows(graft.Tables.documents(s, dir)).count())
+    val flags = replayDocs(s, dir, gate, chunks, awaitRows = awaitRows)
       .groupBy(col("doc_id")).agg(max(col("dup")).as("near_dup"))
     graft.Tables.documents(s, dir).select(col("doc_id"))
       .join(flags, Seq("doc_id"), "left")
@@ -711,7 +738,8 @@ object StreamReplay {
   private def replayDocs(outer: SparkSession, dir: String,
       transform: DataFrame => DataFrame, chunks: Int,
       progressSink: Option[scala.collection.mutable.Buffer[
-        org.apache.spark.sql.streaming.StreamingQueryProgress]] = None): DataFrame = {
+        org.apache.spark.sql.streaming.StreamingQueryProgress]] = None,
+      awaitRows: Option[Long] = None): DataFrame = {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -772,7 +800,18 @@ object StreamReplay {
         .option("checkpointLocation", ckpt)
         .format("memory").queryName(sink).start()
       try {
-        query.processAllAvailable()
+        awaitRows match {
+          case Some(n) =>
+            // see st16Shaped: processing-time TWS never quiesces, so
+            // termination = the sink holding every expected output row
+            val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
+            while (s.table(sink).count() < n) {
+              if (System.currentTimeMillis() > deadline)
+                sys.error(s"replayDocs: sink $sink stuck below $n rows")
+              Thread.sleep(100)
+            }
+          case None => query.processAllAvailable()
+        }
         progressSink.foreach(_ ++= query.recentProgress)
         s.table(sink).localCheckpoint()
       } finally {
@@ -1007,7 +1046,7 @@ object StreamReplay {
         foreachBatchFn = Some((b: DataFrame, id: Long) =>
           EventStreams.applyChangeset(b, id, target)))
       val lastId = EventStreams.latestVersion(target)
-        .map(p => new java.io.File(p).getName.drop(1).toLong)
+        .map(p => new org.apache.hadoop.fs.Path(p).getName.drop(1).toLong)
         .getOrElse(sys.error(s"no committed version under $target"))
       EventStreams.applyChangeset( // at-least-once retry, hostile payload
         graft.Tables.events(s, dir), lastId, target)
@@ -1061,6 +1100,7 @@ object StreamReplay {
     "st16_neardup_ingest" -> st16_neardup_ingest,
     "st16b_neardup_multibatch" -> st16b_neardup_multibatch,
     "st17_cdc_apply" -> st17_cdc_apply,
+    "st18_neardup_ingest_ttl" -> st18_neardup_ingest_ttl,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -1259,6 +1299,9 @@ object StreamReplay {
     // (the unreferenced `pairs` CTE in the shared prelude is inert)
     "st16_neardup_ingest" -> nearDupOracle,
     "st16b_neardup_multibatch" -> nearDupOracle,
+    // st18: at gate cadence nothing expires within the 1-hour TTL, so
+    // the TTL'd gate must equal the unbounded one — same oracle
+    "st18_neardup_ingest_ttl" -> nearDupOracle,
     // st17: maintain ≡ recompute across the streamed apply loop — the
     // oracle recomputes the per-user profile from the raw table; integer
     // cents make the equality exact whatever the chunking

@@ -51,6 +51,32 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(v2.map(_.getLong(0)).toSeq === Seq(107L))
   }
 
+  test("st17 CDC snapshot store works through the foreign scheme") {
+    import org.apache.spark.sql.functions.col
+    val target = "graftmock://" +
+      java.nio.file.Files.createTempDirectory("graftmockcdc").toString
+    def batchDf(rows: Seq[(Long, Double)]) = {
+      val s = spark; import s.implicits._
+      rows.toDF("user_id", "value")
+    }
+    graft.streaming.EventStreams.applyChangeset(
+      batchDf(Seq((1L, 1.00), (2L, 2.50))), 0L, target)
+    graft.streaming.EventStreams.applyChangeset(
+      batchDf(Seq((1L, 0.49))), 1L, target)
+    // replayed committed batch: the _SUCCESS probe (through the foreign
+    // scheme) must skip, keyed on batchId alone
+    graft.streaming.EventStreams.applyChangeset(
+      batchDf(Seq((1L, 999.0))), 1L, target)
+    val latest = graft.streaming.EventStreams.latestVersion(target).get
+    assert(latest.startsWith("graftmock:/"),
+      s"snapshot path must carry the foreign scheme: $latest")
+    assert(latest.endsWith("v1"))
+    val got = spark.read.parquet(latest)
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 149L), (2L, 1L, 250L)))
+  }
+
   test("transcode reads AND writes through the foreign scheme") {
     val out = java.nio.file.Files.createTempDirectory("graftmockout").toString
     val counts = OsmPbf.transcode(spark, PbfConfig(
