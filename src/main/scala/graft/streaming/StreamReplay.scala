@@ -856,12 +856,21 @@ object StreamReplay {
     * corpus with per-batch progress captured — state rows here are
     * (band, value) bucket owners (~4× the distinct-signature count),
     * and the returned count is the number of FLAGGED documents. */
-  private[graft] def soakNearDup(s: SparkSession, dir: String, chunks: Int):
+  private[graft] def soakNearDup(s: SparkSession, dir: String, chunks: Int,
+      ttlMillis: Option[Long] = None):
       (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
-    val flags = replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks,
-      progressSink = Some(buf))
+    val gate: DataFrame => DataFrame = ttlMillis match {
+      case Some(ttl) => docs => DocStreams.nearDupFlagsTtl(docs, ttl)
+      case None => docs => DocStreams.nearDupFlags(docs)
+    }
+    // TTL'd leg: processing-time TWS never quiesces (see st16Shaped) —
+    // await the exact expected sink size instead of processAllAvailable
+    val awaitRows = ttlMillis.map(_ =>
+      DocStreams.bandRows(graft.Tables.documents(s, dir)).count())
+    val flags = replayDocs(s, dir, gate, chunks,
+      progressSink = Some(buf), awaitRows = awaitRows)
     (flags.filter(col("dup") === 1L).select(col("doc_id")).distinct().count(), buf.toSeq)
   }
 

@@ -71,4 +71,66 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(EventStreams.latestVersion(target, below = 4L).get.endsWith("v3"))
     assert(readLatest(target) === Seq((1L, 1L, 100L)))
   }
+
+  // --- q38b-composed apply: the O(target)-regime layout ---
+
+  private def planChildren(n: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = n match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      Seq(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+    case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(r.child)
+    case other => other.children
+  }
+
+  private def collectNodes(n: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] =
+    n +: planChildren(n).flatMap(collectNodes)
+
+  test("bucketed apply: maintain equals plain apply; only the changeset side shuffles") {
+    val plainT = java.nio.file.Files.createTempDirectory("cdcplain").toString
+    val bktT = java.nio.file.Files.createTempDirectory("cdcbkt").toString
+    val prefix = "graft_cdcspec_bkt"
+    val b0 = batchDf((1L to 300L).map(i => (i, (i % 17) / 4.0)))
+    val b1 = batchDf(Seq((5L, 1.25), (301L, 2.0), (7L, 0.75)))
+    EventStreams.applyChangeset(b0, 0L, plainT)
+    EventStreams.applyChangeset(b1, 1L, plainT)
+    EventStreams.applyChangesetBucketed(b0, 0L, bktT, prefix)
+    EventStreams.applyChangesetBucketed(b1, 1L, bktT, prefix)
+    assert(readLatest(bktT) === readLatest(plainT),
+      "the layout must never change the answer")
+    // the _SUCCESS protocol carries over: hostile replay is a no-op
+    EventStreams.applyChangesetBucketed(batchDf(Seq((1L, 999.0))), 1L, bktT, prefix)
+    assert(readLatest(bktT) === readLatest(plainT))
+    // the NEXT apply's merge reads the prior version as a bucketed scan:
+    // zero Exchange above the target side, the delta side shuffles to it
+    val chg = batchDf(Seq((9L, 1.0))).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("dn"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
+    val merged = EventStreams.mergedSnapshot(
+      spark.table(s"${prefix}_v1").hint("merge"), chg)
+    merged.collect() // finalize AQE
+    val plan = merged.queryExecution.executedPlan
+    val planStr = plan.toString.split("== Initial Plan ==").head
+    def isTargetScan(n: org.apache.spark.sql.execution.SparkPlan): Boolean = n match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.bucketedScan && f.tableIdentifier.exists(_.table.startsWith(prefix))
+      case _ => false
+    }
+    val smj = collectNodes(plan).collectFirst {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.joinType.toString == "FullOuter" => j
+    }.getOrElse(fail(s"expected full-outer SMJ:\n$planStr"))
+    val (targetSide, chgSide) =
+      Seq(smj.left, smj.right).map(collectNodes).partition(_.exists(isTargetScan)) match {
+        case (Seq(t), Seq(c)) => (t, c)
+        case other => fail(s"expected the bucketed scan on exactly one side: $other")
+      }
+    def shuffles(ns: Seq[org.apache.spark.sql.execution.SparkPlan]) =
+      ns.count(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeLike])
+    assert(shuffles(targetSide) === 0,
+      s"no Exchange may sit between the merge join and the bucketed snapshot scan:\n$planStr")
+    assert(shuffles(chgSide) >= 1,
+      s"the changeset side is the one that shuffles to the bucket layout:\n$planStr")
+  }
 }
