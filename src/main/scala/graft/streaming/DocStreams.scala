@@ -144,7 +144,15 @@ object DocStreams {
     * for state TTL). With `ttlMillis` far above the batch cadence this
     * is behaviorally identical to [[nearDupFlags]] — which is what the
     * st18 gate entry verifies against st16's own oracle; the recall
-    * loss only appears when arrival gaps exceed the TTL. */
+    * loss only appears when arrival gaps exceed the TTL.
+    *
+    * Deployment note: in processing-time mode the engine always has
+    * "another batch to run" (TTL/timers may fire on empty input —
+    * `shouldRunAnotherBatch` is unconditionally true), so a default
+    * unthrottled trigger busy-loops empty batches between arrivals.
+    * Production wiring should set `Trigger.ProcessingTime(...)` at the
+    * ingest cadence; the gate replay instead detects settlement by
+    * exact sink size. */
   def nearDupFlagsTtl(docs: DataFrame, ttlMillis: Long): DataFrame = {
     import docs.sparkSession.implicits._
     bandRows(docs)
