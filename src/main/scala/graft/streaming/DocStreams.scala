@@ -74,6 +74,14 @@ object DocStreams {
       .as[DocBand]
   }
 
+  /** Exact size of [[bandRows]]'s output without computing a single
+    * hash: 4 band rows per document with ≥ 3 tokens (the emission rule
+    * above, kept in lockstep). The TTL'd replay uses this as its
+    * settlement target — counting the real signature rows would cost a
+    * full MinHash pass just to learn a number the filter already knows. */
+  def expectedBandRows(docs: DataFrame): Long =
+    4L * docs.filter(size(split(col("text"), " ")) >= 3).count()
+
   /** Per-(band, value) minimum-owner state: one ValueState[Long]. Each
     * batch folds its rows' min doc_id into the stored owner and emits
     * every input row with `dup = owner' < doc_id` — the min-owner rule

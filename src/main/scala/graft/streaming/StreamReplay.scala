@@ -719,7 +719,7 @@ object StreamReplay {
     // the sink reaching the EXACT total output size, known up front
     // (one row per input band row, whatever the batch boundaries).
     val awaitRows = ttlMillis.map(_ =>
-      DocStreams.bandRows(graft.Tables.documents(s, dir)).count())
+      DocStreams.expectedBandRows(graft.Tables.documents(s, dir)))
     val flags = replayDocs(s, dir, gate, chunks, awaitRows = awaitRows)
       .groupBy(col("doc_id")).agg(max(col("dup")).as("near_dup"))
     graft.Tables.documents(s, dir).select(col("doc_id"))
@@ -868,7 +868,7 @@ object StreamReplay {
     // TTL'd leg: processing-time TWS never quiesces (see st16Shaped) —
     // await the exact expected sink size instead of processAllAvailable
     val awaitRows = ttlMillis.map(_ =>
-      DocStreams.bandRows(graft.Tables.documents(s, dir)).count())
+      DocStreams.expectedBandRows(graft.Tables.documents(s, dir)))
     val flags = replayDocs(s, dir, gate, chunks,
       progressSink = Some(buf), awaitRows = awaitRows)
     (flags.filter(col("dup") === 1L).select(col("doc_id")).distinct().count(), buf.toSeq)

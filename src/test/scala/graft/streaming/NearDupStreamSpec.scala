@@ -57,6 +57,10 @@ class NearDupStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaHof.nonEmpty)
     assert(viaHof === viaAgg)
     assert(!viaHof.exists(_._1 == 4L))
+    // the hash-free settlement count must stay in lockstep with the
+    // real emission rule (doc 4 has no shingle → 3 docs × 4 bands)
+    assert(DocStreams.expectedBandRows(graft.Tables.documents(spark, dir))
+      === viaHof.length.toLong)
   }
 
   test("cross-batch duplicate is caught by a state hit; earliest copy stays clean") {
