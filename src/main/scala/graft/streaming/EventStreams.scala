@@ -742,8 +742,17 @@ object EventStreams {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
     val prior = latestVersion(targetDir, below = batchId) match {
       case Some(p) =>
-        // bucketed scan via the catalog — the whole point of the layout
-        s.table(s"${tablePrefix}_${new org.apache.hadoop.fs.Path(p).getName}")
+        // bucketed scan via the catalog — the whole point of the layout.
+        // Catalog entries are session-scoped; the committed DIR is the
+        // durable truth, so a fresh session (recovery after restart)
+        // re-registers an external bucketed table over the existing
+        // bucket files before reading.
+        val vName = s"${tablePrefix}_${new org.apache.hadoop.fs.Path(p).getName}"
+        if (!s.catalog.tableExists(vName))
+          s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
+            cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+            SORTED BY (user_id) INTO $buckets BUCKETS LOCATION '$p'""")
+        s.table(vName)
       case None => emptySnapshot(s)
     }
     // merge hint: at sf the tiny delta would broadcast, which demonstrates

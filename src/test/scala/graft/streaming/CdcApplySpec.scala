@@ -133,4 +133,39 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(shuffles(chgSide) >= 1,
       s"the changeset side is the one that shuffles to the bucket layout:\n$planStr")
   }
+
+  test("bucketed apply recovers after catalog loss: re-registers from the committed dir") {
+    val target = java.nio.file.Files.createTempDirectory("cdcrec").toString
+    val prefix = "graft_cdcspec_rec"
+    EventStreams.applyChangesetBucketed(
+      batchDf(Seq((1L, 1.00), (2L, 2.50))), 0L, target, prefix)
+    EventStreams.applyChangesetBucketed(
+      batchDf(Seq((1L, 0.49))), 1L, target, prefix)
+    // simulate a fresh JVM: the session-scoped catalog entries are gone,
+    // only the committed dirs + markers remain
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v0")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v1")
+    EventStreams.applyChangesetBucketed(
+      batchDf(Seq((3L, 10.0))), 2L, target, prefix)
+    assert(readLatest(target) ===
+      Seq((1L, 2L, 149L), (2L, 1L, 250L), (3L, 1L, 1000L)))
+    // and the recovered prior really was read as a BUCKETED scan: the
+    // re-registered v1 feeds a merge with zero target-side Exchange
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v1")
+    spark.sql(s"""CREATE TABLE ${prefix}_v1 (user_id BIGINT, n_events BIGINT,
+      cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+      SORTED BY (user_id) INTO 8 BUCKETS LOCATION '$target/v1'""")
+    val chg = batchDf(Seq((9L, 1.0))).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("dn"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
+    val merged = EventStreams.mergedSnapshot(
+      spark.table(s"${prefix}_v1").hint("merge"), chg)
+    merged.collect()
+    val nodes = collectNodes(merged.queryExecution.executedPlan)
+    val bucketedScan = nodes.exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f.bucketedScan
+      case _ => false
+    }
+    assert(bucketedScan, "the re-registered external table must scan bucketed")
+  }
 }
