@@ -763,6 +763,49 @@ object EventStreams {
       .saveAsTable(s"${tablePrefix}_v$batchId")
   }
 
+  /** Retention for the versioned snapshot store — the VACUUM analog
+    * that completes the protocol: every apply writes a NEW version dir,
+    * so without pruning the store holds O(versions × target) bytes.
+    * Keeps the newest `keepLast` COMMITTED versions; deletes every
+    * older version dir through the FileSystem seam, including TORN dirs
+    * strictly below the latest committed version (a torn dir below a
+    * committed one is a superseded crash attempt by the protocol — its
+    * batch must have completed for any later version to exist; a torn
+    * dir ABOVE the latest committed version is an in-flight write and
+    * is never touched). `tablePrefix` also drops the pruned versions'
+    * session catalog entries (the bucketed layout's registrations).
+    * Returns the deleted version dir names. `keepLast` ≥ 1 always
+    * preserves the read path: `latestVersion` and the next apply's
+    * prior-derivation see exactly what they saw before the prune. */
+  def pruneVersions(s: SparkSession, targetDir: String, keepLast: Int = 2,
+      tablePrefix: Option[String] = None): Seq[String] = {
+    require(keepLast >= 1, s"keepLast must be >= 1, got $keepLast")
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(target)) return Seq.empty
+    val versioned = fs.listStatus(target).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith("v") && n.length > 1 &&
+        n.drop(1).forall(_.isDigit)
+    }
+    val committed = versioned.filter(st =>
+      fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong).sorted
+    if (committed.isEmpty) return Seq.empty
+    val keep = committed.takeRight(keepLast).toSet
+    val latest = committed.max
+    val pruned = versioned.filter { st =>
+      val id = st.getPath.getName.drop(1).toLong
+      id < latest && !keep.contains(id)
+    }
+    pruned.map { st =>
+      val name = st.getPath.getName
+      fs.delete(st.getPath, true)
+      tablePrefix.foreach(p => s.sql(s"DROP TABLE IF EXISTS ${p}_$name"))
+      name
+    }
+  }
+
   /** The CDC merge body shared by the plain and bucketed applies:
     * full-outer on user_id, absent sides coalesced to zero, integer
     * cents so maintain ≡ recompute exactly. */

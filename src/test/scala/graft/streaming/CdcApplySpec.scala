@@ -168,4 +168,26 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(bucketedScan, "the re-registered external table must scan bucketed")
   }
+
+  test("pruneVersions: retention keeps the read path, reaps torn dirs below latest") {
+    val target = java.nio.file.Files.createTempDirectory("cdcprune").toString
+    (0 to 3).foreach(i =>
+      EventStreams.applyChangeset(batchDf(Seq((1L, 1.00), (i.toLong + 10, 2.0))),
+        i.toLong, target))
+    val settled = readLatest(target)
+    // torn v1 (crash artifact superseded by committed v2/v3)
+    assert(new java.io.File(s"$target/v1", "_SUCCESS").delete())
+    val pruned = EventStreams.pruneVersions(spark, target, keepLast = 2)
+    assert(pruned.sorted === Seq("v0", "v1"),
+      "old committed + torn-below-latest go; the keepLast window stays")
+    assert(EventStreams.latestVersion(target).get.endsWith("v3"))
+    assert(readLatest(target) === settled, "the prune never changes the read path")
+    // an in-flight (torn ABOVE latest committed) dir is never touched
+    val inflight = new java.io.File(s"$target/v9"); inflight.mkdirs()
+    assert(EventStreams.pruneVersions(spark, target, keepLast = 1) === Seq("v2"))
+    assert(inflight.exists(), "a torn dir above the latest committed version is in-flight")
+    // and the next apply still derives from the surviving latest
+    EventStreams.applyChangeset(batchDf(Seq((1L, 1.00))), 4L, target)
+    assert(readLatest(target).find(_._1 == 1L).get._2 === 5L)
+  }
 }
