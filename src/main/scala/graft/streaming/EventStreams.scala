@@ -728,7 +728,22 @@ object EventStreams {
     * / partial-file rewrite removes, not anything a shuffle plan can.
     * The catalog entries are session-scoped scratch (a fresh session
     * re-registers by re-bucketing from the committed dir); the versioned
-    * dirs + markers on the FileSystem seam remain the durable truth. */
+    * dirs + markers on the FileSystem seam remain the durable truth.
+    *
+    * Layout safety: the bucket count is a PER-CALL parameter, so the
+    * recovery path must never declare a distribution the files don't
+    * have (a smaller on-disk count keeps every file's bucket id valid,
+    * and the Exchange-free sort-merge would then silently merge
+    * misaligned buckets). Each committed version therefore persists its
+    * bucket count as a `_BUCKETS` marker next to `_SUCCESS`; recovery
+    * re-registers from THAT (cross-checked against the bucket-file
+    * names) and fails loudly if the caller's parameter disagrees, if a
+    * same-named catalog entry points elsewhere or declares a different
+    * spec, or if the files don't carry bucket suffixes at all (a plain
+    * [[applyChangeset]] dir). A committed dir MISSING the marker (crash
+    * in the window between the parquet commit and the marker write, or
+    * a pre-marker legacy dir) degrades to a plain un-bucketed scan —
+    * one avoidable Exchange, never a silent bucket misalignment. */
   def applyChangesetBucketed(batch: DataFrame, batchId: Long,
       targetDir: String, tablePrefix: String, buckets: Int = 8): Unit = {
     val s = batch.sparkSession
@@ -746,13 +761,42 @@ object EventStreams {
         // Catalog entries are session-scoped; the committed DIR is the
         // durable truth, so a fresh session (recovery after restart)
         // re-registers an external bucketed table over the existing
-        // bucket files before reading.
-        val vName = s"${tablePrefix}_${new org.apache.hadoop.fs.Path(p).getName}"
-        if (!s.catalog.tableExists(vName))
-          s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
-            cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
-            SORTED BY (user_id) INTO $buckets BUCKETS LOCATION '$p'""")
-        s.table(vName)
+        // bucket files — with the count read from the dir's own
+        // `_BUCKETS` marker, never the current call's parameter.
+        val pPath = new org.apache.hadoop.fs.Path(p)
+        readBucketCount(fs, pPath) match {
+          case Some(diskBuckets) =>
+            if (diskBuckets != buckets) throw new IllegalStateException(
+              s"applyChangesetBucketed: prior version $p was written with " +
+                s"$diskBuckets buckets but this call declares $buckets; " +
+                "refusing to register a layout the files don't have")
+            validateBucketFiles(fs, pPath, diskBuckets)
+            val vName = s"${tablePrefix}_${pPath.getName}"
+            if (s.catalog.tableExists(vName)) {
+              val ct = s.sessionState.catalog.getTableMetadata(
+                org.apache.spark.sql.catalyst.TableIdentifier(vName))
+              val catLoc = fs.makeQualified(
+                new org.apache.hadoop.fs.Path(ct.location))
+              val dirLoc = fs.makeQualified(pPath)
+              if (catLoc != dirLoc) throw new IllegalStateException(
+                s"applyChangesetBucketed: stale catalog entry $vName points " +
+                  s"at $catLoc, not the committed version dir $dirLoc; " +
+                  "DROP it before recovering")
+              if (!ct.bucketSpec.exists(b => b.numBuckets == diskBuckets &&
+                  b.bucketColumnNames == Seq("user_id")))
+                throw new IllegalStateException(
+                  s"applyChangesetBucketed: catalog entry $vName declares " +
+                    s"bucket spec ${ct.bucketSpec} but the files at $p carry " +
+                    s"$diskBuckets buckets by user_id; DROP it before recovering")
+            } else
+              s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
+                cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+                SORTED BY (user_id) INTO $diskBuckets BUCKETS LOCATION '$p'""")
+            s.table(vName)
+          case None =>
+            // unknown layout: correctness over the Exchange saving
+            s.read.parquet(p)
+        }
       case None => emptySnapshot(s)
     }
     // merge hint: at sf the tiny delta would broadcast, which demonstrates
@@ -761,7 +805,60 @@ object EventStreams {
       .write.bucketBy(buckets, "user_id").sortBy("user_id")
       .option("path", vDir.toString).mode("overwrite")
       .saveAsTable(s"${tablePrefix}_v$batchId")
+    // persist the layout next to the commit marker (see scaladoc): a
+    // crash in this narrow window leaves _SUCCESS without _BUCKETS,
+    // which recovery treats as unknown → plain scan, never misaligned
+    writeBucketCount(fs, vDir, buckets)
   }
+
+  /** The bucket-count marker protocol for [[applyChangesetBucketed]]. */
+  private val BucketsMarker = "_BUCKETS"
+
+  private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      vDir: org.apache.hadoop.fs.Path, buckets: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(vDir, BucketsMarker), true)
+    try out.write(buckets.toString.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private[graft] def readBucketCount(fs: org.apache.hadoop.fs.FileSystem,
+      vDir: org.apache.hadoop.fs.Path): Option[Int] = {
+    val meta = new org.apache.hadoop.fs.Path(vDir, BucketsMarker)
+    if (!fs.exists(meta)) None
+    else {
+      val in = fs.open(meta)
+      try {
+        val raw = new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        require(raw.nonEmpty && raw.forall(_.isDigit) && raw.toInt > 0,
+          s"corrupt $BucketsMarker marker at $meta: '$raw'")
+        Some(raw.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Cross-check the `_BUCKETS` marker against the files it describes:
+    * every data file must carry Spark's `_NNNNN` bucket-id suffix
+    * (pattern of a bucketed write) with id < the declared count. Catches
+    * a stale/corrupt marker and plain-apply files alike — both would
+    * otherwise let a declared distribution diverge from the data. */
+  private val BucketFileId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
+
+  private def validateBucketFiles(fs: org.apache.hadoop.fs.FileSystem,
+      vDir: org.apache.hadoop.fs.Path, buckets: Int): Unit =
+    fs.listStatus(vDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) n match {
+        case BucketFileId(id) =>
+          if (id.toInt >= buckets) throw new IllegalStateException(
+            s"applyChangesetBucketed: file $n carries bucket id $id >= the " +
+              s"declared $buckets buckets at $vDir — layout metadata is wrong")
+        case _ => throw new IllegalStateException(
+          s"applyChangesetBucketed: data file $n at $vDir has no bucket-id " +
+            "suffix; the dir is not a bucketed write despite its marker")
+      }
+    }
 
   /** Retention for the versioned snapshot store — the VACUUM analog
     * that completes the protocol: every apply writes a NEW version dir,

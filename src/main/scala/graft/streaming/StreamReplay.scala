@@ -803,9 +803,16 @@ object StreamReplay {
         awaitRows match {
           case Some(n) =>
             // see st16Shaped: processing-time TWS never quiesces, so
-            // termination = the sink holding every expected output row
+            // termination = the sink holding every expected output row.
+            // A query failure (state-store error, bad config) must
+            // surface IMMEDIATELY, not as a generic stuck-below-n
+            // timeout ten minutes later.
             val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
             while (s.table(sink).count() < n) {
+              query.exception.foreach(throw _)
+              if (!query.isActive)
+                sys.error(s"replayDocs: query for $sink terminated " +
+                  s"at ${s.table(sink).count()} of $n rows with no exception")
               if (System.currentTimeMillis() > deadline)
                 sys.error(s"replayDocs: sink $sink stuck below $n rows")
               Thread.sleep(100)

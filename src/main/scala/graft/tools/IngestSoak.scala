@@ -64,10 +64,23 @@ object IngestSoak {
   }
 
   def main(args: Array[String]): Unit = {
+    // strictly positional per the documented usage — [outJson] [nDocs]
+    // [ttl] — so `IngestSoak ttl` is a malformed nDocs (rejected), not a
+    // TTL run writing its artifact to a file literally named "ttl"
     val outJson = args.headOption.getOrElse("SOAK_r10f.json")
-    val n = args.drop(1).headOption.filter(_.forall(_.isDigit))
-      .map(_.toLong).getOrElse(500000L)
-    val withTtl = args.contains("ttl")
+    val n = args.drop(1).headOption.map { a =>
+      require(a.nonEmpty && a.forall(_.isDigit),
+        s"nDocs (2nd arg) must be a positive integer, got '$a'; " +
+          "usage: IngestSoak [outJson] [nDocs] [ttl]")
+      a.toLong
+    }.getOrElse(500000L)
+    val withTtl = args.drop(2).headOption match {
+      case Some("ttl") => true
+      case Some(other) => sys.error(
+        s"3rd arg must be 'ttl' if present, got '$other'; " +
+          "usage: IngestSoak [outJson] [nDocs] [ttl]")
+      case None => false
+    }
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")

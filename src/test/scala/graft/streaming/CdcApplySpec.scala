@@ -169,6 +169,65 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketedScan, "the re-registered external table must scan bucketed")
   }
 
+  test("bucketed recovery validates the on-disk layout instead of trusting the call") {
+    val b0 = batchDf(Seq((1L, 1.00), (2L, 2.50)))
+    val b1 = batchDf(Seq((1L, 0.49)))
+    val settled = Seq((1L, 2L, 149L), (2L, 1L, 250L))
+
+    // (a) recovery with a DIFFERENT bucket count than the files carry
+    // must fail loudly — a smaller on-disk count would keep every file's
+    // bucket id valid and silently merge misaligned buckets
+    val tA = java.nio.file.Files.createTempDirectory("cdclayoutA").toString
+    EventStreams.applyChangesetBucketed(b0, 0L, tA, "graft_cdcspec_layA", buckets = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_layA_v0")
+    val exA = intercept[IllegalStateException] {
+      EventStreams.applyChangesetBucketed(b1, 1L, tA, "graft_cdcspec_layA", buckets = 8)
+    }
+    assert(exA.getMessage.contains("4 buckets") && exA.getMessage.contains("8"))
+
+    // (b) a stale same-named catalog entry pointing at ANOTHER dir must
+    // fail loudly, not feed the merge someone else's data
+    val other = java.nio.file.Files.createTempDirectory("cdclayoutB-other").toString
+    spark.sql(s"""CREATE TABLE graft_cdcspec_layA_v0 (user_id BIGINT,
+      n_events BIGINT, cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+      SORTED BY (user_id) INTO 4 BUCKETS LOCATION '$other'""")
+    val exB = intercept[IllegalStateException] {
+      EventStreams.applyChangesetBucketed(b1, 1L, tA, "graft_cdcspec_layA", buckets = 4)
+    }
+    assert(exB.getMessage.contains("stale catalog entry"))
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_layA_v0")
+
+    // (c) a forged marker over PLAIN (un-bucketed) files must fail
+    // loudly: the files carry no bucket-id suffix to align to
+    val tC = java.nio.file.Files.createTempDirectory("cdclayoutC").toString
+    EventStreams.applyChangeset(b0, 0L, tC)
+    val fsC = new org.apache.hadoop.fs.Path(tC)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outC = fsC.create(new org.apache.hadoop.fs.Path(s"$tC/v0/_BUCKETS"), true)
+    outC.write("4".getBytes(java.nio.charset.StandardCharsets.UTF_8)); outC.close()
+    val exC = intercept[IllegalStateException] {
+      EventStreams.applyChangesetBucketed(b1, 1L, tC, "graft_cdcspec_layC", buckets = 4)
+    }
+    assert(exC.getMessage.contains("no bucket-id"))
+
+    // (d) a committed dir MISSING the marker (torn metadata / legacy)
+    // degrades to a plain scan — correct answer, never a misalignment
+    val tD = java.nio.file.Files.createTempDirectory("cdclayoutD").toString
+    EventStreams.applyChangesetBucketed(b0, 0L, tD, "graft_cdcspec_layD", buckets = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_layD_v0")
+    assert(new java.io.File(s"$tD/v0", "_BUCKETS").delete())
+    EventStreams.applyChangesetBucketed(b1, 1L, tD, "graft_cdcspec_layD", buckets = 4)
+    assert(readLatest(tD) === settled)
+
+    // and the happy recovery still registers from the persisted marker,
+    // regardless of what earlier sessions used
+    val tE = java.nio.file.Files.createTempDirectory("cdclayoutE").toString
+    EventStreams.applyChangesetBucketed(b0, 0L, tE, "graft_cdcspec_layE", buckets = 4)
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_layE_v0")
+    EventStreams.applyChangesetBucketed(b1, 1L, tE, "graft_cdcspec_layE", buckets = 4)
+    assert(readLatest(tE) === settled)
+  }
+
   test("pruneVersions: retention keeps the read path, reaps torn dirs below latest") {
     val target = java.nio.file.Files.createTempDirectory("cdcprune").toString
     (0 to 3).foreach(i =>

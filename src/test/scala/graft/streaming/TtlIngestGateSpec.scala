@@ -54,9 +54,15 @@ class TtlIngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     * `processAllAvailable` would hang on the TTL'd gate — batch
     * settlement is instead detected by the sink reaching the cumulative
     * expected row count (4 band rows per doc with >= 3 tokens). */
-  private def awaitSinkRows(name: String, n: Long): Unit = {
+  private def awaitSinkRows(q: org.apache.spark.sql.streaming.StreamingQuery,
+      name: String, n: Long): Unit = {
     val deadline = System.currentTimeMillis() + 120000L
     while (spark.table(name).count() < n) {
+      // a failed query must surface its real exception immediately, not
+      // a generic stuck-below-n timeout two minutes later
+      q.exception.foreach(throw _)
+      if (!q.isActive)
+        fail(s"query for $name terminated below $n rows with no exception")
       if (System.currentTimeMillis() > deadline)
         fail(s"sink $name stuck below $n rows")
       Thread.sleep(50)
@@ -88,7 +94,7 @@ class TtlIngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
         if (i > 0 && gapMillis > 0) Thread.sleep(gapMillis)
         in.addData(b)
         cum += 4L * b.count(_._2.split(" ").length >= 3)
-        awaitSinkRows(name, cum)
+        awaitSinkRows(q, name, cum)
       }
     } finally q.stop()
     sp.table(name).groupBy(col("doc_id")).agg(max(col("dup")).as("nd"))
@@ -113,20 +119,25 @@ class TtlIngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("gap beyond TTL admits the late duplicate; the delta is exactly that doc") {
-    // 2 s TTL, 5 s gaps: batch-1's owner has expired by batch 2. Batch 3
-    // also sleeps 5 s, so doc 10's refreshed ownership must survive ITS
-    // own gap — no: 5 s > 2 s, so doc 20 is ALSO admitted here; the
+    // 15 s TTL, 45 s gaps: batch-1's owner has expired by batch 2. Batch 3
+    // also sleeps 45 s, so doc 10's refreshed ownership must survive ITS
+    // own gap — no: 45 s > 15 s, so doc 20 is ALSO admitted here; the
     // refresh property gets its own test below with no gap before batch 3.
-    val ttld = runGate(Some(2000L), batches, gapMillis = 5000)
+    // The margins are wide on BOTH sides (30 s of expiry slack on the
+    // gap leg; the no-gap leg below has the full 15 s TTL of slack for
+    // micro-batch latency) so a loaded CI machine cannot flake either
+    // direction — a 2 s TTL left only ~2 s for batch processing.
+    val ttld = runGate(Some(15000L), batches, gapMillis = 45000)
     val unbounded = Map(1L -> 0L, 2L -> 0L, 10L -> 1L, 11L -> 0L, 20L -> 1L)
     assert(ttld === unbounded ++ Map(10L -> 0L, 20L -> 0L),
       "every copy arriving after the owner aged out is admitted; nothing else moves")
   }
 
   test("a write refreshes the TTL: a copy within the horizon is still flagged") {
-    // gap only before batch 2 (5 s > TTL): doc 10 admitted, but its own
+    // gap only before batch 2 (45 s > TTL): doc 10 admitted, but its own
     // write re-establishes ownership; batch 3 follows immediately, so
-    // doc 20 is flagged by the REFRESHED owner
+    // doc 20 is flagged by the REFRESHED owner — and the 15 s TTL gives
+    // batch 3 seconds of processing slack rather than ~2 s
     val sp = spark
     import sp.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
@@ -134,15 +145,15 @@ class TtlIngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = in.toDF().toDF("doc_id", "text")
     val name = s"ttlgate_${ids.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("ttlgate-ckpt").toString
-    val q = DocStreams.nearDupFlagsTtl(docs, 2000L)
+    val q = DocStreams.nearDupFlagsTtl(docs, 15000L)
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
-      in.addData(batches(0)); awaitSinkRows(name, 8)
-      Thread.sleep(5000)
-      in.addData(batches(1)); awaitSinkRows(name, 16)
-      in.addData(batches(2)); awaitSinkRows(name, 20) // no gap
+      in.addData(batches(0)); awaitSinkRows(q, name, 8)
+      Thread.sleep(45000)
+      in.addData(batches(1)); awaitSinkRows(q, name, 16)
+      in.addData(batches(2)); awaitSinkRows(q, name, 20) // no gap
     } finally q.stop()
     val out = sp.table(name).groupBy(col("doc_id")).agg(max(col("dup")).as("nd"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
