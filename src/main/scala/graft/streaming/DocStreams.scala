@@ -116,6 +116,38 @@ object DocStreams {
       .toDF()
   }
 
+  /** The gate's persisted state, read back OUT of a settled checkpoint
+    * via Spark 4's state data source — the production debugging surface
+    * for a 100 TB ingest gate: inspect who owns a (band, value) bucket
+    * without instrumenting the stream or replaying anything. The TWS
+    * ValueState named "owner" surfaces as rows
+    * `(key struct<value:string>, value struct<value:long>, partition_id)`;
+    * this projects them back to the domain shape `(band, h, owner)`.
+    * Works over [[nearDupFlags]] and [[nearDupFlagsTtl]] checkpoints
+    * alike: a TTL'd ValueState surfaces as
+    * `value: struct<value: struct<value:long>, ttlExpirationMs:long>`
+    * (the payload nested one level deeper under the TTL bookkeeping),
+    * so the projection picks the owner path by the loaded schema.
+    * Scale note: the reader scans the store's checkpoint files
+    * partition-parallel — no stream, no state-store locks, safe against
+    * a live query's committed batches. */
+  def ownerState(s: org.apache.spark.sql.SparkSession, ckpt: String): DataFrame = {
+    val raw = s.read.format("statestore")
+      .option("path", ckpt)
+      .option("stateVarName", "owner")
+      .load()
+    val valueStruct = raw.schema("value").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val owner = valueStruct("value").dataType match {
+      case _: org.apache.spark.sql.types.StructType => col("value.value.value")
+      case _ => col("value.value")
+    }
+    raw.select(
+      split(col("key.value"), ":", 2).getItem(0).cast("int").as("band"),
+      split(col("key.value"), ":", 2).getItem(1).as("h"),
+      owner.as("owner"))
+  }
+
   /** TTL'd [[BandOwnerProcessor]] — the explicit recall-loss knob the
     * no-TTL doc names: the same min-owner rule, but each (band, value)
     * owner is stored under `TTLConfig(ttl)` (processing-time mode — the

@@ -750,8 +750,17 @@ object EventStreams {
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
-    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")))
-      return // committed: skip
+    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
+      // committed: skip — but a crash in the narrow window between the
+      // parquet commit and writeBucketCount leaves _SUCCESS without
+      // _BUCKETS, which would otherwise cost every LATER apply this
+      // version's Exchange-free scan, permanently. The replayed batch is
+      // the one place that knows it just re-ran this version, so heal
+      // here — exactly (from the data), never heuristically.
+      if (readBucketCount(fs, vDir).isEmpty)
+        healBucketMarker(s, fs, vDir, buckets)
+      return
+    }
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
@@ -783,11 +792,24 @@ object EventStreams {
                   s"at $catLoc, not the committed version dir $dirLoc; " +
                   "DROP it before recovering")
               if (!ct.bucketSpec.exists(b => b.numBuckets == diskBuckets &&
-                  b.bucketColumnNames == Seq("user_id")))
+                  b.bucketColumnNames == Seq("user_id") &&
+                  b.sortColumnNames == Seq("user_id")))
                 throw new IllegalStateException(
                   s"applyChangesetBucketed: catalog entry $vName declares " +
                     s"bucket spec ${ct.bucketSpec} but the files at $p carry " +
-                    s"$diskBuckets buckets by user_id; DROP it before recovering")
+                    s"$diskBuckets buckets by user_id sorted by user_id; " +
+                    "DROP it before recovering")
+              // schema must match what the fresh-registration path would
+              // CREATE: a same-location entry with divergent columns would
+              // otherwise be silently reused and mis-read the files
+              val expected = Seq("user_id" -> "bigint",
+                "n_events" -> "bigint", "cents" -> "bigint")
+              val actual = ct.schema.map(f =>
+                f.name -> f.dataType.simpleString)
+              if (actual != expected) throw new IllegalStateException(
+                s"applyChangesetBucketed: catalog entry $vName declares " +
+                  s"schema $actual, expected $expected; DROP it before " +
+                  "recovering")
             } else
               s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
                 cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
@@ -831,9 +853,13 @@ object EventStreams {
       try {
         val raw = new String(org.apache.commons.io.IOUtils.toByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8).trim
-        require(raw.nonEmpty && raw.forall(_.isDigit) && raw.toInt > 0,
+        // toIntOption, not toInt: an all-digit string beyond Int range
+        // must hit the same descriptive failure, not a bare
+        // NumberFormatException from inside the require condition
+        val parsed = raw.toIntOption.filter(_ > 0)
+        require(parsed.isDefined,
           s"corrupt $BucketsMarker marker at $meta: '$raw'")
-        Some(raw.toInt)
+        parsed
       } finally in.close()
     }
   }
@@ -859,6 +885,44 @@ object EventStreams {
             "suffix; the dir is not a bucketed write despite its marker")
       }
     }
+
+  /** Recovery for the `_SUCCESS`-without-`_BUCKETS` crash window: decide
+    * whether `vDir`'s files genuinely satisfy a `buckets`-way
+    * distribution and, if so, persist the healed marker. Filename
+    * suffixes alone cannot establish the COUNT (every id < 8 is also
+    * < 16), so this reads the version once and checks the exact
+    * invariant a bucketed scan relies on: every row's
+    * `pmod(hash(user_id), buckets)` equals its file's bucket-id suffix —
+    * `functions.hash` is the same Murmur3(seed=42) that
+    * HashPartitioning uses to route bucketed writes, so a zero-mismatch
+    * pass PROVES the declared distribution holds regardless of what
+    * count originally wrote the files. Any mismatch (different count, or
+    * a plain write that happens to match the suffix pattern) leaves the
+    * dir unmarked: it keeps degrading to a plain scan — one avoidable
+    * Exchange, never a misalignment. The O(version) read happens only on
+    * this one-shot heal path; NOT healing would cost an Exchange on
+    * every subsequent apply instead. */
+  private[graft] def healBucketMarker(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      vDir: org.apache.hadoop.fs.Path, buckets: Int): Boolean = {
+    val dataFiles = fs.listStatus(vDir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName)
+    val suffixed = dataFiles.nonEmpty && dataFiles.forall {
+      case BucketFileId(id) => id.toInt < buckets
+      case _ => false
+    }
+    if (!suffixed) return false
+    val rows = s.read.parquet(vDir.toString)
+      .withColumn("_fid", regexp_extract(input_file_name(),
+        "_(\\d{5})(?:\\.c\\d+)?\\.", 1).cast("int"))
+    val misrouted = rows
+      .filter(pmod(hash(col("user_id")), lit(buckets)) =!= col("_fid"))
+      .limit(1).count()
+    if (misrouted == 0L) { writeBucketCount(fs, vDir, buckets); true }
+    else false
+  }
 
   /** Retention for the versioned snapshot store — the VACUUM analog
     * that completes the protocol: every apply writes a NEW version dir,

@@ -706,6 +706,27 @@ object StreamReplay {
   val st18_neardup_ingest_ttl: Q = (s, dir) =>
     st16Shaped(s, dir, chunks = 8, ttlMillis = Some(3600L * 1000))
 
+  /** st19: the ingest gate's PERSISTED STATE read back out of the
+    * checkpoint — Spark 4's state data source
+    * (`spark.read.format("statestore")`) over the transformWithState
+    * store after the same 8-chunk replay as st16b. Every (band, value)
+    * bucket's ValueState owner ([[DocStreams.ownerState]]) is emitted as
+    * one row; the oracle recomputes the min-owner table batch-side from
+    * d02's own signature CTEs (`SELECT band, h, min(doc_id) FROM bands
+    * GROUP BY 1, 2` — the `own` CTE of st16's oracle, promoted to the
+    * output). This pins the STATE, not just the emitted flags, equal to
+    * the batch rule — and it is the production debugging surface for a
+    * 100 TB gate: read who owns a bucket straight from the checkpoint,
+    * no replay, no stream instrumentation, partition-parallel. The
+    * zone-map audit discipline of the reference's index path
+    * (osm-pbf-parquet/src/indexed.rs:175-222 — verify the derived
+    * structure against the data it summarizes) applied to streaming
+    * state. */
+  val st19_gate_state_reader: Q = (s, dir) =>
+    replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks = 8,
+      stateExtract = Some((sess, ckpt) => DocStreams.ownerState(sess, ckpt)))
+      .orderBy(col("band"), col("h"))
+
   private def st16Shaped(s: SparkSession, dir: String, chunks: Int,
       ttlMillis: Option[Long] = None): DataFrame = {
     val gate: DataFrame => DataFrame = ttlMillis match {
@@ -739,7 +760,8 @@ object StreamReplay {
       transform: DataFrame => DataFrame, chunks: Int,
       progressSink: Option[scala.collection.mutable.Buffer[
         org.apache.spark.sql.streaming.StreamingQueryProgress]] = None,
-      awaitRows: Option[Long] = None): DataFrame = {
+      awaitRows: Option[Long] = None,
+      stateExtract: Option[(SparkSession, String) => DataFrame] = None): DataFrame = {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -820,7 +842,16 @@ object StreamReplay {
           case None => query.processAllAvailable()
         }
         progressSink.foreach(_ ++= query.recentProgress)
-        s.table(sink).localCheckpoint()
+        stateExtract match {
+          case None => s.table(sink).localCheckpoint()
+          case Some(extract) =>
+            // the entry under test is the persisted STATE, not the sink:
+            // stop first so the state source reads a quiesced checkpoint
+            // at its last committed batch, then materialize before the
+            // temp dir (checkpoint included) is torn down below
+            query.stop()
+            extract(s, ckpt).localCheckpoint()
+        }
       } finally {
         query.stop()
         s.catalog.dropTempView(sink)
@@ -1117,6 +1148,7 @@ object StreamReplay {
     "st16b_neardup_multibatch" -> st16b_neardup_multibatch,
     "st17_cdc_apply" -> st17_cdc_apply,
     "st18_neardup_ingest_ttl" -> st18_neardup_ingest_ttl,
+    "st19_gate_state_reader" -> st19_gate_state_reader,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -1318,6 +1350,13 @@ object StreamReplay {
     // st18: at gate cadence nothing expires within the 1-hour TTL, so
     // the TTL'd gate must equal the unbounded one — same oracle
     "st18_neardup_ingest_ttl" -> nearDupOracle,
+    // st19: the checkpoint's persisted owner state must equal the
+    // batch-derived min-owner table — nearDupOracle's `own` CTE promoted
+    // to the output shape
+    "st19_gate_state_reader" ->
+      s"""WITH ${graft.operators.TrainingOracles.minhashCte}
+         |SELECT CAST(band AS INT) AS band, h, min(doc_id) AS owner
+         |FROM bands GROUP BY 1, 2 ORDER BY band, h""".stripMargin,
     // st17: maintain ≡ recompute across the streamed apply loop — the
     // oracle recomputes the per-user profile from the raw table; integer
     // cents make the equality exact whatever the chunking

@@ -69,10 +69,11 @@ object IngestSoak {
     // TTL run writing its artifact to a file literally named "ttl"
     val outJson = args.headOption.getOrElse("SOAK_r10f.json")
     val n = args.drop(1).headOption.map { a =>
-      require(a.nonEmpty && a.forall(_.isDigit),
+      // toLongOption folds every malformed shape — non-digits, zero, and
+      // >19-digit overflow alike — into the one usage error
+      a.toLongOption.filter(_ > 0).getOrElse(sys.error(
         s"nDocs (2nd arg) must be a positive integer, got '$a'; " +
-          "usage: IngestSoak [outJson] [nDocs] [ttl]")
-      a.toLong
+          "usage: IngestSoak [outJson] [nDocs] [ttl]"))
     }.getOrElse(500000L)
     val withTtl = args.drop(2).headOption match {
       case Some("ttl") => true

@@ -228,6 +228,50 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLatest(tE) === settled)
   }
 
+  test("committed-skip heals a missing _BUCKETS marker from the data, exactly") {
+    val b0 = batchDf(Seq((1L, 1.00), (2L, 2.50)))
+    val b1 = batchDf(Seq((1L, 0.49)))
+    def markerOf(target: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$target/v0")
+      EventStreams.readBucketCount(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+    }
+
+    // (a) crash window between the parquet commit and writeBucketCount:
+    // the replayed batch's committed-skip path heals the marker (payload
+    // irrelevant — it must not re-apply), restoring the Exchange-free
+    // scan for every later apply instead of degrading permanently
+    val tA = java.nio.file.Files.createTempDirectory("cdchealA").toString
+    EventStreams.applyChangesetBucketed(b0, 0L, tA, "graft_cdcspec_healA", buckets = 4)
+    assert(new java.io.File(s"$tA/v0", "_BUCKETS").delete())
+    EventStreams.applyChangesetBucketed(
+      batchDf(Seq((9L, 999.0))), 0L, tA, "graft_cdcspec_healA", buckets = 4)
+    assert(markerOf(tA) === Some(4), "the replayed batch must heal the marker")
+    // and the healed version recovers as a real bucketed prior
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_healA_v0")
+    EventStreams.applyChangesetBucketed(b1, 1L, tA, "graft_cdcspec_healA", buckets = 4)
+    assert(readLatest(tA) === Seq((1L, 2L, 149L), (2L, 1L, 250L)))
+
+    // (b) heal must refuse a count the DATA disproves: files written
+    // 4-way, replay declares 8 — pmod(hash, 8) disagrees with some
+    // file's suffix (20 users make a coincidental full match impossible
+    // in practice), so the dir stays unmarked and keeps the safe
+    // plain-scan degrade rather than a misaligned registration
+    val wide = batchDf((1L to 20L).map(i => (i, 1.00)))
+    val tB = java.nio.file.Files.createTempDirectory("cdchealB").toString
+    EventStreams.applyChangesetBucketed(wide, 0L, tB, "graft_cdcspec_healB", buckets = 4)
+    assert(new java.io.File(s"$tB/v0", "_BUCKETS").delete())
+    EventStreams.applyChangesetBucketed(wide, 0L, tB, "graft_cdcspec_healB", buckets = 8)
+    assert(markerOf(tB).isEmpty, "a count the data disproves must not be healed")
+
+    // (c) heal must refuse plain (un-suffixed) files outright — a plain
+    // apply's committed dir replayed through the bucketed entry point
+    val tC = java.nio.file.Files.createTempDirectory("cdchealC").toString
+    EventStreams.applyChangeset(b0, 0L, tC)
+    EventStreams.applyChangesetBucketed(b0, 0L, tC, "graft_cdcspec_healC", buckets = 4)
+    assert(markerOf(tC).isEmpty, "plain files must never gain a bucket marker")
+  }
+
   test("pruneVersions: retention keeps the read path, reaps torn dirs below latest") {
     val target = java.nio.file.Files.createTempDirectory("cdcprune").toString
     (0 to 3).foreach(i =>

@@ -119,24 +119,26 @@ class TtlIngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("gap beyond TTL admits the late duplicate; the delta is exactly that doc") {
-    // 15 s TTL, 45 s gaps: batch-1's owner has expired by batch 2. Batch 3
-    // also sleeps 45 s, so doc 10's refreshed ownership must survive ITS
-    // own gap — no: 45 s > 15 s, so doc 20 is ALSO admitted here; the
+    // 8 s TTL, 20 s gaps: batch-1's owner has expired by batch 2. Batch 3
+    // also sleeps 20 s, so doc 10's refreshed ownership must survive ITS
+    // own gap — no: 20 s > 8 s, so doc 20 is ALSO admitted here; the
     // refresh property gets its own test below with no gap before batch 3.
-    // The margins are wide on BOTH sides (30 s of expiry slack on the
-    // gap leg; the no-gap leg below has the full 15 s TTL of slack for
+    // The margins are wide on BOTH sides (12 s of expiry slack on the
+    // gap leg; the no-gap leg below has the full 8 s TTL of slack for
     // micro-batch latency) so a loaded CI machine cannot flake either
-    // direction — a 2 s TTL left only ~2 s for batch processing.
-    val ttld = runGate(Some(15000L), batches, gapMillis = 45000)
+    // direction — the original 2 s TTL left only ~2 s for batch
+    // processing, and the r12 fix's 15 s / 45 s bought the same margins
+    // with ~75 s more pure sleep per suite run than this ratio.
+    val ttld = runGate(Some(8000L), batches, gapMillis = 20000)
     val unbounded = Map(1L -> 0L, 2L -> 0L, 10L -> 1L, 11L -> 0L, 20L -> 1L)
     assert(ttld === unbounded ++ Map(10L -> 0L, 20L -> 0L),
       "every copy arriving after the owner aged out is admitted; nothing else moves")
   }
 
   test("a write refreshes the TTL: a copy within the horizon is still flagged") {
-    // gap only before batch 2 (45 s > TTL): doc 10 admitted, but its own
+    // gap only before batch 2 (20 s > TTL): doc 10 admitted, but its own
     // write re-establishes ownership; batch 3 follows immediately, so
-    // doc 20 is flagged by the REFRESHED owner — and the 15 s TTL gives
+    // doc 20 is flagged by the REFRESHED owner — and the 8 s TTL gives
     // batch 3 seconds of processing slack rather than ~2 s
     val sp = spark
     import sp.implicits._
@@ -145,13 +147,13 @@ class TtlIngestGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = in.toDF().toDF("doc_id", "text")
     val name = s"ttlgate_${ids.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory("ttlgate-ckpt").toString
-    val q = DocStreams.nearDupFlagsTtl(docs, 15000L)
+    val q = DocStreams.nearDupFlagsTtl(docs, 8000L)
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)
       .outputMode("append").start()
     try {
       in.addData(batches(0)); awaitSinkRows(q, name, 8)
-      Thread.sleep(45000)
+      Thread.sleep(20000)
       in.addData(batches(1)); awaitSinkRows(q, name, 16)
       in.addData(batches(2)); awaitSinkRows(q, name, 20) // no gap
     } finally q.stop()
