@@ -764,7 +764,7 @@ object EventStreams {
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
-    val prior = latestVersion(targetDir, below = batchId) match {
+    val (prior, priorBucketed) = latestVersion(targetDir, below = batchId) match {
       case Some(p) =>
         // bucketed scan via the catalog — the whole point of the layout.
         // Catalog entries are session-scoped; the committed DIR is the
@@ -814,16 +814,33 @@ object EventStreams {
               s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
                 cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
                 SORTED BY (user_id) INTO $diskBuckets BUCKETS LOCATION '$p'""")
-            s.table(vName)
+            (s.table(vName), true)
           case None =>
             // unknown layout: correctness over the Exchange saving
-            s.read.parquet(p)
+            (s.read.parquet(p), false)
         }
-      case None => emptySnapshot(s)
+      case None => (emptySnapshot(s), false)
     }
     // merge hint: at sf the tiny delta would broadcast, which demonstrates
     // nothing at 100 TB where neither side does — q38b's discipline
-    mergedSnapshot(prior.hint("merge"), chg)
+    val merged = mergedSnapshot(prior.hint("merge"), chg)
+    // Bucket-file ALIGNMENT (r13, probed): `bucketBy` inserts no exchange
+    // — it writes one file per (task, bucket-in-task). With a BUCKETED
+    // prior the SMJ adopts the table's HashPartitioning(user_id, buckets)
+    // and alignment is free (partition ≡ bucket, one file each — the
+    // zero-extra-Exchange plan the spec pins). On the OTHER regimes the
+    // input partitioning is arbitrary (a seed's changeset can even reach
+    // the writer range-partitioned when distinct-keys inference elides
+    // the aggregate exchange — measured: 32 tasks × 32 buckets = 1024
+    // files at the 1M-user seed), so those paths repartition explicitly
+    // by the exact bucket routing — an O(input) shuffle on paths that
+    // are already O(target) regimes, buying one-file-per-bucket layouts
+    // that keep scans, recovery validation, and the pruned apply's
+    // copy-forward ledger linear in BUCKETS, not in tasks × versions.
+    val aligned =
+      if (priorBucketed) merged
+      else merged.repartition(buckets, col("user_id"))
+    aligned
       .write.bucketBy(buckets, "user_id").sortBy("user_id")
       .option("path", vDir.toString).mode("overwrite")
       .saveAsTable(s"${tablePrefix}_v$batchId")
@@ -831,6 +848,130 @@ object EventStreams {
     // crash in this narrow window leaves _SUCCESS without _BUCKETS,
     // which recovery treats as unknown → plain scan, never misaligned
     writeBucketCount(fs, vDir, buckets)
+  }
+
+  /** [[applyChangesetBucketed]] with BUCKET-PRUNED reads and COPY-FORWARD
+    * of untouched bucket files — the skewed-changeset regime answer. The
+    * full bucketed apply already bounds the SHUFFLE to the changeset,
+    * but it re-reads and re-writes every bucket of the target per
+    * version; when a changeset clusters into a few buckets (a hot user
+    * range, a tenant, a backfill) that is almost all wasted work. This
+    * variant:
+    *
+    *  1. derives the TOUCHED bucket set from the changeset itself
+    *     (`pmod(hash(user_id), buckets)` — the exact routing
+    *     HashPartitioning uses, ≤ `buckets` driver-side values);
+    *  2. reads ONLY the touched buckets' files from the prior version
+    *     (file-level pruning via the bucket-id filename suffix — Spark's
+    *     own bucket pruning only fires on key-equality predicates, so
+    *     the span selection happens at the file list, which is exactly
+    *     what the suffix encodes);
+    *  3. merges prior-touched ⟗ changeset and bucket-writes the result
+    *     (only touched buckets get new files — every merged row hashes
+    *     into one by construction);
+    *  4. COPY-FORWARDS each untouched bucket file byte-for-byte through
+    *     the FileSystem seam into the new version dir (no decode, no
+    *     shuffle, no re-encode; on an object store this maps to a
+    *     server-side copy), then commits `_SUCCESS` + `_BUCKETS` last —
+    *     the same torn-write protocol as every other apply.
+    *
+    * Compute cost per apply drops from O(target) decode+encode to
+    * O(touched buckets) + O(untouched bytes) raw copy; SOAK_r13c
+    * measures the regime. Falls back to the full [[applyChangesetBucketed]]
+    * when there is no prior, or the prior carries no trustworthy bucket
+    * marker, or its count differs from `buckets` — correctness first,
+    * pruning only on a proven layout. The residual O(target) BYTES on
+    * the copy path is the file-granularity floor an FS-level store has;
+    * removing it takes a manifest/table format (shared files across
+    * versions), which would also change retention — out of scope by the
+    * same adjudication as the plain apply's rewrite. */
+  def applyChangesetBucketedPruned(batch: DataFrame, batchId: Long,
+      targetDir: String, tablePrefix: String, buckets: Int = 8): Unit = {
+    val s = batch.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
+      if (readBucketCount(fs, vDir).isEmpty)
+        healBucketMarker(s, fs, vDir, buckets)
+      return
+    }
+    val priorDir = latestVersion(targetDir, below = batchId)
+    val priorBuckets = priorDir.flatMap(p =>
+      readBucketCount(fs, new org.apache.hadoop.fs.Path(p)))
+    if (priorDir.isEmpty || !priorBuckets.contains(buckets)) {
+      // no prior / unmarked / different layout: the full apply already
+      // handles every one of these correctly — pruning has nothing to
+      // prune (or nothing it can trust)
+      applyChangesetBucketed(batch, batchId, targetDir, tablePrefix, buckets)
+      return
+    }
+    val pPath = new org.apache.hadoop.fs.Path(priorDir.get)
+    validateBucketFiles(fs, pPath, buckets)
+    val chg = batch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("dn"),
+        sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
+      .localCheckpoint() // referenced for routing AND the merge
+    val touched: Set[Int] = chg
+      .select(pmod(hash(col("user_id")), lit(buckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val byBucket: Map[Int, Seq[org.apache.hadoop.fs.Path]] =
+      fs.listStatus(pPath).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        .groupBy(st => st.getPath.getName match {
+          case BucketFileId(id) => id.toInt
+        })
+        .view.mapValues(_.map(_.getPath)).toMap
+    val touchedFiles = byBucket.filter(kv => touched.contains(kv._1))
+      .values.flatten.map(_.toString).toSeq
+    val priorTouched =
+      if (touchedFiles.isEmpty) emptySnapshot(s)
+      else s.read.parquet(touchedFiles: _*)
+    // stage the merged touched buckets as a bucketed write (rows can
+    // only hash into touched buckets, so only those get files), then
+    // assemble the version dir: new files + byte-copied untouched files
+    val stageName = s"${tablePrefix}_stage_v$batchId"
+    val stageDir = new org.apache.hadoop.fs.Path(target, s".stage_v$batchId")
+    fs.delete(stageDir, true)
+    mergedSnapshot(priorTouched.hint("merge"), chg)
+      // explicit alignment (see applyChangesetBucketed): the touched
+      // prior is a plain file read, so the merge output's partitioning
+      // is the shuffle default, not the bucket routing — O(touched) cost
+      .repartition(buckets, col("user_id"))
+      .write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .option("path", stageDir.toString).mode("overwrite")
+      .saveAsTable(stageName)
+    fs.delete(vDir, true)
+    fs.mkdirs(vDir)
+    fs.listStatus(stageDir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(vDir, n), false,
+          s.sparkContext.hadoopConfiguration)
+    }
+    byBucket.filter(kv => !touched.contains(kv._1)).values.flatten
+      .foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+          new org.apache.hadoop.fs.Path(vDir, f.getName), false,
+          s.sparkContext.hadoopConfiguration)
+      }
+    s.sql(s"DROP TABLE IF EXISTS $stageName")
+    fs.delete(stageDir, true)
+    // commit protocol: data complete → _SUCCESS → _BUCKETS (a crash
+    // before _SUCCESS leaves a torn dir the next apply rewrites; between
+    // the two markers, the heal path recovers — same windows as the
+    // full apply)
+    fs.create(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"), true).close()
+    writeBucketCount(fs, vDir, buckets)
+    val vName = s"${tablePrefix}_v$batchId"
+    s.sql(s"DROP TABLE IF EXISTS $vName")
+    s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
+      cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+      SORTED BY (user_id) INTO $buckets BUCKETS LOCATION '$vDir'""")
   }
 
   /** The bucket-count marker protocol for [[applyChangesetBucketed]]. */

@@ -702,7 +702,15 @@ object StreamReplay {
     * nature, so it is pinned deterministically in `TtlIngestGateSpec`
     * with a short TTL and controlled batch gaps; at 100 TB the TTL is
     * what bounds the owner map to the traffic of one TTL horizon instead
-    * of the full corpus history. */
+    * of the full corpus history. Trigger adjudication (r13, SOAK_r13b):
+    * the replay measures ZERO empty batches — settlement stops the query
+    * first — so `Trigger.ProcessingTime` pacing changes nothing the gate
+    * can observe (replay walls differ only within run noise) and the
+    * gate stays unthrottled; the linger probe in the same artifact
+    * measures the LIVE-gap regime the deployment note's trigger advice
+    * is actually for (unthrottled: one empty RocksDB commit every
+    * ~330ms, self-limited by commit cost; an ingest-cadence trigger
+    * cuts the churn proportionally). */
   val st18_neardup_ingest_ttl: Q = (s, dir) =>
     st16Shaped(s, dir, chunks = 8, ttlMillis = Some(3600L * 1000))
 
@@ -739,6 +747,16 @@ object StreamReplay {
     // never converges for the TTL'd gate: the replay must instead await
     // the sink reaching the EXACT total output size, known up front
     // (one row per input band row, whatever the batch boundaries).
+    // Trigger choice, MEASURED (SOAK_r13b): at replay cadence the gate
+    // commits zero empty batches either way — settlement detection stops
+    // the query before the first post-data batch — so a
+    // Trigger.ProcessingTime here changes nothing observable (replay
+    // walls differ only within run noise). The replay therefore stays
+    // UNTHROTTLED; the trigger's real job is the LIVE regime with gaps
+    // between arrivals, where the unthrottled engine loops empty RocksDB
+    // commits back-to-back (shouldRunAnotherBatch is unconditionally
+    // true in processing-time mode) — SOAK_r13b's linger probe
+    // quantifies that rate and the ingest-cadence throttle's effect.
     val awaitRows = ttlMillis.map(_ =>
       DocStreams.expectedBandRows(graft.Tables.documents(s, dir)))
     val flags = replayDocs(s, dir, gate, chunks, awaitRows = awaitRows)
@@ -761,7 +779,8 @@ object StreamReplay {
       progressSink: Option[scala.collection.mutable.Buffer[
         org.apache.spark.sql.streaming.StreamingQueryProgress]] = None,
       awaitRows: Option[Long] = None,
-      stateExtract: Option[(SparkSession, String) => DataFrame] = None): DataFrame = {
+      stateExtract: Option[(SparkSession, String) => DataFrame] = None,
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): DataFrame = {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -817,10 +836,11 @@ object StreamReplay {
         .schema(s.read.parquet(staged.head.toString).schema)
         .option("maxFilesPerTrigger", if (chunks > 1) "1" else staged.size.toString)
         .parquet(stage.toString)
-      val query = transform(raw)
+      val writer = transform(raw)
         .writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
-        .format("memory").queryName(sink).start()
+        .format("memory").queryName(sink)
+      val query = trigger.fold(writer)(writer.trigger).start()
       try {
         awaitRows match {
           case Some(n) =>
@@ -895,7 +915,7 @@ object StreamReplay {
     * (band, value) bucket owners (~4× the distinct-signature count),
     * and the returned count is the number of FLAGGED documents. */
   private[graft] def soakNearDup(s: SparkSession, dir: String, chunks: Int,
-      ttlMillis: Option[Long] = None):
+      ttlMillis: Option[Long] = None, throttled: Boolean = false):
       (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
@@ -907,8 +927,12 @@ object StreamReplay {
     // await the exact expected sink size instead of processAllAvailable
     val awaitRows = ttlMillis.map(_ =>
       DocStreams.expectedBandRows(graft.Tables.documents(s, dir)))
+    val trig =
+      if (throttled) ttlMillis.map(_ =>
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      else None
     val flags = replayDocs(s, dir, gate, chunks,
-      progressSink = Some(buf), awaitRows = awaitRows)
+      progressSink = Some(buf), awaitRows = awaitRows, trigger = trig)
     (flags.filter(col("dup") === 1L).select(col("doc_id")).distinct().count(), buf.toSeq)
   }
 
@@ -1106,6 +1130,44 @@ object StreamReplay {
     }
   }
 
+  /** st20: TIME-TRAVEL READ over the CDC snapshot store — the read-side
+    * twin of st17's apply loop. Eight changesets (deterministic
+    * event-time buckets: `((ms − min) · 8) div (span+1)`, a rule the
+    * oracle can recompute exactly, unlike the sampled range boundaries
+    * the streamed replay stages by) build versions v0..v7, then the
+    * entry reads the snapshot AS OF batch 4 via
+    * [[EventStreams.latestVersion]]'s `below` parameter — the store's
+    * versioned dirs make every historical state directly queryable, the
+    * audit/debug read a deployment does after the fact ("what did the
+    * profile table say before Tuesday's batch?"). Oracle = the per-user
+    * recompute over changesets ≤ 4 only: maintain-then-rewind ≡
+    * filtered recompute. Versions ABOVE the pin exist and are committed
+    * — the read proves version selection, not just latest-wins. */
+  val st20_time_travel_read: Q = (s, dir) => {
+    val K = 8L
+    val asOf = 4L
+    val target = Files.createTempDirectory("graft-st20-target").toString
+    try {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
+      val mm = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = mx - mn + 1
+      (0L until K).foreach { i =>
+        EventStreams.applyChangeset(
+          ev.filter(expr(s"((ms - $mn) * $K) div $span") === i)
+            .select(col("user_id"), col("value")),
+          i, target)
+      }
+      s.read.parquet(EventStreams.latestVersion(target, below = asOf + 1).get)
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -1149,6 +1211,7 @@ object StreamReplay {
     "st17_cdc_apply" -> st17_cdc_apply,
     "st18_neardup_ingest_ttl" -> st18_neardup_ingest_ttl,
     "st19_gate_state_reader" -> st19_gate_state_reader,
+    "st20_time_travel_read" -> st20_time_travel_read,
   )
 
   /** st13/st13b twin: the plain per-user batch aggregate. Spend sums
@@ -1357,6 +1420,19 @@ object StreamReplay {
       s"""WITH ${graft.operators.TrainingOracles.minhashCte}
          |SELECT CAST(band AS INT) AS band, h, min(doc_id) AS owner
          |FROM bands GROUP BY 1, 2 ORDER BY band, h""".stripMargin,
+    // st20: the as-of-batch-4 snapshot must equal the recompute over
+    // the first five deterministic event-time-bucket changesets only —
+    // the same bucket rule, re-derived in SQL
+    "st20_time_travel_read" ->
+      """WITH b AS (
+        |  SELECT user_id, value, epoch_us(ts) // 1000 AS ms FROM events),
+        |m AS (SELECT min(ms) AS mn, max(ms) AS mx FROM b)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM b, m
+        |WHERE ((ms - mn) * 8) // (mx - mn + 1) <= 4
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // st17: maintain ≡ recompute across the streamed apply loop — the
     // oracle recomputes the per-user profile from the raw table; integer
     // cents make the equality exact whatever the chunking

@@ -77,6 +77,61 @@ class RemoteFsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq === Seq((1L, 2L, 149L), (2L, 1L, 250L)))
   }
 
+  test("bucketed CDC recovery (the _BUCKETS protocol) works through the foreign scheme") {
+    import org.apache.spark.sql.functions.col
+    val E = graft.streaming.EventStreams
+    val target = "graftmock://" +
+      java.nio.file.Files.createTempDirectory("graftmockbkt").toString
+    val prefix = "graft_rfsbkt"
+    def batchDf(rows: Seq[(Long, Double)]) = {
+      val s = spark; import s.implicits._
+      rows.toDF("user_id", "value")
+    }
+    def readLatest() = spark.read.parquet(E.latestVersion(target).get)
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    E.applyChangesetBucketed(batchDf(Seq((1L, 1.00), (2L, 2.50))), 0L,
+      target, prefix, buckets = 4)
+    // the bucketed write + its marker landed via the foreign FS
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$target/v0/_BUCKETS")))
+    assert(E.readBucketCount(fs,
+      new org.apache.hadoop.fs.Path(s"$target/v0")) === Some(4))
+
+    // fresh-JVM recovery: catalog gone, committed dir + marker are the
+    // only truth — re-registration (marker read, bucket-file validation,
+    // CREATE ... LOCATION 'graftmock://...') all through the scheme
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v0")
+    E.applyChangesetBucketed(batchDf(Seq((1L, 0.49))), 1L,
+      target, prefix, buckets = 4)
+    assert(readLatest() === Seq((1L, 2L, 149L), (2L, 1L, 250L)))
+
+    // the makeQualified comparison against an EXISTING catalog entry:
+    // same foreign-scheme location must be recognized as equal (reuse,
+    // no exception) — the one branch a file:-scheme run cannot prove
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v1")
+    spark.sql(s"""CREATE TABLE ${prefix}_v1 (user_id BIGINT, n_events BIGINT,
+      cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+      SORTED BY (user_id) INTO 4 BUCKETS LOCATION '$target/v1'""")
+    E.applyChangesetBucketed(batchDf(Seq((3L, 10.0))), 2L,
+      target, prefix, buckets = 4)
+    assert(readLatest() ===
+      Seq((1L, 2L, 149L), (2L, 1L, 250L), (3L, 1L, 1000L)))
+
+    // and the committed-skip heal: marker deleted through the foreign
+    // FS, hostile replay of the committed batch re-derives + rewrites it
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$target/v2/_BUCKETS"), false))
+    E.applyChangesetBucketed(batchDf(Seq((9L, 999.0))), 2L,
+      target, prefix, buckets = 4)
+    assert(E.readBucketCount(fs,
+      new org.apache.hadoop.fs.Path(s"$target/v2")) === Some(4),
+      "the heal path must work over the foreign scheme too")
+    assert(readLatest() ===
+      Seq((1L, 2L, 149L), (2L, 1L, 250L), (3L, 1L, 1000L)))
+  }
+
   test("transcode reads AND writes through the foreign scheme") {
     val out = java.nio.file.Files.createTempDirectory("graftmockout").toString
     val counts = OsmPbf.transcode(spark, PbfConfig(

@@ -228,6 +228,64 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLatest(tE) === settled)
   }
 
+  test("pruned apply: equals the full apply, rewrites only touched buckets") {
+    val b0 = batchDf((1L to 200L).map(i => (i, (i % 13) / 4.0)))
+    // a deliberately CLUSTERED changeset: three users — at most three
+    // touched buckets of the 8
+    val b1 = batchDf(Seq((5L, 1.25), (5L, 0.50), (7L, 0.75)))
+    val b2 = batchDf(Seq((201L, 2.00))) // a NEW user (insert path)
+
+    val fullT = java.nio.file.Files.createTempDirectory("cdcpfull").toString
+    val prunedT = java.nio.file.Files.createTempDirectory("cdcppruned").toString
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (b, i) =>
+      EventStreams.applyChangesetBucketed(b, i.toLong, fullT, "graft_cdcspec_pf")
+      EventStreams.applyChangesetBucketedPruned(b, i.toLong, prunedT, "graft_cdcspec_pp")
+    }
+    assert(readLatest(prunedT) === readLatest(fullT),
+      "pruning must never change the answer")
+
+    // the pruned version really did copy-forward: untouched bucket files
+    // in v1 are byte-identical (same name, same length) to v0's
+    val fs = new org.apache.hadoop.fs.Path(prunedT)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def files(v: String) = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$prunedT/$v")).toSeq
+      .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(st => st.getPath.getName -> st.getLen).toMap
+    val v0f = files("v0"); val v1f = files("v1")
+    assert(v0f.size <= 8 && v1f.size <= 8,
+      "alignment: at most one file per bucket per version (r13 fix — " +
+        "an unaligned write emits tasks × buckets files)")
+    val carried = v0f.keySet.intersect(v1f.keySet)
+    assert(carried.nonEmpty, "a 3-user changeset must leave buckets untouched")
+    assert(carried.forall(n => v0f(n) == v1f(n)),
+      "carried-forward files must be the prior's bytes, not a rewrite")
+    assert(v1f.size >= v0f.size - 3 && (v1f.keySet -- v0f.keySet).nonEmpty,
+      "touched buckets get NEW files; the rest are the carried names")
+
+    // recovery + retention still hold on the hand-assembled dirs:
+    // marker present, hostile replay skips, prune reaps
+    assert(EventStreams.readBucketCount(fs,
+      new org.apache.hadoop.fs.Path(s"$prunedT/v2")) === Some(8))
+    val settled = readLatest(prunedT)
+    EventStreams.applyChangesetBucketedPruned(
+      batchDf(Seq((1L, 999.0))), 2L, prunedT, "graft_cdcspec_pp")
+    assert(readLatest(prunedT) === settled)
+    assert(EventStreams.pruneVersions(spark, prunedT, keepLast = 2,
+      tablePrefix = Some("graft_cdcspec_pp")) === Seq("v0"))
+    assert(readLatest(prunedT) === settled)
+
+    // fallback legs: no prior (first batch) and an UNMARKED prior both
+    // route through the full apply — correct answer, no pruning
+    val tF = java.nio.file.Files.createTempDirectory("cdcpfall").toString
+    EventStreams.applyChangesetBucketedPruned(b0, 0L, tF, "graft_cdcspec_pfb")
+    assert(new java.io.File(s"$tF/v0", "_BUCKETS").delete())
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_pfb_v0")
+    EventStreams.applyChangesetBucketedPruned(b1, 1L, tF, "graft_cdcspec_pfb")
+    assert(readLatest(tF) === readLatest(fullT).filterNot(_._1 == 201L))
+  }
+
   test("committed-skip heals a missing _BUCKETS marker from the data, exactly") {
     val b0 = batchDf(Seq((1L, 1.00), (2L, 2.50)))
     val b1 = batchDf(Seq((1L, 0.49)))
