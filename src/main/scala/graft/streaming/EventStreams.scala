@@ -876,8 +876,19 @@ object EventStreams {
     *     the same torn-write protocol as every other apply.
     *
     * Compute cost per apply drops from O(target) decode+encode to
-    * O(touched buckets) + O(untouched bytes) raw copy; SOAK_r13c
-    * measures the regime. Falls back to the full [[applyChangesetBucketed]]
+    * O(touched buckets) + O(untouched bytes) raw copy. MEASURED, both
+    * ways: SOAK_r13c (pre-fix) caught this path LOSING 6× to the full
+    * apply it was built to beat — a seed written before the
+    * repartition-alignment fix carried 32 files per bucket, copy-forward
+    * preserved the pathological layout forever (copies relay bytes, they
+    * never compact), and the then-sequential driver copy loop paid
+    * ~960 round-trips per apply. Two durable lessons are now code:
+    * (1) the copy relay runs on a bounded pool ([[copyAll]]), so cost is
+    * O(bytes/parallelism), not O(files) round-trips; (2) copy-forward
+    * inherits whatever layout the seed wrote, so the alignment
+    * discipline in [[applyChangesetBucketed]] is load-bearing for THIS
+    * path, not just a scan nicety. SOAK_r14 re-measures the regime with
+    * both fixes. Falls back to the full [[applyChangesetBucketed]]
     * when there is no prior, or the prior carries no trustworthy bucket
     * marker, or its count differs from `buckets` — correctness first,
     * pruning only on a proven layout. The residual O(target) BYTES on
@@ -896,18 +907,27 @@ object EventStreams {
         healBucketMarker(s, fs, vDir, buckets)
       return
     }
+    val stageName = s"${tablePrefix}_stage_v$batchId"
+    val stageDir = new org.apache.hadoop.fs.Path(target, s".stage_v$batchId")
     val priorDir = latestVersion(targetDir, below = batchId)
     val priorBuckets = priorDir.flatMap(p =>
       readBucketCount(fs, new org.apache.hadoop.fs.Path(p)))
     if (priorDir.isEmpty || !priorBuckets.contains(buckets)) {
       // no prior / unmarked / different layout: the full apply already
       // handles every one of these correctly — pruning has nothing to
-      // prune (or nothing it can trust)
+      // prune (or nothing it can trust). A RETRY landing here after a
+      // crash between the stage write and its cleanup would otherwise
+      // leak the stage dir + catalog entry forever (the full apply knows
+      // nothing about them), so reap this batch's own stage leftovers
+      // before delegating.
+      fs.delete(stageDir, true)
+      s.sql(s"DROP TABLE IF EXISTS $stageName")
       applyChangesetBucketed(batch, batchId, targetDir, tablePrefix, buckets)
       return
     }
     val pPath = new org.apache.hadoop.fs.Path(priorDir.get)
-    validateBucketFiles(fs, pPath, buckets)
+    // one listing, validated, shared with the bucket routing below
+    val priorFiles = validateBucketFiles(fs, pPath, buckets)
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
@@ -916,15 +936,7 @@ object EventStreams {
       .select(pmod(hash(col("user_id")), lit(buckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     val byBucket: Map[Int, Seq[org.apache.hadoop.fs.Path]] =
-      fs.listStatus(pPath).toSeq
-        .filter { st =>
-          val n = st.getPath.getName
-          st.isFile && !n.startsWith("_") && !n.startsWith(".")
-        }
-        .groupBy(st => st.getPath.getName match {
-          case BucketFileId(id) => id.toInt
-        })
-        .view.mapValues(_.map(_.getPath)).toMap
+      priorFiles.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     val touchedFiles = byBucket.filter(kv => touched.contains(kv._1))
       .values.flatten.map(_.toString).toSeq
     val priorTouched =
@@ -933,8 +945,6 @@ object EventStreams {
     // stage the merged touched buckets as a bucketed write (rows can
     // only hash into touched buckets, so only those get files), then
     // assemble the version dir: new files + byte-copied untouched files
-    val stageName = s"${tablePrefix}_stage_v$batchId"
-    val stageDir = new org.apache.hadoop.fs.Path(target, s".stage_v$batchId")
     fs.delete(stageDir, true)
     mergedSnapshot(priorTouched.hint("merge"), chg)
       // explicit alignment (see applyChangesetBucketed): the touched
@@ -946,19 +956,21 @@ object EventStreams {
       .saveAsTable(stageName)
     fs.delete(vDir, true)
     fs.mkdirs(vDir)
-    fs.listStatus(stageDir).foreach { st =>
-      val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith("."))
-        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-          new org.apache.hadoop.fs.Path(vDir, n), false,
-          s.sparkContext.hadoopConfiguration)
+    val staged = fs.listStatus(stageDir).toSeq.collect {
+      case st if st.isFile && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith(".") => st.getPath
     }
-    byBucket.filter(kv => !touched.contains(kv._1)).values.flatten
-      .foreach { f =>
-        org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
-          new org.apache.hadoop.fs.Path(vDir, f.getName), false,
-          s.sparkContext.hadoopConfiguration)
-      }
+    val forward = byBucket.filter(kv => !touched.contains(kv._1))
+      .values.flatten.toSeq
+    // the copy relay is raw bytes, no decode — but a DRIVER-SEQUENTIAL
+    // loop makes it O(files) in round-trips, which SOAK_r13c measured as
+    // the entire 6× regression when a misaligned seed left 32 files per
+    // bucket. Copies are independent, so run them on a bounded pool: on
+    // a real object store each is a server-side COPY request and the
+    // pool parallelism is pure win; on local FS it overlaps read/write
+    // syscalls across files.
+    copyAll(fs, s.sparkContext.hadoopConfiguration, vDir,
+      staged ++ forward)
     s.sql(s"DROP TABLE IF EXISTS $stageName")
     fs.delete(stageDir, true)
     // commit protocol: data complete → _SUCCESS → _BUCKETS (a crash
@@ -972,6 +984,37 @@ object EventStreams {
     s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
       cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
       SORTED BY (user_id) INTO $buckets BUCKETS LOCATION '$vDir'""")
+  }
+
+  /** Bounded-parallel byte copy of `srcs` into `destDir` (same names)
+    * through the FileSystem seam. Failures propagate: any copy error
+    * fails the apply before `_SUCCESS` is written, so a partial relay is
+    * a torn dir the next attempt rewrites — the copies need no ordering
+    * or atomicity of their own. */
+  private def copyAll(fs: org.apache.hadoop.fs.FileSystem,
+      conf: org.apache.hadoop.conf.Configuration,
+      destDir: org.apache.hadoop.fs.Path,
+      srcs: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    if (srcs.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, srcs.size))
+    try {
+      val tasks = srcs.map { src =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+              new org.apache.hadoop.fs.Path(destDir, src.getName), false,
+              conf)
+            ()
+          }
+        }
+      }
+      // invokeAll waits for all; surface the first failure
+      pool.invokeAll(java.util.Arrays.asList(tasks: _*))
+        .forEach(f => f.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** The bucket-count marker protocol for [[applyChangesetBucketed]]. */
@@ -1009,22 +1052,29 @@ object EventStreams {
     * every data file must carry Spark's `_NNNNN` bucket-id suffix
     * (pattern of a bucketed write) with id < the declared count. Catches
     * a stale/corrupt marker and plain-apply files alike — both would
-    * otherwise let a declared distribution diverge from the data. */
+    * otherwise let a declared distribution diverge from the data.
+    * Returns the validated `(bucketId, path)` pairs from the SAME
+    * listing the checks ran on — callers that route by bucket (the
+    * pruned apply) must consume this list, not re-list: a file appearing
+    * between two listings (contract-violating concurrent writer) would
+    * otherwise dodge validation and surface as an opaque MatchError. */
   private val BucketFileId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
 
   private def validateBucketFiles(fs: org.apache.hadoop.fs.FileSystem,
-      vDir: org.apache.hadoop.fs.Path, buckets: Int): Unit =
-    fs.listStatus(vDir).foreach { st =>
+      vDir: org.apache.hadoop.fs.Path,
+      buckets: Int): Seq[(Int, org.apache.hadoop.fs.Path)] =
+    fs.listStatus(vDir).toSeq.flatMap { st =>
       val n = st.getPath.getName
       if (st.isFile && !n.startsWith("_") && !n.startsWith(".")) n match {
         case BucketFileId(id) =>
           if (id.toInt >= buckets) throw new IllegalStateException(
             s"applyChangesetBucketed: file $n carries bucket id $id >= the " +
               s"declared $buckets buckets at $vDir — layout metadata is wrong")
+          Some(id.toInt -> st.getPath)
         case _ => throw new IllegalStateException(
           s"applyChangesetBucketed: data file $n at $vDir has no bucket-id " +
             "suffix; the dir is not a bucketed write despite its marker")
-      }
+      } else None
     }
 
   /** Recovery for the `_SUCCESS`-without-`_BUCKETS` crash window: decide
@@ -1055,8 +1105,13 @@ object EventStreams {
       case _ => false
     }
     if (!suffixed) return false
+    // extract from the BASENAME, not the full URI: a directory component
+    // earlier in the path matching `_NNNNN.` (a target dir named
+    // `snap_00001.d`) would otherwise yield a wrong _fid for every row
+    // and permanently refuse the heal
     val rows = s.read.parquet(vDir.toString)
-      .withColumn("_fid", regexp_extract(input_file_name(),
+      .withColumn("_fid", regexp_extract(
+        element_at(split(input_file_name(), "/"), -1),
         "_(\\d{5})(?:\\.c\\d+)?\\.", 1).cast("int"))
     val misrouted = rows
       .filter(pmod(hash(col("user_id")), lit(buckets)) =!= col("_fid"))
@@ -1099,6 +1154,22 @@ object EventStreams {
     val pruned = versioned.filter { st =>
       val id = st.getPath.getName.drop(1).toLong
       id < latest && !keep.contains(id)
+    }
+    // stale pruned-apply staging: a crash between the stage write and
+    // its cleanup leaks `.stage_vN` + its catalog entry if the retry
+    // never revisits the pruned path (fallback, or abandonment). A stage
+    // dir at N ≤ latest committed is stale by the protocol — batches are
+    // sequential, so an IN-FLIGHT stage always carries an id above every
+    // committed version; those are never touched.
+    fs.listStatus(target).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.startsWith(".stage_v") &&
+        n.drop(8).forall(_.isDigit) && n.length > 8 &&
+        n.drop(8).toLong <= latest
+    }.foreach { st =>
+      fs.delete(st.getPath, true)
+      tablePrefix.foreach(p =>
+        s.sql(s"DROP TABLE IF EXISTS ${p}_stage_v${st.getPath.getName.drop(8)}"))
     }
     pruned.map { st =>
       val name = st.getPath.getName

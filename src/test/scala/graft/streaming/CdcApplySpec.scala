@@ -286,6 +286,56 @@ class CdcApplySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readLatest(tF) === readLatest(fullT).filterNot(_._1 == 201L))
   }
 
+  test("stale pruned-apply staging is reaped: fallback branch and pruneVersions") {
+    val fs = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkStage(target: String, id: Long, prefix: String): Unit = {
+      // simulate a crash between the stage saveAsTable and its cleanup:
+      // the dir and the catalog entry both survive the dead JVM
+      val d = new org.apache.hadoop.fs.Path(s"$target/.stage_v$id")
+      fs.mkdirs(d)
+      spark.sql(s"""CREATE TABLE ${prefix}_stage_v$id (user_id BIGINT)
+        USING PARQUET LOCATION '$d'""")
+    }
+
+    // (a) the retry lands on the FALLBACK branch (prior unmarked): the
+    // full apply knows nothing about staging, so the pruned entry point
+    // reaps its own batch's leftovers before delegating
+    val tA = java.nio.file.Files.createTempDirectory("cdcreapA").toString
+    EventStreams.applyChangesetBucketedPruned(
+      batchDf(Seq((1L, 1.00))), 0L, tA, "graft_cdcspec_reapA")
+    assert(new java.io.File(s"$tA/v0", "_BUCKETS").delete())
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_reapA_v0")
+    mkStage(tA, 1L, "graft_cdcspec_reapA")
+    EventStreams.applyChangesetBucketedPruned(
+      batchDf(Seq((1L, 0.50))), 1L, tA, "graft_cdcspec_reapA")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tA/.stage_v1")),
+      "fallback must reap its own stale stage dir")
+    assert(!spark.catalog.tableExists("graft_cdcspec_reapA_stage_v1"),
+      "fallback must drop its own stale stage catalog entry")
+    assert(readLatest(tA) === Seq((1L, 2L, 150L)))
+
+    // (b) an ABANDONED stage (batch never retried down the pruned path):
+    // pruneVersions reaps stage ids <= latest committed, keeps in-flight
+    // ids above it
+    val tB = java.nio.file.Files.createTempDirectory("cdcreapB").toString
+    EventStreams.applyChangesetBucketedPruned(
+      batchDf(Seq((1L, 1.00))), 0L, tB, "graft_cdcspec_reapB")
+    EventStreams.applyChangesetBucketedPruned(
+      batchDf(Seq((2L, 2.00))), 1L, tB, "graft_cdcspec_reapB")
+    mkStage(tB, 1L, "graft_cdcspec_reapB") // stale: v1 is committed
+    mkStage(tB, 2L, "graft_cdcspec_reapB") // in-flight: above latest
+    EventStreams.pruneVersions(spark, tB, keepLast = 2,
+      tablePrefix = Some("graft_cdcspec_reapB"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tB/.stage_v1")) &&
+      !spark.catalog.tableExists("graft_cdcspec_reapB_stage_v1"),
+      "stage at or below latest committed is stale and must be reaped")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tB/.stage_v2")) &&
+      spark.catalog.tableExists("graft_cdcspec_reapB_stage_v2"),
+      "stage above latest committed is in-flight and must be kept")
+    spark.sql("DROP TABLE IF EXISTS graft_cdcspec_reapB_stage_v2")
+  }
+
   test("committed-skip heals a missing _BUCKETS marker from the data, exactly") {
     val b0 = batchDf(Seq((1L, 1.00), (2L, 2.50)))
     val b1 = batchDf(Seq((1L, 0.49)))
