@@ -52,6 +52,13 @@ object GraphQueries {
       else None
     var ranks = base.select(col("vx"), col("n_v"),
       expr(s"$RankScale div n_v").as("rq"))
+    // superseded iterates are unpersisted as soon as their successor is
+    // materialized: localCheckpoint is eager, so after iterate k lands,
+    // iterate k-1's blocks are pure block-manager/GC ballast — measured
+    // (SOAK_r13) as a 2.9–11.3 s fresh-JVM wall spread on identical
+    // code before this, driven by what the accumulated blocks do to the
+    // scheduler and collector, not by the plans
+    var prevCk: Option[DataFrame] = None
     for (_ <- 1 to iters) {
       val inMass = ed.join(ranks.select(col("vx"), col("rq")), col("src") === col("vx"))
         .select(col("dst"), expr("rq div odeg").as("c"))
@@ -77,9 +84,31 @@ object GraphQueries {
           (floor(lit(1.0 - damping) * lit(RankScale.toDouble) / col("n_v")).cast("long") +
             floor(lit(damping) * col("mm")).cast("long")).as("rq"))
         .localCheckpoint()
+      prevCk.foreach(unpersistLocalCheckpoint)
+      prevCk = Some(ranks)
     }
-    ranks.select(col("vx"), col("rq"))
+    val out = ranks.select(col("vx"), col("rq"))
+    if (iters >= 1) {
+      // the final iterate's checkpoint truncated every input's lineage —
+      // the loop-invariant checkpoints are ballast from here on
+      unpersistLocalCheckpoint(ed)
+      unpersistLocalCheckpoint(base)
+      dang.foreach(unpersistLocalCheckpoint)
+    }
+    out
   }
+
+  /** Drop the persisted blocks behind a `localCheckpoint`'d frame once
+    * nothing downstream can reference them (every consumer has been
+    * materialized past it). The checkpoint Dataset is a LogicalRDD over
+    * the persisted internal RDD, so the unpersist is exact — no global
+    * persistent-RDD sweeps that could hit someone else's cache. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** g02: PageRank over the s06 kNN graph — 8 quantized iterations,
     * top-20 most-central vectors. The LIMIT is a global TakeOrdered (no

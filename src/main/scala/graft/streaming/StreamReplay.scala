@@ -1168,6 +1168,47 @@ object StreamReplay {
     }
   }
 
+  /** st21: the BUCKET-PRUNED CDC apply under its design regime —
+    * SKEWED changesets, live in the gate (SOAK_r14 measures the same
+    * path's wall). Four changesets partition the events table by USER
+    * bucket-pair (`pmod(hash(user_id), 8) div 2`), so each batch is
+    * maximally clustered: batch 0 seeds the store (fallback full
+    * apply), batches 1–3 each touch exactly 2 of the 8 buckets and run
+    * [[EventStreams.applyChangesetBucketedPruned]]'s real pruning —
+    * touched-bucket-only decode plus byte-copy-forward of the other 6
+    * (CdcApplySpec pins the carried files byte-identical; the gate pins
+    * the answer). The last batch is then re-delivered with a hostile
+    * payload — the `_SUCCESS` guard must skip on batchId alone, same
+    * discipline as st17. The batch split rule never reaches the oracle:
+    * the merge is associative (count/cents sums), so the settled store
+    * equals the plain per-user recompute over ALL events regardless of
+    * how the batches sliced them — st17's oracle, reused verbatim. */
+  val st21_cdc_apply_pruned: Q = (s, dir) => {
+    val B = 8
+    val target = Files.createTempDirectory("graft-st21-target").toString
+    val prefix = "graft_st21"
+    try {
+      val ev = graft.Tables.events(s, dir).select(col("user_id"), col("value"))
+      (0 until 4).foreach { i =>
+        EventStreams.applyChangesetBucketedPruned(
+          ev.filter(expr(s"pmod(hash(user_id), $B) div 2") === i),
+          i.toLong, target, prefix, buckets = B)
+      }
+      EventStreams.applyChangesetBucketedPruned( // hostile retry
+        graft.Tables.events(s, dir), 3L, target, prefix, buckets = B)
+      s.read.parquet(EventStreams.latestVersion(target).get)
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    } finally {
+      (0 until 4).foreach { i =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_v$i")
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_stage_v$i")
+      }
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -1210,6 +1251,7 @@ object StreamReplay {
     "st16b_neardup_multibatch" -> st16b_neardup_multibatch,
     "st17_cdc_apply" -> st17_cdc_apply,
     "st18_neardup_ingest_ttl" -> st18_neardup_ingest_ttl,
+    "st21_cdc_apply_pruned" -> st21_cdc_apply_pruned,
     "st19_gate_state_reader" -> st19_gate_state_reader,
     "st20_time_travel_read" -> st20_time_travel_read,
   )
@@ -1437,6 +1479,13 @@ object StreamReplay {
     // oracle recomputes the per-user profile from the raw table; integer
     // cents make the equality exact whatever the chunking
     "st17_cdc_apply" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // st21: associative merges make the settled pruned store equal the
+    // same full recompute, whatever the (skewed) batch slicing was
+    "st21_cdc_apply_pruned" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
         |    AS cents

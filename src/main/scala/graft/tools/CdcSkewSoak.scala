@@ -101,7 +101,10 @@ object CdcSkewSoak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val targets = Seq(1000000L, 4000000L, 16000000L)
+    // 64M extends the r13 grid one target up: the full apply's
+    // O(target) decode+encode keeps growing, the pruned apply's doesn't
+    // — the crossover is the measurement
+    val targets = Seq(1000000L, 4000000L, 16000000L, 64000000L)
     val out = targets.map { t =>
       val full = leg(spark, t, applies, pruned = false)
       println(s"full $t done")
