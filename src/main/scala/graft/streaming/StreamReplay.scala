@@ -936,6 +936,35 @@ object StreamReplay {
     (flags.filter(col("dup") === 1L).select(col("doc_id")).distinct().count(), buf.toSeq)
   }
 
+  /** st19 soak hook: replay the ingest gate at depth, then TIME the
+    * statestore read of the settled checkpoint — the operational
+    * question a 100 TB gate debugger asks ("how long to inspect the
+    * owner state?") as a function of state size. Returns
+    * (reader row count, cold read seconds, warm read seconds, progress);
+    * the caller cross-checks the reader's row count against the store's
+    * own numRowsTotal — the reader must see exactly the committed
+    * state, no more, no less. */
+  private[graft] def soakStateRead(s: SparkSession, dir: String, chunks: Int):
+      (Long, Double, Double, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+    var stateRows = 0L
+    var coldS = 0.0
+    var warmS = 0.0
+    replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks,
+      progressSink = Some(buf),
+      stateExtract = Some((sp, ckpt) => {
+        val t0 = System.nanoTime()
+        stateRows = DocStreams.ownerState(sp, ckpt).count()
+        coldS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        DocStreams.ownerState(sp, ckpt).count()
+        warmS = (System.nanoTime() - t1) / 1e9
+        DocStreams.ownerState(sp, ckpt).limit(1).localCheckpoint()
+      }))
+    (stateRows, coldS, warmS, buf.toSeq)
+  }
+
   /** st14/st15 soak hooks (the [[soakProfile]] twins for the ListState
     * and MapState processors): per batch the soak records state rows /
     * store memory while every active user's list merges (st14) or map
