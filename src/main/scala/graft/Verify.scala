@@ -17,14 +17,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // dev-loop filter: SPARK_GRAFT_ONLY=q01_agg,st22_version_diff gates a
+    // subset (the driver never sets it → full sweep)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
+      case None => SparkEntry.queries
+    }
+    val oracles = only match {
+      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
+      case None => SparkEntry.oracleSql
+    }
     // dump queries concurrently (independent jobs on one session) — halves
     // the driver's correctness-gate wall time vs sequential
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val status = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // pre-populate so a query still queued/hung at the pool timeout shows
     // up as non-ok in the manifest instead of silently vanishing
-    SparkEntry.queries.keys.foreach(status.put(_, "not_run"))
-    SparkEntry.queries.foreach { case (name, fn) =>
+    queries.keys.foreach(status.put(_, "not_run"))
+    queries.foreach { case (name, fn) =>
       pool.submit(new Runnable {
         override def run(): Unit =
           try {
@@ -50,7 +62,7 @@ object Verify {
     // would otherwise make the driver's json.load fail and silently zero
     // the round's correctness
     def q(s: String): String = JsonEscape.q(s)
-    val json = SparkEntry.oracleSql
+    val json = oracles
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // manifest of EVERY query's dump outcome — a query that throws must

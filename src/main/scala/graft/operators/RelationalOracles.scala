@@ -53,6 +53,35 @@ object RelationalOracles {
         |ORDER BY key""".stripMargin
 
   val all: Map[String, String] = Map(
+    // q45: the delta-join decomposition changes the REFRESH ALGORITHM,
+    // never the view — the oracle is the full recompute over the
+    // post-delta inputs (= the whole tables; the engine's hash slices
+    // partition them, so the union the engine maintains covers exactly
+    // this join). Integer cents make maintain ≡ recompute exact.
+    "q45_ivm_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS sum_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q46: the moment identities are pure integer arithmetic — identical
+    // in any engine at any partitioning, which is the point of the query
+    "q46_exact_corr" ->
+      """WITH t AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT l_returnflag, n,
+        |  n*sxy - sx*sy AS cov_num,
+        |  n*sxx - sx*sx AS varx_num,
+        |  n*syy - sy*sy AS vary_num
+        |FROM m ORDER BY l_returnflag""".stripMargin,
     // q40: partitioning changes the LAYOUT, never the result — the
     // oracle is the plain join over the raw parquet; strftime('%Y-%m')
     // ≡ date_format('yyyy-MM') (both zero-padded, session-UTC)

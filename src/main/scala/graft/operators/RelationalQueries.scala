@@ -1128,7 +1128,93 @@ object RelationalQueries {
       .orderBy(col("status"))
   }
 
+  /** q45: INCREMENTAL VIEW MAINTENANCE FOR A JOIN VIEW — q39 maintains
+    * an aggregate under a single-table changeset; real pipelines maintain
+    * JOIN views under changesets on BOTH sides. The view is
+    * `orders ⋈ customer` aggregated per market segment; deltas ΔA (new
+    * orders) and ΔB (new customers) are deterministic hash slices of each
+    * input. The refresh runs the textbook delta-join decomposition
+    *   V_new = V_old ∪ (ΔA ⋈ B_new) ∪ (A_old ⋈ ΔB)
+    * (with B_new = B_old ∪ ΔB, the three terms are disjoint and cover
+    * (A∪ΔA) ⋈ (B∪ΔB) exactly), each term aggregated to segment partials
+    * and merged — never a recompute of the big⋈big join. The ORACLE is
+    * the full recompute over the post-delta inputs, so the gate checks
+    * maintain ≡ recompute across the join algebra, not expression parity.
+    * Money quantizes to integer cents before summation (the q39 rule), so
+    * the equality is exact whatever the partitioning or add order.
+    *
+    * Plan shape at 100 TB: V_old is the MATERIALIZED prior state (here
+    * computed once, standing in for the stored aggregate); both delta
+    * joins broadcast their changeset side — ΔA⋈B_new streams the dim
+    * once against a broadcast changeset, A_old⋈ΔB streams the fact once
+    * against a broadcast customer-delta — so the refresh never shuffles
+    * either base table, the property that makes nightly O(history)
+    * rebuilds into O(changeset) refreshes when the view keys join-side
+    * rows (q39's single-table form can't express this).
+    */
+  val q45_ivm_join: Q = (s, dir) => {
+    val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+    val ord = Tables.orders(s, dir)
+      .select(col("o_custkey"), cents.as("cents"),
+        pmod(hash(col("o_orderkey")), lit(8)).as("slice_o"))
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        pmod(hash(col("c_custkey")), lit(8)).as("slice_c"))
+    val aOld = ord.filter(col("slice_o") =!= 0).drop("slice_o")
+    val dA = ord.filter(col("slice_o") === 0).drop("slice_o")
+    val bOld = cust.filter(col("slice_c") =!= 0).drop("slice_c")
+    val dB = cust.filter(col("slice_c") === 0).drop("slice_c")
+    val bNew = bOld.unionByName(dB)
+    def segAgg(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val vOld = segAgg(aOld, bOld) // the materialized prior view state
+    val inc1 = segAgg(broadcast(dA), bNew) // ΔA ⋈ B_new, ΔA broadcast
+    val inc2 = segAgg(aOld, broadcast(dB)) // A_old ⋈ ΔB, ΔB broadcast
+    vOld.unionByName(inc1).unionByName(inc2)
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("n")).as("n_orders"), sum(col("c")).as("sum_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q46: EXACT CORRELATION COMPONENTS in pure integer arithmetic — the
+    * cross-engine-exact form of corr/covar that a 100 TB profiling pass
+    * can gate on. Doubles summed in different partition orders differ in
+    * late ulps between engines (and between runs), so instead of corr()
+    * the query emits the INTEGER moment identities per group:
+    *   cov_num  = n·Σxy − Σx·Σy,  varx_num = n·Σx² − (Σx)²,
+    *   vary_num = n·Σy² − (Σy)²
+    * over x = quantity (integral), y = discount in integer percent.
+    * corr = cov_num / √(varx_num·vary_num) is one deterministic FP step
+    * the CONSUMER takes; everything the engines exchange is BIGINT, so
+    * the gate equality is exact. One partial+final hash aggregate, six
+    * map-side-combined sums, shuffle = a few group rows. Magnitude audit:
+    * x ≤ 50, y ≤ 10 ⇒ n·Σx² < n²·2500 — BIGINT-safe past 10⁷ rows per
+    * group; beyond that promote the sums to DECIMAL(38,0) (same plan,
+    * Spark's decimal aggregate), stated here rather than silently assumed.
+    */
+  val q46_exact_corr: Q = (s, dir) => {
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+        (col("n") * col("sxx") - col("sx") * col("sx")).as("varx_num"),
+        (col("n") * col("syy") - col("sy") * col("sy")).as("vary_num"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q45_ivm_join" -> q45_ivm_join,
+    "q46_exact_corr" -> q46_exact_corr,
     "q39_incremental_agg" -> q39_incremental_agg,
     "q39b_incremental_bucketed" -> q39b_incremental_bucketed,
     "q38_merge_upsert" -> q38_merge_upsert,

@@ -468,7 +468,79 @@ object TextQueries {
       .limit(topK)
   }
 
+  /** t16: PHRASE SEARCH over POSITIONAL POSTINGS — token-adjacency
+    * semantics ("hash" immediately followed by "value"), the query shape
+    * BM25 (t13) can't express because bag-of-words postings drop order.
+    * The engine's plan is the inverted-index plan: tokenize with
+    * positions (posexplode), keep ONLY the two query terms' posting
+    * lists, and join them on (doc, pos+1) — the classic positional
+    * posting-list intersection. Candidate volume is |postings(w₁)| ×
+    * selectivity, never |corpus|²: the term filters run before the join,
+    * so the shuffle carries two term-sized lists, not the tokenized
+    * corpus. At 100 TB the postings frame is what a deployment
+    * MATERIALIZES once (term-bucketed, doc-sorted — the t13 layout plus
+    * a position column); each phrase query then reads two posting
+    * buckets and the join is co-located. Longer phrases chain the same
+    * join once per additional term. Oracle: the identical intersection
+    * in SQL over unnest-with-subscripts — engine-neutral adjacency.
+    */
+  val t16_phrase_search: Q = (s, dir) => {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
+    val p1 = tok.filter(col("w") === "hash").select(col("doc_id"), col("pos"))
+    val p2 = tok.filter(col("w") === "value")
+      .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+    p1.join(p2,
+        col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** t17: ROBUST OUTLIER DETECTION per group — median/MAD, the
+    * quality-filter statistic that (unlike mean/stddev) a handful of
+    * pathological documents can't drag toward themselves. All selection
+    * is EXACT lower-median semantics (the value at rank ⌊(n+1)/2⌋ in
+    * sorted order), so both engines pick the identical BIGINT and the
+    * gate never sees an interpolated float: med = lower-median of
+    * n_chars per lang, dv = |n_chars − med|, mad = lower-median of dv,
+    * outlier ⇔ dv > 2·mad. Emits the flagged documents themselves —
+    * what a curation pass quarantines.
+    *
+    * Scale honesty: rank selection here is a per-group sort window, and
+    * language groups are few and giant — the known-skew regime. The
+    * 100 TB form keeps the SAME outlier rule but finds the two medians
+    * by iterative range-count selection (or a GK sketch, x02, when ±ε
+    * rank error is acceptable): count-below is a partial agg, so each
+    * refinement is one map-side-combined pass, no global sort. The
+    * flagging pass (dv > 2·mad against broadcast per-lang medians) is
+    * embarrassingly parallel either way.
+    */
+  val t17_outlier_mad: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    def lowerMedian(df: DataFrame, v: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col("lang")).orderBy(col(v), col("doc_id"))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .filter(col("rn") === expr("(cnt + 1) div 2"))
+        .select(col("lang"), col(v).as(out))
+    }
+    val med = lowerMedian(d, "n_chars", "med")
+    val dev = d.join(broadcast(med), Seq("lang"))
+      .withColumn("dv", abs(col("n_chars") - col("med")))
+    val mad = lowerMedian(dev.select(col("lang"), col("doc_id"), col("dv")),
+      "dv", "mad")
+    dev.join(broadcast(mad), Seq("lang"))
+      .filter(col("dv") > col("mad") * 2)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("dv"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
+    "t16_phrase_search" -> t16_phrase_search,
+    "t17_outlier_mad" -> t17_outlier_mad,
     "t13_bm25" -> t13_bm25,
     "t14_rarity_score" -> t14_rarity_score,
     "t15_collocations" -> t15_collocations,

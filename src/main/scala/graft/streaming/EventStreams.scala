@@ -1247,6 +1247,56 @@ object EventStreams {
       .sortBy(_._1).lastOption.map(_._2.toString)
   }
 
+  /** VERSION DIFF over the snapshot store — "what changed between
+    * version `fromV` and version `toV`?", the audit read that pairs with
+    * st20's time-travel ("what WAS the state?"). Each pin resolves to
+    * the latest committed version ≤ it (the st20 rule); the two
+    * snapshots full-outer join on the store key and every key whose
+    * state differs is emitted classified `added` / `removed` /
+    * `changed` with both sides' values. Keys identical in both versions
+    * are filtered out — the diff is changeset-sized, not store-sized.
+    * `removed` appears only under delete-bearing merges (the store's
+    * count/cents merge is append-only, so its diffs are add/change).
+    *
+    * With `tablePrefix` set the snapshots are read as their BUCKETED
+    * catalog tables ([[applyChangesetBucketed]]'s layout): both sides
+    * carry the same bucketing+sort on the join key, so the full-outer
+    * join is a zero-Exchange, zero-Sort SMJ — at 100 TB the diff costs
+    * one co-located scan of the two versions and shuffles NOTHING
+    * (the q37 property, applied to the store's own history). Without it
+    * (plain [[applyChangeset]] dirs) both snapshots shuffle once. */
+  def versionDiff(s: SparkSession, targetDir: String, fromV: Long, toV: Long,
+      tablePrefix: Option[String] = None): DataFrame = {
+    def snapshot(pin: Long): DataFrame = {
+      val dir = latestVersion(targetDir, below = pin + 1).getOrElse(
+        throw new IllegalArgumentException(
+          s"versionDiff: no committed version <= $pin under $targetDir"))
+      tablePrefix match {
+        // a fresh session (no catalog entry yet) falls back to the plain
+        // file read — same rows, one Exchange per side; the next apply's
+        // recovery path re-registers the bucketed table
+        case Some(p) =>
+          val id = new org.apache.hadoop.fs.Path(dir).getName.drop(1)
+          val name = s"${p}_v$id"
+          if (s.catalog.tableExists(name)) s.table(name)
+          else s.read.parquet(dir)
+        case None => s.read.parquet(dir)
+      }
+    }
+    val old = snapshot(fromV).select(col("user_id"),
+      col("n_events").as("n_old"), col("cents").as("cents_old"))
+    val neu = snapshot(toV).select(col("user_id"),
+      col("n_events").as("n_new"), col("cents").as("cents_new"))
+    old.join(neu, Seq("user_id"), "full_outer")
+      .filter(col("n_old").isNull || col("n_new").isNull ||
+        col("n_old") =!= col("n_new") || col("cents_old") =!= col("cents_new"))
+      .select(col("user_id"),
+        when(col("n_old").isNull, "added")
+          .when(col("n_new").isNull, "removed")
+          .otherwise("changed").as("change"),
+        col("n_old"), col("cents_old"), col("n_new"), col("cents_new"))
+  }
+
   /** The st09 foreachBatch body: overwrite exactly this batch's
     * partition. Public so the idempotence property is directly
     * testable. */

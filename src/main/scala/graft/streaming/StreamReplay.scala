@@ -1238,6 +1238,51 @@ object StreamReplay {
     }
   }
 
+  /** st22: VERSION DIFF over the BUCKETED snapshot store — the audit
+    * read after st20's time-travel: not "what was the state at v3" but
+    * "what changed between v3 and v7". Batch assignment is
+    * `greatest(user_id mod 8, event-time-bucket)` — deterministic,
+    * disjoint, SQL-recomputable, and chosen so the diff exercises BOTH
+    * live classes: a user with `user_id mod 8 > 3` has NO events before
+    * batch 4 (their earliest possible batch is their own mod), so v3
+    * doesn't know them → `added`; a user with mod ≤ 3 is present at v3
+    * with only their tb ≤ 3 events → `changed`. (`removed` needs a
+    * delete-bearing merge — this store's is append-only; stated, not
+    * hidden.) The store is the BUCKETED one, so the diff's full-outer
+    * join runs as a zero-Exchange zero-Sort SMJ over the two versions'
+    * co-bucketed catalog tables — [[EventStreams.versionDiff]]'s scale
+    * contract, exercised by the gate on its own plan. Oracle: both
+    * pins recomputed from the raw table under the same batch rule,
+    * full-outer diffed in SQL — maintain-then-diff ≡ recompute-and-diff. */
+  val st22_version_diff: Q = (s, dir) => {
+    val K = 8L
+    val target = Files.createTempDirectory("graft-st22-target").toString
+    val prefix = "graft_st22"
+    try {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
+      val mm = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = mx - mn + 1
+      (0L until K).foreach { i =>
+        EventStreams.applyChangesetBucketed(
+          ev.filter(greatest(pmod(col("user_id"), lit(K)),
+              expr(s"((ms - $mn) * $K) div $span")) === i)
+            .select(col("user_id"), col("value")),
+          i, target, prefix, buckets = 8)
+      }
+      EventStreams.versionDiff(s, target, fromV = 3L, toV = 7L,
+          tablePrefix = Some(prefix))
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    } finally {
+      (0L until K).foreach(i =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_v$i"))
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -1281,6 +1326,7 @@ object StreamReplay {
     "st17_cdc_apply" -> st17_cdc_apply,
     "st18_neardup_ingest_ttl" -> st18_neardup_ingest_ttl,
     "st21_cdc_apply_pruned" -> st21_cdc_apply_pruned,
+    "st22_version_diff" -> st22_version_diff,
     "st19_gate_state_reader" -> st19_gate_state_reader,
     "st20_time_travel_read" -> st20_time_travel_read,
   )
@@ -1504,6 +1550,35 @@ object StreamReplay {
         |FROM b, m
         |WHERE ((ms - mn) * 8) // (mx - mn + 1) <= 4
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // st22: both pins recomputed from the raw table under the same
+    // greatest(user mod, time-bucket) batch rule, then full-outer
+    // diffed — maintain-then-diff ≡ recompute-and-diff. Unchanged keys
+    // filtered exactly as the engine filters them.
+    "st22_version_diff" ->
+      """WITH b AS (
+        |  SELECT user_id, value, epoch_us(ts) // 1000 AS ms FROM events),
+        |m AS (SELECT min(ms) AS mn, max(ms) AS mx FROM b),
+        |t AS (
+        |  SELECT user_id, value,
+        |    greatest(user_id % 8, ((ms - mn) * 8) // (mx - mn + 1)) AS bkt
+        |  FROM b, m),
+        |o AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM t WHERE bkt <= 3 GROUP BY user_id),
+        |n2 AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS c
+        |  FROM t GROUP BY user_id)
+        |SELECT coalesce(o.user_id, n2.user_id) AS user_id,
+        |  CASE WHEN o.user_id IS NULL THEN 'added'
+        |       WHEN n2.user_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  o.n AS n_old, o.c AS cents_old, n2.n AS n_new, n2.c AS cents_new
+        |FROM o FULL JOIN n2 ON o.user_id = n2.user_id
+        |WHERE o.user_id IS NULL OR n2.user_id IS NULL
+        |   OR o.n <> n2.n OR o.c <> n2.c
+        |ORDER BY user_id""".stripMargin,
     // st17: maintain ≡ recompute across the streamed apply loop — the
     // oracle recomputes the per-user profile from the raw table; integer
     // cents make the equality exact whatever the chunking

@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures q45's join-view IVM claim at scale: refreshing the
+  * maintained view from its deltas vs recomputing the join, as the fact
+  * table grows. Two scenarios per target:
+  *
+  *   - `fact_delta` (the common deployment case — new orders arrive,
+  *     the dim is stable): refresh = stored view partials + one
+  *     agg(ΔA ⋈ dim) with ΔA broadcast. NO fact scan at all — the
+  *     refresh should be FLAT in target size; the full recompute's
+  *     O(target) join keeps growing. This gap is the measurement.
+  *   - `both_deltas` (dim rows changed too): the decomposition adds
+  *     agg(A_old ⋈ ΔB), which scans the fact once (no shuffle — ΔB is
+  *     broadcast; selective hash probe, most rows drop). The honest
+  *     O(target) residual of two-sided IVM on an unindexed fact —
+  *     bounded by scan bandwidth, not by the join's shuffle; a fact
+  *     BUCKETED by the dim key turns it into a touched-bucket read when
+  *     the dim delta clusters (the st21 regime), and a table format's
+  *     join index removes it entirely.
+  *
+  * All inputs read from parquet (the deployment shape — the refresh's
+  * advantage must survive real scan costs, not ride cached frames);
+  * V_old is the stored tiny partial-aggregate table, written once per
+  * target. Money is integer cents, so refresh ≡ recompute exactly —
+  * every leg's 5-row result is asserted identical across legs before
+  * its timing is trusted.
+  *
+  * Usage: scripts/run.sh graft.tools.IvmSoak [outJson] [targets…]
+  */
+object IvmSoak {
+
+  private val Segments = 5
+  private val DeltaDiv = 256L // ~1/256 of each side changes
+
+  private def runJson(r: ScaleProbe.Run): String =
+    f"""{"seconds":${r.secs}%.2f,"shuffle_mb":${r.shuffleMb},
+       |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct}}"""
+      .stripMargin.replace("\n", "")
+
+  /** Per-segment partial aggregate of a joined slice. */
+  private def segAgg(o: DataFrame, c: DataFrame): DataFrame =
+    o.join(c, col("cust") === col("c_id"))
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+
+  private def mergePartials(parts: DataFrame*): DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy(col("seg"))
+      .agg(sum(col("n")).as("n"), sum(col("c")).as("c"))
+
+  private def point(s: SparkSession, target: Long): String = {
+    val dims = math.max(target / 64, 100000L)
+    val dir = graft.Scratch.tempDir("graft-ivm").toString
+    try {
+      // deterministic synthetic inputs, written to parquet
+      s.range(target).select(col("id").as("o_id"),
+          pmod(xxhash64(col("id"), lit(3L)), lit(dims)).as("cust"),
+          pmod(xxhash64(col("id"), lit(5L)), lit(100000L)).as("cents"))
+        .write.parquet(s"$dir/fact")
+      s.range(dims).select(col("id").as("c_id"),
+          concat(lit("seg_"), pmod(col("id"), lit(Segments.toLong))).as("seg"))
+        .write.parquet(s"$dir/dim")
+      // deltas: fresh ids above the base key space (inserts — disjoint
+      // from the base, like q45's hash slices partition its inputs)
+      s.range(target, target + target / DeltaDiv).select(col("id").as("o_id"),
+          pmod(xxhash64(col("id"), lit(3L)), lit(dims)).as("cust"),
+          pmod(xxhash64(col("id"), lit(5L)), lit(100000L)).as("cents"))
+        .write.parquet(s"$dir/deltaA")
+      s.range(dims, dims + dims / DeltaDiv).select(col("id").as("c_id"),
+          concat(lit("seg_"), pmod(col("id"), lit(Segments.toLong))).as("seg"))
+        .write.parquet(s"$dir/deltaB")
+      // ΔB customers need fact rows to matter: retarget a 1/DeltaDiv
+      // slice of the fact at the new customers (same parquet-read
+      // shape; applied in both legs identically via this stored view)
+      val fact = s.read.parquet(s"$dir/fact")
+        .withColumn("cust",
+          when(pmod(col("o_id"), lit(DeltaDiv)) === 0,
+            lit(dims) + pmod(col("o_id"), lit(math.max(dims / DeltaDiv, 1L))))
+            .otherwise(col("cust")))
+      val dim = s.read.parquet(s"$dir/dim")
+      val dA = s.read.parquet(s"$dir/deltaA")
+      val dB = s.read.parquet(s"$dir/deltaB")
+      // the stored view state (deployment: maintained table)
+      segAgg(fact, dim).coalesce(1).write.parquet(s"$dir/vOld")
+      val vOld = s.read.parquet(s"$dir/vOld")
+
+      def check(df: DataFrame, label: String, against: Array[String]): Unit = {
+        val got = df.orderBy(col("seg")).collect().map(_.toString)
+        require(against.isEmpty || got.sameElements(against),
+          s"$label diverged from recompute")
+      }
+      var truthA: Array[String] = Array.empty
+      var truthB: Array[String] = Array.empty
+
+      // scenario 1: fact delta only
+      val fullA = ScaleProbe.measure(s) {
+        val r = segAgg(fact.unionByName(dA), dim)
+        truthA = r.orderBy(col("seg")).collect().map(_.toString); truthA.length.toLong
+      }
+      val refreshA = ScaleProbe.measure(s) {
+        val r = mergePartials(vOld, segAgg(broadcast(dA), dim))
+        check(r, "refreshA", truthA); 1L
+      }
+      // scenario 2: both sides carry deltas
+      val fullB = ScaleProbe.measure(s) {
+        val r = segAgg(fact.unionByName(dA), dim.unionByName(dB))
+        truthB = r.orderBy(col("seg")).collect().map(_.toString); truthB.length.toLong
+      }
+      val refreshB = ScaleProbe.measure(s) {
+        val r = mergePartials(vOld,
+          segAgg(broadcast(dA), dim.unionByName(dB)),
+          segAgg(fact, broadcast(dB)))
+        check(r, "refreshB", truthB); 1L
+      }
+      f"""{"fact_rows":$target,"dim_rows":$dims,
+         |"delta_fact_rows":${target / DeltaDiv},"delta_dim_rows":${dims / DeltaDiv},
+         |"fact_delta":{"full":${runJson(fullA)},"refresh":${runJson(refreshA)}},
+         |"both_deltas":{"full":${runJson(fullB)},"refresh":${runJson(refreshB)}}}"""
+        .stripMargin.replace("\n", "")
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("SOAK_r14d.json")
+    val targets = {
+      val t = args.drop(1).flatMap(_.toLongOption).toSeq
+      if (t.nonEmpty) t else Seq(4000000L, 16000000L, 64000000L)
+    }
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val out = targets.map { t =>
+      val p = point(spark, t)
+      println(s"target $t done")
+      s""""$t":$p"""
+    }.mkString(
+      s"""{"op":"ivm_join_refresh","delta_fraction":"1/$DeltaDiv","targets":{"""
+        .stripMargin.replace("\n", ""),
+      ",", "}}")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), out)
+    println(out)
+    spark.stop()
+  }
+}
