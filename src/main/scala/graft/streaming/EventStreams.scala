@@ -1247,6 +1247,39 @@ object EventStreams {
       .sortBy(_._1).lastOption.map(_._2.toString)
   }
 
+  /** DELETE-BEARING APPLY over the snapshot store — the
+    * right-to-be-forgotten batch: a tombstone changeset of `user_id`s
+    * whose state must be REMOVED from the maintained table, composed
+    * with the same versioned `_SUCCESS` protocol as [[applyChangeset]]
+    * (committed-batch skip keyed on batchId alone; torn write → same
+    * prior, byte-identical rewrite). The merge is a LEFT ANTI join of
+    * the prior snapshot against the broadcast tombstone set: the prior
+    * never shuffles, tombstoned keys drop in one scan, and the diff
+    * surface ([[versionDiff]]) reports them as `removed` — the class an
+    * append-only merge can never produce. Deletes are HARD (the row is
+    * gone from every version at-or-after the tombstone batch; earlier
+    * versions still hold it — full erasure of history is
+    * [[pruneVersions]] of everything below the tombstone). At 100 TB
+    * the tombstone set is broadcast-sized by nature (deletion requests,
+    * not data), so the apply is one scan + rewrite of the target —
+    * the same residual every non-delete apply already pays. */
+  def applyDeletes(tombstones: DataFrame, batchId: Long,
+      targetDir: String): Unit = {
+    val s = tombstones.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")))
+      return // committed: skip (batchId alone — the idempotence guard)
+    val prior = latestVersion(targetDir, below = batchId) match {
+      case Some(p) => s.read.parquet(p)
+      case None => emptySnapshot(s)
+    }
+    prior.join(broadcast(tombstones.select(col("user_id")).distinct()),
+        Seq("user_id"), "left_anti")
+      .write.mode("overwrite").parquet(vDir.toString)
+  }
+
   /** VERSION DIFF over the snapshot store — "what changed between
     * version `fromV` and version `toV`?", the audit read that pairs with
     * st20's time-travel ("what WAS the state?"). Each pin resolves to

@@ -1283,6 +1283,49 @@ object StreamReplay {
     }
   }
 
+  /** st23: DELETE-BEARING APPLY + the diff's `removed` class — the
+    * right-to-be-forgotten flow end-to-end: four event-time changesets
+    * build the per-user store (v0..v3 cover the whole table), then a
+    * TOMBSTONE batch ([[EventStreams.applyDeletes]], broadcast anti-join,
+    * the prior never shuffles) removes every user with
+    * `user_id mod 10 = 3` as v4, with a hostile re-delivery (empty
+    * tombstone set, same batchId) probing the `_SUCCESS` guard — a guard
+    * failure would resurrect nothing but WOULD rewrite v4 from v3 and
+    * un-delete everyone, hash-mismatching loudly. The gated result is
+    * [[EventStreams.versionDiff]](3 → 4): exactly the tombstoned users,
+    * classified `removed`, old state populated, new state null — the
+    * third diff class st22's append-only store can't produce, proven
+    * live. Oracle: the per-user recompute for the tombstoned ids with
+    * the removed/NULL shape written directly in SQL. */
+  val st23_cdc_delete: Q = (s, dir) => {
+    val K = 4L
+    val target = Files.createTempDirectory("graft-st23-target").toString
+    try {
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
+      val mm = ev.agg(min(col("ms")), max(col("ms"))).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = mx - mn + 1
+      (0L until K).foreach { i =>
+        EventStreams.applyChangeset(
+          ev.filter(expr(s"((ms - $mn) * $K) div $span") === i)
+            .select(col("user_id"), col("value")),
+          i, target)
+      }
+      val tomb = graft.Tables.events(s, dir)
+        .select(col("user_id")).filter(col("user_id") % 10 === 3)
+      EventStreams.applyDeletes(tomb, K, target)
+      EventStreams.applyDeletes( // hostile retry: must skip on batchId
+        tomb.limit(0), K, target)
+      EventStreams.versionDiff(s, target, fromV = K - 1, toV = K)
+        .orderBy(col("user_id"))
+        .localCheckpoint()
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   /** Multi-batch (`b`) variants exist for every stateful path where
     * cross-batch replay is hash-parity with the batch oracle: st02b/
     * st03b/st04b/st05b/st07b. st01 has NO b-variant by design — the
@@ -1327,6 +1370,7 @@ object StreamReplay {
     "st18_neardup_ingest_ttl" -> st18_neardup_ingest_ttl,
     "st21_cdc_apply_pruned" -> st21_cdc_apply_pruned,
     "st22_version_diff" -> st22_version_diff,
+    "st23_cdc_delete" -> st23_cdc_delete,
     "st19_gate_state_reader" -> st19_gate_state_reader,
     "st20_time_travel_read" -> st20_time_travel_read,
   )
@@ -1579,6 +1623,17 @@ object StreamReplay {
         |WHERE o.user_id IS NULL OR n2.user_id IS NULL
         |   OR o.n <> n2.n OR o.c <> n2.c
         |ORDER BY user_id""".stripMargin,
+    // st23: the tombstoned users' full per-user state, in the diff's
+    // removed/NULL shape — v0..v3 cover every event, so "old" is the
+    // plain recompute and "new" is gone
+    "st23_cdc_delete" ->
+      """SELECT user_id, 'removed' AS change,
+        |  CAST(count(*) AS BIGINT) AS n_old,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents_old,
+        |  CAST(NULL AS BIGINT) AS n_new, CAST(NULL AS BIGINT) AS cents_new
+        |FROM events WHERE user_id % 10 = 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     // st17: maintain ≡ recompute across the streamed apply loop — the
     // oracle recomputes the per-user profile from the raw table; integer
     // cents make the equality exact whatever the chunking

@@ -137,6 +137,11 @@ object IvmSoak {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // warmup: the first measured job in a fresh JVM otherwise pays
+    // classloading + codegen compilation (measured: a 4M 'full' leg
+    // reading slower than the 16M one)
+    point(spark, 1000000L)
+    println("warmup done")
     val out = targets.map { t =>
       val p = point(spark, t)
       println(s"target $t done")

@@ -107,6 +107,36 @@ class VersionDiffSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("applyDeletes: removed class, history intact, retry-idempotent") {
+    val target = java.nio.file.Files.createTempDirectory("vd-del").toString
+    try {
+      EventStreams.applyChangeset(
+        chg((1L, 1.00), (2L, 2.00), (3L, 3.00)), 0L, target)
+      EventStreams.applyChangeset(chg((2L, 0.50)), 1L, target)
+      import spark.implicits._
+      EventStreams.applyDeletes(Seq(2L).toDF("user_id"), 2L, target)
+      // the diff reports the deletion as `removed` with old state intact
+      val d = EventStreams.versionDiff(spark, target, 1L, 2L).collect()
+      assert(d.length === 1)
+      assert(d.head.getLong(0) === 2L && d.head.getString(1) === "removed")
+      assert(d.head.getLong(2) === 2L && d.head.getLong(3) === 250L)
+      assert(d.head.isNullAt(4) && d.head.isNullAt(5))
+      // v2 itself: user 2 gone, others untouched
+      val v2 = spark.read.parquet(s"$target/v2")
+        .orderBy(col("user_id")).collect()
+      assert(v2.map(_.getLong(0)).toSeq === Seq(1L, 3L))
+      // history below the tombstone batch still holds the user
+      assert(spark.read.parquet(s"$target/v1")
+        .filter(col("user_id") === 2L).count() === 1L)
+      // hostile retry (same batchId, different payload) must skip on the
+      // _SUCCESS guard — deleting user 1 here would corrupt v2
+      EventStreams.applyDeletes(Seq(1L).toDF("user_id"), 2L, target)
+      assert(spark.read.parquet(s"$target/v2").count() === 2L)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+    }
+  }
+
   test("missing pin fails loudly") {
     // pins resolve DOWNWARD (latest committed <= pin), so only a pin
     // below the first committed version can fail; commit v1 only and
