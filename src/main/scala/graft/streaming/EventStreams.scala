@@ -764,14 +764,53 @@ object EventStreams {
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
-    val (prior, priorBucketed) = latestVersion(targetDir, below = batchId) match {
+    val (prior, priorBucketed) =
+      priorSnapshotBucketed(s, fs, targetDir, batchId, tablePrefix, buckets)
+    // merge hint: at sf the tiny delta would broadcast, which demonstrates
+    // nothing at 100 TB where neither side does — q38b's discipline
+    val merged = mergedSnapshot(prior.hint("merge"), chg)
+    // Bucket-file ALIGNMENT (r13, probed): `bucketBy` inserts no exchange
+    // — it writes one file per (task, bucket-in-task). With a BUCKETED
+    // prior the SMJ adopts the table's HashPartitioning(user_id, buckets)
+    // and alignment is free (partition ≡ bucket, one file each — the
+    // zero-extra-Exchange plan the spec pins). On the OTHER regimes the
+    // input partitioning is arbitrary (a seed's changeset can even reach
+    // the writer range-partitioned when distinct-keys inference elides
+    // the aggregate exchange — measured: 32 tasks × 32 buckets = 1024
+    // files at the 1M-user seed), so those paths repartition explicitly
+    // by the exact bucket routing — an O(input) shuffle on paths that
+    // are already O(target) regimes, buying one-file-per-bucket layouts
+    // that keep scans, recovery validation, and the pruned apply's
+    // copy-forward ledger linear in BUCKETS, not in tasks × versions.
+    val aligned =
+      if (priorBucketed) merged
+      else merged.repartition(buckets, col("user_id"))
+    aligned
+      .write.bucketBy(buckets, "user_id").sortBy("user_id")
+      .option("path", vDir.toString).mode("overwrite")
+      .saveAsTable(s"${tablePrefix}_v$batchId")
+    // persist the layout next to the commit marker (see scaladoc): a
+    // crash in this narrow window leaves _SUCCESS without _BUCKETS,
+    // which recovery treats as unknown → plain scan, never misaligned
+    writeBucketCount(fs, vDir, buckets)
+  }
+
+  /** Resolve the prior snapshot STRICTLY BELOW `batchId` as a bucketed
+    * catalog table when the committed dir proves its layout — shared by
+    * every bucketed apply ([[applyChangesetBucketed]],
+    * [[applyDeletesBucketed]]). Catalog entries are session-scoped; the
+    * committed DIR is the durable truth, so a fresh session (recovery
+    * after restart) re-registers an external bucketed table over the
+    * existing bucket files — with the count read from the dir's own
+    * `_BUCKETS` marker, never the current call's parameter. Returns
+    * (frame, isBucketed); a dir without a trustworthy marker degrades to
+    * a plain scan (correctness over the Exchange saving), no prior to
+    * the empty snapshot. */
+  private def priorSnapshotBucketed(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, targetDir: String, batchId: Long,
+      tablePrefix: String, buckets: Int): (DataFrame, Boolean) =
+    latestVersion(targetDir, below = batchId) match {
       case Some(p) =>
-        // bucketed scan via the catalog — the whole point of the layout.
-        // Catalog entries are session-scoped; the committed DIR is the
-        // durable truth, so a fresh session (recovery after restart)
-        // re-registers an external bucketed table over the existing
-        // bucket files — with the count read from the dir's own
-        // `_BUCKETS` marker, never the current call's parameter.
         val pPath = new org.apache.hadoop.fs.Path(p)
         readBucketCount(fs, pPath) match {
           case Some(diskBuckets) =>
@@ -821,32 +860,42 @@ object EventStreams {
         }
       case None => (emptySnapshot(s), false)
     }
-    // merge hint: at sf the tiny delta would broadcast, which demonstrates
-    // nothing at 100 TB where neither side does — q38b's discipline
-    val merged = mergedSnapshot(prior.hint("merge"), chg)
-    // Bucket-file ALIGNMENT (r13, probed): `bucketBy` inserts no exchange
-    // — it writes one file per (task, bucket-in-task). With a BUCKETED
-    // prior the SMJ adopts the table's HashPartitioning(user_id, buckets)
-    // and alignment is free (partition ≡ bucket, one file each — the
-    // zero-extra-Exchange plan the spec pins). On the OTHER regimes the
-    // input partitioning is arbitrary (a seed's changeset can even reach
-    // the writer range-partitioned when distinct-keys inference elides
-    // the aggregate exchange — measured: 32 tasks × 32 buckets = 1024
-    // files at the 1M-user seed), so those paths repartition explicitly
-    // by the exact bucket routing — an O(input) shuffle on paths that
-    // are already O(target) regimes, buying one-file-per-bucket layouts
-    // that keep scans, recovery validation, and the pruned apply's
-    // copy-forward ledger linear in BUCKETS, not in tasks × versions.
+
+  /** [[applyDeletes]] on the BUCKETED store — the zero-shuffle delete
+    * rewrite: the prior reads as its bucketed catalog table, the
+    * tombstone set broadcasts into a LEFT ANTI probe (which PRESERVES
+    * the child's partitioning — anti-join removes rows, it never moves
+    * them), so the surviving rows are still partition≡bucket and the
+    * bucketed write emits one file per bucket with NO Exchange anywhere
+    * in the plan (`VersionDiffSpec` pins it). Same `_SUCCESS`+`_BUCKETS`
+    * torn-write protocol as every bucketed apply; an unmarked prior
+    * degrades to a plain scan + explicit repartition, never a
+    * misaligned layout. At 100 TB this is the right-to-be-forgotten
+    * batch at its floor cost: one co-located scan + rewrite of the
+    * target, zero shuffle, tombstones broadcast. */
+  def applyDeletesBucketed(tombstones: DataFrame, batchId: Long,
+      targetDir: String, tablePrefix: String, buckets: Int = 8): Unit = {
+    val s = tombstones.sparkSession
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
+    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
+      if (readBucketCount(fs, vDir).isEmpty) // same heal as the merge apply
+        healBucketMarker(s, fs, vDir, buckets)
+      return
+    }
+    val (prior, priorBucketed) =
+      priorSnapshotBucketed(s, fs, targetDir, batchId, tablePrefix, buckets)
+    val pruned = prior.join(
+      broadcast(tombstones.select(col("user_id")).distinct()),
+      Seq("user_id"), "left_anti")
     val aligned =
-      if (priorBucketed) merged
-      else merged.repartition(buckets, col("user_id"))
+      if (priorBucketed) pruned
+      else pruned.repartition(buckets, col("user_id"))
     aligned
       .write.bucketBy(buckets, "user_id").sortBy("user_id")
       .option("path", vDir.toString).mode("overwrite")
       .saveAsTable(s"${tablePrefix}_v$batchId")
-    // persist the layout next to the commit marker (see scaladoc): a
-    // crash in this narrow window leaves _SUCCESS without _BUCKETS,
-    // which recovery treats as unknown → plain scan, never misaligned
     writeBucketCount(fs, vDir, buckets)
   }
 

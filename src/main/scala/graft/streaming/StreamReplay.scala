@@ -1284,10 +1284,13 @@ object StreamReplay {
   }
 
   /** st23: DELETE-BEARING APPLY + the diff's `removed` class — the
-    * right-to-be-forgotten flow end-to-end: four event-time changesets
-    * build the per-user store (v0..v3 cover the whole table), then a
-    * TOMBSTONE batch ([[EventStreams.applyDeletes]], broadcast anti-join,
-    * the prior never shuffles) removes every user with
+    * right-to-be-forgotten flow end-to-end ON THE BUCKETED STORE: four
+    * event-time changesets build the per-user store (v0..v3 cover the
+    * whole table), then a TOMBSTONE batch
+    * ([[EventStreams.applyDeletesBucketed]] — broadcast anti-join over
+    * the bucketed prior preserves partition≡bucket, so the delete
+    * rewrite plans with ZERO Exchange and the diff below stays a
+    * co-bucketed SMJ) removes every user with
     * `user_id mod 10 = 3` as v4, with a hostile re-delivery (empty
     * tombstone set, same batchId) probing the `_SUCCESS` guard — a guard
     * failure would resurrect nothing but WOULD rewrite v4 from v3 and
@@ -1300,6 +1303,7 @@ object StreamReplay {
   val st23_cdc_delete: Q = (s, dir) => {
     val K = 4L
     val target = Files.createTempDirectory("graft-st23-target").toString
+    val prefix = "graft_st23"
     try {
       val ev = graft.Tables.events(s, dir)
         .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
@@ -1307,20 +1311,23 @@ object StreamReplay {
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val span = mx - mn + 1
       (0L until K).foreach { i =>
-        EventStreams.applyChangeset(
+        EventStreams.applyChangesetBucketed(
           ev.filter(expr(s"((ms - $mn) * $K) div $span") === i)
             .select(col("user_id"), col("value")),
-          i, target)
+          i, target, prefix, buckets = 8)
       }
       val tomb = graft.Tables.events(s, dir)
         .select(col("user_id")).filter(col("user_id") % 10 === 3)
-      EventStreams.applyDeletes(tomb, K, target)
-      EventStreams.applyDeletes( // hostile retry: must skip on batchId
-        tomb.limit(0), K, target)
-      EventStreams.versionDiff(s, target, fromV = K - 1, toV = K)
+      EventStreams.applyDeletesBucketed(tomb, K, target, prefix, buckets = 8)
+      EventStreams.applyDeletesBucketed( // hostile retry: must skip on batchId
+        tomb.limit(0), K, target, prefix, buckets = 8)
+      EventStreams.versionDiff(s, target, fromV = K - 1, toV = K,
+          tablePrefix = Some(prefix))
         .orderBy(col("user_id"))
         .localCheckpoint()
     } finally {
+      (0L to K).foreach(i =>
+        s.sql(s"DROP TABLE IF EXISTS ${prefix}_v$i"))
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
       catch { case _: java.io.IOException => () }
     }

@@ -137,6 +137,51 @@ class VersionDiffSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("applyDeletesBucketed: layout preserved, marker written, retry skips") {
+    val prefix = "vd_t6"
+    val target = buildStore(prefix)
+    import spark.implicits._
+    try {
+      EventStreams.applyDeletesBucketed(
+        Seq(2L).toDF("user_id"), 3L, target, prefix, buckets = 4)
+      // semantics: user 2 gone from v3, others carried with merged state
+      val v3 = spark.read.parquet(s"$target/v3")
+        .orderBy(col("user_id")).collect()
+      assert(v3.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L))
+      // layout: still a bucketed write — suffixed data files, ≤1 per
+      // bucket (the zero-Exchange rewrite can't multiply files), marker
+      // present so the NEXT apply re-registers the bucketed scan
+      val fs = new org.apache.hadoop.fs.Path(target)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(s"$target/v3"))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+      assert(dataFiles.nonEmpty && dataFiles.length <= 4,
+        s"expected <=1 file per bucket, got ${dataFiles.map(_.getPath.getName).toSeq}")
+      assert(dataFiles.forall(_.getPath.getName.matches(".*_(\\d{5})(?:\\.c\\d+)?\\..*")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$target/v3/_BUCKETS")))
+      // the diff over the delete version reports removed, co-bucketed
+      val d = EventStreams.versionDiff(spark, target, 2L, 3L,
+        tablePrefix = Some(prefix)).collect()
+      assert(d.length === 1 && d.head.getLong(0) === 2L &&
+        d.head.getString(1) === "removed")
+      // hostile retry: same batchId, a tombstone that would delete user 1
+      EventStreams.applyDeletesBucketed(
+        Seq(1L).toDF("user_id"), 3L, target, prefix, buckets = 4)
+      assert(spark.read.parquet(s"$target/v3").count() === 3L)
+      // and a later merge apply composes on top of the delete version
+      EventStreams.applyChangesetBucketed(
+        chg((2L, 9.00)), 4L, target, prefix, buckets = 4)
+      val v4 = spark.read.parquet(s"$target/v4")
+        .filter(col("user_id") === 2L).collect()
+      assert(v4.length === 1 && v4.head.getLong(1) === 1L &&
+        v4.head.getLong(2) === 900L, "re-inserted user starts fresh")
+    } finally {
+      (0 to 4).foreach(i => spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v$i"))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+    }
+  }
+
   test("missing pin fails loudly") {
     // pins resolve DOWNWARD (latest committed <= pin), so only a pin
     // below the first committed version can fail; commit v1 only and
