@@ -538,9 +538,52 @@ object TextQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** t17b: t17's outlier rule with the medians found the way a 100 TB
+    * deployment finds them — t17's scaladoc prescribes rank selection
+    * without a per-row sort window; this entry IS that plan, gated on
+    * the same oracle. Both lower-medians come from a VALUE HISTOGRAM:
+    * group to (lang, value, count) — a partial+final agg whose shuffle
+    * carries distinct values, not rows — then a running-count window
+    * over the per-language distinct values picks the smallest value
+    * whose cumulative count reaches rank ⌊(n+1)/2⌋. The window sorts
+    * |distinct values| rows per language (the metric's bounded domain),
+    * never the corpus; the flagging pass joins broadcast per-language
+    * medians. Same result as t17 row-for-row — sort-window and
+    * histogram selection are the same statistic, proven by the shared
+    * oracle, which is the point of shipping both. */
+  val t17b_outlier_mad_hist: Q = (s, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+    // lower-median of `v` per lang via histogram + running count:
+    // smallest value whose cumulative count >= floor((n+1)/2)
+    def lowerMedianHist(df: DataFrame, v: String, out: String): DataFrame = {
+      val hist = df.groupBy(col("lang"), col(v).as("val"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum(col("c")).over(w))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+        .filter(col("cum") >= expr("(n + 1) div 2") &&
+          col("cum") - col("c") < expr("(n + 1) div 2"))
+        .select(col("lang"), col("val").as(out))
+    }
+    val med = lowerMedianHist(d, "n_chars", "med")
+    val dev = d.join(broadcast(med), Seq("lang"))
+      .withColumn("dv", abs(col("n_chars") - col("med")))
+    val mad = lowerMedianHist(dev.select(col("lang"), col("dv")), "dv", "mad")
+    dev.join(broadcast(mad), Seq("lang"))
+      .filter(col("dv") > col("mad") * 2)
+      .select(col("lang"), col("doc_id"), col("n_chars"), col("dv"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "t16_phrase_search" -> t16_phrase_search,
     "t17_outlier_mad" -> t17_outlier_mad,
+    "t17b_outlier_mad_hist" -> t17b_outlier_mad_hist,
     "t13_bm25" -> t13_bm25,
     "t14_rarity_score" -> t14_rarity_score,
     "t15_collocations" -> t15_collocations,

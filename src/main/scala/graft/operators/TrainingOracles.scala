@@ -477,6 +477,27 @@ object TrainingOracles {
        |  END AS recall""".stripMargin
   }
 
+  private val t17Sql: String =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents),
+      |med AS (SELECT lang, n_chars AS med FROM ranked WHERE rn = (cnt+1)//2),
+      |dev AS (
+      |  SELECT d.lang, d.doc_id, d.n_chars, abs(d.n_chars - m.med) AS dv
+      |  FROM documents d JOIN med m ON d.lang = m.lang),
+      |rdev AS (
+      |  SELECT lang, dv,
+      |    row_number() OVER (PARTITION BY lang ORDER BY dv, doc_id) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM dev),
+      |mad AS (SELECT lang, dv AS mad FROM rdev WHERE rn = (cnt+1)//2)
+      |SELECT d.lang, d.doc_id, d.n_chars, d.dv
+      |FROM dev d JOIN mad m ON d.lang = m.lang
+      |WHERE d.dv > 2 * m.mad
+      |ORDER BY d.lang, d.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
     // t16: the same positional posting-list intersection, in SQL —
     // generate_subscripts gives 1-based positions where posexplode is
@@ -490,28 +511,12 @@ object TrainingOracles {
         |FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
         |WHERE a.w = 'hash' AND b.w = 'value'
         |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin,
-    // t17: identical lower-median selection (rank ⌊(n+1)/2⌋, ordered by
-    // value then doc_id) — exact BIGINT medians, no interpolation
-    "t17_outlier_mad" ->
-      """WITH ranked AS (
-        |  SELECT lang, n_chars,
-        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS cnt
-        |  FROM documents),
-        |med AS (SELECT lang, n_chars AS med FROM ranked WHERE rn = (cnt+1)//2),
-        |dev AS (
-        |  SELECT d.lang, d.doc_id, d.n_chars, abs(d.n_chars - m.med) AS dv
-        |  FROM documents d JOIN med m ON d.lang = m.lang),
-        |rdev AS (
-        |  SELECT lang, dv,
-        |    row_number() OVER (PARTITION BY lang ORDER BY dv, doc_id) AS rn,
-        |    count(*) OVER (PARTITION BY lang) AS cnt
-        |  FROM dev),
-        |mad AS (SELECT lang, dv AS mad FROM rdev WHERE rn = (cnt+1)//2)
-        |SELECT d.lang, d.doc_id, d.n_chars, d.dv
-        |FROM dev d JOIN mad m ON d.lang = m.lang
-        |WHERE d.dv > 2 * m.mad
-        |ORDER BY d.lang, d.doc_id""".stripMargin,
+    // t17/t17b: identical lower-median selection (rank ⌊(n+1)/2⌋) — exact
+    // BIGINT medians, no interpolation. t17b finds the same medians by
+    // histogram running-count selection; one oracle proves sort-window
+    // and histogram selection are the same statistic
+    "t17b_outlier_mad_hist" -> t17Sql,
+    "t17_outlier_mad" -> t17Sql,
     "s03_knn_ivf" -> ivfSql(1),
     "s04_knn_ivf_multiprobe" -> ivfSql(2),
     "s05_knn_ivfpq" -> ivfpqSql,

@@ -66,6 +66,17 @@ class PhraseStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === expected)
   }
 
+  test("t17b: histogram selection equals the sort-window medians row-for-row") {
+    val a = TextQueries.t17_outlier_mad(spark, dir).collect().map(_.toString).toSeq
+    val b = TextQueries.t17b_outlier_mad_hist(spark, dir).collect().map(_.toString).toSeq
+    assert(b === a)
+    // and the histogram plan never sorts the corpus: its only row_number/
+    // sort windows run over (lang, value) histogram rows
+    val plan = TextQueries.t17b_outlier_mad_hist(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("row_number"), s"histogram path must not rank rows:\n$plan")
+  }
+
   test("q46: moment identities equal a driver-side integer recompute") {
     val rows = graft.Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_quantity"), col("l_discount"))
