@@ -153,9 +153,42 @@ object ScaleQueries {
       .orderBy(col("exact_count").desc, col("token"))
   }
 
+  /** x04: SKETCH MERGE across shards — the deployment shape x01's
+    * single-query sketch doesn't show: at 100 TB each shard
+    * materializes a compact DataSketches HLL of its token set ONCE
+    * (`hll_sketch_agg` — a binary column stored next to the shard), and
+    * every later cross-shard cardinality question is answered by
+    * MERGING sketches (`hll_union_agg`), never by re-scanning raw
+    * data; sketch unions are associative/commutative, so the merge tree
+    * is shuffle-shaped, not data-shaped. Per language: one sketch per
+    * (lang, source) shard, merged to a per-language estimate, gated
+    * within x01's 5% envelope of the exact distinct count (lgConfigK=12
+    * is ~1.6% relative error, and at gate-scale vocabularies the HLL
+    * sits in exact sparse mode). The hash-stable outputs are the exact
+    * twin + shard count; `within_bound` carries the sketch guarantee. */
+  val x04_sketch_merge: Q = (s, dir) => {
+    val tk = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val perShard = tk.groupBy(col("lang"), col("source"))
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
+    val merged = perShard.groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+        count(lit(1)).as("n_shards"))
+    val exact = tk.groupBy(col("lang"))
+      .agg(countDistinct(col("tok")).as("n_tokens_exact"))
+    exact.join(broadcast(merged), Seq("lang"))
+      .select(col("lang"), col("n_tokens_exact"), col("n_shards"),
+        (abs(col("est") - col("n_tokens_exact")) <=
+          greatest(lit(1L), floor(col("n_tokens_exact") * 0.05).cast("long")))
+          .as("within_bound"))
+      .orderBy(col("lang"))
+  }
+
   val all: Map[String, Q] = Map(
     "x01_approx_distinct" -> x01_approx_distinct,
     "x02_approx_quantiles" -> x02_approx_quantiles,
     "x03_heavy_hitters" -> x03_heavy_hitters,
+    "x04_sketch_merge" -> x04_sketch_merge,
   )
 }

@@ -1180,5 +1180,16 @@ object TrainingOracles {
         |  FROM toks WHERE len(tok) > 0 GROUP BY tok)
         |SELECT tok AS token, exact_count, TRUE AS within_bound
         |FROM cnt ORDER BY exact_count DESC, tok LIMIT 20""".stripMargin,
+    // x04: the exact distinct count + shard count are the hash-stable
+    // twin; within_bound is the sketch-merge guarantee the engine gates
+    "x04_sketch_merge" ->
+      """WITH tok AS (
+        |  SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_shards,
+        |  TRUE AS within_bound
+        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -126,6 +126,86 @@ object IvmSoak {
     }
   }
 
+  /** The clustered-dim-delta leg — the hedge in q45's adjudication
+    * ("a fact bucketed by the dim key turns the A_old⋈ΔB scan into a
+    * touched-bucket read when the dim delta clusters"), measured. The
+    * fact is stored BUCKETED by `cust` (32 buckets); ΔB's new customer
+    * ids are chosen to hash into buckets {0,1} only (a hot tenant's
+    * re-keying — the st21 regime), and the retargeted fact rows point at
+    * them. inc2 runs twice: a full scan of the bucketed table vs a read
+    * of ONLY the touched buckets' files (the suffix-derived file-level
+    * pruning the pruned CDC apply uses — Spark's own bucket pruning
+    * needs literal key predicates, which a changeset join doesn't have).
+    * Results asserted identical before timings are trusted. */
+  private def clusteredLeg(s: SparkSession, target: Long): String = {
+    val buckets = 32
+    val dims = math.max(target / 64, 100000L)
+    val dir = graft.Scratch.tempDir("graft-ivmclu").toString
+    val factTable = s"graft_ivmclu_fact_$target"
+    try {
+      // ΔB: new customer ids hashing into buckets {0,1} of 32
+      val m = math.max(dims / DeltaDiv, 32L)
+      val dB = s.range(dims, dims * 4)
+        .filter(pmod(hash(col("id")), lit(buckets)) < 2)
+        .limit(m.toInt)
+        .select(col("id").as("c_id"),
+          concat(lit("seg_"), pmod(col("id"), lit(Segments.toLong))).as("seg"))
+        .localCheckpoint()
+      // index the clustered ids so retargeting is a deterministic join
+      val idx = dB.select(col("c_id"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("c_id"))) - 1).cast("long").as("ix"))
+        .localCheckpoint()
+      val nIdx = idx.count()
+      val base = s.range(target).select(col("id").as("o_id"),
+        pmod(xxhash64(col("id"), lit(3L)), lit(dims)).as("cust0"),
+        pmod(xxhash64(col("id"), lit(5L)), lit(100000L)).as("cents"),
+        when(pmod(col("id"), lit(DeltaDiv)) === 0,
+          pmod(col("id"), lit(nIdx))).otherwise(lit(-1L)).as("ix"))
+      base.join(broadcast(idx), Seq("ix"), "left")
+        .select(col("o_id"), coalesce(col("c_id"), col("cust0")).as("cust"),
+          col("cents"))
+        .repartition(buckets, col("cust"))
+        .write.bucketBy(buckets, "cust").sortBy("cust")
+        .option("path", s"$dir/fact_b").mode("overwrite")
+        .saveAsTable(factTable)
+      val fact = s.table(factTable)
+      var truth: Array[String] = Array.empty
+      val full = ScaleProbe.measure(s) {
+        truth = segAgg(fact, broadcast(dB)).orderBy(col("seg"))
+          .collect().map(_.toString); truth.length.toLong
+      }
+      // touched-bucket read: ΔB's buckets → the files carrying them
+      val pruned = ScaleProbe.measure(s) {
+        val touched = dB
+          .select(pmod(hash(col("c_id")), lit(buckets)).as("b"))
+          .distinct().collect().map(_.getInt(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(s"$dir/fact_b")
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val BucketId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
+        val files = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/fact_b")).toSeq
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .collect { case st => st.getPath.getName match {
+            case BucketId(id) if touched.contains(id.toInt) =>
+              Some(st.getPath.toString)
+            case _ => None
+          }}.flatten
+        val got = segAgg(s.read.parquet(files: _*), broadcast(dB))
+          .orderBy(col("seg")).collect().map(_.toString)
+        require(got.sameElements(truth), "pruned inc2 diverged from full scan")
+        files.size.toLong
+      }
+      f"""{"fact_rows":$target,"delta_dim_rows":$nIdx,"touched_buckets":2,
+         |"inc2_full_scan":${runJson(full)},"inc2_pruned_read":${runJson(pruned)}}"""
+        .stripMargin.replace("\n", "")
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $factTable")
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SOAK_r14d.json")
     val targets = {
@@ -149,7 +229,12 @@ object IvmSoak {
     }.mkString(
       s"""{"op":"ivm_join_refresh","delta_fraction":"1/$DeltaDiv","targets":{"""
         .stripMargin.replace("\n", ""),
-      ",", "}}")
+      ",", "},") +
+      targets.drop(1).map { t => // clustered leg on the larger targets
+        val c = clusteredLeg(spark, t)
+        println(s"clustered $t done")
+        s""""$t":$c"""
+      }.mkString(""""dim_delta_clustered":{""", ",", "}}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), out)
     println(out)
     spark.stop()

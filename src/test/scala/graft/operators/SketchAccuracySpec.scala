@@ -132,4 +132,26 @@ class SketchAccuracySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(r.getBoolean(2), s"x03 out of envelope: $r")
     }
   }
+  test("x04: shard-merged HLL equals the whole-corpus sketch; bounds hold") {
+    // merge associativity: union of per-shard sketches must estimate the
+    // same cardinality as one sketch over the whole stream
+    val tk = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(split(col("text"), " ")).as("tok"))
+    val merged = tk.groupBy(col("lang"), col("source"))
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
+      .groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_merged"))
+    val whole = tk.groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))").as("est_whole"))
+    val rows = merged.join(whole, Seq("lang")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"merge must equal whole-corpus sketch for ${r.getString(0)}")
+    }
+    // and the gate entry's booleans are actually TRUE at spec scale
+    val gate = ScaleQueries.x04_sketch_merge(spark, dir).collect()
+    assert(gate.nonEmpty && gate.forall(_.getBoolean(3)))
+  }
 }
