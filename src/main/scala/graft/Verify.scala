@@ -18,17 +18,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // dev-loop filter: SPARK_GRAFT_ONLY=q01_agg,st22_version_diff gates a
-    // subset (the driver never sets it → full sweep)
+    // subset (the driver never sets it → full sweep). A name matching no
+    // registered query fails loudly — a typo'd filter would otherwise
+    // run an empty sweep that exits 0 looking like a clean pass.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val queries = only match {
-      case Some(names) => SparkEntry.queries.view.filterKeys(names).toMap
-      case None => SparkEntry.queries
+    only.foreach { names =>
+      val unknown = names.filterNot(SparkEntry.queries.contains)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names no registered query: ${unknown.mkString(", ")}")
     }
-    val oracles = only match {
-      case Some(names) => SparkEntry.oracleSql.view.filterKeys(names).toMap
-      case None => SparkEntry.oracleSql
-    }
+    def pick[T](m: Map[String, T]): Map[String, T] =
+      only.fold(m)(names => m.view.filterKeys(names).toMap)
+    val queries = pick(SparkEntry.queries)
+    val oracles = pick(SparkEntry.oracleSql)
     // dump queries concurrently (independent jobs on one session) — halves
     // the driver's correctness-gate wall time vs sequential
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)

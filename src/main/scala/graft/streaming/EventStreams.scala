@@ -984,15 +984,23 @@ object EventStreams {
     val pPath = new org.apache.hadoop.fs.Path(priorDir.get)
     // one listing, validated, shared with the bucket routing below
     val priorFiles = validateBucketFiles(fs, pPath, buckets)
-    // referenced twice (routing AND the merge): persist, not
-    // localCheckpoint — the cache materializes DURING the touched-
-    // collect job below, so the changeset pipeline runs once with no
-    // extra serial checkpoint job in front of it (profiled: the
-    // checkpoint was a flat ~0.4 s ahead of every apply)
+    // referenced twice (routing AND the merge): LAZY localCheckpoint —
+    // the blocks materialize DURING the touched-collect job below (no
+    // extra serial checkpoint job in front of it; the eager form was
+    // profiled at a flat ~0.4 s ahead of every apply), and unlike
+    // persist() a checkpoint can never silently RECOMPUTE: a lost block
+    // fails the job. That fail-loud property is load-bearing here — the
+    // committed version is assembled from BOTH the collected touched
+    // set and the merge over this frame; a cache-style recompute of a
+    // non-deterministic changeset (e.g. one built with limit()) could
+    // hash rows into buckets outside the collected set, and the stage
+    // write plus copy-forward would then commit DUPLICATE files for the
+    // same bucket — a silently corrupt store. Never trade this for a
+    // recomputable cache.
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
-      .persist()
+      .localCheckpoint(false)
     try {
     val touched: Set[Int] = chg
       .select(pmod(hash(col("user_id")), lit(buckets)).as("b"))
@@ -1053,8 +1061,20 @@ object EventStreams {
     s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
       cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
       SORTED BY (user_id) INTO $buckets BUCKETS LOCATION '$vDir'""")
-    } finally chg.unpersist(false)
+    } finally unpersistLocalCheckpoint(chg)
   }
+
+  /** Release the persisted blocks behind a `localCheckpoint`'d frame
+    * once nothing downstream references them (the GraphQueries iterate
+    * discipline): the checkpoint Dataset is a LogicalRDD over the
+    * persisted internal RDD, so the unpersist is exact. A non-checkpoint
+    * frame is a no-op. */
+  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 
   /** Bounded-parallel byte copy of `srcs` into `destDir` (same names)
     * through the FileSystem seam. Failures propagate: any copy error
@@ -1128,7 +1148,9 @@ object EventStreams {
     * pruned apply) must consume this list, not re-list: a file appearing
     * between two listings (contract-violating concurrent writer) would
     * otherwise dodge validation and surface as an opaque MatchError. */
-  private val BucketFileId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
+  /** Canonical bucket-id extraction from a bucketed write's file name —
+    * the ONE routing regex; tools must reuse it, never re-derive it. */
+  private[graft] val BucketFileId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
 
   private def validateBucketFiles(fs: org.apache.hadoop.fs.FileSystem,
       vDir: org.apache.hadoop.fs.Path,
@@ -1354,14 +1376,29 @@ object EventStreams {
         throw new IllegalArgumentException(
           s"versionDiff: no committed version <= $pin under $targetDir"))
       tablePrefix match {
-        // a fresh session (no catalog entry yet) falls back to the plain
-        // file read — same rows, one Exchange per side; the next apply's
-        // recovery path re-registers the bucketed table
+        // the catalog entry is only an OPTIMIZATION here (the committed
+        // dir is the data): use it only when it provably points at THIS
+        // dir with the expected bucket spec — a same-named entry from
+        // another store (two stores sharing a prefix, or a rebuilt
+        // store at a new path) must not silently redirect the diff.
+        // Anything else — fresh session, stale entry, foreign entry —
+        // falls back to the plain file read: same rows, one Exchange
+        // per side; the next apply's recovery path re-registers.
         case Some(p) =>
           val id = new org.apache.hadoop.fs.Path(dir).getName.drop(1)
           val name = s"${p}_v$id"
-          if (s.catalog.tableExists(name)) s.table(name)
-          else s.read.parquet(dir)
+          val usable = s.catalog.tableExists(name) && {
+            val ct = s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(name))
+            val fs = new org.apache.hadoop.fs.Path(dir)
+              .getFileSystem(s.sparkContext.hadoopConfiguration)
+            fs.makeQualified(new org.apache.hadoop.fs.Path(ct.location)) ==
+              fs.makeQualified(new org.apache.hadoop.fs.Path(dir)) &&
+              ct.bucketSpec.exists(b =>
+                b.bucketColumnNames == Seq("user_id") &&
+                  b.sortColumnNames == Seq("user_id"))
+          }
+          if (usable) s.table(name) else s.read.parquet(dir)
         case None => s.read.parquet(dir)
       }
     }

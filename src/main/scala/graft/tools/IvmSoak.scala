@@ -182,13 +182,12 @@ object IvmSoak {
           .distinct().collect().map(_.getInt(0)).toSet
         val fs = new org.apache.hadoop.fs.Path(s"$dir/fact_b")
           .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val BucketId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
         val files = fs.listStatus(
           new org.apache.hadoop.fs.Path(s"$dir/fact_b")).toSeq
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
           .collect { case st => st.getPath.getName match {
-            case BucketId(id) if touched.contains(id.toInt) =>
-              Some(st.getPath.toString)
+            case graft.streaming.EventStreams.BucketFileId(id)
+              if touched.contains(id.toInt) => Some(st.getPath.toString)
             case _ => None
           }}.flatten
         val got = segAgg(s.read.parquet(files: _*), broadcast(dB))

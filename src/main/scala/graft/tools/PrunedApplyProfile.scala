@@ -73,8 +73,10 @@ object PrunedApplyProfile {
         st.isFile && !n.startsWith("_") && !n.startsWith(".")
       }.map(st => st.getPath)
     }
-    val byBucket = allFiles.groupBy(p =>
-      "_(\\d{5})".r.findFirstMatchIn(p.getName).get.group(1).toInt)
+    val byBucket = allFiles.groupBy(p => p.getName match {
+      case graft.streaming.EventStreams.BucketFileId(id) => id.toInt
+      case n => sys.error(s"non-bucketed data file in a bucketed dir: $n")
+    })
     val touchedFiles = byBucket.filter(kv => touched.contains(kv._1))
       .values.flatten.map(_.toString).toSeq
     val priorTouched = s.read.parquet(touchedFiles: _*)

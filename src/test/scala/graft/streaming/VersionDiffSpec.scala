@@ -182,6 +182,36 @@ class VersionDiffSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("a foreign same-named catalog entry never redirects the diff") {
+    val prefix = "vd_t7"
+    val target = buildStore(prefix)
+    val decoy = java.nio.file.Files.createTempDirectory("vd-decoy").toString
+    try {
+      val honest = EventStreams.versionDiff(spark, target, 0L, 2L,
+        tablePrefix = Some(prefix)).orderBy(col("user_id")).collect()
+      // replace v2's entry with one pointing at a DIFFERENT store's dir
+      // (two stores sharing a prefix / a rebuilt store at a new path) —
+      // the diff must detect the location mismatch and read the
+      // committed dir, not the decoy
+      EventStreams.applyChangesetBucketed(
+        chg((99L, 9.99)), 2L, decoy, "vd_t7_decoy", buckets = 4)
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v2")
+      spark.sql(s"""CREATE TABLE ${prefix}_v2 (user_id BIGINT,
+        n_events BIGINT, cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
+        SORTED BY (user_id) INTO 4 BUCKETS LOCATION '$decoy/v2'""")
+      val guarded = EventStreams.versionDiff(spark, target, 0L, 2L,
+        tablePrefix = Some(prefix)).orderBy(col("user_id")).collect()
+      assert(guarded.map(_.toString).toSeq === honest.map(_.toString).toSeq)
+    } finally {
+      (0 to 2).foreach { i =>
+        spark.sql(s"DROP TABLE IF EXISTS ${prefix}_v$i")
+        spark.sql(s"DROP TABLE IF EXISTS vd_t7_decoy_v$i")
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(target))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(decoy))
+    }
+  }
+
   test("missing pin fails loudly") {
     // pins resolve DOWNWARD (latest committed <= pin), so only a pin
     // below the first committed version can fail; commit v1 only and
