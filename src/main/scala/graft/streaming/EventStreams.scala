@@ -39,6 +39,16 @@ object EventStreams {
     * still watermark-bounded; output cardinality is `length/slide` × the
     * tumbling equivalent, the standard smoothed-rate view.
     */
+  /** Money note (the st07 latent pattern, adjudicated): this aggregate
+    * — and its tumbling/session twins — emits `round(sum(double), 2)`,
+    * and its oracle runs the IDENTICAL double sum over the identical
+    * parquet values, so gate parity holds; but double accumulation
+    * order can in principle straddle a .005 boundary on much larger
+    * windows. The deployment discipline is the transformWithState
+    * operators' integer-cents fold (see RunningProfileProcessor) —
+    * kept OFF these legacy window paths deliberately, because changing
+    * them would re-baseline six paired gate entries for a hazard the
+    * cents-based operators already demonstrate the fix for. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
                     windowLen: String = "1 hour", slide: String = "15 minutes"): DataFrame =
     events
@@ -58,6 +68,19 @@ object EventStreams {
     * pipeline the open version simply stays in state). Within-batch walk
     * in (ts, event_id) order for the same backfill-equals-live guarantee
     * sessionize documents.
+    *
+    * EPISODE semantics, declared: the horizon timeout CLOSES the key's
+    * history and drops its state — a user who reappears after their
+    * timeout fired starts a fresh episode whose version numbering
+    * restarts at 1 (the funnel operator's episode rule, applied to
+    * dimensions). Consumers keying on (user_id, version) across
+    * episodes must treat the emitted is_current row as an episode
+    * terminator; continuing version numbers across episodes would
+    * require keeping per-key tombstone state forever, defeating the
+    * timeout's state bound. The replay gate never fires a mid-stream
+    * timeout (ticks close history once, at the end), so stream ≡ batch
+    * holds; a live pipeline that wants cross-episode numbering should
+    * set the horizon beyond its reactivation window.
     *
     * Timestamps emit as epoch millis (the domain the walk compares in),
     * keeping the sink rows encoder-plain; the batch oracle transposes
@@ -267,14 +290,15 @@ object EventStreams {
 
     override def handleInputRows(userId: Long, rows: Iterator[Event],
         timerValues: TimerValues): Iterator[TypeCountOut] = {
-      var lastMs = if (meta.exists()) meta.get().lastMs else Long.MinValue
+      // one state-store point read per key per batch, not two
+      val m = if (meta.exists()) meta.get() else RecentMeta(Long.MinValue, 0L)
+      var lastMs = m.lastMs
       rows.foreach { e =>
         val k = e.event_type
         val cur = if (counts.containsKey(k)) counts.getValue(k) else 0L
         counts.updateValue(k, cur + 1)
         lastMs = math.max(lastMs, e.ts.getTime)
       }
-      val m = if (meta.exists()) meta.get() else RecentMeta(Long.MinValue, 0L)
       if (m.timerMs != 0L) getHandle.deleteTimer(m.timerMs)
       val t = lastMs + horizonMs
       getHandle.registerTimer(t)
@@ -625,7 +649,7 @@ object EventStreams {
       .flatMapGroupsWithState[CohortState, CohortHit](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[Event], state: GroupState[CohortState]) =>
-          val weeks = rows.map(_.ts.getTime / 604800000L).toList.distinct.sorted
+          val weeks = rows.map(e => math.floorDiv(e.ts.getTime, 604800000L)).toList.distinct.sorted // floorDiv: pre-epoch ts floors, never truncates toward zero
           if (weeks.isEmpty) Iterator.empty
           else {
             val prev = state.getOption
@@ -711,6 +735,7 @@ object EventStreams {
     }
     mergedSnapshot(prior, chg)
       .write.mode("overwrite").parquet(vDir.toString)
+    writeSuccessMarker(fs, vDir)
   }
 
   /** [[applyChangeset]] composed with q38b's bucketed layout — the
@@ -789,6 +814,7 @@ object EventStreams {
       .write.bucketBy(buckets, "user_id").sortBy("user_id")
       .option("path", vDir.toString).mode("overwrite")
       .saveAsTable(s"${tablePrefix}_v$batchId")
+    writeSuccessMarker(fs, vDir)
     // persist the layout next to the commit marker (see scaladoc): a
     // crash in this narrow window leaves _SUCCESS without _BUCKETS,
     // which recovery treats as unknown → plain scan, never misaligned
@@ -896,6 +922,7 @@ object EventStreams {
       .write.bucketBy(buckets, "user_id").sortBy("user_id")
       .option("path", vDir.toString).mode("overwrite")
       .saveAsTable(s"${tablePrefix}_v$batchId")
+    writeSuccessMarker(fs, vDir)
     writeBucketCount(fs, vDir, buckets)
   }
 
@@ -944,10 +971,13 @@ object EventStreams {
     * the touched-set collect — still shows at small targets), and
     * 2.97 s vs 5.42 s at 64M — past the crossover, the full apply's
     * O(target) re-encode grows and this path's cost doesn't. Falls
-    * back to the full [[applyChangesetBucketed]]
-    * when there is no prior, or the prior carries no trustworthy bucket
-    * marker, or its count differs from `buckets` — correctness first,
-    * pruning only on a proven layout. The residual O(target) BYTES on
+    * back to the full [[applyChangesetBucketed]] when there is no prior
+    * or the prior carries no trustworthy bucket marker — correctness
+    * first, pruning only on a proven layout. A prior whose marker
+    * carries a DIFFERENT count than `buckets` also delegates, and the
+    * full apply's layout validation then refuses LOUDLY — a
+    * mis-declared bucket parameter is a config error, not a degradable
+    * state. The residual O(target) BYTES on
     * the copy path is the file-granularity floor an FS-level store has;
     * removing it takes a manifest/table format (shared files across
     * versions), which would also change retention — out of scope by the
@@ -1110,6 +1140,18 @@ object EventStreams {
   /** The bucket-count marker protocol for [[applyChangesetBucketed]]. */
   private val BucketsMarker = "_BUCKETS"
 
+  /** Write the `_SUCCESS` commit marker explicitly. Spark's committer
+    * only emits it when `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * is true — its default, but a common object-store tuning turns it
+    * OFF, and this store's whole idempotence protocol keys on the
+    * marker: without it every apply would see no committed prior,
+    * derive from the empty snapshot, and silently reset the state each
+    * batch. Every apply writes it itself (idempotent if the committer
+    * already did), so the protocol carries no cluster-config dependency. */
+  private def writeSuccessMarker(fs: org.apache.hadoop.fs.FileSystem,
+      vDir: org.apache.hadoop.fs.Path): Unit =
+    fs.create(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"), true).close()
+
   private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
       vDir: org.apache.hadoop.fs.Path, buckets: Int): Unit = {
     val out = fs.create(new org.apache.hadoop.fs.Path(vDir, BucketsMarker), true)
@@ -1149,8 +1191,10 @@ object EventStreams {
     * between two listings (contract-violating concurrent writer) would
     * otherwise dodge validation and surface as an opaque MatchError. */
   /** Canonical bucket-id extraction from a bucketed write's file name —
-    * the ONE routing regex; tools must reuse it, never re-derive it. */
-  private[graft] val BucketFileId = ".*_(\\d{5})(?:\\.c\\d+)?\\..*".r
+    * ONE core pattern; the anchored matcher and healBucketMarker's SQL
+    * regexp_extract both derive from it, so they cannot drift. */
+  private[graft] val BucketFileIdCore = "_(\\d{5})(?:\\.c\\d+)?\\."
+  private[graft] val BucketFileId = (".*" + BucketFileIdCore + ".*").r
 
   private def validateBucketFiles(fs: org.apache.hadoop.fs.FileSystem,
       vDir: org.apache.hadoop.fs.Path,
@@ -1204,7 +1248,7 @@ object EventStreams {
     val rows = s.read.parquet(vDir.toString)
       .withColumn("_fid", regexp_extract(
         element_at(split(input_file_name(), "/"), -1),
-        "_(\\d{5})(?:\\.c\\d+)?\\.", 1).cast("int"))
+        BucketFileIdCore, 1).cast("int"))
     val misrouted = rows
       .filter(pmod(hash(col("user_id")), lit(buckets)) =!= col("_fid"))
       .limit(1).count()
@@ -1349,6 +1393,7 @@ object EventStreams {
     prior.join(broadcast(tombstones.select(col("user_id")).distinct()),
         Seq("user_id"), "left_anti")
       .write.mode("overwrite").parquet(vDir.toString)
+    writeSuccessMarker(fs, vDir)
   }
 
   /** VERSION DIFF over the snapshot store — "what changed between
@@ -1392,11 +1437,21 @@ object EventStreams {
               org.apache.spark.sql.catalyst.TableIdentifier(name))
             val fs = new org.apache.hadoop.fs.Path(dir)
               .getFileSystem(s.sparkContext.hadoopConfiguration)
+            val dirP = new org.apache.hadoop.fs.Path(dir)
+            // location AND bucket count (vs the dir's own _BUCKETS
+            // marker) AND schema — a same-location entry declaring a
+            // different modulus would place the SMJ's two sides by
+            // different hashes and emit spurious added/removed pairs;
+            // a divergent schema would silently misread the files
             fs.makeQualified(new org.apache.hadoop.fs.Path(ct.location)) ==
-              fs.makeQualified(new org.apache.hadoop.fs.Path(dir)) &&
+              fs.makeQualified(dirP) &&
               ct.bucketSpec.exists(b =>
-                b.bucketColumnNames == Seq("user_id") &&
-                  b.sortColumnNames == Seq("user_id"))
+                readBucketCount(fs, dirP).contains(b.numBuckets) &&
+                  b.bucketColumnNames == Seq("user_id") &&
+                  b.sortColumnNames == Seq("user_id")) &&
+              ct.schema.map(f => f.name -> f.dataType.simpleString) ==
+                Seq("user_id" -> "bigint", "n_events" -> "bigint",
+                  "cents" -> "bigint")
           }
           if (usable) s.table(name) else s.read.parquet(dir)
         case None => s.read.parquet(dir)
@@ -1428,9 +1483,16 @@ object EventStreams {
       .partitionBy("batch_id")
       .parquet(outDir)
 
-  /** Convenience: run `windowedCounts` over a rate-limited file stream of
-    * the events table and deliver to an in-memory sink — the wiring a
-    * production deployment would point at kafka/files + a real sink.
+  /** Convenience: run `windowedCounts` over a file stream of the events
+    * table and deliver to an in-memory sink — the wiring a production
+    * deployment would point at kafka/files + a real sink. The whole
+    * directory arrives in the FIRST micro-batch (the file source's
+    * default); deliberately NOT rate-limited here — with
+    * `maxFilesPerTrigger` the per-batch watermark advance would make
+    * results depend on file arrival ORDER (a later-stamped file arriving
+    * first marks earlier files' rows late). Paced multi-batch replay
+    * with controlled watermark ticks is [[graft.streaming.StreamReplay]]'s
+    * job, which stages files explicitly for exactly that reason.
     */
   def streamEventsToMemory(spark: SparkSession, eventsDir: String,
                            queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {
