@@ -89,8 +89,8 @@ object StreamReplay {
   private def replay(s: SparkSession, dir: String,
                      mode: OutputMode,
                      transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame,
-                     chunks: Int = 1): DataFrame =
-    replayRaw(s, dir, mode, transform, chunks = chunks).df
+                     chunks: Int = 1, ticks: Boolean = true): DataFrame =
+    replayRaw(s, dir, mode, transform, ticks = ticks, chunks = chunks).df
 
   /** Writes one far-future tick event as a single-file parquet batch into
     * the staged stream dir, schema-identical to the real files (ts stays
@@ -152,6 +152,58 @@ object StreamReplay {
     * `stateStore` defaults to the process-level [[stateStoreOverride]];
     * specs thread an explicit value instead of mutating the global
     * system property (which would race under parallel suites). */
+  /** Recursive data-file listing of a parquet table path (file or
+    * dir) — shared by both replay stagers: a partitioned/nested table
+    * dir is a valid batch-read layout, and a non-recursive listing
+    * would silently stage a SUBSET of a mixed layout (partial corpus
+    * into the stream, full corpus into the oracle). Staging flattens
+    * the names — partition-dir values are not consumed by any replay. */
+  private def listParquetFiles(src: java.io.File): Seq[java.io.File] =
+    if (src.isDirectory) {
+      val walk = Files.walk(src.toPath)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.map(_.toFile)
+          .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+            !f.getName.startsWith("_") && !f.getName.startsWith("."))
+          .toSeq.sortBy(_.getAbsolutePath)
+      } finally walk.close()
+    } else Seq(src)
+
+  /** MULTI-BATCH chunk staging, shared by both replays: range-partition
+    * the table by `key` and write one file per range — file k's min key
+    * >= file k-1's max key, so feeding them in order is a valid
+    * key-ordered replay (nothing is ever watermark-late on a ts key).
+    * One distributed sort; no driver materialization; part index =
+    * range index = delivery order. */
+  private def stageChunks(s: SparkSession, base: Path, stage: Path,
+      srcPath: String, chunks: Int, key: String, what: String): Seq[Path] = {
+    val tmp = Files.createTempDirectory(base, "chunkwrite")
+    s.read.parquet(srcPath)
+      .repartitionByRange(chunks, col(key))
+      .write.mode("overwrite").parquet(tmp.toString)
+    val parts = tmp.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    require(parts.length > 1,
+      s"multi-batch $what replay needs >1 chunk files, got ${parts.length}")
+    parts.toSeq.zipWithIndex.map { case (f, i) =>
+      Files.move(f.toPath, stage.resolve(f"chunk-$i%05d.parquet"))
+    }
+  }
+
+  /** FileStreamSource orders new files by modification time ascending:
+    * pin strictly increasing mtimes (in the recent past, so tick files
+    * appended later always sort after) — staged order IS delivery
+    * order, and same-mtime ties can't reorder the copy case. */
+  private def pinMtimes(staged: Seq[Path]): Unit = {
+    val mt0 = System.currentTimeMillis() - staged.size * 2000L
+    staged.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p,
+        java.nio.file.attribute.FileTime.fromMillis(mt0 + i * 1000L))
+    }
+  }
+
   private[streaming] def replayRaw(outer: SparkSession, dir: String,
                      mode: OutputMode,
                      transform: org.apache.spark.sql.Dataset[EventStreams.Event] => DataFrame,
@@ -159,7 +211,7 @@ object StreamReplay {
                      stageCopies: Int = 1,
                      chunks: Int = 1,
                      copiesAsBatches: Boolean = false,
-                     stateStore: Option[String] = null,
+                     stateStore: Option[String] = None,
                      parquetSinkDir: Option[String] = None,
                      foreachBatchFn: Option[(DataFrame, Long) => Unit] = None,
                      progressSink: Option[scala.collection.mutable.Buffer[
@@ -179,7 +231,12 @@ object StreamReplay {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    (if (stateStore == null) stateStoreOverride else resolveStateStore(stateStore))
+    // None = inherit the process-level override (-Dgraft.stateStore /
+    // GRAFT_STATE_STORE); an explicit name resolves through the same
+    // table (Some("hdfs") forces the default provider). No null
+    // sentinel: an innocently-forwarded None must not silently disable
+    // the override a soak was launched under.
+    (stateStore.fold(stateStoreOverride)(n => resolveStateStore(Some(n))))
       .foreach(s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
     import s.implicits._
 
@@ -193,59 +250,21 @@ object StreamReplay {
     val stage = Files.createDirectory(base.resolve("in"))
     val ckpt = base.resolve("ckpt").toString
     val src = new java.io.File(s"$dir/events.parquet")
-    // recursive listing: a partitioned/nested events.parquet directory is
-    // a valid batch-read layout, so the replay must stage those files too
-    // (staging flattens the names — partition-dir values are not consumed
-    // by any replay, the 5 columns live in the data files)
-    val srcFiles: Seq[java.io.File] =
-      if (src.isDirectory) {
-        val walk = Files.walk(src.toPath)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.map(_.toFile)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-              !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            .toSeq.sortBy(_.getAbsolutePath)
-        } finally walk.close()
-      } else Seq(src)
+    val srcFiles: Seq[java.io.File] = listParquetFiles(src)
     require(srcFiles.nonEmpty, s"no parquet files found under $src")
     val sink = s"graft_replay_${sinkId.incrementAndGet()}"
     try {
       val stagedFiles: Seq[Path] =
-        if (chunks > 1) {
-          // MULTI-BATCH staging: range-partition the table by event time
-          // and write one file per time range — file k's min ts >= file
-          // k-1's max ts, so feeding them in order is a valid event-time
-          // ordered replay and nothing is ever watermark-late. One
-          // distributed sort; no driver materialization.
-          val tmp = Files.createTempDirectory(base, "chunkwrite")
-          s.read.parquet(src.getAbsolutePath)
-            .repartitionByRange(chunks, col("ts"))
-            .write.mode("overwrite").parquet(tmp.toString)
-          val parts = tmp.toFile.listFiles()
-            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .sortBy(_.getName) // part index = range index = time order
-          require(parts.length > 1,
-            s"multi-batch replay needs >1 chunk files, got ${parts.length}")
-          parts.toSeq.zipWithIndex.map { case (f, i) =>
-            Files.move(f.toPath, stage.resolve(f"chunk-$i%05d.parquet"))
-          }
-        } else {
+        if (chunks > 1)
+          stageChunks(s, base, stage, src.getAbsolutePath, chunks, "ts", "event")
+        else {
           // stageCopies > 1 stages the whole table N times into the same
           // batch — every row becomes an exact duplicate, which is how
           // the dedup entry exercises a state HIT for every id (st06)
           (for { c <- 0 until stageCopies; (f, i) <- srcFiles.zipWithIndex }
             yield Files.copy(f.toPath, stage.resolve(f"real-$c%02d-$i%05d.parquet"))).toSeq
         }
-      // FileStreamSource orders new files by modification time ascending:
-      // pin strictly increasing mtimes (in the recent past, so the tick
-      // files appended later always sort after) — chunk order IS event
-      // time order, and same-mtime ties can't reorder the copy case
-      val mt0 = System.currentTimeMillis() - stagedFiles.size * 2000L
-      stagedFiles.zipWithIndex.foreach { case (p, i) =>
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(mt0 + i * 1000L))
-      }
+      pinMtimes(stagedFiles)
       // file-source schema = the staged DATA-FILE footer schema (ts int64
       // ns for the sf tables); the ns→µs conversion below mirrors
       // Tables.events exactly. Read a staged file, NOT the source dir: a
@@ -334,7 +353,10 @@ object StreamReplay {
           .map(_.longValue).sum
         Replayed((foreachBatchFn, parquetSinkDir) match {
           case (Some(_), _) => s.emptyDataFrame // custom sink: caller reads its target
-          case (None, Some(out)) => s.read.parquet(out).localCheckpoint()
+          // lazy: the only caller (st09) re-reads the dir itself after
+          // its hostile retry — an eager checkpoint here would scan and
+          // cache the full sink for nothing
+          case (None, Some(out)) => s.read.parquet(out)
           case _ => s.table(sink).localCheckpoint()
         }, maxTs, batches, lateDropped, dupDropped)
       } finally {
@@ -381,11 +403,13 @@ object StreamReplay {
 
   private def st02Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     replay(s, dir, OutputMode.Complete(),
-      // cohortUpdates tracks EVERY event type, so the watermark ticks
-      // must be dropped here (funnelWindow's own type filter handles
-      // them in st01); ticks are the only negative user ids
+      // cohortUpdates tracks EVERY event type, so tick rows would need
+      // dropping here anyway (they are the only negative user ids) —
+      // but its state function uses GroupStateTimeout.NoTimeout, so the
+      // ticks have NOTHING to fire and each would cost a full state
+      // pass + Complete-mode sink rewrite (the st05 lesson): skip them
       ds => EventStreams.cohortCounts(ds.filter(_.user_id >= 0L)),
-      chunks = chunks)
+      ticks = false, chunks = chunks)
       .orderBy(col("cohort_week"), col("k"))
 
   /** st03: the WINDOWED-AGGREGATION state path (EventStreams
@@ -794,44 +818,17 @@ object StreamReplay {
     // replay must stage those files too (a non-recursive listing would
     // silently stage a SUBSET of a mixed layout — partial corpus into
     // the stream, full corpus into the oracle)
-    val srcFiles: Seq[java.io.File] =
-      if (src.isDirectory) {
-        val walk = Files.walk(src.toPath)
-        try {
-          import scala.jdk.CollectionConverters._
-          walk.iterator().asScala.map(_.toFile)
-            .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-              !f.getName.startsWith("_") && !f.getName.startsWith("."))
-            .toSeq.sortBy(_.getAbsolutePath)
-        } finally walk.close()
-      } else Seq(src)
+    val srcFiles: Seq[java.io.File] = listParquetFiles(src)
     require(srcFiles.nonEmpty, s"no parquet files found under $src")
     val sink = s"graft_docreplay_${sinkId.incrementAndGet()}"
     try {
       val staged: Seq[Path] =
-        if (chunks > 1) {
-          // one distributed range-sort by doc_id; part index = range
-          // index = delivery order (the replayRaw chunk protocol)
-          val tmp = Files.createTempDirectory(base, "chunkwrite")
-          s.read.parquet(src.getAbsolutePath)
-            .repartitionByRange(chunks, col("doc_id"))
-            .write.mode("overwrite").parquet(tmp.toString)
-          val parts = tmp.toFile.listFiles()
-            .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-            .sortBy(_.getName)
-          require(parts.length > 1,
-            s"multi-batch doc replay needs >1 chunk files, got ${parts.length}")
-          parts.toSeq.zipWithIndex.map { case (f, i) =>
-            Files.move(f.toPath, stage.resolve(f"chunk-$i%05d.parquet"))
-          }
-        } else srcFiles.zipWithIndex.map { case (f, i) =>
+        if (chunks > 1)
+          stageChunks(s, base, stage, src.getAbsolutePath, chunks, "doc_id", "doc")
+        else srcFiles.zipWithIndex.map { case (f, i) =>
           Files.copy(f.toPath, stage.resolve(f"real-$i%05d.parquet"))
         }
-      val mt0 = System.currentTimeMillis() - staged.size * 2000L
-      staged.zipWithIndex.foreach { case (p, i) =>
-        Files.setLastModifiedTime(p,
-          java.nio.file.attribute.FileTime.fromMillis(mt0 + i * 1000L))
-      }
+      pinMtimes(staged)
       val raw = s.readStream
         .schema(s.read.parquet(staged.head.toString).schema)
         .option("maxFilesPerTrigger", if (chunks > 1) "1" else staged.size.toString)
@@ -927,6 +924,8 @@ object StreamReplay {
     // await the exact expected sink size instead of processAllAvailable
     val awaitRows = ttlMillis.map(_ =>
       DocStreams.expectedBandRows(graft.Tables.documents(s, dir)))
+    require(!throttled || ttlMillis.nonEmpty,
+      "throttled soak is the TTL'd-gate regime; set ttlMillis")
     val trig =
       if (throttled) ttlMillis.map(_ =>
         org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
@@ -1180,6 +1179,7 @@ object StreamReplay {
       val ev = graft.Tables.events(s, dir)
         .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
       val mm = ev.agg(min(col("ms")), max(col("ms"))).head()
+      require(!mm.isNullAt(0), "events table is empty — nothing to replay")
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val span = mx - mn + 1
       (0L until K).foreach { i =>
@@ -1215,7 +1215,7 @@ object StreamReplay {
   val st21_cdc_apply_pruned: Q = (s, dir) => {
     val B = 8
     val target = Files.createTempDirectory("graft-st21-target").toString
-    val prefix = "graft_st21"
+    val prefix = s"graft_st21_${sinkId.incrementAndGet()}" // per-run: concurrent same-entry runs must not collide in the shared catalog
     try {
       val ev = graft.Tables.events(s, dir).select(col("user_id"), col("value"))
       (0 until 4).foreach { i =>
@@ -1257,11 +1257,12 @@ object StreamReplay {
   val st22_version_diff: Q = (s, dir) => {
     val K = 8L
     val target = Files.createTempDirectory("graft-st22-target").toString
-    val prefix = "graft_st22"
+    val prefix = s"graft_st22_${sinkId.incrementAndGet()}"
     try {
       val ev = graft.Tables.events(s, dir)
         .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
       val mm = ev.agg(min(col("ms")), max(col("ms"))).head()
+      require(!mm.isNullAt(0), "events table is empty — nothing to replay")
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val span = mx - mn + 1
       (0L until K).foreach { i =>
@@ -1303,11 +1304,12 @@ object StreamReplay {
   val st23_cdc_delete: Q = (s, dir) => {
     val K = 4L
     val target = Files.createTempDirectory("graft-st23-target").toString
-    val prefix = "graft_st23"
+    val prefix = s"graft_st23_${sinkId.incrementAndGet()}"
     try {
       val ev = graft.Tables.events(s, dir)
         .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
       val mm = ev.agg(min(col("ms")), max(col("ms"))).head()
+      require(!mm.isNullAt(0), "events table is empty — nothing to replay")
       val (mn, mx) = (mm.getLong(0), mm.getLong(1))
       val span = mx - mn + 1
       (0L until K).foreach { i =>
