@@ -48,6 +48,12 @@ object DocStreams {
   final case class DocBand(doc_id: Long, band: Int, h: String)
   final case class BandDup(doc_id: Long, band: Int, dup: Long)
 
+  /** A document carries a signature iff it has >= 3 tokens (one 3-gram
+    * shingle) — THE eligibility rule, shared by [[bandRows]]'s filter and
+    * [[expectedBandRows]]'s count so the replay's settlement target can
+    * never drift from the emission rule. */
+  private def hasSignature: Column = size(split(col("text"), " ")) >= 3
+
   /** The four (band, h) LSH rows per document, as stateless per-row
     * expressions — usable identically on a batch or streaming frame.
     * Signature constants (16 hashes, 3-gram shingles, 4×4 bands) are
@@ -66,8 +72,8 @@ object DocStreams {
     val bandCols = (0 until 4).map(b =>
       md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)))
     docs
+      .filter(hasSignature)
       .select(col("doc_id"), tk.as("tk"))
-      .filter(size(col("tk")) >= 3)
       .select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id") +: mins: _*)
       .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "h")))
@@ -80,29 +86,55 @@ object DocStreams {
     * settlement target — counting the real signature rows would cost a
     * full MinHash pass just to learn a number the filter already knows. */
   def expectedBandRows(docs: DataFrame): Long =
-    4L * docs.filter(size(split(col("text"), " ")) >= 3).count()
+    4L * docs.filter(hasSignature).count()
 
   /** Per-(band, value) minimum-owner state: one ValueState[Long]. Each
     * batch folds its rows' min doc_id into the stored owner and emits
     * every input row with `dup = owner' < doc_id` — the min-owner rule
-    * above. No timers, no watermark: `TimeMode.None`, state lives for
-    * the stream (an ingest gate never forgets an owner; production would
-    * add TTL only as an explicit recall-loss decision). */
-  class BandOwnerProcessor extends StatefulProcessor[String, DocBand, BandDup] {
+    * above. ONE body serves both gate variants (the st16/st18 parity
+    * claim is structural, not a copy kept in sync by hand); only the
+    * TTLConfig and the write policy differ:
+    *
+    *  - `TTLConfig.NONE` (st16): no timers, no watermark, state lives
+    *    for the stream (an ingest gate never forgets an owner). The
+    *    owner is REWRITTEN only when it actually changes — a hot bucket
+    *    whose owner is already the global minimum costs zero state-store
+    *    writes per batch (no RocksDB put, no changelog entry).
+    *  - a real TTL (st18): every batch's write is LOAD-BEARING — it
+    *    refreshes the owner's TTL horizon, so a bucket that keeps seeing
+    *    traffic never forgets and only cold buckets age out. An expired
+    *    owner reads as absent — exactly the forget semantics.
+    *
+    * Memory note: the batch's rows must be buffered (the owner is known
+    * only after the fold, and every row emits a flag against it) — as
+    * two primitive arrays, not boxed case classes, so a degenerate hot
+    * bucket's per-batch occupancy costs 12 bytes/row, not object
+    * headers. Compute stays O(rows); peak memory is the hot bucket's
+    * single-batch occupancy, the bound a caller sizes micro-batches to. */
+  class BandOwnerProcessor(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[String, DocBand, BandDup] {
     @transient private var owner: ValueState[Long] = _
+    private val refreshesTtl = ttl != TTLConfig.NONE
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       owner = getHandle.getValueState[Long]("owner",
-        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+        org.apache.spark.sql.Encoders.scalaLong, ttl)
 
     override def handleInputRows(key: String, rows: Iterator[DocBand],
         timerValues: TimerValues): Iterator[BandDup] = {
-      val buf = rows.toArray
-      var newOwner = if (owner.exists()) owner.get() else Long.MaxValue
-      buf.foreach(b => newOwner = math.min(newOwner, b.doc_id))
-      owner.update(newOwner)
+      val ids = Array.newBuilder[Long]
+      val bands = Array.newBuilder[Int]
+      val prior = if (owner.exists()) owner.get() else Long.MaxValue
+      var newOwner = prior
+      rows.foreach { b =>
+        ids += b.doc_id; bands += b.band
+        newOwner = math.min(newOwner, b.doc_id)
+      }
+      if (refreshesTtl || newOwner != prior) owner.update(newOwner)
+      val (idArr, bandArr) = (ids.result(), bands.result())
       val o = newOwner
-      buf.iterator.map(b => BandDup(b.doc_id, b.band, if (o < b.doc_id) 1L else 0L))
+      Iterator.tabulate(idArr.length)(i =>
+        BandDup(idArr(i), bandArr(i), if (o < idArr(i)) 1L else 0L))
     }
   }
 
@@ -111,7 +143,7 @@ object DocStreams {
     import docs.sparkSession.implicits._
     bandRows(docs)
       .groupByKey(b => s"${b.band}:${b.h}")
-      .transformWithState(new BandOwnerProcessor,
+      .transformWithState(new BandOwnerProcessor(),
         TimeMode.None(), OutputMode.Append())
       .toDF()
   }
@@ -138,49 +170,26 @@ object DocStreams {
       .load()
     val valueStruct = raw.schema("value").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val owner = valueStruct("value").dataType match {
-      case _: org.apache.spark.sql.types.StructType => col("value.value.value")
-      case _ => col("value.value")
+    val (owner, expiry) = valueStruct("value").dataType match {
+      case _: org.apache.spark.sql.types.StructType =>
+        // TTL'd layout: surface the expiry too — an owner past it is one
+        // the GATE would read as absent, and a debugging read that hid
+        // that would report owners the gate disagrees with. Consumers
+        // filter `expires_ms > now` for the live view; the raw row is
+        // kept (expired-but-unevicted entries are real checkpoint
+        // contents, and the row count must keep matching the store's
+        // own numRowsTotal).
+        (col("value.value.value"), col("value.ttlExpirationMs"))
+      case _ => (col("value.value"), lit(null).cast("long"))
     }
     raw.select(
       split(col("key.value"), ":", 2).getItem(0).cast("int").as("band"),
       split(col("key.value"), ":", 2).getItem(1).as("h"),
-      owner.as("owner"))
+      owner.as("owner"),
+      expiry.as("expires_ms"))
   }
 
-  /** TTL'd [[BandOwnerProcessor]] — the explicit recall-loss knob the
-    * no-TTL doc names: the same min-owner rule, but each (band, value)
-    * owner is stored under `TTLConfig(ttl)` (processing-time mode — the
-    * only mode state TTL supports), so an owner not rewritten within
-    * `ttl` EXPIRES and a duplicate arriving after that is ADMITTED — a
-    * recall loss the deployment chooses deliberately, buying bounded
-    * state: live rows ≈ bands × distinct signatures seen within one TTL
-    * horizon, instead of the whole corpus history. Every write refreshes
-    * the owner's TTL, so a bucket that keeps seeing traffic never
-    * forgets — only cold buckets age out. The quantified delta vs the
-    * unbounded gate is pinned in `TtlIngestGateSpec`. */
-  class BandOwnerProcessorTtl(ttlMillis: Long)
-      extends StatefulProcessor[String, DocBand, BandDup] {
-    @transient private var owner: ValueState[Long] = _
-
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      owner = getHandle.getValueState[Long]("owner",
-        org.apache.spark.sql.Encoders.scalaLong,
-        TTLConfig(java.time.Duration.ofMillis(ttlMillis)))
-
-    override def handleInputRows(key: String, rows: Iterator[DocBand],
-        timerValues: TimerValues): Iterator[BandDup] = {
-      val buf = rows.toArray
-      // an expired owner reads as absent — exactly the forget semantics
-      var newOwner = if (owner.exists()) owner.get() else Long.MaxValue
-      buf.foreach(b => newOwner = math.min(newOwner, b.doc_id))
-      owner.update(newOwner) // refreshes the TTL horizon
-      val o = newOwner
-      buf.iterator.map(b => BandDup(b.doc_id, b.band, if (o < b.doc_id) 1L else 0L))
-    }
-  }
-
-  /** [[BandOwnerProcessorTtl]] wiring (processing-time mode, required
+  /** TTL'd [[BandOwnerProcessor]] wiring (processing-time mode, required
     * for state TTL). With `ttlMillis` far above the batch cadence this
     * is behaviorally identical to [[nearDupFlags]] — which is what the
     * st18 gate entry verifies against st16's own oracle; the recall
@@ -197,7 +206,8 @@ object DocStreams {
     import docs.sparkSession.implicits._
     bandRows(docs)
       .groupByKey(b => s"${b.band}:${b.h}")
-      .transformWithState(new BandOwnerProcessorTtl(ttlMillis),
+      .transformWithState(new BandOwnerProcessor(
+          TTLConfig(java.time.Duration.ofMillis(ttlMillis))),
         TimeMode.ProcessingTime(), OutputMode.Append())
       .toDF()
   }

@@ -756,7 +756,10 @@ object StreamReplay {
     * state. */
   val st19_gate_state_reader: Q = (s, dir) =>
     replayDocs(s, dir, docs => DocStreams.nearDupFlags(docs), chunks = 8,
-      stateExtract = Some((sess, ckpt) => DocStreams.ownerState(sess, ckpt)))
+      stateExtract = Some((sess, ckpt) => DocStreams.ownerState(sess, ckpt)
+        // the no-TTL checkpoint has no expiry; the gate pins the domain
+        // columns (the TTL'd layout's expires_ms is spec-covered)
+        .select(col("band"), col("h"), col("owner"))))
       .orderBy(col("band"), col("h"))
 
   private def st16Shaped(s: SparkSession, dir: String, chunks: Int,

@@ -153,4 +153,34 @@ class StateReaderSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(state === batchOwners(),
       "TTL bookkeeping must not change the owner values the reader sees")
   }
+
+  test("expires_ms: populated for a TTL'd checkpoint, null for plain") {
+    // the reader must surface the expiry the GATE's forget rule keys on
+    // — an owner past it is one the gate reads as absent, and a read
+    // that hid it would report owners the gate disagrees with
+    def expiries(gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) = {
+      val sp = spark
+      import sp.implicits._
+      implicit val sql: org.apache.spark.sql.SQLContext = sp.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val name = s"statereader_${ids.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory("statereader-exp").toString
+      val q = gate(in.toDF().toDF("doc_id", "text")).writeStream
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        in.addData(batches.head)
+        awaitSinkRows(q, name, 4L * batches.head.size)
+      } finally q.stop()
+      DocStreams.ownerState(spark, ckpt).collect()
+        .map(r => if (r.isNullAt(3)) None else Some(r.getLong(3)))
+    }
+    val plain = expiries(docs => DocStreams.nearDupFlags(docs))
+    assert(plain.nonEmpty && plain.forall(_.isEmpty),
+      "a no-TTL checkpoint has no expiry to report")
+    val now = System.currentTimeMillis()
+    val ttld = expiries(docs => DocStreams.nearDupFlagsTtl(docs, 3600L * 1000))
+    assert(ttld.nonEmpty && ttld.forall(_.exists(_ > now)),
+      "every TTL'd owner must carry its (future) expiry")
+  }
 }
