@@ -31,17 +31,19 @@ object EventJoins {
     * ASOF engines leave this tie implementation-defined; ours is declared.
     */
   val a01_asof_join: Q = (s, dir) => {
-    val ev = Tables.events(s, dir)
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("ts"), col("event_id").as("p_id"),
-        lit(1).as("side"), lit(null).cast("long").as("e_in"))
-    val e = ev.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), lit(null).cast("long").as("p_id"),
-        lit(0).as("side"), col("event_id").as("e_in"))
+    // ONE scan: both sides come out of a single conditional projection
+    // (a filtered union would plan two full file reads — at 100 TB the
+    // input IO doubles for no semantic reason)
+    val both = Tables.events(s, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", col("event_id")).as("p_id"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("side"),
+        when(col("event_type") === "error", col("event_id")).as("e_in"))
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("side"), col("e_in"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    p.unionByName(e)
+    both
       .withColumn("asof_error_id", last(col("e_in"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("p_id"), col("user_id"), col("asof_error_id"))
@@ -64,12 +66,15 @@ object EventJoins {
     * [[Tables.events]]' normalization choosing the read plan for it. */
   private[graft] def a02From(ev: DataFrame): DataFrame = {
     val W = 86400000000L // 24h in micros
+    // integer div for the bucket key (the Tables.events rule): floor of
+    // a DOUBLE quotient is exact only while the quotient fits a double's
+    // integer-precision range — div never rounds
     val su = ev.filter(col("event_type") === "signup")
       .select(col("user_id"), col("event_id").as("s_id"), unix_micros(col("ts")).as("s_us"))
-      .withColumn("bkt", floor(col("s_us") / W))
+      .withColumn("bkt", expr(s"s_us div $W"))
     val pu = ev.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), unix_micros(col("ts")).as("p_us"))
-      .withColumn("bkt", explode(array(floor(col("p_us") / W) - 1, floor(col("p_us") / W))))
+      .withColumn("bkt", explode(array(expr(s"p_us div $W") - 1, expr(s"p_us div $W"))))
     su.join(pu, Seq("user_id", "bkt"))
       .filter(col("s_us") <= col("p_us") && col("p_us") < col("s_us") + W)
       .select(col("s_id"), col("p_id"), col("user_id"))
@@ -298,9 +303,16 @@ object EventJoins {
         |SELECT c.cohort_week, wk.wk - c.cohort_week AS k, count(*) AS n_users
         |FROM wk JOIN c USING (user_id)
         |GROUP BY 1, 2 ORDER BY cohort_week, k""".stripMargin,
+    // the equal-ts tie is PINNED on both sides: the engine's declared
+    // rule is max event_id among errors at the same (user, ts); ASOF
+    // engines leave that tie implementation-defined, so the oracle
+    // dedups e to the same pick before the ASOF join (a no-op when no
+    // ties exist, alignment when they do)
     "a01_asof_join" ->
       """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-        |     e AS (SELECT * FROM events WHERE event_type = 'error')
+        |     e AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id
+        |  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
         |SELECT p.event_id AS p_id, p.user_id AS user_id,
         |       e.event_id AS asof_error_id
         |FROM p ASOF LEFT JOIN e
