@@ -197,8 +197,11 @@ object RelationalQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
-  /** q11: rollup over the region→nation hierarchy with grouping_id so the
-    * oracle can distinguish subtotal rows from NULL data. */
+  /** q11: rollup over the region→nation hierarchy. The output carries
+    * NO grouping_id: the grouping columns (r_name, n_name) are
+    * non-nullable in this schema, so subtotal NULLs are unambiguous; a
+    * nullable grouping column would need grouping_id() on BOTH the
+    * engine and oracle sides to keep subtotal rows distinguishable. */
   val q11_rollup: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
     val n = Tables.nation(s, dir)
@@ -397,7 +400,11 @@ object RelationalQueries {
     * per-row re-execution, unlike a naive nested-loop interpreter). The
     * same text runs verbatim in DuckDB as its own oracle.
     */
-  val q25_sql_correlated: Q = (s, dir) => {
+  val q25_sql_correlated: Q = (s0, dir) => {
+    // child session: the generic view names (customer/orders) must not
+    // clobber same-named temp views an embedding caller owns — the q30
+    // rule, applied to every view-registering SQL entry
+    val s = s0.newSession()
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     s.sql(
@@ -445,8 +452,9 @@ object RelationalQueries {
     val HOT = 6 // lines-per-key threshold; production: reducer-capacity based
     val l = Tables.lineitem(s, dir)
     val o = Tables.orders(s, dir)
-    // localCheckpoint: hotKeys feeds FOUR probes (semi/anti on both
-    // tables); without the cut each probe re-plans the full lineitem
+    // localCheckpoint: hotKeys feeds THREE probes (semi+anti on
+    // lineitem, semi on orders — the cold orders side joins the full
+    // table); without the cut each probe re-plans the full lineitem
     // frequency aggregate (exchange reuse does not fire across the
     // broadcast builds — observed as plan_ids 729/737 in the r3 audit).
     // The key set is dimension-sized, so the materialization is free.
@@ -548,8 +556,13 @@ object RelationalQueries {
     * result is bit-identical at any sizing (spec-pinned at 512 bits).
     * Default 4M bits / 400k keys ≈ 10 bits/key ≈ 1% fpp; one fewer job
     * than counting the build side. */
-  def bloomPrunedJoin(s: SparkSession, dir: String,
+  def bloomPrunedJoin(s0: SparkSession, dir: String,
       estKeys: Long = 400000L, numBits: Long = 4194304L): DataFrame = {
+    // child session: register() is check-then-register on the FUNCTION
+    // registry — on the caller's session it would either adopt a
+    // same-named foreign function or leak graft's into the caller
+    // (every other session mutation in this file is already isolated)
+    val s = s0.newSession()
     graft.functions.BloomFunctions.register(s)
     val urgent = Tables.orders(s, dir)
       .filter(col("o_orderpriority") === "1-URGENT")
@@ -608,7 +621,8 @@ object RelationalQueries {
       |  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
       |ORDER BY n.n_name, c.c_acctbal DESC, c.c_name""".stripMargin
 
-  val q33_lateral_join: Q = (s, dir) => {
+  val q33_lateral_join: Q = (s0, dir) => {
+    val s = s0.newSession() // see q25's view-isolation note
     Tables.nation(s, dir).createOrReplaceTempView("nation")
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     s.sql(q33Sql)
@@ -637,7 +651,8 @@ object RelationalQueries {
       |ON days.d = o.d
       |ORDER BY day""".stripMargin
 
-  val q34_recursive_cte: Q = (s, dir) => {
+  val q34_recursive_cte: Q = (s0, dir) => {
+    val s = s0.newSession() // see q25's view-isolation note
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     s.sql(q34Sql)
   }
@@ -684,7 +699,13 @@ object RelationalQueries {
       s: SparkSession, dir: String, prefix: String)(
       build: (String, String) => T): T =
     cache.computeIfAbsent(s"${System.identityHashCode(s)}:$dir", _ => {
-      val sfx = java.lang.Integer.toHexString(dir.hashCode & 0x7fffffff) +
+      // md5 of the dir, not String.hashCode: two dirs colliding on a
+      // 31-bit hash would get the SAME catalog-table suffix, and the
+      // second build's mode-overwrite saveAsTable would silently replace
+      // the first dir's live tables under every query reading them
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val sfx = md.take(6).map(b => f"$b%02x").mkString +
         "_" + java.lang.Integer.toHexString(System.identityHashCode(s))
       val scratch = java.nio.file.Files.createTempDirectory(prefix).toString
       graft.Scratch.track(scratch)
@@ -719,7 +740,10 @@ object RelationalQueries {
     * paid at ingest, not per query.
     */
   def ensureBucketed(s: SparkSession, dir: String, buckets: Int = 8): (String, String) = {
-    val (ordT, liT, _) = memoLayout(bucketedReady, s, dir, "graft-bkt") { (scratch, sfx) =>
+    // buckets is part of the memo identity: a hit on a different count
+    // would silently hand back the wrong layout as if it were the
+    // requested one
+    val (ordT, liT, _) = memoLayout(bucketedReady, s, s"$dir#b$buckets", "graft-bkt") { (scratch, sfx) =>
       val (ordT, liT) = (s"graft_bkt_orders_$sfx", s"graft_bkt_lineitem_$sfx")
       Tables.orders(s, dir)
         .repartition(buckets, col("o_orderkey"))
