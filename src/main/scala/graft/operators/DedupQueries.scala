@@ -120,14 +120,35 @@ object DedupQueries {
     * pairs: the signature pipeline runs once (a self-join would recompute
     * the whole minhash upstream on both sides) and candidate pairs never
     * leave their band bucket. */
-  private[graft] def pairsFromBands(bands: DataFrame): DataFrame =
-    bands.groupBy(col("band"), col("h"))
+  /** Ordered-pair explode over a SORTED array column: emits every (x, y)
+    * with x before y, as `named_struct('a', x, 'b', y)`. The index
+    * arithmetic is subtle (0-based `transform` lambda index feeding the
+    * 1-based `slice` start) — ONE definition, four consumers
+    * (band buckets, packed postings, passage postings, d17's variant
+    * buckets); element type is whatever the array holds. */
+  private def orderedPairs(arr: String): Column = expr(
+    s"flatten(transform($arr, (x, i) -> transform(slice($arr, i + 2, " +
+      s"size($arr) - i - 1), y -> named_struct('a', x, 'b', y))))")
+
+  private[graft] def pairsFromBands(bands: DataFrame,
+      bucketCap: Option[Int] = None): DataFrame = {
+    val buckets = bands.groupBy(col("band"), col("h"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+    // the d12/d13 cap discipline for the MINHASH family: a bucket's pair
+    // array materializes IN ONE ROW before explode, so a viral exact-dup
+    // group (every copy shares all 4 bands) is C(m,2) structs in one
+    // task — cap it and a flooded bucket contributes NO pairs, a
+    // deliberate recall decision (the flood is exactly what d01's exact
+    // pass removes first in a real pipeline). Gate corpora run uncapped:
+    // their duplicate groups are generator-bounded.
+    val kept = bucketCap.map(c => buckets.filter(size(col("ds")) <= c))
+      .getOrElse(buckets)
+    kept
+      .select(explode(orderedPairs("ds")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
+  }
 
   /** d07: near-dup CLUSTERS — connected components over the MinHash pair
     * graph; cluster id = min doc_id of the component (so "keep the cluster
@@ -157,8 +178,13 @@ object DedupQueries {
     * [[d07_dedup_clusters]] for the algorithm discussion. Returns the
     * exact fixpoint; rounds = O(log diameter). */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+    // both directions from each pair row in ONE pass (the d14 shape) —
+    // a two-branch union would reference the whole upstream pair
+    // pipeline once per branch and re-run its post-exchange stages twice
+    val edges = pairs.select(explode(expr(
+        "array(named_struct('u', doc_a, 'v', doc_b), " +
+          "named_struct('u', doc_b, 'v', doc_a))")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint() // materialize once; every round reuses it
     var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("lbl"))
@@ -191,8 +217,13 @@ object DedupQueries {
       val newSum = labelSum(jumped)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
+      // the superseded iterate's blocks are dead the moment `jumped`
+      // materialized — release eagerly (the PageRank lesson, SOAK_r14b)
+      graft.CacheOps.unpersistLocalCheckpoint(labels)
       labels = jumped
     }
+    // the returned frame is its own checkpoint; edges are ballast now
+    graft.CacheOps.unpersistLocalCheckpoint(edges)
     labels.select(col("doc_id"), col("lbl").as("cluster_id"))
   }
 
@@ -349,7 +380,8 @@ object DedupQueries {
     // toward zero, breaking unpack for negatives) — fail the task loudly
     // instead. The branch is codegen'd and costs one compare per shingle.
     val packed = expr(
-      s"if(doc_id >= 0 and n < $PackBase, doc_id * $PackBase + n, " +
+      s"if(doc_id >= 0 and doc_id < ${Long.MaxValue / PackBase} and n < $PackBase, " +
+        s"doc_id * $PackBase + n, " +
         "cast(raise_error(concat('packed posting out of range: doc_id=', " +
         "cast(doc_id as string), ' n=', cast(n as string))) as bigint))")
     val inv = sh.groupBy(col("s"))
@@ -369,9 +401,7 @@ object DedupQueries {
     * injective) and unpack AFTER the aggregation, on the collapsed
     * rows. */
   private def packedPairs(inv: DataFrame): DataFrame =
-    inv.select(explode(expr(
-      "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), " +
-        "y -> named_struct('a', x, 'b', y))))")).as("p"))
+    inv.select(explode(orderedPairs("ds")).as("p"))
       .select(col("p.a").as("pa"), col("p.b").as("pb"))
 
   /** Count per packed pair, then unpack ids and sizes on the collapsed
@@ -566,8 +596,7 @@ object DedupQueries {
   private[graft] def passagePairs(inv: org.apache.spark.sql.DataFrame,
       maxPosting: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     val kept = maxPosting.map(c => inv.filter(size(col("ds")) <= c)).getOrElse(inv)
-    kept.select(explode(expr(
-        "flatten(transform(ds, (x, i) -> transform(slice(ds, i + 2, size(ds) - i - 1), y -> named_struct('a', x, 'b', y))))")).as("p"))
+    kept.select(explode(orderedPairs("ds")).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -643,6 +672,10 @@ object DedupQueries {
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
       .withColumn("len", length(col("tok")))
+      // both join sides project THIS aggregate — cut it once (the d06
+      // lesson: a self-join otherwise re-runs the post-exchange final
+      // aggregate per probe side); vocabulary-sized, so the cut is free
+      .localCheckpoint()
     val a = vocab.select(col("tok").as("tok_a"), col("n").as("na"), col("len").as("la"))
     val b = vocab.select(col("tok").as("tok_b"), col("n").as("nb"), col("len").as("lb"))
       .withColumn("bkt", explode(array(col("lb") - 2, col("lb") - 1, col("lb"))))
@@ -699,9 +732,7 @@ object DedupQueries {
     val pairs = keyed.groupBy(col("v")).agg(collect_set(col("e")).as("ts"))
       .filter(size(col("ts")) >= 2)
       .select(sort_array(col("ts")).as("ts"))
-      .select(explode(expr(
-        "flatten(transform(ts, (x, i) -> transform(slice(ts, i + 2, size(ts) - i - 1), " +
-          "y -> named_struct('a', x, 'b', y))))")).as("p"))
+      .select(explode(orderedPairs("ts")).as("p"))
       .select(col("p.a.tok").as("tok_a"), col("p.b.tok").as("tok_b"),
         col("p.a.n").as("na"), col("p.b.n").as("nb"))
       .distinct() // a pair may share many variants; one levenshtein each

@@ -84,31 +84,20 @@ object GraphQueries {
           (floor(lit(1.0 - damping) * lit(RankScale.toDouble) / col("n_v")).cast("long") +
             floor(lit(damping) * col("mm")).cast("long")).as("rq"))
         .localCheckpoint()
-      prevCk.foreach(unpersistLocalCheckpoint)
+      prevCk.foreach(graft.CacheOps.unpersistLocalCheckpoint)
       prevCk = Some(ranks)
     }
     val out = ranks.select(col("vx"), col("rq"))
     if (iters >= 1) {
       // the final iterate's checkpoint truncated every input's lineage —
       // the loop-invariant checkpoints are ballast from here on
-      unpersistLocalCheckpoint(ed)
-      unpersistLocalCheckpoint(base)
-      dang.foreach(unpersistLocalCheckpoint)
+      graft.CacheOps.unpersistLocalCheckpoint(ed)
+      graft.CacheOps.unpersistLocalCheckpoint(base)
+      dang.foreach(graft.CacheOps.unpersistLocalCheckpoint)
     }
     out
   }
 
-  /** Drop the persisted blocks behind a `localCheckpoint`'d frame once
-    * nothing downstream can reference them (every consumer has been
-    * materialized past it). The checkpoint Dataset is a LogicalRDD over
-    * the persisted internal RDD, so the unpersist is exact — no global
-    * persistent-RDD sweeps that could hit someone else's cache. */
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
 
   /** g02: PageRank over the s06 kNN graph — 8 quantized iterations,
     * top-20 most-central vectors. The LIMIT is a global TakeOrdered (no

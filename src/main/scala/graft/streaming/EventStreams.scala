@@ -1091,20 +1091,8 @@ object EventStreams {
     s.sql(s"""CREATE TABLE $vName (user_id BIGINT, n_events BIGINT,
       cents BIGINT) USING PARQUET CLUSTERED BY (user_id)
       SORTED BY (user_id) INTO $buckets BUCKETS LOCATION '$vDir'""")
-    } finally unpersistLocalCheckpoint(chg)
+    } finally graft.CacheOps.unpersistLocalCheckpoint(chg)
   }
-
-  /** Release the persisted blocks behind a `localCheckpoint`'d frame
-    * once nothing downstream references them (the GraphQueries iterate
-    * discipline): the checkpoint Dataset is a LogicalRDD over the
-    * persisted internal RDD, so the unpersist is exact. A non-checkpoint
-    * frame is a no-op. */
-  private def unpersistLocalCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
 
   /** Bounded-parallel byte copy of `srcs` into `destDir` (same names)
     * through the FileSystem seam. Failures propagate: any copy error
