@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -50,11 +50,30 @@ object CurationQueries {
     * a document lands in the same split forever, regardless of corpus
     * growth or partitioning, the property that prevents test-set leakage
     * across pipeline re-runs. */
-  val c02_train_test_split: Q = (s, dir) => {
+  /** The md5 group-stable split — ONE definition of the thresholds
+    * (first 2 hex of md5(doc_id): ≤ cb → train (~80%), ≤ e5 → val
+    * (~10%), else test), shared by c02, c06, and c17 so the splits they
+    * claim to build on each other can never silently diverge. The SQL
+    * oracle twins carry the same literals; a ratio change edits this
+    * and the oracle strings together. */
+  private def splitAssign: Column = {
     val h = substring(md5(col("doc_id").cast("string")), 1, 2)
+    when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test")
+  }
+
+  /** The sequential-Poisson priority key — ONE definition of the
+    * determinism-critical expression (12-hex md5 prefix → uniform long,
+    * +1 so zero never divides, / n_chars as the weight), shared by c15
+    * and c16; bit-identical in DuckDB by construction. */
+  private def poissonKey: Column = {
+    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+      .cast("long")
+    (u + 1).cast("double") / col("n_chars")
+  }
+
+  val c02_train_test_split: Q = (s, dir) => {
     Tables.documents(s, dir)
-      .withColumn("split",
-        when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test"))
+      .withColumn("split", splitAssign)
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
       .orderBy(col("split"))
@@ -149,9 +168,8 @@ object CurationQueries {
     * distinct-shingle cardinality — never test×train pairs.
     */
   val c06_contamination: Q = (s, dir) => {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
     val docs = Tables.documents(s, dir)
-      .withColumn("bucket", when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test"))
+      .withColumn("bucket", splitAssign)
       .filter(col("bucket") =!= "val")
       .withColumn("w", split(col("text"), " ")) // materialized once (split-in-lambda re-evaluates)
       .filter(size(col("w")) >= 5)
@@ -196,15 +214,20 @@ object CurationQueries {
       .withColumn("w", split(col("text"), " ")) // materialized once
     val uni = docs.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("c"))
-    val big = docs.filter(size(col("w")) >= 2)
+    val bigAll = docs.filter(size(col("w")) >= 2)
       .select(explode(transform(sequence(lit(1), size(col("w")) - 1),
         i => struct(element_at(col("w"), i).as("x"),
           element_at(col("w"), i + 1).as("y")))).as("b"))
       .select(col("b.x").as("x"), col("b.y").as("y"))
       .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
-      .filter(col("n_xy") >= 5)
+      // checkpointed: feeds the TRUE total below AND the filtered join —
+      // and p(xy) must normalize by ALL bigram mass, not the >=5
+      // survivors' (a truncated denominator inflates every PMI by a
+      // constant; the bias grows with the rare-bigram tail)
+      .localCheckpoint()
+    val big = bigAll.filter(col("n_xy") >= 5)
     val nUni = uni.agg(sum(col("c")).as("n_u"))
-    val nBig = big.agg(sum(col("n_xy")).as("n_b"))
+    val nBig = bigAll.agg(sum(col("n_xy")).as("n_b"))
     big
       .join(uni.select(col("t").as("x"), col("c").as("c_x")), "x")
       .join(uni.select(col("t").as("y"), col("c").as("c_y")), "y")
@@ -226,25 +249,10 @@ object CurationQueries {
     * counts are a source-cardinality aggregate broadcast back onto a
     * narrow filter scan — the corpus itself shuffles nothing.
     */
-  val c09_domain_resample: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
-    // localCheckpoint: counts is referenced twice (the min() target and
-    // the per-source threshold join) — without the cut both subtrees
-    // re-run the corpus count aggregate. Source-cardinality rows, free.
-    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
-      .localCheckpoint()
-    val target = counts.agg(min(col("n_total")).as("tgt"))
-    val thr = counts.crossJoin(target)
-      .withColumn("t16", floor(lit(65536.0) * col("tgt") / col("n_total")).cast("long"))
-      .select(col("source"), col("n_total"),
-        when(col("t16") >= 65536L, lit("zzzz"))
-          .otherwise(lpad(lower(hex(col("t16"))), 4, "0")).as("thr"))
-    docs.join(broadcast(thr), "source")
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
-      .groupBy(col("source"), col("n_total"))
-      .agg(count(lit(1)).as("n_kept"))
-      .orderBy(col("source"))
-  }
+  val c09_domain_resample: Q = (s, dir) =>
+    md5ThresholdKeep(Tables.documents(s, dir),
+      // uniform flattening: keep-rate = n_min / n_s
+      (tgt, n) => lit(65536.0) * tgt / n)
 
   /** c14: TEMPERATURE-flattened source mixing — the "alpha sampling" step
     * between c09's uniform flattening and the natural distribution. With
@@ -259,14 +267,28 @@ object CurationQueries {
     * source-cardinality agg broadcast back onto a narrow filter scan —
     * the corpus shuffles nothing.
     */
-  val c14_temperature_mix: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+  val c14_temperature_mix: Q = (s, dir) =>
+    md5ThresholdKeep(Tables.documents(s, dir),
+      // α = 0.5 temperature: keep-rate = sqrt(n_min / n_s); sqrt of an
+      // exact-integer ratio is correctly rounded in both engines, so
+      // the 16-bit threshold is bit-identical and the oracle matches
+      (minN, n) => lit(65536.0) * sqrt(minN / n))
+
+  /** The deterministic md5-threshold keep machinery c09 and c14 share —
+    * ONE definition of the 4-hex threshold rendering (floor → lpad hex,
+    * `zzzz` for keep-everything), so the cross-engine bit-identity
+    * argument lives in one place. `rate16` maps (min source count,
+    * source count) → the scaled 16-bit keep threshold. The counts
+    * aggregate is checkpointed: it feeds the min() AND the threshold
+    * join (without the cut both subtrees re-run the corpus count);
+    * source-cardinality rows, free. */
+  private def md5ThresholdKeep(docs: DataFrame,
+      rate16: (Column, Column) => Column): DataFrame = {
     val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_total"))
-      .localCheckpoint() // two consumers, source-cardinality rows (c09's cut)
+      .localCheckpoint()
     val minN = counts.agg(min(col("n_total")).as("n_min"))
     val thr = counts.crossJoin(minN)
-      .withColumn("t16",
-        floor(lit(65536.0) * sqrt(col("n_min") / col("n_total"))).cast("long"))
+      .withColumn("t16", floor(rate16(col("n_min"), col("n_total"))).cast("long"))
       .select(col("source"), col("n_total"),
         when(col("t16") >= 65536L, lit("zzzz"))
           .otherwise(lpad(lower(hex(col("t16"))), 4, "0")).as("thr"))
@@ -347,11 +369,15 @@ object CurationQueries {
           var len = w.agg(sum(length(col("seq")))).head().getLong(0)
           var converged = false
           while (!converged) { // fixpoint: one replace pass per round
+            val prev = w
             w = w.withColumn("seq", replace(col("seq"), lit(pat), lit(rep)))
               .localCheckpoint()
             val newLen = w.agg(sum(length(col("seq")))).head().getLong(0)
             converged = newLen == len
             len = newLen
+            // the superseded iterate's blocks are dead once w is
+            // materialized (the PageRank/CC discipline)
+            graft.CacheOps.unpersistLocalCheckpoint(prev)
           }
           rules += ((step, x, y, cnt))
           step += 1
@@ -422,13 +448,10 @@ object CurationQueries {
     * global sort, no driver state).
     */
   val c15_weighted_sample: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("skey"), col("doc_id"))
     Tables.documents(s, dir)
-      .withColumn("skey", (u + 1).cast("double") / col("n_chars"))
+      .withColumn("skey", poissonKey)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 20)
       .select(col("source"), col("rk"), col("doc_id"), col("n_chars"), col("skey"))
@@ -451,7 +474,6 @@ object CurationQueries {
     * shuffle + one source-window shuffle, total.
     */
   val c16_curation_e2e: Q = (s, dir) => {
-    import org.apache.spark.sql.expressions.Window
     val keep = Tables.documents(s, dir)
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"),
@@ -459,11 +481,9 @@ object CurationQueries {
         min(col("n_chars")).as("n_chars"),
         min(size(split(col("text"), " "))).as("n_tokens"))
       .filter(col("n_tokens") >= 20)
-    val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
-      .cast("long")
     val w = Window.partitionBy(col("source"))
       .orderBy(col("skey"), col("doc_id"))
-    keep.withColumn("skey", (u + 1).cast("double") / col("n_chars"))
+    keep.withColumn("skey", poissonKey)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select(col("source"), col("rk"), col("doc_id"), col("n_tokens"))
@@ -487,17 +507,20 @@ object CurationQueries {
     * corpus².
     */
   val c17_decontaminated_split: Q = (s, dir) => {
-    val h = substring(md5(col("doc_id").cast("string")), 1, 2)
-    val docs = Tables.documents(s, dir).withColumn("split",
-      when(h <= "cb", "train").when(h <= "e5", "val").otherwise("test"))
+    val docs = Tables.documents(s, dir).withColumn("split", splitAssign)
     val splits = docs.select(col("doc_id"), col("split")).localCheckpoint()
     val adj = DedupQueries.minhashPairs(s, dir)
       .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
       .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
-    val contaminated = adj.filter(col("sa") === "train" && col("sb") =!= "train")
-      .select(col("doc_a").as("doc_id"))
-      .unionAll(adj.filter(col("sb") === "train" && col("sa") =!= "train")
-        .select(col("doc_b").as("doc_id")))
+    // one traversal: a pair is contaminating iff EXACTLY one side is
+    // train (within-train near-dups are d01/d02's business, not
+    // leakage); pick the train-side doc. A two-branch union would run
+    // the whole minhash pair pipeline once per branch (different pushed
+    // filters defeat exchange reuse).
+    val contaminated = adj
+      .filter((col("sa") === "train") =!= (col("sb") === "train"))
+      .select(when(col("sa") === "train", col("doc_a"))
+        .otherwise(col("doc_b")).as("doc_id"))
       .distinct()
     docs.join(contaminated.withColumn("quar", lit(1)), Seq("doc_id"), "left")
       .withColumn("bucket",
@@ -529,6 +552,13 @@ object CurationQueries {
     "c11_shuffle_shard" -> c11_shuffle_shard,
   )
 
+  // KNOWN BOUND (degenerate corpora): the recursive bpeIter chain CROSS
+  // JOINs each step's single-row b_i, so a corpus where fewer than 3
+  // merges are learnable (all 1-char words) empties b_i and with it the
+  // whole c13 oracle, while the engine correctly stops early and emits
+  // the partially-merged table. The gate corpora always admit 3 merges;
+  // a generator change that breaks that invariant surfaces as a loud
+  // rows-mismatch here, not a silent wrong-pass.
   private val bpeIter = (i: Int) =>
     s"""p$i AS (
        |  SELECT p['x'] AS x, p['y'] AS y, CAST(sum(n) AS BIGINT) AS cnt FROM (
@@ -626,14 +656,16 @@ object CurationQueries {
         |  SELECT string_split(text, ' ') AS w FROM documents),
         |uni AS (
         |  SELECT t, count(*) AS c FROM (SELECT unnest(w) AS t FROM d) GROUP BY t),
-        |big AS (
+        |bigall AS (
         |  SELECT b['x'] AS x, b['y'] AS y, count(*) AS n_xy FROM (
         |    SELECT unnest(list_transform(range(1, len(w)),
         |      i -> struct_pack(x := w[i], y := w[i+1]))) AS b
         |    FROM d WHERE len(w) >= 2)
-        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |  GROUP BY 1, 2),
+        |big AS (SELECT * FROM bigall WHERE n_xy >= 5),
         |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_u FROM uni),
-        |nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_b FROM big)
+        |-- p(xy) normalizes by ALL bigram mass, not the >=5 survivors'
+        |nb AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n_b FROM bigall)
         |SELECT big.x, big.y, n_xy,
         |  floor((ln(CAST(n_xy AS DOUBLE)) - ln(CAST(n_b AS DOUBLE))
         |    - ln(CAST(cx.c AS DOUBLE)) - ln(CAST(cy.c AS DOUBLE))
@@ -685,6 +717,30 @@ object CurationQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         |ORDER BY doc_id""".stripMargin,
+    // c17: d02's banded pair stream (the shared minhash CTE), the c02
+    // split literals, the exactly-one-side-train rule, the quarantine
+    // regrouping — maintain-grade hash parity for the decontamination
+    // pass (previously the file's one rows-only entry)
+    "c17_decontaminated_split" ->
+      s"""WITH ${TrainingOracles.minhashCte},
+         |splits AS (
+         |  SELECT doc_id, n_chars,
+         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
+         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |contaminated AS (
+         |  SELECT DISTINCT CASE WHEN sa.split = 'train' THEN p.doc_a
+         |                       ELSE p.doc_b END AS doc_id
+         |  FROM pairs p
+         |  JOIN splits sa ON p.doc_a = sa.doc_id
+         |  JOIN splits sb ON p.doc_b = sb.doc_id
+         |  WHERE (sa.split = 'train') <> (sb.split = 'train'))
+         |SELECT CASE WHEN s.split = 'train' AND c.doc_id IS NOT NULL
+         |            THEN 'quarantined' ELSE s.split END AS bucket,
+         |  count(*) AS n_docs, CAST(sum(s.n_chars) AS BIGINT) AS sum_chars
+         |FROM splits s LEFT JOIN contaminated c ON s.doc_id = c.doc_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c02_train_test_split" ->
       """WITH h AS (
         |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx, n_chars FROM documents)

@@ -555,6 +555,7 @@ object SimilarityQueries {
     * changes which queries are audited, never any query's truth. */
   def knnGraphRecall(s: SparkSession, dir: String,
       graph: DataFrame, queryMod: Long = 1L): DataFrame = {
+    require(queryMod >= 1, s"queryMod must be >= 1, got $queryMod") // 0 would NULL-filter everything into a false recall-0 row
     val e = embs(s, dir)
     // truth: unblocked top-3 over the sampled query side (s01's ranking
     // discipline; m=1 → corpus-wide)
