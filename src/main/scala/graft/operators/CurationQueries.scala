@@ -717,31 +717,7 @@ object CurationQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         |ORDER BY doc_id""".stripMargin,
-    // c17: d02's banded pair stream (the shared minhash CTE), the c02
-    // split literals, the exactly-one-side-train rule, the quarantine
-    // regrouping — maintain-grade hash parity for the decontamination
-    // pass (previously the file's one rows-only entry)
-    "c17_decontaminated_split" ->
-      s"""WITH ${TrainingOracles.minhashCte},
-         |splits AS (
-         |  SELECT doc_id, n_chars,
-         |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'cb' THEN 'train'
-         |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= 'e5' THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM documents),
-         |contaminated AS (
-         |  SELECT DISTINCT CASE WHEN sa.split = 'train' THEN p.doc_a
-         |                       ELSE p.doc_b END AS doc_id
-         |  FROM pairs p
-         |  JOIN splits sa ON p.doc_a = sa.doc_id
-         |  JOIN splits sb ON p.doc_b = sb.doc_id
-         |  WHERE (sa.split = 'train') <> (sb.split = 'train'))
-         |SELECT CASE WHEN s.split = 'train' AND c.doc_id IS NOT NULL
-         |            THEN 'quarantined' ELSE s.split END AS bucket,
-         |  count(*) AS n_docs, CAST(sum(s.n_chars) AS BIGINT) AS sum_chars
-         |FROM splits s LEFT JOIN contaminated c ON s.doc_id = c.doc_id
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "c02_train_test_split" ->
+    "c02_train_test_split" ->    "c02_train_test_split" ->
       """WITH h AS (
         |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx, n_chars FROM documents)
         |SELECT CASE WHEN hx <= 'cb' THEN 'train' WHEN hx <= 'e5' THEN 'val'
