@@ -717,7 +717,7 @@ object CurationQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <= '28'
         |ORDER BY doc_id""".stripMargin,
-    "c02_train_test_split" ->    "c02_train_test_split" ->
+    "c02_train_test_split" ->
       """WITH h AS (
         |  SELECT substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS hx, n_chars FROM documents)
         |SELECT CASE WHEN hx <= 'cb' THEN 'train' WHEN hx <= 'e5' THEN 'val'
