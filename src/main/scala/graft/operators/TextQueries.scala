@@ -41,23 +41,28 @@ object TextQueries {
       .orderBy(col("lang"), col("predicted"))
   }
 
-  /** t02: quality scoring — length / stopword-ratio / mean-token-length
-    * heuristics combined into one score per doc. */
-  val t02_quality_score: Q = (s, dir) => {
-    Tables.documents(s, dir)
+  /** THE t02 quality pipeline — one definition (t08 bins exactly this
+    * score; a second copy would bin a silently different score after any
+    * weight/rounding tweak). Explicit half-up quantization instead of
+    * round(): the score's fixed-decimal inputs land exactly on .00005
+    * boundaries, where Spark rounds half-up but DuckDB half-even —
+    * floor(x*1e4 + 0.5) forces the same rule in both engines. */
+  private def qualityScored(df: DataFrame): DataFrame =
+    df
       .withColumn("n_tokens", size(toks))
       .withColumn("n_stop", size(filter(toks, t => t.isin(Stopwords: _*))))
       .withColumn("stop_ratio", floor(col("n_stop") / col("n_tokens") * 10000 + 0.5) / 10000)
       .withColumn("mean_tok_len", floor(
         (length(col("text")) - col("n_tokens") + 1) / col("n_tokens") * 10000 + 0.5) / 10000)
-      // explicit half-up quantization instead of round(): the score's
-      // fixed-decimal inputs land exactly on .00005 boundaries, where
-      // Spark rounds half-up but DuckDB half-even — floor(x*1e4 + 0.5)
-      // forces the same rule in both engines
       .withColumn("quality", floor((
         least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
           col("stop_ratio") * 0.3 +
           least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
+
+  /** t02: quality scoring — length / stopword-ratio / mean-token-length
+    * heuristics combined into one score per doc. */
+  val t02_quality_score: Q = (s, dir) => {
+    qualityScored(Tables.documents(s, dir))
       .select(col("doc_id"), col("n_tokens"), col("stop_ratio"),
         col("mean_tok_len"), col("quality"))
       .orderBy(col("doc_id"))
@@ -74,7 +79,11 @@ object TextQueries {
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct(col("tok")).as("n_distinct"),
         countDistinct(col("doc_id")).as("n_docs"))
-      .withColumn("tokens_per_doc", round(col("n_tokens") / col("n_docs"), 4))
+      // floor(x*1e4+0.5), not round(): Spark's round() is HALF_UP on the
+      // shortest-decimal STRING, DuckDB rounds the binary value — they
+      // split on values within an ulp of a .00005 boundary (the t02 rule)
+      .withColumn("tokens_per_doc",
+        floor(col("n_tokens") / col("n_docs") * 10000 + 0.5) / 10000)
       .orderBy(col("source"))
   }
 
@@ -159,16 +168,7 @@ object TextQueries {
     */
   val t08_quality_bins: Q = (s, dir) => {
     import org.apache.spark.sql.expressions.Window
-    val scored = Tables.documents(s, dir)
-      .withColumn("n_tokens", size(toks))
-      .withColumn("n_stop", size(filter(toks, t => t.isin(Stopwords: _*))))
-      .withColumn("stop_ratio", floor(col("n_stop") / col("n_tokens") * 10000 + 0.5) / 10000)
-      .withColumn("mean_tok_len", floor(
-        (length(col("text")) - col("n_tokens") + 1) / col("n_tokens") * 10000 + 0.5) / 10000)
-      .withColumn("quality", floor((
-        least(col("n_tokens") / lit(100.0), lit(1.0)) * 0.5 +
-          col("stop_ratio") * 0.3 +
-          least(col("mean_tok_len") / lit(10.0), lit(1.0)) * 0.2) * 10000 + 0.5) / 10000)
+    val scored = qualityScored(Tables.documents(s, dir))
       // the bucket key: quality is already a 4-decimal grid point, so the
       // integer grid index is an exact, monotone bucketing of the sort key.
       // NULL quality (a null-text doc) maps to bucket -1 — it must stay a
@@ -233,7 +233,10 @@ object TextQueries {
   val t09_unigram_logprob: Q = (s, dir) => {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
+    // vocab-sized, two consumers (total + probe join) — cut it once
+    // (the t15 shared-subtree discipline)
     val cnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total = cnt.agg(sum(col("cnt")).cast("double").as("n_total"))
     tok.join(cnt, "tok").crossJoin(total)
       .select(col("doc_id"),
@@ -275,7 +278,10 @@ object TextQueries {
     */
   val t11_novelty: Q = (s, dir) => {
     val sh = DedupQueries.shingles(Tables.documents(s, dir))
+    // distinct-shingle-sized, probed by the corpus join below — cut it so
+    // the 3-gram explode isn't re-run inside the owner build per side
     val owner = sh.groupBy(col("s")).agg(min(col("doc_id")).as("owner"))
+      .localCheckpoint()
     sh.join(owner, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
@@ -308,15 +314,32 @@ object TextQueries {
       .groupBy(col("lang"), col("tok"))
       .agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(col("lang")).orderBy(col("f").desc, col("tok"))
+    // slope via the q46 moment identities over LOG VALUES QUANTIZED TO
+    // BIGINT (the t09 convention): regr_slope's internal double sums
+    // accumulate in engine/partitioning order, and the 4-decimal floor
+    // cannot absorb a last-ulp split landing on a 1e-4 grid boundary —
+    // integer sums make the slope the same exact rational in both
+    // engines, divided once at the end
     tf.withColumn("rk", row_number().over(w))
+      .withColumn("lf", when(col("rk") <= 50,
+        floor(log(col("f")) * 1e6 + 0.5).cast("long")))
+      .withColumn("lr", when(col("rk") <= 50,
+        floor(log(col("rk")) * 1e6 + 0.5).cast("long")))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("vocab"),
         (floor(sum(when(col("f") === 1, 1L).otherwise(0L)) * lit(1.0) / count(lit(1)) * 1e4 + 0.5) / 1e4)
           .as("hapax_ratio"),
-        (floor(regr_slope(
-          when(col("rk") <= 50, log(col("f"))),
-          when(col("rk") <= 50, log(col("rk")))) * 1e4 + 0.5) / 1e4)
+        count(col("lr")).as("k"),
+        sum(col("lr")).as("sx"), sum(col("lf")).as("sy"),
+        sum(col("lr") * col("lr")).as("sxx"),
+        sum(col("lr") * col("lf")).as("sxy"))
+      .select(col("lang"), col("vocab"), col("hapax_ratio"),
+        when(col("k") * col("sxx") - col("sx") * col("sx") === 0L, lit(null))
+          .otherwise(floor(
+            (col("k") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+              * 1e4 + 0.5) / 1e4)
           .as("zipf_slope"))
       .orderBy(col("lang"))
   }
@@ -395,6 +418,7 @@ object TextQueries {
     val tk = Tables.documents(s, dir)
       .select(col("doc_id"), explode(toks).as("tok"))
     val vocab = tk.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab-sized, two consumers (t15's discipline)
     val tot = vocab.agg(sum(col("c")).as("t"))
     tk.join(vocab, Seq("tok"))
       .crossJoin(broadcast(tot))
@@ -450,10 +474,13 @@ object TextQueries {
     val tot = uni.agg(sum(col("c")).as("u"))
     val bg = Tables.documents(s, dir)
       .filter(size(toks) >= 2) // sequence(1, 0) would DESCEND, not empty
+      // project the token array ONCE: filter and project are separate
+      // operators, so subexpression elimination does not share split()
+      // across them — the inline form tokenized each row up to 4 times
+      .select(toks.as("tk"))
       .select(explode(expr(
-        "transform(sequence(1, size(split(text,' ')) - 1)," +
-          " i -> concat_ws(' ', element_at(split(text,' '), i)," +
-          " element_at(split(text,' '), i+1)))")).as("bg"))
+        "transform(sequence(1, size(tk) - 1)," +
+          " i -> concat_ws(' ', element_at(tk, i), element_at(tk, i+1)))")).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
     bg
@@ -485,10 +512,16 @@ object TextQueries {
     * in SQL over unnest-with-subscripts — engine-neutral adjacency.
     */
   val t16_phrase_search: Q = (s, dir) => {
-    val tok = Tables.documents(s, dir)
+    // ONE corpus tokenization: both terms' postings come out of a single
+    // filtered explode, checkpointed (term-posting-sized — tiny), so the
+    // self-join's two sides probe the materialized postings instead of
+    // re-exploding the corpus each
+    val posts = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(toks).as(Seq("pos", "w")))
-    val p1 = tok.filter(col("w") === "hash").select(col("doc_id"), col("pos"))
-    val p2 = tok.filter(col("w") === "value")
+      .filter(col("w").isin("hash", "value"))
+      .localCheckpoint()
+    val p1 = posts.filter(col("w") === "hash").select(col("doc_id"), col("pos"))
+    val p2 = posts.filter(col("w") === "value")
       .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
     p1.join(p2,
         col("doc_id") === col("doc_id2") && col("pos2") === col("pos") + 1)

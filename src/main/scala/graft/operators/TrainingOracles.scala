@@ -971,7 +971,9 @@ object TrainingOracles {
         |  FROM d),
         |b AS (
         |  SELECT n_tokens, quality,
-        |    ntile(10) OVER (ORDER BY quality, doc_id) AS decile
+        |    -- NULLS FIRST: the engine's qb=-1 bucket sorts null-quality
+        |    -- docs before every real score; DuckDB's default is NULLS LAST
+        |    ntile(10) OVER (ORDER BY quality NULLS FIRST, doc_id) AS decile
         |  FROM q)
         |SELECT decile, count(*) AS n_docs,
         |  min(quality) AS min_q, max(quality) AS max_q,
@@ -1079,15 +1081,31 @@ object TrainingOracles {
         |r AS (
         |  SELECT lang, f,
         |    row_number() OVER (PARTITION BY lang ORDER BY f DESC, tok) AS rk
-        |  FROM tf)
-        |SELECT lang,
-        |  count(*) AS vocab,
-        |  floor(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e4 + 0.5) / 1e4
-        |    AS hapax_ratio,
-        |  floor(regr_slope(CASE WHEN rk <= 50 THEN ln(f) END,
-        |                   CASE WHEN rk <= 50 THEN ln(rk) END) * 1e4 + 0.5) / 1e4
-        |    AS zipf_slope
-        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+        |  FROM tf),
+        |q AS (
+        |  SELECT lang, f,
+        |    CASE WHEN rk <= 50
+        |         THEN CAST(floor(ln(f) * 1e6 + 0.5) AS BIGINT) END AS lf,
+        |    CASE WHEN rk <= 50
+        |         THEN CAST(floor(ln(rk) * 1e6 + 0.5) AS BIGINT) END AS lr
+        |  FROM r),
+        |m AS (
+        |  SELECT lang, count(*) AS vocab,
+        |    floor(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) * 1.0 / count(*) * 1e4 + 0.5) / 1e4
+        |      AS hapax_ratio,
+        |    CAST(count(lr) AS BIGINT) AS k,
+        |    CAST(sum(lr) AS BIGINT) AS sx, CAST(sum(lf) AS BIGINT) AS sy,
+        |    CAST(sum(lr*lr) AS BIGINT) AS sxx, CAST(sum(lr*lf) AS BIGINT) AS sxy
+        |  FROM q GROUP BY lang)
+        |-- the engine's exact-integer slope: one double division of BIGINT
+        |-- moment sums (regr_slope's internal double accumulation order
+        |-- differs between engines)
+        |SELECT lang, vocab, hapax_ratio,
+        |  CASE WHEN k*sxx - sx*sx = 0 THEN NULL
+        |       ELSE floor(CAST(k*sxy - sx*sy AS DOUBLE) /
+        |                  CAST(k*sxx - sx*sx AS DOUBLE) * 1e4 + 0.5) / 1e4
+        |  END AS zipf_slope
+        |FROM m ORDER BY lang""".stripMargin,
 
     "t09_unigram_logprob" ->
       """WITH tok AS (
@@ -1108,7 +1126,8 @@ object TrainingOracles {
         |SELECT source, count(*) AS n_tokens,
         |  count(DISTINCT tok) AS n_distinct,
         |  count(DISTINCT doc_id) AS n_docs,
-        |  round(count(*) / count(DISTINCT doc_id), 4) AS tokens_per_doc
+        |  floor(count(*) / count(DISTINCT doc_id) * 10000 + 0.5) / 10000
+        |    AS tokens_per_doc
         |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "t04_fingerprint" ->
