@@ -143,8 +143,8 @@ object DirectParquet {
     private var pageStore: ColumnChunkPageWriteStore = _
     private var store: ColumnWriteStoreV1 = _
     private var cw: Array[ColumnWriter] = _
-    private var rowsInGroup = 0L
-    private var nextSizeCheck = 100L
+    private var rowsInGroup: Long = _
+    private var nextSizeCheck: Long = _
 
     private def newRowGroup(): Unit = {
       // per-page CRCs are pure per-value overhead with no consumer here
@@ -156,7 +156,10 @@ object DirectParquet {
       var i = 0
       while (i < cw.length) { cw(i) = store.getColumnWriter(descriptors.get(i)); i += 1 }
       rowsInGroup = 0L
-      nextSizeCheck = 100L
+      // cap-aware initial cadence: a row-count cap BELOW the first check
+      // point would otherwise be silently violated (the replaced
+      // ParquetWriter enforced withRowGroupRowCountLimit on every record)
+      nextSizeCheck = rowGroupRows.fold(100L)(c => math.min(100L, c.toLong))
     }
     newRowGroup()
 
@@ -239,7 +242,7 @@ object DirectParquet {
       * so the walk over column buffers amortizes. */
     private def checkRowGroupSize(): Unit = {
       val sz = store.getBufferedSize
-      if (sz >= rowGroupBytes || rowGroupRows.exists(rowsInGroup >= _)) flushRowGroup()
+      if (sz >= rowGroupBytes || rowGroupRows.exists(rowsInGroup >= _)) flushRowGroup(reinit = true)
       else {
         val perRow = math.max(1L, sz / math.max(rowsInGroup, 1L))
         val half = (rowGroupBytes - sz) / perRow / 2
@@ -248,13 +251,16 @@ object DirectParquet {
       }
     }
 
-    private def flushRowGroup(): Unit = if (rowsInGroup > 0) {
+    private def flushRowGroup(reinit: Boolean): Unit = if (rowsInGroup > 0) {
       fw.startBlock(rowsInGroup)
       store.flush() // drains values + dictionary pages into pageStore
       pageStore.flushToFileWriter(fw)
       fw.endBlock()
       store.close()
-      newRowGroup()
+      // the final flush (close()) must not build a whole write-store
+      // stack just to immediately discard it — rotation closes a writer
+      // thousands of times per transcode
+      if (reinit) newRowGroup() else rowsInGroup = 0L
     }
 
     /** Flushed bytes + buffered estimate — the rotation feedback signal
@@ -262,9 +268,14 @@ object DirectParquet {
     def getDataSize: Long = fw.getPos + store.getBufferedSize
 
     def close(): Unit = {
-      flushRowGroup()
-      store.close()
-      codecFactory.release()
+      // release the codec's pooled/direct buffers even when the final
+      // flush fails (disk full mid-close) — the replaced ParquetWriter
+      // did this in a finally; a long-lived executor retrying tasks
+      // would otherwise accumulate leaked compressor memory
+      try {
+        flushRowGroup(reinit = false)
+        store.close()
+      } finally codecFactory.release()
       fw.end(java.util.Collections.emptyMap[String, String]())
     }
   }
