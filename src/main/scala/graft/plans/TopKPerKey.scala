@@ -122,7 +122,11 @@ final case class TopKPerKeyPartialExec(k: Int, keys: Seq[Expression],
         val key = keyProj(row)
         var pq = heaps.get(key)
         if (pq == null) {
-          pq = new java.util.PriorityQueue[UnsafeRow](limit + 1, cmp)
+          // initial capacity CAPPED: the queue grows dynamically, so a
+          // large k must not pre-allocate O(k) per distinct key (and
+          // limit+1 at Int.MaxValue would overflow negative and throw)
+          pq = new java.util.PriorityQueue[UnsafeRow](
+            math.min(limit.toLong + 1L, 16L).toInt, cmp)
           heaps.put(key.copy(), pq)
         }
         if (pq.size < limit) pq.add(rowProj(row).copy())
@@ -179,8 +183,11 @@ final case class TopKPerKeyFinalExec(k: Int, keys: Seq[Expression],
           currentKey = key.copy()
           emitted = 0
         }
-        emitted += 1
-        emitted <= limit
+        // saturate instead of incrementing unconditionally: a >2^31-row
+        // key run (tiny flushKeyThreshold at extreme scale) would wrap
+        // the counter negative and re-admit ~2.1B rows past k
+        if (emitted <= limit) { emitted += 1; emitted <= limit }
+        else false
       }
     }
   }
@@ -199,6 +206,9 @@ object TopKPerKey {
   def perKey(df: DataFrame, keyCols: Seq[String],
              orderBy: Seq[(String, Boolean)], k: Int,
              flushKeyThreshold: Int = TopKPerKeyPartialExec.FlushKeyThreshold): DataFrame = {
+    // fail driver-side with a clear message: k=0 would NPE on peek() and
+    // k<0 would throw from the queue constructor deep in executor tasks
+    require(k >= 1, s"top-k per key needs k >= 1, got $k")
     val spark = df.sparkSession
     // extraStrategies is a plain var: check-then-append must not race with
     // a concurrent first call (lost update → 'no plan for TopKPerKeyNode')
@@ -220,12 +230,12 @@ object TopKPerKey {
           s"ambiguous column '$n': matches ${many.map(_.name)}")
       }
     val keys = keyCols.map(attr)
-    keys.find(a => a.dataType == org.apache.spark.sql.types.DoubleType
-        || a.dataType == org.apache.spark.sql.types.FloatType)
+    keys.find(a => TopKWindowRewrite.containsFloat(a.dataType))
       .foreach(a => throw new IllegalArgumentException(
-        s"float-typed grouping key '${a.name}': raw-byte key comparison would " +
-          "split -0.0/0.0 and NaN variants into separate groups (the window " +
-          "formulation normalizes them); cast or normalize the key first"))
+        s"float-carrying grouping key '${a.name}': raw-byte key comparison " +
+          "would split -0.0/0.0 and NaN variants into separate groups (the " +
+          "window formulation normalizes them, incl. inside structs/arrays); " +
+          "cast or normalize the key first"))
     val order = orderBy.map { case (n, asc) =>
       SortOrder(attr(n), if (asc) Ascending else Descending) }
     org.apache.spark.sql.GraftBridge.ofRows(spark,

@@ -47,6 +47,9 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
 object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   val EnabledKey = "spark.graft.topkRewrite.enabled"
+  /** Rewrite only fires for k ≤ this (rows/key); larger bounds stay on
+    * the window path where the codegen'd sort wins. */
+  val MaxKKey = "spark.graft.topkRewrite.maxK"
 
   private def rowNumberAlias(w: Window): Option[Alias] =
     w.windowExpressions match {
@@ -56,7 +59,7 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** (k, residual conjuncts): k = the tightest `rank <= c` / `rank < c`
     * bound in the condition, residual = every other conjunct. */
-  private def extractBound(cond: Expression, rank: Attribute): (Option[Int], Seq[Expression]) = {
+  private def extractBound(cond: Expression, rank: Attribute): (Option[Long], Seq[Expression]) = {
     val (bounds, rest) = splitConjunctivePredicates(cond).partition {
       case LessThanOrEqual(a: Attribute, IntegerLiteral(_)) => a.semanticEquals(rank)
       case LessThan(a: Attribute, IntegerLiteral(_)) => a.semanticEquals(rank)
@@ -65,18 +68,37 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case EqualTo(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rank)
       case _ => false
     }
-    val ks = bounds.map {
-      case LessThanOrEqual(_, IntegerLiteral(v)) => v
-      case LessThan(_, IntegerLiteral(v)) => v - 1
-      case GreaterThanOrEqual(IntegerLiteral(v), _) => v
-      case GreaterThan(IntegerLiteral(v), _) => v - 1
-      case EqualTo(_, IntegerLiteral(v)) => v // rk = 1 (argmax per key)
+    // bounds computed in Long: `rank < Int.MinValue` must stay an
+    // always-false bound (min = non-positive → no rewrite), not
+    // underflow to Int.MaxValue and silently drop the conjunct
+    val ks: Seq[Long] = bounds.map {
+      case LessThanOrEqual(_, IntegerLiteral(v)) => v.toLong
+      case LessThan(_, IntegerLiteral(v)) => v.toLong - 1L
+      case GreaterThanOrEqual(IntegerLiteral(v), _) => v.toLong
+      case GreaterThan(IntegerLiteral(v), _) => v.toLong - 1L
+      case EqualTo(_, IntegerLiteral(v)) => v.toLong // rk = 1 (argmax per key)
     }
     (if (ks.isEmpty) None else Some(ks.min), rest)
   }
 
+  /** Floats ANYWHERE in the type (incl. nested struct/array/map fields):
+    * NormalizeFloatingNumbers runs after this rule and doesn't know
+    * TopKPerKeyNode, so a nested -0.0/0.0 or NaN-variant split could not
+    * be repaired downstream — refuse the rewrite instead. Shared with
+    * the public perKey guard. */
+  private[plans] def containsFloat(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case DoubleType | FloatType => true
+      case st: StructType => st.fields.exists(f => containsFloat(f.dataType))
+      case at: ArrayType => containsFloat(at.elementType)
+      case mt: MapType => containsFloat(mt.keyType) || containsFloat(mt.valueType)
+      case _ => false
+    }
+  }
+
   private def floatKeyed(partitionSpec: Seq[Expression]): Boolean =
-    partitionSpec.exists(e => e.dataType == DoubleType || e.dataType == FloatType)
+    partitionSpec.exists(e => containsFloat(e.dataType))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -87,9 +109,15 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
             w.orderSpec.nonEmpty && w.orderSpec.forall(_.deterministic) &&
             !floatKeyed(w.partitionSpec) =>
         val rank = rowNumberAlias(w).get.toAttribute
+        // magnitude gate (the InferWindowGroupLimit discipline): past a
+        // few thousand rows/key the per-row O(log k) heap loses to the
+        // codegen'd sort (measured 3× in the class doc) and the partial
+        // stage's keys×k memory bound stops being small — leave big-k
+        // windows on the window path
+        val maxK = conf.getConfString(MaxKKey, "10000").toLong
         extractBound(cond, rank) match {
-          case (Some(k), rest) if k > 0 =>
-            val pruned = TopKPerKeyNode(k, w.partitionSpec, w.orderSpec, w.child)
+          case (Some(k), rest) if k > 0 && k <= maxK =>
+            val pruned = TopKPerKeyNode(k.toInt, w.partitionSpec, w.orderSpec, w.child)
             val rewindowed = w.withNewChildren(Seq(pruned))
             rest match {
               case Nil => rewindowed
