@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 /** Spark plugin entry point: enable with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
-  * Injects the engine's native Catalyst expressions (currently
-  * [[graft.functions.DotProduct graft_dot]]) into every session's
+  * Injects the engine's native Catalyst expressions (graft_dot, the
+  * graft_bloom_* pair, graft_z_in_ranges) into every session's
   * FunctionRegistry, making them available to DataFrame `expr(...)` and
   * plain SQL alike; the [[graft.plans.TopKPerKeyStrategy]] planner
   * strategy so [[graft.plans.TopKPerKeyNode]] plans without the per-call
@@ -19,7 +19,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     (graft.functions.VectorFunctions.functions ++
-      graft.functions.BloomFunctions.functions).foreach { f =>
+      graft.functions.BloomFunctions.functions ++
+      graft.functions.ZRangeContains.functions).foreach { f =>
       extensions.injectFunction(f)
     }
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -18,7 +18,7 @@ object Aggregators {
     */
   case class WeightedAvgBuf(var sum: Double, var weight: Double)
 
-  object WeightedAvg extends Aggregator[(Double, Double), WeightedAvgBuf, Double] {
+  object WeightedAvg extends Aggregator[(Double, Double), WeightedAvgBuf, java.lang.Double] {
     override def zero: WeightedAvgBuf = WeightedAvgBuf(0.0, 0.0)
     override def reduce(b: WeightedAvgBuf, in: (Double, Double)): WeightedAvgBuf = {
       b.sum += in._1 * in._2; b.weight += in._2; b
@@ -26,9 +26,13 @@ object Aggregators {
     override def merge(a: WeightedAvgBuf, b: WeightedAvgBuf): WeightedAvgBuf = {
       a.sum += b.sum; a.weight += b.weight; a
     }
-    override def finish(b: WeightedAvgBuf): Double =
-      if (b.weight == 0.0) Double.NaN else b.sum / b.weight
+    // NULL, not NaN, for a zero total weight — the SQL twin
+    // sum(v*w)/sum(w) this aggregator is hash-checked against yields
+    // NULL there (Spark non-ANSI division by zero), and NaN would split
+    // the engines the first time a zero-weight group appears
+    override def finish(b: WeightedAvgBuf): java.lang.Double =
+      if (b.weight == 0.0) null else java.lang.Double.valueOf(b.sum / b.weight)
     override def bufferEncoder: Encoder[WeightedAvgBuf] = Encoders.product[WeightedAvgBuf]
-    override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 }

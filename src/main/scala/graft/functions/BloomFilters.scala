@@ -38,15 +38,10 @@ object BloomFunctions {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "graft_bloom_might_contain"),
       (children: Seq[Expression]) => BloomFilterMightContain(children(0), children(1))))
 
-  /** Idempotent per-session registration for sessions created without the
-    * extensions config. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    functions.foreach { case (ident, info, builder) =>
-      if (!registry.functionExists(ident))
-        registry.registerFunction(ident, info, builder)
-    }
-  }
+  /** Per-session registration (sessions created without the extensions
+    * config) — unconditional overwrite; see [[Registration]]. */
+  def register(spark: SparkSession): Unit =
+    Registration.register(spark, functions)
 
   /** Distributed bloom build over `key` (any type) of `dim`: one
     * partial+final aggregate, and the only thing the driver ever holds is
@@ -61,10 +56,26 @@ object BloomFunctions {
     * the exact join behind the probe removes anyway. */
   def build(dim: DataFrame, key: Column, estItems: Long, numBits: Long): Array[Byte] = {
     register(dim.sparkSession)
+    val conf = dim.sparkSession.conf
+    // Catalyst's BloomFilterAggregate CLAMPS via Math.min against these
+    // confs instead of failing — a 100M-key build against the 4M-item
+    // default would silently size hashes for 4M and collapse the fpp the
+    // pruning depends on. Fail loudly and name the knob instead.
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
     val e = math.max(estItems, 1L)
-    // ~9.6 bits/key = 1% fpp; cap inside Catalyst's maxNumBits default so
-    // the aggregate never trips the conf guard at test scale
-    val b = math.min(math.max(numBits, 64L), 67108864L)
+    require(e <= maxItems,
+      s"bloom build sized for $e keys exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems=$maxItems — " +
+        "raise the conf; Catalyst would otherwise silently clamp and " +
+        "degrade the false-positive rate")
+    val b = math.max(numBits, 64L)
+    require(b <= maxBits,
+      s"bloom numBits=$b exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumBits=$maxBits — " +
+        "raise the conf; Catalyst would otherwise silently truncate the sketch")
     dim.select(call_function("graft_bloom_agg", xxhash64(key), lit(e), lit(b)).as("bf"))
       .head().getAs[Array[Byte]]("bf")
   }

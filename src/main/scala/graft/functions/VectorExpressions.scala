@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
@@ -99,13 +98,8 @@ object VectorFunctions {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
 
-  /** Idempotent per-session registration for sessions created without the
-    * extensions config. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    functions.foreach { case (ident, info, builder) =>
-      if (!registry.functionExists(ident))
-        registry.registerFunction(ident, info, builder)
-    }
-  }
+  /** Per-session registration (sessions created without the extensions
+    * config) — unconditional overwrite; see [[Registration]]. */
+  def register(spark: SparkSession): Unit =
+    Registration.register(spark, functions)
 }

@@ -59,7 +59,13 @@ object ZOrder {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val y = spread(quantize(lat, -90.0, 90.0, bits))
     val x = spread(quantize(lon, -180.0, 180.0, bits))
-    shiftleft(y, 1).bitwiseOR(x)
+    // NULL coordinates PROPAGATE (the SQL rule): greatest/least skip
+    // null arguments, so without this guard a (null, null) row would
+    // silently key to cell 0 — indistinguishable from a real point at
+    // (-90, -180), clustered into the corner tile and matched by any
+    // range covering it
+    when(lat.isNull || lon.isNull, lit(null).cast("long"))
+      .otherwise(shiftleft(y, 1).bitwiseOR(x))
   }
 
   /** Scalar twin of [[quantize]] (same arithmetic, driver-side) — used to
@@ -90,14 +96,9 @@ object ZOrder {
       bits: Int = DefaultBits, maxRanges: Int = 64): Seq[(Long, Long)] = {
     val acc = cover(latMin, latMax, lonMin, lonMax, bits, 4 * maxRanges)
       .map { case (d, z0) => (z0, z0 + (1L << (2 * (bits - d))) - 1) }
-    // merge adjacent/overlapping, then coarsen smallest gaps to budget
-    val sorted = acc.sortBy(_._1)
-    val merged = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    sorted.foreach { r =>
-      if (merged.nonEmpty && r._1 <= merged.last._2 + 1)
-        merged(merged.length - 1) = (merged.last._1, math.max(merged.last._2, r._2))
-      else merged += r
-    }
+    // merge adjacent/overlapping (ONE merge rule — unionRanges'), then
+    // coarsen smallest gaps to budget
+    val merged = unionRanges(acc).toBuffer
     while (merged.length > maxRanges) {
       var bestI = 0; var bestGap = Long.MaxValue
       var i = 0
@@ -194,17 +195,14 @@ object ZOrder {
   /** Quantized cell count of a bbox (2×26-bit default keeps the product
     * ≤ 2^52, inside a Long) — the box's AREA in bits-resolution cells.
     *
-    * Drives the driver-side selectivity gate for the z-range pre-filter:
-    * under a uniform point spread, Σ box areas / envelope area ≈ the
-    * fraction of envelope-surviving rows the filter would KEEP (a slight
-    * underestimate of kept rows — the cover over-approximates boxes by
-    * quantization + budget coarsening — and box overlaps double-count,
-    * both erring toward "filter looks better than it is", so gate with
-    * margin). Note the z-RANGES themselves cannot be the estimate: the
-    * z-curve jumps between boxes make merged [lo, hi] intervals span
-    * cells far OUTSIDE the envelope (measured 34× over it on p04's box
-    * set), while the membership test still only admits cover cells —
-    * geometric areas are the honest proxy. */
+    * The DENOMINATOR of the live selectivity gate (PbfQueries p04:
+    * `Σ(hi-lo+1) over the union z-ranges < envelopeCells / 2`): the
+    * numerator counts exactly the keys the membership test passes, so
+    * the ratio tracks realized selectivity by construction under a
+    * uniform spread. (The round-8 gate used Σ box AREAS over this
+    * envelope instead — replaced in round 9 after the spec pinned the
+    * range-cell ratio against measured kept fractions; a box-area
+    * numerator under-counts what the z-cover actually admits.) */
   def envelopeCells(latMin: Double, latMax: Double, lonMin: Double,
       lonMax: Double, bits: Int = DefaultBits): Long = {
     val x0 = quantizeScalar(lonMin, -180.0, 180.0, bits)

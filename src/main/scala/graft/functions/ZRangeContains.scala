@@ -105,7 +105,7 @@ object ZRangeContains {
       i += 2
     }
     Some(arr)
-  } catch { case _: Throwable => None }
+  } catch { case scala.util.control.NonFatal(_) => None } // fatal errors must surface, not masquerade as a bounds-validation message
 
   /** Interpreted twin of the generated binary search. */
   private[functions] def contains(z: Long, bounds: Array[Long]): Boolean = {
@@ -125,15 +125,10 @@ object ZRangeContains {
       new ExpressionInfo(classOf[ZRangeContains].getName, "graft_z_in_ranges"),
       (children: Seq[Expression]) => ZRangeContains(children(0), children(1))))
 
-  /** Idempotent per-session registration for sessions created without the
-    * extensions config. */
-  def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    functions.foreach { case (ident, info, builder) =>
-      if (!registry.functionExists(ident))
-        registry.registerFunction(ident, info, builder)
-    }
-  }
+  /** Per-session registration (sessions created without the extensions
+    * config) — unconditional overwrite; see [[Registration]]. */
+  def register(spark: SparkSession): Unit =
+    Registration.register(spark, functions)
 
   /** Predicate Column: `zkey` (typically the morton cascade over lat/lon)
     * is inside any of `ranges`. Evaluates the key ONCE per row regardless
