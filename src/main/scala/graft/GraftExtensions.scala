@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSessionExtensions
   * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   *
   * Injects the engine's native Catalyst expressions (graft_dot, the
-  * graft_bloom_* pair, graft_z_in_ranges) into every session's
+  * graft_bloom_* pair, graft_z_in_ranges, graft_morton_key) into every
+  * session's
   * FunctionRegistry, making them available to DataFrame `expr(...)` and
   * plain SQL alike; the [[graft.plans.TopKPerKeyStrategy]] planner
   * strategy so [[graft.plans.TopKPerKeyNode]] plans without the per-call
@@ -20,7 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     (graft.functions.VectorFunctions.functions ++
       graft.functions.BloomFunctions.functions ++
-      graft.functions.ZRangeContains.functions).foreach { f =>
+      graft.functions.ZRangeContains.functions ++
+      graft.functions.MortonKey.functions).foreach { f =>
       extensions.injectFunction(f)
     }
     extensions.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) spatial clustering for the transcoded OSM tables.
@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   * compact lat×lon rectangle, so both coordinates' min/max tighten at
   * once and bbox scans prune to the covered tiles.
   *
-  * Everything here is built-in `Column` ops (shifts, masks, arithmetic) —
-  * whole-stage codegen'd, no UDF — and the key derivation is replicated
+  * The key derivation is one native codegen'd expression
+  * ([[MortonKey]] — no UDF, no interpreted fallback) and is replicated
   * verbatim in the DuckDB oracle SQL (p03), so the bit math itself is
   * hash-checked against an independent engine.
   */
@@ -28,44 +28,23 @@ object ZOrder {
     * clustering, and 2×26 = 52 interleaved bits stay well inside a long. */
   val DefaultBits = 26
 
-  /** Map a coordinate in [lo, hi] to a `bits`-wide integer cell index.
-    * Written EXACTLY as the oracle SQL computes it — same operations,
-    * same association order — so both engines produce bit-identical
-    * doubles and therefore identical cells: floor((c - lo) / (hi - lo) *
-    * 2^bits), clamped to [0, 2^bits - 1] (the hi endpoint lands exactly
-    * on 2^bits and must clamp down). */
-  def quantize(c: Column, lo: Double, hi: Double, bits: Int): Column = {
-    val cells = 1L << bits
-    least(lit(cells - 1), greatest(lit(0L),
-      floor((c - lit(lo)) / lit(hi - lo) * lit(cells.toDouble))))
-  }
-
-  /** Spread the low 32 bits of `c` so bit i lands at bit 2i (the classic
-    * mask-and-shift doubling cascade). */
-  private def spread(c: Column): Column = {
-    var x = c.bitwiseAND(lit(0xFFFFFFFFL))
-    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
-    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
-    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
-    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
-    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
-  }
-
   /** Morton key of a WGS84 (lat, lon): lon cell in the even bits, lat
     * cell in the odd bits. Total order over keys = depth-first order over
     * the quadtree, which is what makes range-partitioning by key produce
-    * compact rectangles. */
-  def mortonKey(lat: Column, lon: Column, bits: Int = DefaultBits): Column = {
+    * compact rectangles.
+    *
+    * NULL coordinates PROPAGATE (the SQL rule — a null key, not cell 0's
+    * (-90, -180) corner tile). Backed by the native [[MortonKey]]
+    * expression: one codegen'd static call per row instead of the ~300-
+    * node Column cascade this wrapped through round 14 (whose round-14
+    * CaseWhen null guard disabled subexpression elimination across the
+    * whole cascade — the measured p04 regression; see MortonKey's
+    * scaladoc). */
+  def mortonKey(spark: SparkSession, lat: Column, lon: Column,
+      bits: Int = DefaultBits): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val y = spread(quantize(lat, -90.0, 90.0, bits))
-    val x = spread(quantize(lon, -180.0, 180.0, bits))
-    // NULL coordinates PROPAGATE (the SQL rule): greatest/least skip
-    // null arguments, so without this guard a (null, null) row would
-    // silently key to cell 0 — indistinguishable from a real point at
-    // (-90, -180), clustered into the corner tile and matched by any
-    // range covering it
-    when(lat.isNull || lon.isNull, lit(null).cast("long"))
-      .otherwise(shiftleft(y, 1).bitwiseOR(x))
+    MortonKey.register(spark)
+    call_function("graft_morton_key", lat, lon, lit(bits))
   }
 
   /** Scalar twin of [[quantize]] (same arithmetic, driver-side) — used to
@@ -221,7 +200,8 @@ object ZOrder {
     * centers) lands more files on dense tiles instead of overflowing one. */
   def zorderWrite(df: DataFrame, out: String, partitions: Int,
       bits: Int = DefaultBits, keepKey: Boolean = false): Unit = {
-    val keyed = df.withColumn("_zkey", mortonKey(col("lat"), col("lon"), bits))
+    val keyed = df.withColumn("_zkey",
+      mortonKey(df.sparkSession, col("lat"), col("lon"), bits))
       .repartitionByRange(partitions, col("_zkey"))
       .sortWithinPartitions("_zkey")
     // keepKey stores `_zkey` so later scans can use [[zRangePredicate]]
