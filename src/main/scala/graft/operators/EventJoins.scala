@@ -264,7 +264,8 @@ object EventJoins {
         |  FROM o)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTES AS session_end,
-        |  count(*) AS n_events, round(sum(value), 2) AS total_value
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM s GROUP BY user_id, session_no
         |ORDER BY user_id, session_start""".stripMargin,
     // a08: same lag-collapse → windowed version/lead shape; row_number

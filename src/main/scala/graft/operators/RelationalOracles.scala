@@ -244,7 +244,7 @@ object RelationalOracles {
 
     "q10_window_running" ->
       """SELECT user_id, event_id,
-        |  round(sum(value) OVER w, 2) AS running_value,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) / 100.0 AS running_value,
         |  round(lag(value, 1) OVER w2, 2) AS prev_value,
         |  round(avg(value) OVER w3, 4) AS mov_avg3
         |FROM events
@@ -382,7 +382,8 @@ object RelationalOracles {
 
     "q23_window_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
@@ -393,7 +394,7 @@ object RelationalOracles {
         |    CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) - 900 * j AS bucket_start
         |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS j))
         |SELECT bucket_start, event_type, count(*) AS n,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM e GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
 

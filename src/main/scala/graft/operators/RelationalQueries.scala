@@ -187,8 +187,12 @@ object RelationalQueries {
   val q10_window_running: Q = (s, dir) => {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
     Tables.events(s, dir)
-      .withColumn("running_value", round(sum(col("value")).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+      // unbounded running sum on exact cents (the wave-5 hazard class —
+      // retired round 15); the 1-row lag and 3-row moving average below
+      // stay double: bounded frames in a deterministic ORDER BY order are
+      // not an accumulation-order hazard
+      .withColumn("running_value", sum(floor(col("value") * 100 + lit(0.5))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) / lit(100.0))
       .withColumn("prev_value", round(lag(col("value"), 1).over(w), 2))
       .withColumn("mov_avg3", round(avg(col("value")).over(
         w.rowsBetween(-2, Window.currentRow)), 4))
@@ -363,7 +367,12 @@ object RelationalQueries {
                         len: String, slide: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(window(col("ts"), len, slide).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      // exact integer cents (floor(v*100+.5) per event, BIGINT sum, one
+      // terminal division) — the round(sum(double),2) it replaces hashed
+      // a double accumulation both engines merely happened to order-agree
+      // on (the wave-5 latent class, retired round 15)
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("total_value"))
       .select(unix_timestamp(col("w.start")).as("bucket_start"),
         col("event_type"), col("n"), col("total_value"))
       .orderBy(col("bucket_start"), col("event_type"))

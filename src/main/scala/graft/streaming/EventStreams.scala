@@ -39,22 +39,23 @@ object EventStreams {
     * still watermark-bounded; output cardinality is `length/slide` × the
     * tumbling equivalent, the standard smoothed-rate view.
     */
-  /** Money note (the st07 latent pattern, adjudicated): this aggregate
-    * — and its tumbling/session twins — emits `round(sum(double), 2)`,
-    * and its oracle runs the IDENTICAL double sum over the identical
-    * parquet values, so gate parity holds; but double accumulation
-    * order can in principle straddle a .005 boundary on much larger
-    * windows. The deployment discipline is the transformWithState
-    * operators' integer-cents fold (see RunningProfileProcessor) —
-    * kept OFF these legacy window paths deliberately, because changing
-    * them would re-baseline six paired gate entries for a hazard the
-    * cents-based operators already demonstrate the fix for. */
+  /** Money note: every money aggregate on this surface accumulates
+    * EXACT INTEGER CENTS (floor(v*100+.5) per event, BIGINT sum, one
+    * terminal /100.0 — the RunningProfileProcessor discipline). Through
+    * round 14 these legacy window paths still hashed
+    * `round(sum(double), 2)` against an oracle running the identical
+    * double sum — gate parity held only because both engines happened
+    * to agree on accumulation order, a latent flake a partitioning
+    * change on either side could split at the last ulp (the wave-5
+    * adjudication); round 15 retired the class and re-baselined the six
+    * paired gates in lockstep. */
   def slidingCounts(events: DataFrame, watermark: String = "10 minutes",
                     windowLen: String = "1 hour", slide: String = "15 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("total_value"))
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -141,10 +142,11 @@ object EventStreams {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("tv"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 100 + lit(0.5))).as("tvc")) // exact cents
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
-        round(col("tv"), 2).as("total_value"))
+        (col("tvc") / lit(100.0)).as("total_value"))
 
   /** Spark 4's `transformWithState` surface (the successor API to
     * flatMapGroupsWithState: named state variables with per-state
@@ -357,7 +359,7 @@ object EventStreams {
                           valid_from_ms: Long, valid_to_ms: Option[Long],
                           is_current: Int)
 
-  final case class SessionState(nEvents: Long, totalValue: Double,
+  final case class SessionState(nEvents: Long, totalCents: Long,
                                 firstTs: Long, lastTs: Long)
 
   final case class SessionOut(user_id: Long, n_events: Long,
@@ -394,19 +396,25 @@ object EventStreams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, s.nEvents, s.totalValue, s.lastTs - s.firstTs))
+            Iterator.single(SessionOut(userId, s.nEvents, s.totalCents / 100.0,
+              s.lastTs - s.firstTs))
           } else {
             // deterministic event-time walk (event_id breaks ts ties)
             val batch = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-            var cur = state.getOption.getOrElse(SessionState(0L, 0.0, Long.MaxValue, Long.MinValue))
+            var cur = state.getOption.getOrElse(SessionState(0L, 0L, Long.MaxValue, Long.MinValue))
             batch.foreach { e =>
               val t = e.ts.getTime
               if (cur.nEvents > 0 && t - cur.lastTs > gapMs) {
-                closed += SessionOut(userId, cur.nEvents, cur.totalValue, cur.lastTs - cur.firstTs)
-                cur = SessionState(0L, 0.0, Long.MaxValue, Long.MinValue)
+                closed += SessionOut(userId, cur.nEvents, cur.totalCents / 100.0,
+                  cur.lastTs - cur.firstTs)
+                cur = SessionState(0L, 0L, Long.MaxValue, Long.MinValue)
               }
-              cur = SessionState(cur.nEvents + 1, cur.totalValue + e.value,
+              // exact cents per event (the RunningProfileProcessor discipline):
+              // the fold order stops mattering, so stream-vs-oracle parity is
+              // structural, not an accumulation-order coincidence
+              cur = SessionState(cur.nEvents + 1,
+                cur.totalCents + math.floor(e.value * 100 + 0.5).toLong,
                 math.min(cur.firstTs, t), math.max(cur.lastTs, t))
             }
             state.update(cur)

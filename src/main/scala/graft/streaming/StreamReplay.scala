@@ -612,7 +612,7 @@ object StreamReplay {
       ds => EventStreams.sessionize(ds).toDF(), chunks = chunks)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("n_events"),
-        round(col("total_value"), 2).as("total_value"), col("duration_ms"))
+        col("total_value"), col("duration_ms")) // exact cents/100.0 from the fold
       .orderBy(col("user_id"), col("n_events"), col("duration_ms"))
 
   /** st13: `transformWithState` (Spark 4's arbitrary-state successor to
@@ -1080,7 +1080,7 @@ object StreamReplay {
       ticks = false, chunks = 4).df
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("total_value"))
       .orderBy(col("c_mktsegment"))
   }
 
@@ -1471,7 +1471,7 @@ object StreamReplay {
         |  FROM o
         |)
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  round(sum(value), 2) AS total_value,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value,
         |  CAST(max(ms) - min(ms) AS BIGINT) AS duration_ms
         |FROM s GROUP BY user_id, sn
         |ORDER BY user_id, n_events, duration_ms""".stripMargin,
@@ -1509,7 +1509,8 @@ object StreamReplay {
     // q23's tumbling-window aggregate verbatim (the batch twin's oracle)
     "st03_windowed_stream" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY bucket_start, event_type""".stripMargin,
@@ -1668,7 +1669,7 @@ object StreamReplay {
       graft.operators.EventJoins.oracles("a09_session_window"),
     "st08_enrich_stream" ->
       """SELECT c_mktsegment, count(*) AS n_events,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_value
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
