@@ -399,13 +399,31 @@ object Bench {
     val shortQs = cur.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    // the driver records only the LAST 2000 chars of combined output and
-    // parses the JSON line out of that tail — so the line must be the
-    // final thing emitted: silence shutdown logging, stop Spark (its
-    // shutdown WARNs would otherwise land after the line and clip it out
-    // of the tail), THEN print
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}"""
+    // The driver records only the LAST 2000 chars of combined output, and
+    // when it runs through sbt the `[success]` trailer lands AFTER
+    // whatever we print — through round 14 the full per-query line
+    // (~2.4 KB at 160+ queries) was itself clipped at the FRONT of the
+    // tail, so the driver's BENCH_r*.json carried "parsed": null every
+    // round (the r14 verdict's ask #5). Three-way fix: (1) the full
+    // summary line is written VERBATIM to BENCH_SUMMARY.json — the
+    // machine-diffable artifact of record alongside BENCH_DETAIL.json;
+    // (2) the full line still prints for humans; (3) the FINAL printed
+    // line is a compact (<400 B) headline JSON that fits whole inside
+    // the tail even with the sbt trailer after it, so any tail parser
+    // that scans for a complete JSON line finds one.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("BENCH_SUMMARY.json"),
+        java.nio.charset.StandardCharsets.UTF_8)
+      try w.println(fullLine) finally w.close()
+    } catch { case e: Throwable => System.err.println(s"[bench] summary write failed: ${e.getMessage}") }
+    // silence shutdown logging, stop Spark (its shutdown WARNs would
+    // otherwise land after the lines and clip them out of the tail), THEN
+    // print
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}""")
+    println(fullLine)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":"BENCH_SUMMARY.json","sf":"$sfDir"$extra$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}""")
   }
 }

@@ -567,10 +567,11 @@ object RelationalQueries {
     * than counting the build side. */
   def bloomPrunedJoin(s0: SparkSession, dir: String,
       estKeys: Long = 400000L, numBits: Long = 4194304L): DataFrame = {
-    // child session: register() is check-then-register on the FUNCTION
-    // registry — on the caller's session it would either adopt a
-    // same-named foreign function or leak graft's into the caller
-    // (every other session mutation in this file is already isolated)
+    // child session: register() is an unconditional OVERWRITE on the
+    // FUNCTION registry (Registration's policy) — on the caller's session
+    // it would overwrite a same-named entry and leak graft's functions
+    // into the caller's registry (every other session mutation in this
+    // file is already isolated)
     val s = s0.newSession()
     graft.functions.BloomFunctions.register(s)
     val urgent = Tables.orders(s, dir)

@@ -259,8 +259,12 @@ object DirectParquet {
       store.close()
       // the final flush (close()) must not build a whole write-store
       // stack just to immediately discard it — rotation closes a writer
-      // thousands of times per transcode
-      if (reinit) newRowGroup() else rowsInGroup = 0L
+      // thousands of times per transcode. Null the closed store so
+      // close() doesn't close it a SECOND time: re-running flush()/
+      // finalizeColumnChunk() on closed writers is benign with parquet
+      // 1.16's heap allocator but fragile across upgrades or a pooled
+      // allocator (ADVICE r14).
+      if (reinit) newRowGroup() else { rowsInGroup = 0L; store = null }
     }
 
     /** Flushed bytes + buffered estimate — the rotation feedback signal
@@ -273,8 +277,8 @@ object DirectParquet {
       // did this in a finally; a long-lived executor retrying tasks
       // would otherwise accumulate leaked compressor memory
       try {
-        flushRowGroup(reinit = false)
-        store.close()
+        flushRowGroup(reinit = false) // closes the store iff it flushed rows
+        if (store != null) store.close() // empty final group: close the untouched store
       } finally codecFactory.release()
       fw.end(java.util.Collections.emptyMap[String, String]())
     }
