@@ -163,8 +163,14 @@ object Blobs {
       throw new PbfFormatException(s"uncompressed blob size $rawSize exceeds $MaxBodyBytes")
     if (raw != null) raw
     else if (zlib != null) inflate(zlib, rawSize)
-    else if (zstd != null) com.github.luben.zstd.Zstd.decompress(zstd, rawSize max 0)
-    else throw new PbfFormatException(
+    else if (zstd != null) {
+      // raw_size is spec-required for compressed blobs; decompressing to a
+      // "rawSize max 0"-byte buffer on a missing field silently produced an
+      // EMPTY payload (zero rows from a data-bearing blob) through r14
+      if (rawSize < 0) throw new PbfFormatException(
+        "zstd blob missing required raw_size")
+      com.github.luben.zstd.Zstd.decompress(zstd, rawSize)
+    } else throw new PbfFormatException(
       "blob carries no supported payload (raw/zlib_data/zstd_data)")
   }
 
@@ -180,6 +186,18 @@ object Blobs {
           if (n == 0 && inflater.needsInput())
             throw new PbfFormatException("truncated zlib stream")
           off += n
+        }
+        // a stream SHORTER than the declared raw_size previously returned a
+        // zero-padded tail (garbage rows decoded from the padding); one
+        // LONGER kept decoding the declared prefix and silently dropped the
+        // rest — both are corrupt blobs and both now fail typed
+        if (off < expectedSize)
+          throw new PbfFormatException(
+            s"zlib stream ended at $off of declared raw_size $expectedSize")
+        if (!inflater.finished()) {
+          val extra = inflater.inflate(new Array[Byte](1))
+          if (extra > 0) throw new PbfFormatException(
+            s"zlib stream continues past declared raw_size $expectedSize")
         }
         out
       } else {

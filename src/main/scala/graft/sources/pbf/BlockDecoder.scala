@@ -266,8 +266,8 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => id = r.readZigzag()
-        case 2 => if (proj.tags) keys = r.readPackedVarint() else r.skip(2)
-        case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
+        case 2 => if (proj.tags) keys = appendVarints(keys, r, tag) else r.skip(tag & 7)
+        case 3 => if (proj.tags) vals = appendVarints(vals, r, tag) else r.skip(tag & 7)
         case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
         case 8 => lat = r.readZigzag()
         case 9 => lon = r.readZigzag()
@@ -275,8 +275,9 @@ object BlockDecoder {
       }
     }
     mkRow(proj, id, if (proj.tags) tags(keys, vals, ctx) else null,
-      ctx.coord(ctx.latOffset, lat),
-      ctx.coord(ctx.lonOffset, lon), null, null, info.changeset, info.tsMicros,
+      if (proj.coords) ctx.coord(ctx.latOffset, lat) else null,
+      if (proj.coords) ctx.coord(ctx.lonOffset, lon) else null,
+      null, null, info.changeset, info.tsMicros,
       info.uid, info.user(ctx), info.version, Boolean.box(info.visible),
       TypeNodeU, null)
   }
@@ -297,11 +298,14 @@ object BlockDecoder {
     while (r.hasNext) {
       val tag = r.readTag()
       (tag >>> 3) match {
-        case 1 => ids = r.readPackedZigzag()
+        case 1 => ids = appendZigzags(ids, r, tag)
         case 5 => if (proj.info) di = decodeDenseInfo(r.readMessage()) else r.skip(2)
-        case 8 => lats = r.readPackedZigzag()
-        case 9 => lons = r.readPackedZigzag()
-        case 10 => if (proj.tags) keysVals = r.readPackedVarint() else r.skip(2)
+        // pruned coords skip the packed parse AND the per-row delta+double
+        // work below — the column-pruning claim the DSv2 scaladoc makes,
+        // now actually wired (proj.coords was a dead flag through r14)
+        case 8 => if (proj.coords) lats = appendZigzags(lats, r, tag) else r.skip(tag & 7)
+        case 9 => if (proj.coords) lons = appendZigzags(lons, r, tag) else r.skip(tag & 7)
+        case 10 => if (proj.tags) keysVals = appendVarints(keysVals, r, tag) else r.skip(tag & 7)
         case _ => r.skip(tag & 7)
       }
     }
@@ -320,6 +324,7 @@ object BlockDecoder {
     private[this] val n = ids.length
     private[this] val width = if (proj.wayLocs) 14 else 13
     private[this] val hasInfo = di != null && di.version.length == n
+    private[this] val hasCoords = lats.length == n && lons.length == n
     private[this] val target: InternalRow =
       if (reuse) {
         val t = new org.apache.spark.sql.catalyst.expressions.SpecificInternalRow(
@@ -342,7 +347,8 @@ object BlockDecoder {
     override def hasNext: Boolean = i < n
 
     override def next(): InternalRow = {
-      id += ids(i); lat += lats(i); lon += lons(i)
+      id += ids(i)
+      if (hasCoords) { lat += lats(i); lon += lons(i) }
       // 0-delimited (key,val) pairs for this node (dense.rs:153-163)
       var nk = 0
       while (kv < keysVals.length && keysVals(kv) != 0L) {
@@ -371,8 +377,10 @@ object BlockDecoder {
         }
       row.setLong(0, id)
       row.update(1, m)
-      row.setDouble(2, ctx.coord(ctx.latOffset, lat))
-      row.setDouble(3, ctx.coord(ctx.lonOffset, lon))
+      if (hasCoords) {
+        row.setDouble(2, ctx.coord(ctx.latOffset, lat))
+        row.setDouble(3, ctx.coord(ctx.lonOffset, lon))
+      } else { row.setNullAt(2); row.setNullAt(3) }
       if (hasInfo) {
         ts += di.timestamp(i); cs += di.changeset(i); uid += di.uid(i); usid += di.userSid(i)
         val user = { val s = ctx.string(usid.toInt); if (s == null) EmptyUser else s }
@@ -409,12 +417,12 @@ object BlockDecoder {
     while (r.hasNext) {
       val tag = r.readTag()
       (tag >>> 3) match {
-        case 1 => version = r.readPackedVarint()
-        case 2 => timestamp = r.readPackedZigzag()
-        case 3 => changeset = r.readPackedZigzag()
-        case 4 => uid = r.readPackedZigzag()
-        case 5 => userSid = r.readPackedZigzag()
-        case 6 => visible = r.readPackedVarint().map(_ != 0L)
+        case 1 => version = appendVarints(version, r, tag)
+        case 2 => timestamp = appendZigzags(timestamp, r, tag)
+        case 3 => changeset = appendZigzags(changeset, r, tag)
+        case 4 => uid = appendZigzags(uid, r, tag)
+        case 5 => userSid = appendZigzags(userSid, r, tag)
+        case 6 => visible = visible ++ r.readPackedVarint().map(_ != 0L)
         case _ => r.skip(tag & 7)
       }
     }
@@ -442,10 +450,10 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => id = r.readVarint()
-        case 2 => if (proj.tags) keys = r.readPackedVarint() else r.skip(2)
-        case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
+        case 2 => if (proj.tags) keys = appendVarints(keys, r, tag) else r.skip(tag & 7)
+        case 3 => if (proj.tags) vals = appendVarints(vals, r, tag) else r.skip(tag & 7)
         case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
-        case 8 => if (proj.nds) refs = r.readPackedZigzag() else r.skip(2)
+        case 8 => if (proj.nds) refs = appendZigzags(refs, r, tag) else r.skip(tag & 7)
         // lat/lon must accept BOTH encodings of a packed-declared field
         // (protobuf spec: parsers handle packed and expanded, repeats
         // concatenate) — and when pruned, skip by the ACTUAL wire type so
@@ -543,12 +551,26 @@ object BlockDecoder {
   }
 
   /** Packed-declared sint64 field occurrence: wire 2 = packed payload,
-    * anything else = one expanded zigzag value; occurrences concatenate. */
+    * anything else = one expanded zigzag value; occurrences CONCATENATE —
+    * the protobuf spec rule (parsers must accept both encodings, and
+    * repeated occurrences of a packed field append). Through round 14 only
+    * the way lat/lon fields honored this; every other packed field
+    * REPLACED on a repeat occurrence, silently dropping earlier values
+    * from a spec-legal multi-occurrence writer. One helper pair now serves
+    * every packed field (the common single-occurrence path pays one
+    * isEmpty check). */
   private def appendZigzags(cur: Array[Long], r: ProtoReader, tag: Int): Array[Long] =
     if ((tag & 7) == 2) {
       val nw = r.readPackedZigzag()
       if (cur.isEmpty) nw else cur ++ nw
     } else cur :+ r.readZigzag()
+
+  /** int64/uint32 twin of [[appendZigzags]]. */
+  private def appendVarints(cur: Array[Long], r: ProtoReader, tag: Int): Array[Long] =
+    if ((tag & 7) == 2) {
+      val nw = r.readPackedVarint()
+      if (cur.isEmpty) nw else cur ++ nw
+    } else cur :+ r.readVarint()
 
   private val MemberTypes = Array(TypeNodeU, TypeWayU, TypeRelationU)
 
@@ -566,12 +588,12 @@ object BlockDecoder {
       val tag = r.readTag()
       (tag >>> 3) match {
         case 1 => id = r.readVarint()
-        case 2 => if (proj.tags) keys = r.readPackedVarint() else r.skip(2)
-        case 3 => if (proj.tags) vals = r.readPackedVarint() else r.skip(2)
+        case 2 => if (proj.tags) keys = appendVarints(keys, r, tag) else r.skip(tag & 7)
+        case 3 => if (proj.tags) vals = appendVarints(vals, r, tag) else r.skip(tag & 7)
         case 4 => if (proj.info) info = decodeInfo(r.readMessage(), ctx) else r.skip(2)
-        case 8 => if (proj.members) rolesSid = r.readPackedVarint() else r.skip(2)
-        case 9 => if (proj.members) memids = r.readPackedZigzag() else r.skip(2)
-        case 10 => if (proj.members) types = r.readPackedVarint() else r.skip(2)
+        case 8 => if (proj.members) rolesSid = appendVarints(rolesSid, r, tag) else r.skip(tag & 7)
+        case 9 => if (proj.members) memids = appendZigzags(memids, r, tag) else r.skip(tag & 7)
+        case 10 => if (proj.members) types = appendVarints(types, r, tag) else r.skip(tag & 7)
         case _ => r.skip(tag & 7)
       }
     }
@@ -638,11 +660,16 @@ object BlockDecoder {
               }
             case 0x12 => // DenseNodes: id = 1 packed sint64 delta
               val m = g.readMessage()
+              // the delta accumulator persists across repeat occurrences of
+              // the packed field (occurrences concatenate per spec — a
+              // per-occurrence reset would restart the id chain at 0)
+              var acc = 0L
               while (m.hasNext) {
                 val t = m.readTag()
                 if ((t >>> 3) == 1) {
-                  var acc = 0L
-                  m.readPackedZigzag().foreach { d => acc += d; see(acc, 0) }
+                  if ((t & 7) == 2)
+                    m.readPackedZigzag().foreach { d => acc += d; see(acc, 0) }
+                  else { acc += m.readZigzag(); see(acc, 0) }
                 } else m.skip(t & 7)
               }
             case 0x1a => // Way: id = 1 int64

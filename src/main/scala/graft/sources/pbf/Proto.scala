@@ -20,18 +20,42 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   @inline def hasNext: Boolean = pos < end
 
-  /** Reads a base-128 varint (up to 10 bytes). */
+  /** Reads a base-128 varint (up to 10 bytes). End-guarded: a truncated
+    * or corrupt varint is a TYPED error instead of a silent read into the
+    * enclosing message's next field (pos can legally sit inside `buf` but
+    * past this sub-reader's `end`). Guard cost is ONE compare per varint,
+    * not per byte: with >= 10 bytes left before `end`, a max-length varint
+    * cannot overrun, so the hot loop runs unguarded (a per-byte guard
+    * measured ~20% off transcode throughput); only the last few varints of
+    * each message take the byte-guarded tail path. */
   def readVarint(): Long = {
+    if (end - pos >= 10) {
+      var shift = 0
+      var result = 0L
+      while (shift < 64) {
+        val b = buf(pos)
+        pos += 1
+        result |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+      }
+      throw new PbfFormatException("varint too long")
+    } else readVarintGuarded()
+  }
+
+  private def readVarintGuarded(): Long = {
     var shift = 0
     var result = 0L
     while (shift < 64) {
+      if (pos >= end)
+        throw new PbfFormatException("varint overruns message end")
       val b = buf(pos)
       pos += 1
       result |= (b & 0x7fL) << shift
       if ((b & 0x80) == 0) return result
       shift += 7
     }
-    throw new IllegalArgumentException("varint too long")
+    throw new PbfFormatException("varint too long")
   }
 
   @inline def readZigzag(): Long = {
@@ -42,17 +66,33 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   /** Returns the field tag (number << 3 | wireType). */
   @inline def readTag(): Int = readVarint().toInt
 
+  /** Validated length prefix of a length-delimited field. Without this, a
+    * corrupt length either walks `pos` BACKWARDS (negative toInt → an
+    * infinite tag loop), fabricates an empty sub-message (end < pos →
+    * hasNext false), or overruns into sibling bytes — all silent. A blob
+    * that lies about a length now fails typed, in the task that owns it. */
+  @inline private def readLen(): Int = {
+    val len = readVarint().toInt
+    if (len < 0 || pos + len > end)
+      throw new PbfFormatException(
+        s"length-delimited field of $len bytes overruns message end (pos=$pos end=$end)")
+    len
+  }
+
   def skip(wireType: Int): Unit = (wireType: @annotation.switch) match {
     case 0 => readVarint()
     case 1 => pos += 8
-    case 2 => val len = readVarint().toInt; pos += len
+    // NOT `pos += readLen()`: the += desugaring reads the OLD pos before
+    // readLen() advances it past the length varint — an off-by-len-varint
+    // desync (caught by the source suites when this guard first landed)
+    case 2 => val len = readLen(); pos += len
     case 5 => pos += 4
-    case w => throw new IllegalArgumentException(s"unsupported wire type $w")
+    case w => throw new PbfFormatException(s"unsupported wire type $w")
   }
 
   /** Enters a length-delimited field: returns a sub-reader over its bytes. */
   def readMessage(): ProtoReader = {
-    val len = readVarint().toInt
+    val len = readLen()
     val r = new ProtoReader(buf, pos, pos + len)
     pos += len
     r
@@ -60,7 +100,7 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   /** Copies a length-delimited field's bytes. */
   def readBytes(): Array[Byte] = {
-    val len = readVarint().toInt
+    val len = readLen()
     val out = java.util.Arrays.copyOfRange(buf, pos, pos + len)
     pos += len
     out
@@ -68,7 +108,7 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   /** Reads a length-delimited field as a (lenient) UTF-8 string. */
   def readString(): String = {
-    val len = readVarint().toInt
+    val len = readLen()
     val s = new String(buf, pos, len, StandardCharsets.UTF_8)
     pos += len
     s
@@ -78,7 +118,7 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     * invalid bytes — callers replicate the reference's silent drop of
     * invalid tag pairs (osmpbf/src/block.rs:439-456). */
   def readStringStrict(): String = {
-    val len = readVarint().toInt
+    val len = readLen()
     val s = ProtoReader.strictUtf8(buf, pos, len)
     pos += len
     s
@@ -99,7 +139,7 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
 
   /** Decodes a packed repeated varint field into an exactly-sized array. */
   def readPackedVarint(): Array[Long] = {
-    val len = readVarint().toInt
+    val len = readLen()
     val stop = pos + len
     val out = new Array[Long](countVarints(stop))
     var n = 0
@@ -113,7 +153,7 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
   /** Decodes a packed repeated sint (zigzag) field (same single-alloc
     * strategy as [[readPackedVarint]]). */
   def readPackedZigzag(): Array[Long] = {
-    val len = readVarint().toInt
+    val len = readLen()
     val stop = pos + len
     val out = new Array[Long](countVarints(stop))
     var n = 0

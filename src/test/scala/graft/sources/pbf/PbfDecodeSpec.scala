@@ -224,4 +224,79 @@ class PbfDecodeSpec extends AnyFunSuite {
     val huge = OsmPbf.groupSpans(Seq(span(0, 32 << 20)), 1L << 20)
     assert(huge.size === 1 && huge.head.length === 1)
   }
+
+  test("packed repeated fields CONCATENATE across occurrences (protobuf spec)") {
+    import PbfWriter.MessageBuilder
+    // DenseNodes with ids/lats/lons each split across TWO packed
+    // occurrences; the delta chain must continue across the split
+    val dense = new MessageBuilder
+    dense.writePackedZigzag(1, Seq(100L, 1L))  // ids 100, 101
+    dense.writePackedZigzag(1, Seq(1L, 1L))    // ids 102, 103
+    dense.writePackedZigzag(8, Seq(520000000L, 1000L))
+    dense.writePackedZigzag(8, Seq(1000L, 1000L))
+    dense.writePackedZigzag(9, Seq(110000000L, 1000L))
+    dense.writePackedZigzag(9, Seq(1000L, 1000L))
+    val group = new MessageBuilder
+    group.writeMessageField(2, dense)
+    val block = new MessageBuilder
+    block.writeMessageField(1, new MessageBuilder) // empty stringtable
+    block.writeMessageField(2, group)
+    val rows = BlockDecoder.decodeBlock(block.result()).toSeq
+    assert(rows.map(_.getLong(0)) === Seq(100L, 101L, 102L, 103L))
+    val lat = fieldIdx("lat")
+    // 4 continuous 100-nanodegree-granularity steps, no reset at the split
+    val lats = rows.map(_.getDouble(lat))
+    assert(lats.zip(lats.tail).forall { case (a, b) => math.abs(b - a - 1e-4) < 1e-9 },
+      lats.toString)
+    // the id-only zone-map walk shares the accumulator rule
+    val ranges = BlockDecoder.idRanges(block.result())
+    assert(ranges.nodeMin === 100L && ranges.nodeMax === 103L)
+  }
+
+  test("pruned coords skip the coordinate decode (null lat/lon, ids intact)") {
+    import PbfWriter._
+    val block = primitiveBlock((0 until 5).map(i =>
+      DenseNode(10L + i, 52000000000L + i, 11000000000L + i, Nil, 1, 0L, 1L, 1, "u")))
+    val proj = BlockDecoder.Projection(coords = false)
+    val rows = BlockDecoder.decodeBlock(block, proj).toSeq
+    assert(rows.map(_.getLong(0)) === (10L until 15L))
+    val (lat, lon) = (fieldIdx("lat"), fieldIdx("lon"))
+    assert(rows.forall(r => r.isNullAt(lat) && r.isNullAt(lon)))
+  }
+
+  test("zlib stream shorter or longer than declared raw_size fails typed") {
+    import PbfWriter.MessageBuilder
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new Array[Byte](data.length * 2 + 64)
+      val n = d.deflate(out); d.end()
+      java.util.Arrays.copyOf(out, n)
+    }
+    val payload = Array.fill[Byte](100)(3)
+    def blob(declared: Int): Array[Byte] = {
+      val b = new MessageBuilder
+      b.writeVarintField(2, declared.toLong)
+      b.writeBytesField(3, deflate(payload))
+      b.result()
+    }
+    // correct size round-trips
+    assert(Blobs.decode(blob(100)).toSeq === payload.toSeq)
+    // declared LARGER than the stream: previously a silently zero-padded
+    // tail; declared SMALLER: previously silently dropped trailing bytes
+    intercept[PbfFormatException](Blobs.decode(blob(150)))
+    intercept[PbfFormatException](Blobs.decode(blob(50)))
+  }
+
+  test("zstd blob missing required raw_size fails typed (was a silent empty payload)") {
+    import PbfWriter.MessageBuilder
+    val payload = Array.fill[Byte](64)(9)
+    val b = new MessageBuilder
+    b.writeBytesField(7, com.github.luben.zstd.Zstd.compress(payload))
+    intercept[PbfFormatException](Blobs.decode(b.result()))
+    val ok = new MessageBuilder
+    ok.writeVarintField(2, 64L)
+    ok.writeBytesField(7, com.github.luben.zstd.Zstd.compress(payload))
+    assert(Blobs.decode(ok.result()).toSeq === payload.toSeq)
+  }
 }

@@ -56,4 +56,40 @@ class ProtoReaderSpec extends AnyFunSuite {
     val r = new ProtoReader(framed)
     assert(r.readPackedVarint().toSeq === Seq(1L, 128L, 5L))
   }
+
+  test("corrupt length prefixes fail typed, never desync or walk backwards") {
+    // declared length overruns the message end
+    val overrun = varintBytes(100L) ++ Array[Byte](1, 2, 3)
+    intercept[PbfFormatException](new ProtoReader(overrun).readBytes())
+    intercept[PbfFormatException](new ProtoReader(overrun).readMessage())
+    intercept[PbfFormatException](new ProtoReader(overrun).readPackedVarint())
+    intercept[PbfFormatException](new ProtoReader(overrun).skip(2))
+    // a length whose toInt is NEGATIVE previously walked pos BACKWARDS in
+    // skip (infinite tag loop) or fabricated an empty message
+    val negative = varintBytes(0xFFFFFFFFL) ++ Array[Byte](1, 2, 3)
+    intercept[PbfFormatException](new ProtoReader(negative).skip(2))
+    intercept[PbfFormatException](new ProtoReader(negative).readMessage())
+  }
+
+  test("skip(2) lands exactly past the field (multi-byte length varint)") {
+    // 200-byte field: length varint is 2 bytes — the r15 guard's first cut
+    // computed pos+len from the PRE-length-varint pos (+= evaluation
+    // order), desyncing every skip by the varint's width
+    val payload = Array.fill[Byte](200)(7)
+    val buf = varintBytes(200L) ++ payload ++ varintBytes(42L)
+    val r = new ProtoReader(buf)
+    r.skip(2)
+    assert(r.readVarint() === 42L)
+  }
+
+  test("varint overrunning its message end fails typed (no silent sibling read)") {
+    // continuation bit set on the sub-reader's last byte: the varint would
+    // otherwise silently consume the parent's next field bytes
+    val buf = Array[Byte](0x80.toByte, 0x80.toByte, 0x01)
+    val sub = new ProtoReader(buf, 0, 2) // end INSIDE buf
+    intercept[PbfFormatException](sub.readVarint())
+    // truncated buffer (end == buf.length) also fails typed
+    intercept[PbfFormatException](
+      new ProtoReader(Array[Byte](0x80.toByte)).readVarint())
+  }
 }
