@@ -23,7 +23,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts = parseArgs(args)
+    val opts =
+      try parseArgs(args)
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2)
+      }
     val master = masterOf(opts)
     // validate mode — the reference's validate.py as a CLI verb:
     //   graft.Main --validate <expectedParquet> --against <actualParquet>
@@ -72,10 +76,25 @@ object Main {
     finally spark.stop()
   }
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+  /** The full accepted option surface (the reference's clap Args,
+    * util.rs:24-64, plus the validate verb). Anything else is an ERROR,
+    * matching clap — through round 15 a misspelled option (`--compresion
+    * 5`) was silently dropped and the default ran instead. */
+  private val KnownOpts = Set("input", "output", "compression",
+    "input-buffer-size-mb", "max-records-per-file", "file-target-mb",
+    "row-group-target-mb", "max-row-group-count", "master", "worker-threads",
+    "validate", "against")
+
+  private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"dangling argument: ${args.lastOption.getOrElse("")} (options are --name value pairs)")
+    args.sliding(2, 2).map {
+      case Array(k, v) if k.startsWith("--") && KnownOpts(k.stripPrefix("--")) =>
+        k.stripPrefix("--") -> v
+      case Array(k, _) => throw new IllegalArgumentException(
+        s"unknown option: $k (accepted: ${KnownOpts.toSeq.sorted.map("--" + _).mkString(", ")})")
     }.toMap
+  }
 
   /** `--worker-threads N` (the reference's thread-count knob,
     * osm-pbf-parquet/src/util.rs:44-45) is accepted as an alias for the

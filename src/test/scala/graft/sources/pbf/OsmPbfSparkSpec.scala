@@ -192,6 +192,16 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     PbfConfig(input = "/x/a.osm.pbf").validate() // ok
   }
 
+  test("unknown or dangling CLI options fail loudly (clap parity, util.rs:24-64)") {
+    // misspelled option: previously silently dropped, default ran instead
+    intercept[IllegalArgumentException](
+      graft.Main.parseArgs(Array("--input", "a.osm.pbf", "--compresion", "5")))
+    intercept[IllegalArgumentException](
+      graft.Main.parseArgs(Array("--input", "a.osm.pbf", "--output")))
+    assert(graft.Main.parseArgs(Array("--input", "a.osm.pbf", "--compression", "5"))
+      === Map("input" -> "a.osm.pbf", "compression" -> "5"))
+  }
+
   test("--worker-threads aliases the local master thread count (util.rs:44-45)") {
     assert(graft.Main.masterOf(Map("worker-threads" -> "6")) === "local[6]")
     assert(graft.Main.masterOf(Map.empty) === "local[*]")
