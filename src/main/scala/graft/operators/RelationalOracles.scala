@@ -132,7 +132,7 @@ object RelationalOracles {
         |  FROM lineitem)
         |SELECT o_orderstatus, count(*) AS n_rows,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price
         |FROM li JOIN orders ON li.k = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q39_incremental_agg" -> q39Sql,
@@ -153,10 +153,10 @@ object RelationalOracles {
     "q01_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS sum_disc_price,
         |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
@@ -173,7 +173,7 @@ object RelationalOracles {
 
     "q03_join_broadcast" ->
       """SELECT n_name, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS total_revenue
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total_revenue
         |FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -182,7 +182,7 @@ object RelationalOracles {
 
     "q04_join_shuffle" ->
       """SELECT o_orderpriority, count(*) AS n_late_lines,
-        |  round(sum(l_extendedprice), 2) AS late_value
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS late_value
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |WHERE l_shipdate > o_orderdate
@@ -257,7 +257,7 @@ object RelationalOracles {
         |ORDER BY user_id, event_id""".stripMargin,
 
     "q11_rollup" ->
-      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS bal
+      """SELECT r_name, n_name, count(*) AS n_cust, CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS bal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -281,8 +281,8 @@ object RelationalOracles {
       """WITH agg AS (
         |  SELECT l_returnflag,
         |    round(sum(l_quantity), 2) AS sum_qty,
-        |    round(sum(l_extendedprice), 2) AS sum_price,
-        |    round(sum(l_discount), 2) AS sum_disc
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_price,
+        |    CAST(sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc
         |  FROM lineitem GROUP BY l_returnflag)
         |SELECT l_returnflag, measure, value
         |FROM agg
@@ -337,7 +337,7 @@ object RelationalOracles {
 
     "q17_date_fns" ->
       """SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
-        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |  count(*) AS n_orders, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM orders
         |GROUP BY 1, 2
         |ORDER BY yr, mo""".stripMargin,
@@ -345,7 +345,7 @@ object RelationalOracles {
     "q18_case_when" ->
       """SELECT l_linestatus,
         |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0.0 END), 2) AS qty_returned,
-        |  round(sum(CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0.0 END), 2) AS discounted_value,
+        |  CAST(sum(CASE WHEN l_discount > 0.05 THEN CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) / 100.0 AS discounted_value,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_linestatus
@@ -361,12 +361,16 @@ object RelationalOracles {
         |ORDER BY event_type""".stripMargin,
 
     "q20_scalar_subquery" ->
-      """SELECT count(*) AS n_above, round(sum(o_totalprice), 2) AS value_above
+      """SELECT count(*) AS n_above,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS value_above
         |FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin,
+        |WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+        |        * (SELECT count(*) FROM orders)
+        |    > (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |       FROM orders)""".stripMargin,
 
     "q21_having" ->
-      """SELECT p_brand, count(*) AS n_parts, round(avg(p_retailprice), 2) AS avg_price
+      """SELECT p_brand, count(*) AS n_parts, CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / count(*) / 100.0 AS avg_price
         |FROM part
         |GROUP BY p_brand
         |HAVING count(*) > 5
@@ -374,7 +378,7 @@ object RelationalOracles {
 
     "q22_join_agg_dim" ->
       """SELECT p_brand, round(sum(l_quantity), 2) AS qty,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) / 10000.0 AS revenue
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand
@@ -433,21 +437,21 @@ object RelationalOracles {
 
     "q30_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS total
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
 
     "q27_salted_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
-        |  round(sum(l_extendedprice), 2) AS value
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS value
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
 
     "q36_bloom_pruned_join" ->
       """SELECT o_orderstatus, count(*) AS n_lines,
-        |  round(sum(l_extendedprice), 2) AS value
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS value
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderpriority = '1-URGENT'
         |GROUP BY o_orderstatus
@@ -473,7 +477,9 @@ object RelationalOracles {
 
     "q24_udaf_weighted_avg" ->
       """SELECT l_returnflag,
-        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4) AS w_avg_price,
+        |  round(CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |                 * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+        |        / CAST(CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0, 4) AS w_avg_price,
         |  count(*) AS n
         |FROM lineitem
         |GROUP BY l_returnflag

@@ -31,10 +31,15 @@ object RelationalQueries {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        // money accumulates as exact integer cents (1e4 units for the
+        // 4-decimal discount product) with ONE terminal division — the
+        // r15 retirement of the round(sum(double),2) cross-engine hazard
+        // class; integral l_quantity sums are exact in double and stay
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("sum_base_price"),
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)))
+          / lit(10000.0)).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
-        round(avg(col("l_discount")), 4).as("avg_disc"),
+        (sum(floor(col("l_discount") * 100 + lit(0.5))) / count(lit(1)) / lit(100.0)).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
@@ -67,7 +72,7 @@ object RelationalQueries {
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("total_revenue"))
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5))) / lit(100.0)).as("total_revenue"))
       .orderBy(col("n_name"))
   }
 
@@ -83,7 +88,7 @@ object RelationalQueries {
       .filter(col("l_shipdate") > col("o_orderdate"))
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_late_lines"),
-        round(sum(col("l_extendedprice")), 2).as("late_value"))
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("late_value"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -213,7 +218,7 @@ object RelationalQueries {
     c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .agg(count(lit(1)).as("n_cust"), (sum(floor(col("c_acctbal") * 100 + lit(0.5))) / lit(100.0)).as("bal"))
       .select(col("r_name"), col("n_name"), col("n_cust"), col("bal"))
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
@@ -230,7 +235,8 @@ object RelationalQueries {
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5))) / lit(100.0)).as("total"))
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
   }
@@ -300,7 +306,8 @@ object RelationalQueries {
   val q17_date_fns: Q = (s, dir) => {
     Tables.orders(s, dir)
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("revenue"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(floor(col("o_totalprice") * 100 + lit(0.5))) / lit(100.0)).as("revenue"))
       .orderBy(col("yr"), col("mo"))
   }
 
@@ -310,7 +317,9 @@ object RelationalQueries {
       .groupBy(col("l_linestatus"))
       .agg(
         round(sum(when(col("l_returnflag") === "R", col("l_quantity")).otherwise(0.0)), 2).as("qty_returned"),
-        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice")).otherwise(0.0)), 2).as("discounted_value"),
+        (sum(when(col("l_discount") > 0.05,
+          floor(col("l_extendedprice") * 100 + lit(0.5))).otherwise(0L))
+          / lit(100.0)).as("discounted_value"),
         count(lit(1)).as("n"))
       .orderBy(col("l_linestatus"))
   }
@@ -332,18 +341,24 @@ object RelationalQueries {
     * single-row aggregate is cross-joined (broadcast) into the filter.
     */
   val q20_scalar_subquery: Q = (s, dir) => {
+    // "price > avg(price)" decided by EXACT integer cross-multiplication
+    // (cents * n > sum_cents): a double average is accumulation-order-
+    // dependent, and a price within an ulp of it could flip membership
+    // between engines — the same latent class as round(sum(double),2)
     val o = Tables.orders(s, dir)
-    val avgPrice = o.agg(avg(col("o_totalprice")).as("ap"))
+      .withColumn("cents", floor(col("o_totalprice") * 100 + lit(0.5)))
+    val avgPrice = o.agg(sum(col("cents")).as("sc"), count(lit(1)).as("no"))
     o.join(broadcast(avgPrice))
-      .filter(col("o_totalprice") > col("ap"))
-      .agg(count(lit(1)).as("n_above"), round(sum(col("o_totalprice")), 2).as("value_above"))
+      .filter(col("cents") * col("no") > col("sc"))
+      .agg(count(lit(1)).as("n_above"),
+        (sum(col("cents")) / lit(100.0)).as("value_above"))
   }
 
   /** q21: HAVING — group filter after aggregation. */
   val q21_having: Q = (s, dir) => {
     Tables.part(s, dir)
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_parts"), round(avg(col("p_retailprice")), 2).as("avg_price"))
+      .agg(count(lit(1)).as("n_parts"), (sum(floor(col("p_retailprice") * 100 + lit(0.5))) / count(lit(1)) / lit(100.0)).as("avg_price"))
       .filter(col("n_parts") > 5)
       .orderBy(col("p_brand"))
   }
@@ -356,7 +371,8 @@ object RelationalQueries {
     l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(round(sum(col("l_quantity")), 2).as("qty"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        (sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000 + lit(0.5)))
+          / lit(10000.0)).as("revenue"))
       .orderBy(col("p_brand"))
   }
 
@@ -399,7 +415,11 @@ object RelationalQueries {
     val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(round(wavg(col("l_extendedprice"), col("l_quantity")), 4).as("w_avg_price"),
+      // cents in, so the Aggregator's double sums hold exact integers
+      // (cents*qty <= ~3e9/row, sums < 2^53) - order-free without
+      // changing the UDAF's Double state type; one terminal /100
+      .agg(round(wavg(floor(col("l_extendedprice") * 100 + lit(0.5)),
+          col("l_quantity")) / lit(100.0), 4).as("w_avg_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
@@ -483,7 +503,7 @@ object RelationalQueries {
     hot.unionByName(cold)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")), 2).as("value"))
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("value"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -588,7 +608,7 @@ object RelationalQueries {
     l.join(urgent.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_lines"),
-        round(sum(col("l_extendedprice")), 2).as("value"))
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("value"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -677,8 +697,8 @@ object RelationalQueries {
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"),
-        round(sum(col("l_discount")), 2).as("sum_disc"))
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("sum_price"),
+        (sum(floor(col("l_discount") * 100 + lit(0.5))) / lit(100.0)).as("sum_disc"))
       .unpivot(Array(col("l_returnflag")),
         Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
         "measure", "value")
@@ -886,7 +906,7 @@ object RelationalQueries {
     li.join(ord.hint("merge"), Seq("k"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_rows"), round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        (sum(floor(col("l_extendedprice") * 100 + lit(0.5))) / lit(100.0)).as("sum_price"))
       .orderBy(col("o_orderstatus"))
   }
 
