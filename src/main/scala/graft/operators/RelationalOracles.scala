@@ -463,7 +463,10 @@ object RelationalOracles {
         |WHERE EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
-        |  AND c_acctbal > (SELECT avg(o_totalprice) / 100.0 FROM orders)
+        |  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 100
+        |        * (SELECT count(*) FROM orders)
+        |      > (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         FROM orders)
         |ORDER BY c_custkey""".stripMargin,
 
     "q26_pivot" ->

@@ -436,13 +436,20 @@ object RelationalQueries {
     val s = s0.newSession()
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.orders(s, dir).createOrReplaceTempView("orders")
+    // the acctbal-vs-average threshold decides by EXACT integer
+    // cross-multiplication (centsA*100*n > sum_cents) — the q20 rule: a
+    // double average is accumulation-order-dependent across engines and a
+    // boundary value could flip row membership
     s.sql(
       """SELECT c_custkey, c_name
         |FROM customer c
         |WHERE EXISTS (
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
-        |  AND c_acctbal > (SELECT avg(o_totalprice) / 100.0 FROM orders)
+        |  AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 100
+        |        * (SELECT count(*) FROM orders)
+        |      > (SELECT CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         FROM orders)
         |ORDER BY c_custkey""".stripMargin)
   }
 
