@@ -144,6 +144,69 @@ object DepthSoak15 {
         .mkString("{", ",", "}")},${expo(runs)}}"""
   }
 
+  // --- leg 2b: st23 RTBF delete at store depth ---
+
+  /** The delete apply's 100 TB claim, measured: tombstones are broadcast-
+    * sized by nature, so [[graft.streaming.EventStreams.applyDeletesBucketed]]
+    * costs the same O(store) scan+rewrite residual as any merge apply —
+    * the delete should time ≈ the merge at every depth, never worse by a
+    * join blowup. Asserted before timing is trusted: the surviving count
+    * is exactly store − tombstones, and versionDiff reports exactly the
+    * tombstoned keys as `removed` (the class st22's scaladoc reserves for
+    * delete-bearing stores). */
+  private def st23Point(s: SparkSession, users: Long): String = {
+    import graft.streaming.EventStreams
+    val dir = graft.Scratch.tempDir("graft-st23soak").toString
+    val prefix = s"graft_st23soak_$users"
+    val buckets = 32
+    try {
+      val seed = s.range(users).select(col("id").as("user_id"),
+        (pmod(xxhash64(col("id"), lit(9L)), lit(10000L)) / 100.0).as("value"))
+      EventStreams.applyChangesetBucketed(seed, 1L, dir, prefix, buckets)
+      // baseline residual: an ordinary merge apply of a 1/256 changeset
+      val chg = s.range(users / 256).select((col("id") * 256).as("user_id"),
+        (pmod(xxhash64(col("id"), lit(21L)), lit(10000L)) / 100.0).as("value"))
+      val merge = ScaleProbe.measure(s) {
+        EventStreams.applyChangesetBucketed(chg, 2L, dir, prefix, buckets); 1L
+      }
+      // the RTBF delete: 1/1024 of users tombstoned
+      val tomb = s.range(users / 1024)
+        .select((col("id") * 1024 + 1).as("user_id"), lit(0.0).as("value"))
+      val del = ScaleProbe.measure(s) {
+        EventStreams.applyDeletesBucketed(tomb, 3L, dir, prefix, buckets); 1L
+      }
+      val survivors = s.read.parquet(s"$dir/v3").count()
+      require(survivors == users - users / 1024,
+        s"delete survivors $survivors != ${users - users / 1024}")
+      val removed = EventStreams.versionDiff(s, dir, 2L, 3L, Some(prefix))
+        .groupBy(col("change")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(removed.get("removed").contains(users / 1024) &&
+        removed.size == 1,
+        s"diff classes $removed != {removed -> ${users / 1024}}")
+      println(f"st23 $users: merge ${merge.secs}%.2fs delete ${del.secs}%.2fs")
+      s"""{"store_rows":$users,"tombstones":${users / 1024},
+         |"merge_apply":${runJson(merge)},"delete_apply":${runJson(del)}}"""
+        .stripMargin.replace("\n", "")
+    } finally {
+      Seq(1L, 2L, 3L).foreach(v => s.sql(s"DROP TABLE IF EXISTS ${prefix}_v$v"))
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  private def st23Leg(s: SparkSession, targets: Seq[Long]): String = {
+    st23Point(s, 200000L) // warm
+    val points = targets.map(u => u -> st23Point(s, u))
+    val runs = points.map { case (u, j) =>
+      val secs = """"delete_apply":\{"seconds":([0-9.]+)""".r
+        .findFirstMatchIn(j).get.group(1).toDouble
+      (u, ScaleProbe.Run(secs, 0, 0, 0, 0, 0))
+    }
+    s"""{"targets":${points.map { case (u, j) => s""""$u":$j""" }
+        .mkString("{", ",", "}")},${expo(runs)}}"""
+  }
+
   // --- leg 3: x04 merge over 160 shards per lang ---
 
   private def x04Point(s: SparkSession, tokens: Long, shards: Int): String = {
@@ -224,6 +287,7 @@ object DepthSoak15 {
     val parts = Seq(
       "t16_phrase_search" -> (() => t16Leg(spark, Seq(1, 10, 30))),
       "st22_version_diff" -> (() => st22Leg(spark, Seq(2000000L, 8000000L, 32000000L))),
+      "st23_cdc_delete" -> (() => st23Leg(spark, Seq(2000000L, 8000000L, 32000000L))),
       "x04_sketch_merge" -> (() => x04Leg(spark, Seq(10000000L, 40000000L, 160000000L)))
     ).collect { case (name, mk) if legs.exists(name.startsWith) =>
       val j = mk(); println(s"$name done"); s""""$name":$j"""
