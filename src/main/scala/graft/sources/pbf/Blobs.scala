@@ -177,6 +177,13 @@ object Blobs {
   private def inflate(data: Array[Byte], expectedSize: Int): Array[Byte] = {
     val inflater = new Inflater()
     try {
+      inflateBody(inflater, data, expectedSize)
+    } finally inflater.end()
+  }
+
+  private def inflateBody(inflater: Inflater, data: Array[Byte],
+      expectedSize: Int): Array[Byte] = {
+    try {
       inflater.setInput(data)
       if (expectedSize >= 0) {
         val out = new Array[Byte](expectedSize)
@@ -213,7 +220,12 @@ object Blobs {
         }
         buf.toByteArray
       }
-    } finally inflater.end()
+    } catch {
+      // a corrupt deflate stream must fail TYPED like every other
+      // malformed-blob class, not leak java.util.zip's checked exception
+      case e: java.util.zip.DataFormatException =>
+        throw new PbfFormatException(s"corrupt zlib stream: ${e.getMessage}")
+    }
   }
 }
 

@@ -323,7 +323,14 @@ object BlockDecoder {
       extends Iterator[InternalRow] {
     private[this] val n = ids.length
     private[this] val width = if (proj.wayLocs) 14 else 13
-    private[this] val hasInfo = di != null && di.version.length == n
+    // ALL five delta arrays must cover every node — gating on version
+    // alone let a corrupt payload with a full version array but a short
+    // timestamp/changeset/uid/userSid array escape as an
+    // ArrayIndexOutOfBounds from the accumulator reads (found by
+    // DecodeFuzzSpec); visible is individually length-guarded at use
+    private[this] val hasInfo = di != null && di.version.length == n &&
+      di.timestamp.length == n && di.changeset.length == n &&
+      di.uid.length == n && di.userSid.length == n
     private[this] val hasCoords = lats.length == n && lons.length == n
     private[this] val target: InternalRow =
       if (reuse) {
