@@ -96,4 +96,36 @@ class DecodeFuzzSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("file-framing corruptions: enumerate fails typed or EOF, never raw") {
+    import PbfWriter._
+    val dir = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
+    val path = s"$dir/f.osm.pbf"
+    writeFile(path, Seq(validPayload(), validPayload()))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val rnd = new scala.util.Random(5)
+    (1 to 400).foreach { i =>
+      val c = bytes.clone()
+      val at = rnd.nextInt(c.length)
+      c(at) = (c(at) ^ (1 << rnd.nextInt(8))).toByte
+      try { Blobs.enumerate(new java.io.ByteArrayInputStream(c)); () }
+      catch {
+        case _: PbfFormatException => ()
+        case _: java.io.EOFException => () // truncation mid-record is an IO-level EOF
+        case e: Throwable =>
+          fail(s"enumerate trial $i (flip at $at) escaped with ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    (1 to 100).foreach { i => // truncations
+      val cut = rnd.nextInt(bytes.length)
+      try { Blobs.enumerate(new java.io.ByteArrayInputStream(bytes.take(cut))); () }
+      catch {
+        case _: PbfFormatException => ()
+        case _: java.io.EOFException => ()
+        case e: Throwable =>
+          fail(s"enumerate truncation at $cut escaped with ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
