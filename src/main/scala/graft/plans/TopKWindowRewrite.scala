@@ -66,6 +66,7 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(IntegerLiteral(_), a: Attribute) => a.semanticEquals(rank)
       case GreaterThan(IntegerLiteral(_), a: Attribute) => a.semanticEquals(rank)
       case EqualTo(a: Attribute, IntegerLiteral(1)) => a.semanticEquals(rank)
+      case EqualTo(IntegerLiteral(1), a: Attribute) => a.semanticEquals(rank)
       case _ => false
     }
     // bounds computed in Long: `rank < Int.MinValue` must stay an
@@ -77,6 +78,7 @@ object TopKWindowRewrite extends Rule[LogicalPlan] with PredicateHelper {
       case GreaterThanOrEqual(IntegerLiteral(v), _) => v.toLong
       case GreaterThan(IntegerLiteral(v), _) => v.toLong - 1L
       case EqualTo(_, IntegerLiteral(v)) => v.toLong // rk = 1 (argmax per key)
+      case EqualTo(IntegerLiteral(v), _) => v.toLong // 1 = rk (flipped literal)
     }
     (if (ks.isEmpty) None else Some(ks.min), rest)
   }

@@ -129,6 +129,15 @@ class TopKWindowRewriteSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.count() === li.select(col("l_returnflag")).distinct().count())
   }
 
+  test("1 = rk (flipped literal) rewrites identically") {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    val df = li.withColumn("rk", row_number().over(w)).filter(lit(1) === col("rk"))
+      .select(col("l_returnflag"), col("l_orderkey"))
+    assert(optimized(df).contains("TopKPerKeyNode 1,"))
+    assert(df.count() === li.select(col("l_returnflag")).distinct().count())
+  }
+
   test("skip: rank() — tie semantics admit more than k rows") {
     val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
     val df = li.withColumn("rk", rank().over(w)).filter(col("rk") <= 3)
