@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) spatial clustering for the transcoded OSM tables.
@@ -36,15 +37,23 @@ object ZOrder {
     * NULL coordinates PROPAGATE (the SQL rule — a null key, not cell 0's
     * (-90, -180) corner tile). Backed by the native [[MortonKey]]
     * expression: one codegen'd static call per row instead of the ~300-
-    * node Column cascade this wrapped through round 14 (whose round-14
+    * node Column cascade this wrapped through r14 (whose round-14
     * CaseWhen null guard disabled subexpression elimination across the
     * whole cascade — the measured p04 regression; see MortonKey's
-    * scaladoc). */
-  def mortonKey(spark: SparkSession, lat: Column, lon: Column,
-      bits: Int = DefaultBits): Column = {
+    * scaladoc).
+    *
+    * Constructs the expression DIRECTLY (no FunctionRegistry round-trip):
+    * the r15 shape registered `graft_morton_key` into the caller's session
+    * as a side effect of building a Column — an unconditional overwrite
+    * that silently replaced any same-named user function (the exact
+    * session leak bloomPrunedJoin isolates a child session to avoid). SQL
+    * callers still get the name via [[MortonKey.register]] /
+    * GraftExtensions; Column callers no longer touch the registry. */
+  def mortonKey(lat: Column, lon: Column, bits: Int = DefaultBits): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    MortonKey.register(spark)
-    call_function("graft_morton_key", lat, lon, lit(bits))
+    GraftBridge.column(MortonKey(
+      GraftBridge.expression(lat), GraftBridge.expression(lon),
+      Literal(bits)))
   }
 
   /** Scalar twin of [[quantize]] (same arithmetic, driver-side) — used to
@@ -201,7 +210,7 @@ object ZOrder {
   def zorderWrite(df: DataFrame, out: String, partitions: Int,
       bits: Int = DefaultBits, keepKey: Boolean = false): Unit = {
     val keyed = df.withColumn("_zkey",
-      mortonKey(df.sparkSession, col("lat"), col("lon"), bits))
+      mortonKey(col("lat"), col("lon"), bits))
       .repartitionByRange(partitions, col("_zkey"))
       .sortWithinPartitions("_zkey")
     // keepKey stores `_zkey` so later scans can use [[zRangePredicate]]

@@ -177,7 +177,7 @@ object PbfQueries {
       .filter(col("type") === "node" &&
         col("lat").between(52.0, 52.0002) && col("lon").between(11.0, 11.00014))
       .select(col("id"),
-        graft.functions.ZOrder.mortonKey(spark, col("lat"), col("lon")).as("zkey"))
+        graft.functions.ZOrder.mortonKey(col("lat"), col("lon")).as("zkey"))
       .orderBy("id")
   }
 
@@ -289,7 +289,7 @@ object PbfQueries {
       .filter(col("type") === "node" &&
         col("lat").between(latLo, latHi) && col("lon").between(lonLo, lonHi))
       .select(col("id"), col("lat"), col("lon"),
-        ZOrder.mortonKey(spark, col("lat"), col("lon"), bits).as("zkey"))
+        ZOrder.mortonKey(col("lat"), col("lon"), bits).as("zkey"))
     val pts = if (useZFilter)
       envPts.filter(graft.functions.ZRangeContains.zInRanges(spark, col("zkey"), zranges))
     else envPts

@@ -169,7 +169,17 @@ object Blobs {
       // EMPTY payload (zero rows from a data-bearing blob) through r14
       if (rawSize < 0) throw new PbfFormatException(
         "zstd blob missing required raw_size")
-      com.github.luben.zstd.Zstd.decompress(zstd, rawSize)
+      // Symmetric with the hardened zlib path: corrupt streams fail TYPED
+      // (ZstdException is untyped), and an actual decompressed size that
+      // differs from the declared raw_size is corruption, not padding.
+      val out =
+        try com.github.luben.zstd.Zstd.decompress(zstd, rawSize)
+        catch { case e: com.github.luben.zstd.ZstdException =>
+          throw new PbfFormatException(s"corrupt zstd stream: ${e.getMessage}")
+        }
+      if (out.length != rawSize) throw new PbfFormatException(
+        s"zstd stream decompressed to ${out.length} bytes, declared raw_size=$rawSize")
+      out
     } else throw new PbfFormatException(
       "blob carries no supported payload (raw/zlib_data/zstd_data)")
   }

@@ -331,6 +331,16 @@ object BlockDecoder {
     private[this] val hasInfo = di != null && di.version.length == n &&
       di.timestamp.length == n && di.changeset.length == n &&
       di.uid.length == n && di.userSid.length == n
+    // Dense-node coords are MANDATORY per the PBF spec: when coords are
+    // requested and the payload carries lat/lon arrays of the wrong length,
+    // that is corruption and must fail typed — not silently NULL every
+    // coordinate in the block (which downstream bbox filters would then
+    // silently drop). The null path stays ONLY for the pruned case
+    // (proj.coords off, or both arrays absent entirely).
+    if (proj.coords && (lats.nonEmpty || lons.nonEmpty) &&
+        (lats.length != n || lons.length != n))
+      throw new PbfFormatException(
+        s"DenseNodes coord arrays mismatch ids: ids=$n lats=${lats.length} lons=${lons.length}")
     private[this] val hasCoords = lats.length == n && lons.length == n
     private[this] val target: InternalRow =
       if (reuse) {
@@ -420,7 +430,7 @@ object BlockDecoder {
     var changeset: Array[Long] = Array.empty
     var uid: Array[Long] = Array.empty
     var userSid: Array[Long] = Array.empty
-    var visible: Array[Boolean] = Array.empty
+    var visible: Array[Long] = Array.empty
     while (r.hasNext) {
       val tag = r.readTag()
       (tag >>> 3) match {
@@ -429,11 +439,15 @@ object BlockDecoder {
         case 3 => changeset = appendZigzags(changeset, r, tag)
         case 4 => uid = appendZigzags(uid, r, tag)
         case 5 => userSid = appendZigzags(userSid, r, tag)
-        case 6 => visible = visible ++ r.readPackedVarint().map(_ != 0L)
+        // same tag-dispatched append as fields 1-5: a spec-legal EXPANDED
+        // (wire-type 0) visible value must not be misparsed as a length
+        // prefix (an unconditional readPackedVarint desyncs on it)
+        case 6 => visible = appendVarints(visible, r, tag)
         case _ => r.skip(tag & 7)
       }
     }
-    new DenseInfoArrays(version, timestamp, changeset, uid, userSid, visible)
+    new DenseInfoArrays(version, timestamp, changeset, uid, userSid,
+      visible.map(_ != 0L))
   }
 
   /** Way: id=1 int64, keys=2, vals=3, info=4, refs=8Δ, lat=9Δ, lon=10Δ.

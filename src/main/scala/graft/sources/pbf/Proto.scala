@@ -73,7 +73,10 @@ final class ProtoReader(val buf: Array[Byte], var pos: Int, val end: Int) {
     * that lies about a length now fails typed, in the task that owns it. */
   @inline private def readLen(): Int = {
     val len = readVarint().toInt
-    if (len < 0 || pos + len > end)
+    // Overflow-safe form: `pos + len > end` wraps negative for len near
+    // Int.MaxValue and would PASS the guard, fabricating an empty
+    // sub-message (end < pos). `end - pos` cannot overflow (0 <= pos <= end).
+    if (len < 0 || len > end - pos)
       throw new PbfFormatException(
         s"length-delimited field of $len bytes overruns message end (pos=$pos end=$end)")
     len

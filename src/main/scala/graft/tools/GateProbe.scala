@@ -35,7 +35,7 @@ object GateProbe {
     val pts = spark.range(rows)
       .withColumn("lat", lit(52.0) + (pmod(hash(col("id"), lit(1)).cast("long"), lit(1000000L))) / lit(1e6))
       .withColumn("lon", lit(11.0) + (pmod(hash(col("id"), lit(2)).cast("long"), lit(2000000L))) / lit(1e6))
-      .withColumn("zkey", ZOrder.mortonKey(spark, col("lat"), col("lon"), bits))
+      .withColumn("zkey", ZOrder.mortonKey(col("lat"), col("lon"), bits))
       .localCheckpoint()
 
     def gridBoxes(n: Int, s: Double): Seq[(Double, Double, Double, Double)] = {

@@ -11,4 +11,15 @@ object GraftBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(
       spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Column ⇄ Expression for custom expressions built OUTSIDE the
+    * FunctionRegistry (the `private[sql]` ExpressionUtils pair). Lets
+    * [[graft.functions.ZOrder.mortonKey]] construct its native expression
+    * directly instead of mutating the caller's session registry as a
+    * Column-building side effect. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
 }

@@ -41,7 +41,7 @@ class MortonKeySpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     val got = df.select(col("id"),
-        ZOrder.mortonKey(spark, col("lat"), col("lon")).as("z"))
+        ZOrder.mortonKey(col("lat"), col("lon")).as("z"))
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(got(0L).isEmpty && got(1L).isEmpty && got(2L).isEmpty)
     assert(got(3L) === Some(0L), "the real corner point keys to cell 0")

@@ -54,7 +54,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     ) ++ (1 to 500).map(_ => (rnd.nextDouble() * 180 - 90, rnd.nextDouble() * 360 - 180))
     val df = coords.zipWithIndex.map { case ((la, lo), i) => (i.toLong, la, lo) }
       .toDF("id", "lat", "lon")
-    val got = df.select(col("id"), ZOrder.mortonKey(sp, col("lat"), col("lon")).as("z"))
+    val got = df.select(col("id"), ZOrder.mortonKey(col("lat"), col("lon")).as("z"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     coords.zipWithIndex.foreach { case ((la, lo), i) =>
       assert(got(i.toLong) === refMorton(la, lo, ZOrder.DefaultBits),
@@ -62,10 +62,33 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mortonKey does not mutate the caller's FunctionRegistry") {
+    // Building a Column must not overwrite a same-named user function in
+    // the caller's session (the r15 shape registered graft_morton_key as
+    // a side effect). Isolated child session: register a DECOY under the
+    // name, build a mortonKey Column, evaluate it — the decoy survives.
+    val child = spark.newSession()
+    child.udf.register("graft_morton_key",
+      (_: Double, _: Double, _: Int) => -1L)
+    val df = child.range(4)
+      .select((col("id") * 1.0).as("lat"), (col("id") * 2.0).as("lon"))
+    val viaColumn = df.select(ZOrder.mortonKey(col("lat"), col("lon")).as("z"))
+      .collect().map(_.getLong(0))
+    // the Column path computes REAL keys (expression built directly)...
+    assert(viaColumn.toSeq === (0 until 4).map(i =>
+      refMorton(i * 1.0, i * 2.0, ZOrder.DefaultBits)))
+    // ...and the session's name still resolves to the decoy
+    df.createOrReplaceTempView("mk_probe")
+    val decoy = child.sql(
+      "SELECT graft_morton_key(lat, lon, 26) AS z FROM mk_probe")
+      .collect().map(_.getLong(0))
+    assert(decoy.forall(_ === -1L), decoy.toSeq.toString)
+  }
+
   test("mortonKey stays inside whole-stage codegen (no UDF in the plan)") {
     val df = spark.range(64)
       .select((col("id") * 0.5 - 16.0).as("lat"), (col("id") * 0.25 - 8.0).as("lon"))
-      .select(ZOrder.mortonKey(spark, col("lat"), col("lon")).as("z"))
+      .select(ZOrder.mortonKey(col("lat"), col("lon")).as("z"))
     val plan = df.queryExecution.executedPlan
     assert(plan.find(
       _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec]).isDefined,
@@ -169,7 +192,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
       (i.toLong, 50.0 + rnd.nextDouble(), 10.0 + rnd.nextDouble())
     }
     val df = pts.toDF("id", "lat", "lon")
-      .withColumn("zkey", ZOrder.mortonKey(sp, col("lat"), col("lon")))
+      .withColumn("zkey", ZOrder.mortonKey(col("lat"), col("lon")))
     val bbox = (50.3, 50.7, 10.2, 10.5)
     val ranges = ZOrder.bboxRanges(bbox._1, bbox._2, bbox._3, bbox._4)
     // range predicate alone is a superset (cell granularity); AND'ed with
@@ -236,7 +259,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
     val cellsDf = cells.toDF("box_id", "depth", "prefix",
       "lat_min", "lat_max", "lon_min", "lon_max")
     val df = pts.toDF("id", "lat", "lon")
-      .withColumn("zkey", ZOrder.mortonKey(sp, col("lat"), col("lon"), bits))
+      .withColumn("zkey", ZOrder.mortonKey(col("lat"), col("lon"), bits))
     val joined = df
       .withColumn("depth", explode(array(depths.map(lit(_)): _*)))
       .withColumn("prefix", expr(s"shiftrightunsigned(zkey, 2 * ($bits - depth))"))
@@ -275,7 +298,7 @@ class ZOrderSpec extends AnyFunSuite with BeforeAndAfterAll {
         11.0 + (next() % 20000000L) * 100L / 1e9)
     }
     val df = pts.toDF("id", "lat", "lon")
-      .withColumn("z", ZOrder.mortonKey(sp, col("lat"), col("lon"), bits))
+      .withColumn("z", ZOrder.mortonKey(col("lat"), col("lon"), bits))
 
     // the gate's driver-side estimate is the RANGE-cell ratio (what the
     // filter can actually pass), mirroring PbfQueries.p04_spatial_join —

@@ -137,7 +137,7 @@ class ZRangeContainsSpec extends AnyFunSuite with BeforeAndAfterAll {
     pts.toDF("id", "lat", "lon").write.mode("overwrite").parquet(tmp)
     val df = sp.read.parquet(tmp)
       .select(col("id"), col("lat"), col("lon"),
-        ZOrder.mortonKey(spark, col("lat"), col("lon"), bits).as("z"))
+        ZOrder.mortonKey(col("lat"), col("lon"), bits).as("z"))
     val filtered = df.filter(ZRangeContains.zInRanges(sp, col("z"), zranges))
     val plan = filtered.queryExecution.executedPlan
     assert(plan.toString.contains("graft_z_in_ranges"), plan.toString.take(2000))

@@ -299,4 +299,97 @@ class PbfDecodeSpec extends AnyFunSuite {
     ok.writeBytesField(7, com.github.luben.zstd.Zstd.compress(payload))
     assert(Blobs.decode(ok.result()).toSeq === payload.toSeq)
   }
+
+  test("zstd corruption and raw_size mismatch fail typed (zlib-path symmetry)") {
+    import PbfWriter.MessageBuilder
+    val payload = Array.fill[Byte](128)(5)
+    def blob(declared: Int, stream: Array[Byte]): Array[Byte] = {
+      val b = new MessageBuilder
+      b.writeVarintField(2, declared.toLong)
+      b.writeBytesField(7, stream)
+      b.result()
+    }
+    val good = com.github.luben.zstd.Zstd.compress(payload)
+    assert(Blobs.decode(blob(128, good)).toSeq === payload.toSeq)
+    // declared size too small / too large: corruption, not padding
+    intercept[PbfFormatException](Blobs.decode(blob(64, good)))
+    intercept[PbfFormatException](Blobs.decode(blob(200, good)))
+    // corrupt stream bytes: typed, never a raw ZstdException
+    val corrupt = good.clone(); corrupt(corrupt.length / 2) = (corrupt(corrupt.length / 2) ^ 0x5a).toByte
+    try { Blobs.decode(blob(128, corrupt)); () }
+    catch {
+      case _: PbfFormatException => ()
+      case e: Throwable => fail(s"escaped with ${e.getClass.getName}: ${e.getMessage}")
+    }
+    // pure-noise stream
+    intercept[PbfFormatException](Blobs.decode(blob(128, Array.fill[Byte](40)(0x2f))))
+  }
+
+  test("dense coord arrays mismatching ids fail typed (not a silent all-null block)") {
+    import PbfWriter.MessageBuilder
+    // 4 ids, 3 lats/lons — per the PBF spec dense coords are mandatory,
+    // so a length mismatch with coords requested is ALWAYS corruption;
+    // nulling every coordinate would make downstream bbox filters
+    // silently drop the block
+    def block(nLat: Int, nLon: Int): Array[Byte] = {
+      val dense = new MessageBuilder
+      dense.writePackedZigzag(1, Seq.fill(4)(1L))
+      if (nLat > 0) dense.writePackedZigzag(8, Seq.fill(nLat)(1000L))
+      if (nLon > 0) dense.writePackedZigzag(9, Seq.fill(nLon)(1000L))
+      val group = new MessageBuilder
+      group.writeMessageField(2, dense)
+      val b = new MessageBuilder
+      b.writeMessageField(1, new MessageBuilder)
+      b.writeMessageField(2, group)
+      b.result()
+    }
+    intercept[PbfFormatException](BlockDecoder.decodeBlock(block(3, 3)).length)
+    intercept[PbfFormatException](BlockDecoder.decodeBlock(block(4, 3)).length)
+    intercept[PbfFormatException](BlockDecoder.decodeBlock(block(5, 4)).length)
+    // lats present but lons entirely absent is also corruption
+    intercept[PbfFormatException](BlockDecoder.decodeBlock(block(4, 0)).length)
+    // matched arrays decode
+    assert(BlockDecoder.decodeBlock(block(4, 4)).length === 4)
+    // BOTH arrays absent with coords requested: the pruned-writer shape —
+    // null coords, ids intact (the advice-sanctioned null path)
+    val rows = BlockDecoder.decodeBlock(block(0, 0)).toSeq
+    assert(rows.size === 4 && rows.forall(_.isNullAt(fieldIdx("lat"))))
+    // coords pruned from the projection: mismatch is never even read
+    val pruned = BlockDecoder.decodeBlock(block(3, 3),
+      BlockDecoder.Projection(coords = false)).toSeq
+    assert(pruned.size === 4 && pruned.forall(_.isNullAt(fieldIdx("lat"))))
+  }
+
+  test("DenseInfo visible in EXPANDED encoding decodes like its sibling fields") {
+    import PbfWriter.MessageBuilder
+    // spec-legal: a packed-declared field may arrive as individual
+    // wire-type-0 values; an unconditional packed read misparses the
+    // first value as a length prefix and desyncs the whole info message
+    val n = 3
+    val dense = new MessageBuilder
+    dense.writePackedZigzag(1, Seq(100L, 1L, 1L))
+    val info = new MessageBuilder
+    info.writePackedVarint(1, Seq.fill(n)(1L))     // version
+    info.writePackedZigzag(2, Seq(7L, 0L, 0L))     // timestamp deltas
+    info.writePackedZigzag(3, Seq(9L, 0L, 0L))     // changeset deltas
+    info.writePackedZigzag(4, Seq(17L, 0L, 0L))    // uid deltas
+    info.writePackedZigzag(5, Seq(0L, 0L, 0L))     // user_sid deltas
+    info.writeVarintField(6, 1L)                   // visible, EXPANDED
+    info.writeVarintField(6, 0L)
+    info.writeVarintField(6, 1L)
+    dense.writeMessageField(5, info)
+    dense.writePackedZigzag(8, Seq(520000000L, 0L, 0L))
+    dense.writePackedZigzag(9, Seq(110000000L, 0L, 0L))
+    val group = new MessageBuilder
+    group.writeMessageField(2, dense)
+    val b = new MessageBuilder
+    b.writeMessageField(1, new MessageBuilder)
+    b.writeMessageField(2, group)
+    val rows = BlockDecoder.decodeBlock(b.result()).toSeq
+    assert(rows.map(_.getLong(0)) === Seq(100L, 101L, 102L))
+    assert(rows.map(_.getBoolean(fieldIdx("visible"))) === Seq(true, false, true))
+    // sibling fields decoded past the expanded values without desync
+    assert(rows.forall(_.getInt(fieldIdx("uid")) === 17))
+    assert(rows.forall(_.getInt(fieldIdx("version")) === 1))
+  }
 }

@@ -71,6 +71,23 @@ class ProtoReaderSpec extends AnyFunSuite {
     intercept[PbfFormatException](new ProtoReader(negative).readMessage())
   }
 
+  test("length varint near Int.MaxValue fails typed (pos+len overflow)") {
+    // pos + len overflows Int and wraps NEGATIVE, so the old `pos + len >
+    // end` guard PASSED and readMessage fabricated an empty sub-message
+    // (end < pos) while readBytes/skip took untyped AIOOBE/IAE paths. The
+    // overflow-safe `len > end - pos` form rejects all of them typed.
+    for (len <- Seq(Int.MaxValue.toLong, Int.MaxValue.toLong - 7)) {
+      val buf = varintBytes(len) ++ Array[Byte](1, 2, 3)
+      intercept[PbfFormatException](new ProtoReader(buf).readMessage())
+      intercept[PbfFormatException](new ProtoReader(buf).readBytes())
+      intercept[PbfFormatException](new ProtoReader(buf).readPackedVarint())
+      intercept[PbfFormatException](new ProtoReader(buf).skip(2))
+      // and specifically: the fabricated-empty-message path is gone
+      // (a reader whose next field claims ~2^31 bytes must not read as
+      // "message with zero fields")
+    }
+  }
+
   test("skip(2) lands exactly past the field (multi-byte length varint)") {
     // 200-byte field: length varint is 2 bytes — the r15 guard's first cut
     // computed pos+len from the PRE-length-varint pos (+= evaluation
