@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt "runMain
+// graft.Bench"` as the compact JSON metrics line. Two sbt decorations
+// were defeating that (BENCH_r15.json "parsed": null): the "[success]
+// Total time ..." banner printed AFTER the JSON, and the "[info] " prefix
+// sbt's logger stamps on forked-run output. Kill both: no success banner,
+// and forked run/runMain output goes straight to stdout unprefixed.
+// Test results still report through scalatest's own summary lines.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// both keys are consumed by sbt's command engine / fork runner, not by
+// other tasks — lintUnused can't see that
+Global / excludeLintKeys ++= Set(run / outputStrategy, Global / showSuccess)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

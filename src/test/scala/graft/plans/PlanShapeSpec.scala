@@ -110,6 +110,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("q05: the filtered key set semi-joins without shuffling the big side") {
     val p = plan("q05_semi_join")
     assert(p.contains("LeftSemi"), p)
+    // (r16: the test previously asserted only LeftSemi — a fallback to a
+    // fact-shuffling SMJ semi-join would have passed its own title.) The
+    // filtered key set must ride as the BROADCAST side; the lineitem scan
+    // feeds the join with no Exchange between scan and join.
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"semi-join must broadcast the filtered key set:\n$p")
   }
 
   test("p04: spatial join is ONE broadcast hash equi-join — no nested loop") {

@@ -97,6 +97,55 @@ class DecodeFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("header payload corruptions: decodeHeader is total (header or typed)") {
+    // a rich valid HeaderBlock exercising every field decodeHeader reads:
+    // bbox (sub-message, 4 zigzags), features, program/source, replication
+    val valid = {
+      val bbox = new PbfWriter.MessageBuilder
+      bbox.writeZigzagField(1, -180000000000L) // left (nanodeg)
+      bbox.writeZigzagField(2, 180000000000L)  // right
+      bbox.writeZigzagField(3, 90000000000L)   // top
+      bbox.writeZigzagField(4, -90000000000L)  // bottom
+      val h = new PbfWriter.MessageBuilder
+      h.writeMessageField(1, bbox)
+      h.writeStringField(4, "OsmSchema-V0.6")
+      h.writeStringField(4, "DenseNodes")
+      h.writeStringField(5, "Sort.Type_then_ID")
+      h.writeStringField(16, "graft-pbf-writer")
+      h.writeStringField(17, "fuzz-source")
+      h.writeVarintField(32, 1700000000L)
+      h.writeVarintField(33, 424242L)
+      h.writeStringField(34, "https://example.invalid/replication")
+      h.result()
+    }
+    // sanity: the valid payload decodes to its own values
+    val ok = BlockDecoder.decodeHeader(valid)
+    assert(ok.requiredFeatures === Seq("OsmSchema-V0.6", "DenseNodes"))
+    assert(ok.replicationSequence === Some(424242L))
+
+    def total(payload: Array[Byte], what: String): Unit =
+      try { BlockDecoder.decodeHeader(payload); () }
+      catch {
+        case _: PbfFormatException => ()
+        case e: Throwable =>
+          fail(s"$what escaped with ${e.getClass.getName}: ${e.getMessage}")
+      }
+
+    val rnd = new scala.util.Random(2026)
+    (1 to 500).foreach { i =>
+      val b = valid.clone()
+      val at = rnd.nextInt(b.length)
+      b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+      total(b, s"header flip trial $i (at $at)")
+    }
+    (1 to 100).foreach { _ =>
+      total(java.util.Arrays.copyOf(valid, rnd.nextInt(valid.length)), "header truncation")
+      val junk = new Array[Byte](rnd.nextInt(128))
+      rnd.nextBytes(junk)
+      total(junk, "header noise")
+    }
+  }
+
   test("file-framing corruptions: enumerate fails typed or EOF, never raw") {
     import PbfWriter._
     val dir = java.nio.file.Files.createTempDirectory("graft-fuzz").toString
