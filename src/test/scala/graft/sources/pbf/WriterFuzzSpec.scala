@@ -127,6 +127,45 @@ class WriterFuzzSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("rotation under adversarial sizes: every rotated file valid, no row lost") {
+    // tiny byte target + small record cap force MANY rotations (the path
+    // a planet transcode exercises thousands of times), with occasional
+    // 1 MB strings stressing the sampled size check's overshoot window;
+    // the reads below prove every rotated file is complete, well-formed
+    // parquet and the union is exactly the input (single-close
+    // discipline: a double-closed or unclosed file would lose rows or
+    // corrupt a footer)
+    val rows = (1 to 997).map { i =>
+      Row(i.toLong,
+        if (i % 97 == 0) Map("big" -> ("y" * (1 << 20))) else Map("k" -> s"v$i"),
+        i * 0.5, -i * 0.25, null, null, i.toLong, null, i, s"user$i", 1, true, "node")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-wfuzz-rot").toString
+    try {
+      val df = spark.createDataFrame(rows.asJava, OsmSchema.schema)
+      val internal = df.queryExecution.toRdd.collect()
+      val w = new DirectParquet.RotatingWriter(
+        new Path(dir), new Configuration(), CompressionCodecName.ZSTD,
+        taskId = 3, fileTargetBytes = 32 << 10, maxRecords = 100,
+        rowGroupBytes = 16 << 10, rowGroupRows = Some(50))
+      internal.foreach(w.write)
+      w.close()
+      assert(w.total === rows.size)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      assert(files.length > 3, s"expected many rotations, got ${files.length}")
+      // per-file validity + the record cap held on every file
+      files.foreach { f =>
+        val n = spark.read.parquet(f.toString).count()
+        assert(n > 0 && n <= 100, s"${f.getName}: $n rows")
+      }
+      // the union is exactly the input
+      val back = spark.read.parquet(dir).select(col("id"), col("user"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+      assert(back === rows.map(r => (r.getLong(0), r.getString(9))).sorted)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("seeded random rows (mixed extremes) round-trip bit-exactly") {
     val rnd = new scala.util.Random(77)
     def rndString(): String = {
