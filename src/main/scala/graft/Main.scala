@@ -53,16 +53,20 @@ object Main {
       if (bad) sys.exit(1)
       return
     }
-    val config = PbfConfig(
-      input = opts.getOrElse("input",
-        { System.err.println("missing required --input"); sys.exit(2) }),
-      output = opts.getOrElse("output", "./parquet"),
-      compression = opts.getOrElse("compression", "3").toInt,
-      inputBufferSizeMb = opts.getOrElse("input-buffer-size-mb", "16").toInt,
-      maxRecordsPerFile = opts.getOrElse("max-records-per-file", "5000000").toLong,
-      fileTargetMb = opts.get("file-target-mb").map(_.toInt),
-      rowGroupTargetMb = opts.getOrElse("row-group-target-mb", "128").toInt,
-      maxRowGroupRows = opts.get("max-row-group-count").map(_.toInt))
+    val config =
+      try PbfConfig(
+        input = opts.getOrElse("input",
+          { System.err.println("missing required --input"); sys.exit(2) }),
+        output = opts.getOrElse("output", "./parquet"),
+        compression = numeric(opts, "compression", "3").toInt,
+        inputBufferSizeMb = numeric(opts, "input-buffer-size-mb", "16").toInt,
+        maxRecordsPerFile = numeric(opts, "max-records-per-file", "5000000").toLong,
+        fileTargetMb = opts.get("file-target-mb").map(_ => numeric(opts, "file-target-mb", "").toInt),
+        rowGroupTargetMb = numeric(opts, "row-group-target-mb", "128").toInt,
+        maxRowGroupRows = opts.get("max-row-group-count").map(_ => numeric(opts, "max-row-group-count", "").toInt))
+      catch { case e: IllegalArgumentException =>
+        System.err.println(e.getMessage); sys.exit(2)
+      }
     config.validate()
 
     val spark = SparkSession.builder()
@@ -84,6 +88,20 @@ object Main {
     "input-buffer-size-mb", "max-records-per-file", "file-target-mb",
     "row-group-target-mb", "max-row-group-count", "master", "worker-threads",
     "validate", "against")
+
+  /** A numeric option's raw string, failing TYPED on a non-number —
+    * clap prints "invalid value 'abc' for --compression" and exits;
+    * before this guard a `--compression abc` escaped as a raw
+    * NumberFormatException stack trace while every other parse problem
+    * got the clean exit-2 path (main catches the IAE). */
+  private[graft] def numeric(opts: Map[String, String], name: String,
+      default: String): String = {
+    val v = opts.getOrElse(name, default)
+    if (!v.matches("-?\\d+"))
+      throw new IllegalArgumentException(
+        s"invalid value '$v' for --$name: expected an integer")
+    v
+  }
 
   private[graft] def parseArgs(args: Array[String]): Map[String, String] = {
     require(args.length % 2 == 0,

@@ -202,6 +202,32 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       === Map("input" -> "a.osm.pbf", "compression" -> "5"))
   }
 
+  test("non-numeric option values fail typed, not as a raw NumberFormatException") {
+    // clap parity: `--compression abc` previously escaped main's clean
+    // exit-2 path as a bare NumberFormatException stack trace
+    val e = intercept[IllegalArgumentException](
+      graft.Main.numeric(Map("compression" -> "abc"), "compression", "3"))
+    assert(e.getMessage.contains("abc") && e.getMessage.contains("--compression"))
+    assert(graft.Main.numeric(Map("compression" -> "-1"), "compression", "3") === "-1")
+    assert(graft.Main.numeric(Map.empty, "compression", "3") === "3")
+  }
+
+  test("arg-vector fuzz: parseArgs is total (Map or IllegalArgumentException)") {
+    val knownish = Array("--input", "--output", "--compression", "--compresion",
+      "--file-target-mb", "--validate", "-x", "", "a.osm.pbf", "5", "abc", "--")
+    val rnd = new scala.util.Random(316)
+    (1 to 300).foreach { i =>
+      val n = rnd.nextInt(7)
+      val args = Array.fill(n)(knownish(rnd.nextInt(knownish.length)))
+      try { graft.Main.parseArgs(args); () }
+      catch {
+        case _: IllegalArgumentException => ()
+        case e: Throwable =>
+          fail(s"trial $i (${args.mkString(" ")}) escaped with ${e.getClass.getName}")
+      }
+    }
+  }
+
   test("--worker-threads aliases the local master thread count (util.rs:44-45)") {
     assert(graft.Main.masterOf(Map("worker-threads" -> "6")) === "local[6]")
     assert(graft.Main.masterOf(Map.empty) === "local[*]")
