@@ -185,10 +185,10 @@ object DedupQueries {
         "array(named_struct('u', doc_a, 'v', doc_b), " +
           "named_struct('u', doc_b, 'v', doc_a))")).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint() // materialize once; every round reuses it
-    var labels = edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("lbl"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.stage) // materialize once; every round reuses it
+    var labels = graft.Checkpoints.stage(
+      edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("doc_id"), least(col("u"), col("mn")).as("lbl")))
     // Convergence check WITHOUT a per-round join: labels are min-monotone
     // (hop takes a min over {self} ∪ neighbors, jump takes least), so any
     // change strictly DECREASES the label sum; fixpoint ⟺ the sum is
@@ -213,7 +213,7 @@ object DedupQueries {
         .join(hop.select(col("doc_id").as("d2"), col("lbl").as("l2")),
           col("lbl") === col("d2"), "left")
         .select(col("doc_id"), least(col("lbl"), coalesce(col("l2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.stage)
       val newSum = labelSum(jumped)
       converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum

@@ -40,15 +40,15 @@ object GraphQueries {
       iters: Int = 8, damping: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val ed = edges.join(odeg, Seq("src")).localCheckpoint()
+    val ed = graft.Checkpoints.stage(edges.join(odeg, Seq("src")))
     val nv = verts.agg(count(lit(1)).as("n_v"))
-    val base = verts.crossJoin(broadcast(nv)).localCheckpoint()
+    val base = graft.Checkpoints.stage(verts.crossJoin(broadcast(nv)))
     // dangling = vertices with no out-edge; their rank mass is what the
     // full formulation spreads uniformly each iteration
     val dang =
       if (redistributeDangling)
-        Some(verts.join(edges.select(col("src").as("vx")).distinct(),
-          Seq("vx"), "left_anti").localCheckpoint())
+        Some(graft.Checkpoints.stage(verts.join(
+          edges.select(col("src").as("vx")).distinct(), Seq("vx"), "left_anti")))
       else None
     var ranks = base.select(col("vx"), col("n_v"),
       expr(s"$RankScale div n_v").as("rq"))
@@ -79,11 +79,10 @@ object GraphQueries {
           base.join(inMass, col("vx") === col("dst"), "left")
             .withColumn("mm", coalesce(col("m"), lit(0L)))
       }
-      ranks = withMass
+      ranks = graft.Checkpoints.stage(withMass
         .select(col("vx"), col("n_v"),
           (floor(lit(1.0 - damping) * lit(RankScale.toDouble) / col("n_v")).cast("long") +
-            floor(lit(damping) * col("mm")).cast("long")).as("rq"))
-        .localCheckpoint()
+            floor(lit(damping) * col("mm")).cast("long")).as("rq")))
       prevCk.foreach(graft.CacheOps.unpersistLocalCheckpoint)
       prevCk = Some(ranks)
     }
