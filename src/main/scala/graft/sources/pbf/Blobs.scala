@@ -200,8 +200,18 @@ object Blobs {
         var off = 0
         while (off < expectedSize && !inflater.finished()) {
           val n = inflater.inflate(out, off, expectedSize - off)
-          if (n == 0 && inflater.needsInput())
-            throw new PbfFormatException("truncated zlib stream")
+          // zero progress while unfinished is ALWAYS corruption here:
+          // needsInput = truncated; needsDictionary = a spec-legal FDICT
+          // header the format never uses (a corrupt flip can fabricate a
+          // CHECKSUM-VALID one — found by FuzzCampaign as an infinite
+          // 0-byte inflate loop, the exact hang class the fuzz contract
+          // bans); any other zero-return is an Inflater state we don't
+          // model — fail typed rather than spin
+          if (n == 0 && !inflater.finished())
+            throw new PbfFormatException(
+              if (inflater.needsDictionary())
+                "zlib stream demands a preset dictionary (FDICT) — corrupt or unsupported"
+              else "truncated zlib stream")
           off += n
         }
         // a stream SHORTER than the declared raw_size previously returned a
@@ -222,8 +232,13 @@ object Blobs {
         val chunk = new Array[Byte](64 * 1024)
         while (!inflater.finished()) {
           val n = inflater.inflate(chunk)
-          if (n == 0 && inflater.needsInput())
-            throw new PbfFormatException("truncated zlib stream")
+          // same zero-progress discipline as the sized path (incl. the
+          // FDICT spin FuzzCampaign found)
+          if (n == 0 && !inflater.finished())
+            throw new PbfFormatException(
+              if (inflater.needsDictionary())
+                "zlib stream demands a preset dictionary (FDICT) — corrupt or unsupported"
+              else "truncated zlib stream")
           buf.write(chunk, 0, n)
           if (buf.size() > MaxBodyBytes)
             throw new PbfFormatException("inflated blob exceeds 32MB cap")

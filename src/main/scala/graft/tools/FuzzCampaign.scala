@@ -131,7 +131,91 @@ object FuzzCampaign {
     }
 
     val t0 = System.nanoTime()
+    // writer surface: adversarial rows through the ROTATING writer (many
+    // small files), read back bit-exactly — the WriterFuzzSpec generator
+    // at campaign scale
+    val writerRows = math.max(2000, trials / 10)
+    val writerOutcome: Map[String, Long] = {
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[8]").appName("graft-fuzz-writer")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      try {
+        import org.apache.spark.sql.Row
+        def rndString(): String = {
+          val n = rnd.nextInt(3) match {
+            case 0 => rnd.nextInt(8); case 1 => rnd.nextInt(200); case _ => rnd.nextInt(4000)
+          }
+          val sb = new StringBuilder
+          (1 to n).foreach(_ => sb.append((rnd.nextInt(0xD7FF) + 1).toChar))
+          sb.toString
+        }
+        def opt[T](v: => T): Any = if (rnd.nextInt(4) == 0) null else v
+        def rndDouble(): Double = rnd.nextInt(6) match {
+          case 0 => Double.NaN
+          case 1 => -0.0
+          case 2 => java.lang.Double.longBitsToDouble(rnd.nextLong())
+          case _ => rnd.nextDouble() * 360 - 180
+        }
+        val rows = (1 to writerRows).map { i =>
+          Row(i.toLong,
+            opt((1 to rnd.nextInt(6)).map(_ => rndString() ->
+              (if (rnd.nextBoolean()) rndString() else null)).toMap),
+            opt(rndDouble()), opt(rndDouble()),
+            opt((1 to rnd.nextInt(5)).map(_ => Row(rnd.nextLong()))),
+            opt((1 to rnd.nextInt(4)).map(_ => Row(
+              if (rnd.nextBoolean()) rndString() else null,
+              if (rnd.nextBoolean()) java.lang.Long.valueOf(rnd.nextLong()) else null,
+              if (rnd.nextBoolean()) rndString() else null))),
+            opt(rnd.nextLong()), null, opt(rnd.nextInt()), opt(rndString()),
+            opt(rnd.nextInt()), opt(rnd.nextBoolean()), "node")
+        }
+        import scala.jdk.CollectionConverters._
+        val df = spark.createDataFrame(rows.asJava, OsmSchema.schema)
+        val internal = df.queryExecution.toRdd.collect()
+        val dir = java.nio.file.Files.createTempDirectory("graft-fuzz-writer").toString
+        try {
+          val w = new DirectParquet.RotatingWriter(
+            new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.conf.Configuration(),
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.ZSTD,
+            taskId = 1, fileTargetBytes = 256 << 10, maxRecords = 1000,
+            rowGroupBytes = 64 << 10, rowGroupRows = Some(500))
+          internal.foreach(w.write)
+          w.close()
+          val back = spark.read.parquet(dir)
+          // cheap bit-exact proxy over every column: count + grouped
+          // checksums of the canonical string form match exactly
+          import org.apache.spark.sql.functions._
+          def digest(d: org.apache.spark.sql.DataFrame): (Long, Long) = {
+            // bit_xor: order-independent, overflow-free (ANSI sum() of
+            // xxhash64 overflows Long)
+            val quoted = d.columns.filterNot(_ == "type").sorted
+              .map(c => s"`$c`").mkString(",")
+            val r = d.select(
+              expr(s"bit_xor(xxhash64(to_json(struct($quoted))))").as("h"),
+              count(lit(1)).as("n")).head()
+            (r.getLong(1), r.getLong(0))
+          }
+          val (nIn, hIn) = digest(df)
+          val (nOut, hOut) = digest(back)
+          val files = new java.io.File(dir).listFiles()
+            .count(_.getName.endsWith(".parquet"))
+          if (nIn == nOut && hIn == hOut)
+            Map("rows" -> nIn, "files" -> files.toLong, "match" -> 1L)
+          else {
+            escapes += 1
+            println(s"ESCAPE [writer_roundtrip]: n $nIn->$nOut hash $hIn->$hOut")
+            Map("rows" -> nIn, "files" -> files.toLong, "match" -> 0L)
+          }
+        } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      } finally spark.stop()
+    }
+    println(s"writer_roundtrip: $writerRows rows $writerOutcome")
+
     val results = Map(
+      "writer_roundtrip" -> writerOutcome,
       "block_decode" -> run("block_decode", payload, trials, allowEof = false) { b =>
         BlockDecoder.decodeBlock(b).length; BlockDecoder.idRanges(b); ()
       },

@@ -300,6 +300,32 @@ class PbfDecodeSpec extends AnyFunSuite {
     assert(Blobs.decode(ok.result()).toSeq === payload.toSeq)
   }
 
+  test("checksum-valid FDICT zlib header fails typed instead of spinning forever") {
+    import PbfWriter.MessageBuilder
+    // 0x78 0x20: CMF/FLG with the FDICT bit set AND a valid FCHECK
+    // ((0x7820 % 31) == 0) — spec-legal zlib that PBF never uses, and a
+    // corrupt flip can fabricate. Inflater returns 0 bytes forever with
+    // needsDictionary() (neither finished nor needsInput) — before the
+    // zero-progress guard this was an INFINITE CPU loop in the executor
+    // (found by a 17-minute FuzzCampaign hang, the exact class the fuzz
+    // contract bans; the in-suite single-flip corpus missed it because a
+    // random flip almost always breaks FCHECK first).
+    assert((0x7820 % 31) === 0)
+    val fdict = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 5, 6)
+    def blob(declareSize: Boolean): Array[Byte] = {
+      val b = new MessageBuilder
+      if (declareSize) b.writeVarintField(2, 100L)
+      b.writeBytesField(3, fdict)
+      b.result()
+    }
+    // both inflate paths: declared raw_size (sized loop) and absent
+    // raw_size (growing loop)
+    for (declared <- Seq(true, false)) {
+      val ex = intercept[PbfFormatException](Blobs.decode(blob(declared)))
+      assert(ex.getMessage.contains("dictionary"), ex.getMessage)
+    }
+  }
+
   test("zstd corruption and raw_size mismatch fail typed (zlib-path symmetry)") {
     import PbfWriter.MessageBuilder
     val payload = Array.fill[Byte](128)(5)
