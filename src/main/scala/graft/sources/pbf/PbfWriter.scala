@@ -176,9 +176,18 @@ object PbfWriter {
   private def writeBlob(out: DataOutputStream, blobType: String, payload: Array[Byte]): Unit = {
     val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
     deflater.setInput(payload); deflater.finish()
-    val comp = new Array[Byte](payload.length + 64)
+    // deflate's worst case EXPANDS: ~5 bytes per 16 KiB stored block + a
+    // constant — "+ 64" alone under-sizes incompressible payloads past
+    // ~200 KB, and a full buffer makes deflate() return 0 forever (the
+    // same zero-progress spin class the inflate side fails typed on)
+    val comp = new Array[Byte](payload.length + (payload.length >> 10) + 64)
     var clen = 0
-    while (!deflater.finished()) clen += deflater.deflate(comp, clen, comp.length - clen)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(comp, clen, comp.length - clen)
+      require(n > 0 || deflater.finished(),
+        s"deflate made no progress at $clen of ${comp.length}")
+      clen += n
+    }
     deflater.end()
 
     val blob = new MessageBuilder
