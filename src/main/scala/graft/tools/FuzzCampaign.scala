@@ -134,7 +134,10 @@ object FuzzCampaign {
     // writer surface: adversarial rows through the ROTATING writer (many
     // small files), read back bit-exactly — the WriterFuzzSpec generator
     // at campaign scale
-    val writerRows = math.max(2000, trials / 10)
+    // bounded regardless of decode-trial scale: these rows are a
+    // driver-collected LOCAL collection (big strings) — 100k of them
+    // OOM'd an 8g driver through ParallelCollectionRDD serialization
+    val writerRows = math.min(20000, math.max(2000, trials / 10))
     val writerOutcome: Map[String, Long] = {
       val spark = org.apache.spark.sql.SparkSession.builder()
         .master("local[8]").appName("graft-fuzz-writer")
