@@ -23,12 +23,8 @@ import org.apache.spark.sql.SparkSession
   */
 object Main {
   def main(args: Array[String]): Unit = {
-    val opts =
-      try parseArgs(args)
-      catch { case e: IllegalArgumentException =>
-        System.err.println(e.getMessage); sys.exit(2)
-      }
-    val master = masterOf(opts)
+    val opts = cleanExit(parseArgs(args))
+    val master = cleanExit(masterOf(opts))
     // validate mode — the reference's validate.py as a CLI verb:
     //   graft.Main --validate <expectedParquet> --against <actualParquet>
     if (opts.contains("validate")) {
@@ -53,21 +49,23 @@ object Main {
       if (bad) sys.exit(1)
       return
     }
-    val config =
-      try PbfConfig(
+    // validate() stays INSIDE the clean-exit scope: an in-syntax but
+    // out-of-range value (--compression 23) is the same user error as a
+    // non-numeric one and gets the same one-line exit-2, not a stack trace
+    val config = cleanExit {
+      val c = PbfConfig(
         input = opts.getOrElse("input",
           { System.err.println("missing required --input"); sys.exit(2) }),
         output = opts.getOrElse("output", "./parquet"),
         compression = numeric(opts, "compression", "3").toInt,
         inputBufferSizeMb = numeric(opts, "input-buffer-size-mb", "16").toInt,
         maxRecordsPerFile = numeric(opts, "max-records-per-file", "5000000").toLong,
-        fileTargetMb = opts.get("file-target-mb").map(_ => numeric(opts, "file-target-mb", "").toInt),
+        fileTargetMb = opts.get("file-target-mb").map(v => numeric("file-target-mb", v).toInt),
         rowGroupTargetMb = numeric(opts, "row-group-target-mb", "128").toInt,
-        maxRowGroupRows = opts.get("max-row-group-count").map(_ => numeric(opts, "max-row-group-count", "").toInt))
-      catch { case e: IllegalArgumentException =>
-        System.err.println(e.getMessage); sys.exit(2)
-      }
-    config.validate()
+        maxRowGroupRows = opts.get("max-row-group-count").map(v => numeric("max-row-group-count", v).toInt))
+      c.validate()
+      c
+    }
 
     val spark = SparkSession.builder()
       .master(master)
@@ -89,14 +87,26 @@ object Main {
     "row-group-target-mb", "max-row-group-count", "master", "worker-threads",
     "validate", "against")
 
+  /** Every user input error — unknown option, dangling arg, non-numeric
+    * or out-of-range value — exits 2 with a one-line message (clap
+    * parity), never a raw stack trace. NumberFormatException is an
+    * IllegalArgumentException, so huge-digit overflows land here too. */
+  private def cleanExit[T](body: => T): T =
+    try body
+    catch { case e: IllegalArgumentException =>
+      System.err.println(e.getMessage); sys.exit(2)
+    }
+
   /** A numeric option's raw string, failing TYPED on a non-number —
     * clap prints "invalid value 'abc' for --compression" and exits;
     * before this guard a `--compression abc` escaped as a raw
     * NumberFormatException stack trace while every other parse problem
-    * got the clean exit-2 path (main catches the IAE). */
+    * got the clean exit-2 path (cleanExit catches the IAE). */
   private[graft] def numeric(opts: Map[String, String], name: String,
-      default: String): String = {
-    val v = opts.getOrElse(name, default)
+      default: String): String =
+    numeric(name, opts.getOrElse(name, default))
+
+  private[graft] def numeric(name: String, v: String): String = {
     if (!v.matches("-?\\d+"))
       throw new IllegalArgumentException(
         s"invalid value '$v' for --$name: expected an integer")
@@ -121,7 +131,9 @@ object Main {
     */
   private[graft] def masterOf(opts: Map[String, String]): String =
     opts.get("master").orElse(opts.get("worker-threads").map { n =>
-      require(n.matches("\\d+") && n.toInt > 0,
+      // length cap short-circuits before toInt so a huge-digit value gets
+      // THIS message, not toInt's NumberFormatException one
+      require(n.matches("\\d+") && n.length <= 9 && n.toInt > 0,
         s"--worker-threads must be a positive integer, got: $n")
       s"local[$n]"
     }).getOrElse("local[*]")

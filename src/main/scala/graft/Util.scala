@@ -120,9 +120,17 @@ object Checkpoints {
 
   def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val sp = df.sparkSession
+    // An unparseable value fails LOUD: silently mapping "1"/"ture" to
+    // false would degrade to the fragile local mode the flag exists to
+    // escape — the operator believes checkpoints are reliable while one
+    // preempted executor can still kill a 30-round iterate
+    val raw = sp.conf.get(ReliableKey, "false")
     val reliable =
-      try sp.conf.get(ReliableKey, "false").toBoolean
-      catch { case _: IllegalArgumentException => false }
+      try raw.toBoolean
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"$ReliableKey must be true or false, got '$raw'")
+      }
     if (reliable) {
       require(sp.sparkContext.getCheckpointDir.isDefined,
         s"$ReliableKey=true requires sparkContext.setCheckpointDir(...)")

@@ -42,10 +42,9 @@ import org.apache.spark.sql.functions._
   */
 object DepthSoak16 {
 
-  private def runJson(r: ScaleProbe.Run): String =
-    f"""{"seconds":${r.secs}%.2f,"shuffle_mb":${r.shuffleMb},
-       |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct},"rows":${r.rows}}"""
-      .stripMargin.replace("\n", "")
+  // ScaleProbe owns the Run → JSON shape (adds peak_heap_mb vs the shape
+  // SOAK_r16.json was first written with — additive, artifact-compatible)
+  private def runJson(r: ScaleProbe.Run): String = ScaleProbe.runJson(r)
 
   private def expo(points: Seq[(Long, Double)]): String =
     if (points.size < 2) """"wall_exponent":"n/a""""
@@ -73,7 +72,10 @@ object DepthSoak16 {
       .select((col("id") + lit(n)).as("src"),
         (pmod(col("id") + col("d"), lit(m)) + lit(n)).as("dst"))
 
-  private def g01Point(s: SparkSession, n: Long): String = {
+  /** Returns (pointJson, skewWallSecs) — the leg's exponent series keeps
+    * the measured value instead of regex-parsing it back out of the JSON
+    * it was serialized into. */
+  private def g01Point(s: SparkSession, n: Long): (String, Double) = {
     import graft.operators.SimilarityQueries.triangleCensus
     val m = math.max(100L, n / 100)
     val uni = uniformEdges(s, n).localCheckpoint()
@@ -90,23 +92,22 @@ object DepthSoak16 {
         s"${skewRun.rows} - ${uniRun.rows} != ${45L * m}")
     println(f"g01 n=$n m=$m: uniform ${uniRun.secs}%.2fs (tri=${uniRun.rows}) " +
       f"skew ${skewRun.secs}%.2fs (tri=${skewRun.rows})")
-    s"""{"vertices":$n,"viral_m":$m,"uniform":${runJson(uniRun)},
-       |"skew":${runJson(skewRun)}}""".stripMargin.replace("\n", "")
+    (s"""{"vertices":$n,"viral_m":$m,"uniform":${runJson(uniRun)},
+        |"skew":${runJson(skewRun)}}""".stripMargin.replace("\n", ""),
+      skewRun.secs)
   }
 
   private def g01Leg(s: SparkSession, sizes: Seq[Long]): String = {
     g01Point(s, 20000L) // warm codegen
     val points = sizes.map(n => n -> g01Point(s, n))
-    val skewSecs = points.map { case (n, j) =>
-      (n, """"skew":\{"seconds":([0-9.]+)""".r.findFirstMatchIn(j).get.group(1).toDouble)
-    }
-    s"""{${points.map { case (n, j) => s""""x$n":$j""" }.mkString(",")},
+    val skewSecs = points.map { case (n, (_, secs)) => (n, secs) }
+    s"""{${points.map { case (n, (j, _)) => s""""x$n":$j""" }.mkString(",")},
        |${expo(skewSecs)}}""".stripMargin.replace("\n", "")
   }
 
   // --- leg 2a: d07 pointer jumping over direct pair lists ---
 
-  private def ccPoint(s: SparkSession, n: Long): String = {
+  private def ccPoint(s: SparkSession, n: Long): (String, Double) = {
     import graft.operators.DedupQueries.connectedComponents
     val groups = s.range(n / 5 * 4) // 4/5 of ids in groups of 4: 3 path pairs each
       .filter(pmod(col("id"), lit(4L)) =!= 3L)
@@ -130,16 +131,15 @@ object DepthSoak16 {
       comps
     }
     println(f"d07-cc n=$n (chain ${chainLen}, star $starM): ${run.secs}%.2fs")
-    s"""{"ids":$n,"chain_len":$chainLen,"star_m":$starM,"run":${runJson(run)}}"""
+    (s"""{"ids":$n,"chain_len":$chainLen,"star_m":$starM,"run":${runJson(run)}}""",
+      run.secs)
   }
 
   private def ccLeg(s: SparkSession, sizes: Seq[Long]): String = {
     ccPoint(s, 20000L) // warm
     val points = sizes.map(n => n -> ccPoint(s, n))
-    val secs = points.map { case (n, j) =>
-      (n, """"seconds":([0-9.]+)""".r.findFirstMatchIn(j).get.group(1).toDouble)
-    }
-    s"""{${points.map { case (n, j) => s""""x$n":$j""" }.mkString(",")},${expo(secs)}}"""
+    val secs = points.map { case (n, (_, sec)) => (n, sec) }
+    s"""{${points.map { case (n, (j, _)) => s""""x$n":$j""" }.mkString(",")},${expo(secs)}}"""
   }
 
   // --- leg 2b: the real d07 pipeline with a planted viral group ---
@@ -156,7 +156,7 @@ object DepthSoak16 {
         .otherwise(col("text")))
   }
 
-  private def minhashViralPoint(s: SparkSession, n: Long): String = {
+  private def minhashViralPoint(s: SparkSession, n: Long): (String, Double) = {
     import graft.operators.DedupQueries
     val m = math.max(100L, n / 50)
     val docs = viralDocs(s, n, m).localCheckpoint()
@@ -164,7 +164,13 @@ object DepthSoak16 {
       DedupQueries.connectedComponents(
         DedupQueries.pairsFromBands(
           DedupQueries.lshBands(DedupQueries.shingles(docs)), cap))
-    val uncapped = ScaleProbe.measure(s) { clusters(None).count() }
+    // each arm collects its labels INSIDE its one measured run — the label
+    // comparison must not re-execute the most expensive leg from scratch
+    var uncappedArr: Array[(Long, Long)] = null
+    val uncapped = ScaleProbe.measure(s) {
+      uncappedArr = clusters(None).collect().map(r => (r.getLong(0), r.getLong(1)))
+      uncappedArr.length.toLong
+    }
     var cappedLabels: Array[(Long, Long)] = null
     val capped = ScaleProbe.measure(s) {
       cappedLabels = clusters(Some(DedupQueries.DefaultBandBucketCap))
@@ -173,8 +179,7 @@ object DepthSoak16 {
     }
     // the cap's recall loss is EXACTLY the flooded viral group: every
     // non-viral doc clusters identically in both runs
-    val uncappedLabels = clusters(None).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val uncappedLabels = uncappedArr.toMap
     val flooded = m > DedupQueries.DefaultBandBucketCap
     val cappedMap = cappedLabels.toMap
     uncappedLabels.foreach { case (doc, lbl) =>
@@ -188,18 +193,16 @@ object DepthSoak16 {
     println(f"d07-viral n=$n m=$m flooded=$flooded: " +
       f"uncapped ${uncapped.secs}%.2fs (${uncapped.rows} clustered docs) " +
       f"capped ${capped.secs}%.2fs (${capped.rows})")
-    s"""{"docs":$n,"viral_m":$m,"flooded":$flooded,
-       |"uncapped":${runJson(uncapped)},"capped":${runJson(capped)}}"""
-      .stripMargin.replace("\n", "")
+    (s"""{"docs":$n,"viral_m":$m,"flooded":$flooded,
+        |"uncapped":${runJson(uncapped)},"capped":${runJson(capped)}}"""
+      .stripMargin.replace("\n", ""), capped.secs)
   }
 
   private def minhashViralLeg(s: SparkSession, sizes: Seq[Long]): String = {
     minhashViralPoint(s, 2000L) // warm
     val points = sizes.map(n => n -> minhashViralPoint(s, n))
-    val cappedSecs = points.map { case (n, j) =>
-      (n, """"capped":\{"seconds":([0-9.]+)""".r.findFirstMatchIn(j).get.group(1).toDouble)
-    }
-    s"""{${points.map { case (n, j) => s""""x$n":$j""" }.mkString(",")},
+    val cappedSecs = points.map { case (n, (_, secs)) => (n, secs) }
+    s"""{${points.map { case (n, (j, _)) => s""""x$n":$j""" }.mkString(",")},
        |${expo(cappedSecs)}}""".stripMargin.replace("\n", "")
   }
 

@@ -19,12 +19,6 @@ import org.apache.spark.sql.functions._
   * Usage: scripts/run.sh graft.tools.Q18AB [reps] [sfDir]
   */
 object Q18AB {
-  private def cpuTicks(): (Long, Long, Long) = {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-    (f(2) + f(5) + f(6), f(7), f.sum)
-  }
-
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(7)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -63,11 +57,13 @@ object Q18AB {
       "B_new_cents" -> scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)])
     (1 to reps).foreach { _ =>
       for ((label, cents) <- Seq("A_old_double" -> false, "B_new_cents" -> true)) {
-        val c0 = cpuTicks(); val t = System.nanoTime()
+        // CpuStat (Util.scala) — the one shared /proc/stat reader: closes
+        // its handle, lifts missing fields on old kernels, None off-Linux
+        val c0 = graft.CpuStat.ticks(); val t = System.nanoTime()
         body(sfDir, cents).count()
-        val sec = (System.nanoTime() - t) / 1e9; val c1 = cpuTicks()
-        val dt = (c1._3 - c0._3).max(1)
-        samples(label) += ((sec, 100.0 * (c1._1 - c0._1) / dt, 100.0 * (c1._2 - c0._2) / dt))
+        val sec = (System.nanoTime() - t) / 1e9
+        val (stealPct, sysPct) = graft.CpuStat.pct(c0, graft.CpuStat.ticks())
+        samples(label) += ((sec, sysPct, stealPct))
       }
     }
     for ((label, ts) <- samples.toSeq.sortBy(_._1)) {

@@ -162,7 +162,7 @@ object ScaleProbe {
     Run(secs, shuffleBytes.get() >> 20, peak, steal, sys, rows)
   }
 
-  private def runJson(r: Run): String =
+  private[tools] def runJson(r: Run): String =
     f"""{"seconds":${r.secs}%.2f,"shuffle_mb":${r.shuffleMb},"peak_heap_mb":${r.peakHeapMb},
        |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct},"rows":${r.rows}}""".stripMargin.replace("\n", "")
 

@@ -40,6 +40,18 @@ class CheckpointsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(e.getMessage.contains(Checkpoints.ReliableKey))
     }
 
+    // same discipline for an UNPARSEABLE flag value: "1"/"ture" must not
+    // silently map to the fragile local mode the flag exists to escape
+    {
+      val bad = sp.newSession()
+      bad.conf.set(Checkpoints.ReliableKey, "1")
+      import bad.implicits._
+      val e = intercept[IllegalArgumentException](
+        Checkpoints.stage(Seq((1L, 2L)).toDF("doc_a", "doc_b")))
+      assert(e.getMessage.contains(Checkpoints.ReliableKey) &&
+        e.getMessage.contains("'1'"))
+    }
+
     val ckptDir = java.nio.file.Files.createTempDirectory("graft-relckpt").toString
     sp.sparkContext.setCheckpointDir(ckptDir)
     try {

@@ -238,5 +238,19 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.Main.masterOf(Map("worker-threads" -> "nope")))
     assertThrows[IllegalArgumentException](
       graft.Main.masterOf(Map("worker-threads" -> "0")))
+    // huge-digit value: the length cap short-circuits before toInt, so the
+    // message is masterOf's own, not toInt's NumberFormatException one —
+    // and main now routes masterOf through the same cleanExit as parseArgs
+    // (an IAE here previously escaped as a raw stack trace)
+    val big = intercept[IllegalArgumentException](
+      graft.Main.masterOf(Map("worker-threads" -> "99999999999")))
+    assert(big.getMessage.contains("--worker-threads"))
+  }
+
+  test("the value-form numeric overload validates without a map lookup") {
+    assert(graft.Main.numeric("file-target-mb", "500") === "500")
+    val e = intercept[IllegalArgumentException](
+      graft.Main.numeric("file-target-mb", "5x0"))
+    assert(e.getMessage.contains("--file-target-mb"))
   }
 }
