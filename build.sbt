@@ -38,5 +38,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // ROOT-locale number formatting: the tools build JSON artifacts with
+  // f"%.2f" interpolation, which follows the default FORMAT locale — a
+  // comma-decimal locale (de_DE) would render "1,23" and corrupt every
+  // artifact. Pin the JVM rather than chase ~9 files of call sites.
+  "-Duser.language=en", "-Duser.country=US",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

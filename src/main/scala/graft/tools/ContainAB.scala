@@ -22,7 +22,11 @@ object ContainAB {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // tracked: tempDir prefers RAM-backed /dev/shm, and an untracked dir
+    // would pin the 50k-doc corpus there for the life of the host —
+    // squeezing the very memory repeated A/B runs are measuring
     val dir = graft.Scratch.tempDir("containab")
+    graft.Scratch.track(dir.toString)
     ScaleProbe.genDocs(spark, 50000L).coalesce(1)
       .write.parquet(s"$dir/documents.parquet")
 

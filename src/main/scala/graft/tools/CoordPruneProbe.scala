@@ -19,7 +19,11 @@ object CoordPruneProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = graft.Scratch.tempDir("graft-coordprune").toString
     val pbf = s"$dir/probe.osm.pbf"
-    graft.sources.pbf.PbfWriter.synthesize(pbf, blocks = blocks, nodesPerBlock = 8000)
+    // synthesize also emits one way per block by default — report ITS
+    // element count, not the blocks*8000 node arithmetic that understates
+    // what the scan actually counts
+    val totalRows = graft.sources.pbf.PbfWriter.synthesize(
+      pbf, blocks = blocks, nodesPerBlock = 8000)
     def best(of: Int)(body: => Long): Double =
       (1 to of).map { _ =>
         val t = System.nanoTime(); body; (System.nanoTime() - t) / 1e9
@@ -30,7 +34,7 @@ object CoordPruneProbe {
     scan(Seq("id")) // warm
     val idOnly = best(3)(scan(Seq("id")))
     val withCoords = best(3)(scan(Seq("id", "lat", "lon")))
-    println(f"""{"blocks":$blocks,"rows":${blocks * 8000L},"id_only_sec":$idOnly%.2f,"id_lat_lon_sec":$withCoords%.2f,"coord_decode_share":${(withCoords - idOnly) / withCoords}%.2f}""")
+    println(f"""{"blocks":$blocks,"rows":$totalRows,"id_only_sec":$idOnly%.2f,"id_lat_lon_sec":$withCoords%.2f,"coord_decode_share":${(withCoords - idOnly) / withCoords}%.2f}""")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
     spark.stop()
   }

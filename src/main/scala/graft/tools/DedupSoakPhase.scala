@@ -88,6 +88,10 @@ object DedupSoakPhase {
       val nClusters = DedupQueries.connectedComponents(pairs)
         .agg(countDistinct(col("cluster_id"))).head().getLong(0)
       val secs = (System.nanoTime() - t0) / 1e9
+      // drain the async bus BEFORE reading the counter: the final stages'
+      // completion events can still be queued when the action returns, and
+      // losing them undercounts shuffle_mb (secs stamped above, untimed)
+      org.apache.spark.GraftListenerBus.drain(s.sparkContext)
       ScaleResult(nDocs, bucketSizes.getLong(0), bucketSizes.getLong(1),
         bucketSizes.getLong(2), nPairs, nClusters,
         shuffleBytes.get() >> 20, secs)

@@ -40,10 +40,9 @@ import org.apache.spark.sql.functions._
   */
 object DepthSoak15 {
 
-  private def runJson(r: ScaleProbe.Run): String =
-    f"""{"seconds":${r.secs}%.2f,"shuffle_mb":${r.shuffleMb},
-       |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct},"rows":${r.rows}}"""
-      .stripMargin.replace("\n", "")
+  // ScaleProbe owns the Run → JSON shape (adds peak_heap_mb vs the shape
+  // SOAK_r15.json was first written with — additive, artifact-compatible)
+  private def runJson(r: ScaleProbe.Run): String = ScaleProbe.runJson(r)
 
   private def expo(points: Seq[(Long, ScaleProbe.Run)]): String =
     if (points.size < 2) """"wall_exponent":"n/a""""
@@ -85,7 +84,10 @@ object DepthSoak15 {
 
   // --- leg 2: st22 versionDiff at store depth ---
 
-  private def st22Point(s: SparkSession, users: Long): String = {
+  /** Returns (pointJson, bucketedRun) — the leg's exponent series keeps
+    * the measured Run instead of regex-parsing rounded seconds back out
+    * of the JSON it was serialized into (the DepthSoak16 shape). */
+  private def st22Point(s: SparkSession, users: Long): (String, ScaleProbe.Run) = {
     import graft.streaming.EventStreams
     val dir = graft.Scratch.tempDir("graft-st22soak").toString
     val prefix = s"graft_st22soak_$users"
@@ -121,9 +123,9 @@ object DepthSoak15 {
       println(f"st22 $users: bucketed ${bucketed.secs}%.2fs " +
         f"(shuffle ${bucketed.shuffleMb}MB) plain ${plain.secs}%.2fs " +
         f"(shuffle ${plain.shuffleMb}MB)")
-      s"""{"store_rows":$users,"diff_rows":${bucketed.rows},
-         |"bucketed_smj":${runJson(bucketed)},"plain_files":${runJson(plain)}}"""
-        .stripMargin.replace("\n", "")
+      (s"""{"store_rows":$users,"diff_rows":${bucketed.rows},
+          |"bucketed_smj":${runJson(bucketed)},"plain_files":${runJson(plain)}}"""
+        .stripMargin.replace("\n", ""), bucketed)
     } finally {
       Seq(1L, 2L).foreach(v => s.sql(s"DROP TABLE IF EXISTS ${prefix}_v$v"))
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -135,12 +137,8 @@ object DepthSoak15 {
     st22Point(s, 200000L) // warm the apply/diff code paths
     val points = targets.map(u => u -> st22Point(s, u))
     // exponent from the BUCKETED path (the deployment one)
-    val runs = points.map { case (u, j) =>
-      val secs = """"bucketed_smj":\{"seconds":([0-9.]+)""".r
-        .findFirstMatchIn(j).get.group(1).toDouble
-      (u, ScaleProbe.Run(secs, 0, 0, 0, 0, 0))
-    }
-    s"""{"targets":${points.map { case (u, j) => s""""$u":$j""" }
+    val runs = points.map { case (u, (_, run)) => (u, run) }
+    s"""{"targets":${points.map { case (u, (j, _)) => s""""$u":$j""" }
         .mkString("{", ",", "}")},${expo(runs)}}"""
   }
 
@@ -154,7 +152,8 @@ object DepthSoak15 {
     * is exactly store − tombstones, and versionDiff reports exactly the
     * tombstoned keys as `removed` (the class st22's scaladoc reserves for
     * delete-bearing stores). */
-  private def st23Point(s: SparkSession, users: Long): String = {
+  /** Returns (pointJson, deleteRun) — same keep-the-Run shape as st22. */
+  private def st23Point(s: SparkSession, users: Long): (String, ScaleProbe.Run) = {
     import graft.streaming.EventStreams
     val dir = graft.Scratch.tempDir("graft-st23soak").toString
     val prefix = s"graft_st23soak_$users"
@@ -185,9 +184,9 @@ object DepthSoak15 {
         removed.size == 1,
         s"diff classes $removed != {removed -> ${users / 1024}}")
       println(f"st23 $users: merge ${merge.secs}%.2fs delete ${del.secs}%.2fs")
-      s"""{"store_rows":$users,"tombstones":${users / 1024},
-         |"merge_apply":${runJson(merge)},"delete_apply":${runJson(del)}}"""
-        .stripMargin.replace("\n", "")
+      (s"""{"store_rows":$users,"tombstones":${users / 1024},
+          |"merge_apply":${runJson(merge)},"delete_apply":${runJson(del)}}"""
+        .stripMargin.replace("\n", ""), del)
     } finally {
       Seq(1L, 2L, 3L).foreach(v => s.sql(s"DROP TABLE IF EXISTS ${prefix}_v$v"))
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -198,18 +197,16 @@ object DepthSoak15 {
   private def st23Leg(s: SparkSession, targets: Seq[Long]): String = {
     st23Point(s, 200000L) // warm
     val points = targets.map(u => u -> st23Point(s, u))
-    val runs = points.map { case (u, j) =>
-      val secs = """"delete_apply":\{"seconds":([0-9.]+)""".r
-        .findFirstMatchIn(j).get.group(1).toDouble
-      (u, ScaleProbe.Run(secs, 0, 0, 0, 0, 0))
-    }
-    s"""{"targets":${points.map { case (u, j) => s""""$u":$j""" }
+    val runs = points.map { case (u, (_, run)) => (u, run) }
+    s"""{"targets":${points.map { case (u, (j, _)) => s""""$u":$j""" }
         .mkString("{", ",", "}")},${expo(runs)}}"""
   }
 
   // --- leg 3: x04 merge over 160 shards per lang ---
 
-  private def x04Point(s: SparkSession, tokens: Long, shards: Int): String = {
+  /** Returns (pointJson, (mergeRun, rescanRun)). */
+  private def x04Point(s: SparkSession, tokens: Long,
+      shards: Int): (String, (ScaleProbe.Run, ScaleProbe.Run)) = {
     val dir = graft.Scratch.tempDir("graft-x04soak").toString
     try {
       val vocab = math.max(tokens / 50, 1000L)
@@ -250,9 +247,10 @@ object DepthSoak15 {
       }
       println(f"x04 $tokens tokens: build ${build.secs}%.2fs " +
         f"merge ${merge.secs}%.2fs rescan ${rescan.secs}%.2fs")
-      s"""{"tokens":$tokens,"shards_per_lang":$shards,
-         |"sketch_build_store":${runJson(build)},"merge_from_store":${runJson(merge)},
-         |"exact_rescan":${runJson(rescan)}}""".stripMargin.replace("\n", "")
+      (s"""{"tokens":$tokens,"shards_per_lang":$shards,
+          |"sketch_build_store":${runJson(build)},"merge_from_store":${runJson(merge)},
+          |"exact_rescan":${runJson(rescan)}}""".stripMargin.replace("\n", ""),
+        (merge, rescan))
     } finally {
       try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       catch { case _: java.io.IOException => () }
@@ -262,16 +260,11 @@ object DepthSoak15 {
   private def x04Leg(s: SparkSession, volumes: Seq[Long]): String = {
     x04Point(s, 1000000L, 160) // warm
     val points = volumes.map(v => v -> x04Point(s, v, 160))
-    def runsOf(key: String) = points.map { case (v, j) =>
-      val secs = (s""""$key":\\{"seconds":([0-9.]+)""").r
-        .findFirstMatchIn(j).get.group(1).toDouble
-      (v, ScaleProbe.Run(secs, 0, 0, 0, 0, 0))
-    }
-    val mergeExp = expo(runsOf("merge_from_store"))
+    val mergeExp = expo(points.map { case (v, (_, (m, _))) => (v, m) })
       .replace("wall_exponent", "merge_wall_exponent")
-    val rescanExp = expo(runsOf("exact_rescan"))
+    val rescanExp = expo(points.map { case (v, (_, (_, r))) => (v, r) })
       .replace("wall_exponent", "rescan_wall_exponent")
-    s"""{"volumes":${points.map { case (v, j) => s""""$v":$j""" }
+    s"""{"volumes":${points.map { case (v, (j, _)) => s""""$v":$j""" }
         .mkString("{", ",", "}")},$mergeExp,$rescanExp}"""
   }
 

@@ -34,13 +34,6 @@ import org.apache.spark.sql.functions._
   * Usage: scripts/run.sh graft.tools.EventsAB [reps] [sfDir]
   */
 object EventsAB {
-  private def cpuTicks(): (Long, Long, Long) = {
-    val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
-    val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-    // user+nice+sys+idle+iowait+irq+softirq+steal
-    (f(2) + f(5) + f(6), f(7), f.sum) // (system-ish, steal, total)
-  }
-
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(5)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -83,11 +76,13 @@ object EventsAB {
 
     def bench(q: String, label: String, run: () => Long): Unit = {
       val times = (1 to reps).map { _ =>
-        val c0 = cpuTicks(); val t = System.nanoTime()
+        // CpuStat (Util.scala) — the one shared /proc/stat reader: closes
+        // its handle, lifts missing fields on old kernels, None off-Linux
+        val c0 = graft.CpuStat.ticks(); val t = System.nanoTime()
         run()
-        val sec = (System.nanoTime() - t) / 1e9; val c1 = cpuTicks()
-        val dt = (c1._3 - c0._3).max(1)
-        (sec, 100.0 * (c1._1 - c0._1) / dt, 100.0 * (c1._2 - c0._2) / dt)
+        val sec = (System.nanoTime() - t) / 1e9
+        val (stealPct, sysPct) = graft.CpuStat.pct(c0, graft.CpuStat.ticks())
+        (sec, sysPct, stealPct)
       }
       val ts = times.map(_._1)
       println(f"$q%-28s $label%-10s best=${ts.min}%.3f  med=${ts.sorted.apply(reps / 2)}%.3f  " +

@@ -91,7 +91,10 @@ object GateChurnAB {
       .MemoryStream[(Long, String)]
     val docs = in.toDF().toDF("doc_id", "text")
     val name = s"gatechurn_${trigger.isDefined}"
+    // tracked: each leg otherwise abandons a RocksDB checkpoint dir under
+    // tmpdir — repeated A/B runs accumulate unbounded SST/commit-log state
     val ckpt = java.nio.file.Files.createTempDirectory("gatechurn-ckpt").toString
+    graft.Scratch.track(ckpt)
     val w = graft.streaming.DocStreams.nearDupFlagsTtl(docs, 3600L * 1000)
       .writeStream.format("memory").queryName(name)
       .option("checkpointLocation", ckpt)

@@ -137,11 +137,42 @@ object IvmSoak {
     * pruning the pruned CDC apply uses — Spark's own bucket pruning
     * needs literal key predicates, which a changeset join doesn't have).
     * Results asserted identical before timings are trusted. */
-  private def clusteredLeg(s: SparkSession, target: Long): String = {
+  private def clusteredLeg(s: SparkSession, target: Long): String =
+    clusteredLegImpl(s, target, wide = false)
+
+  /** The WIDE-ROW rerun of the clustered leg (VERDICT r14 ask #4): SOAK_r14d
+    * measured the touched-bucket read winning only ~10–20% on the narrow
+    * 3-column fact and hedged "bucket pruning pays in proportion to row
+    * WIDTH". Here the fact carries a documents-style text column (~100
+    * vocab words ≈ 550 chars) and the maintained view READS it (per-seg
+    * sum of text length next to the cents sum — a token-stat view), so
+    * the inc2 term is byte-bound: reading 2/32 touched buckets cuts 16×
+    * the bytes where the narrow leg only cut codegen-cheap rows. Without
+    * the view reading the column, parquet column pruning would erase the
+    * width effect — that is the point: width pays exactly when the view
+    * materializes wide columns. Results asserted identical before
+    * timings are trusted. */
+  private def wideClusteredLeg(s: SparkSession, target: Long): String =
+    clusteredLegImpl(s, target, wide = true)
+
+  /** One body for the narrow and wide clustered legs — the shared logic
+    * (ΔB construction, retargeting join, bucketed layout, touched-bucket
+    * file listing, truth assertion) must not fork into two copies that
+    * can silently diverge between the legs the artifact compares. `wide`
+    * adds the text payload column, makes the view read it, and reports
+    * bytes on disk. */
+  private def clusteredLegImpl(s: SparkSession, target: Long,
+      wide: Boolean): String = {
     val buckets = 32
     val dims = math.max(target / 64, 100000L)
-    val dir = graft.Scratch.tempDir("graft-ivmclu").toString
-    val factTable = s"graft_ivmclu_fact_$target"
+    val tag = if (wide) "ivmwide" else "ivmclu"
+    val dir = graft.Scratch.tempDir(s"graft-$tag").toString
+    val factTable = s"graft_${tag}_fact_$target"
+    val vocabArr = array(Seq("a", "agg", "batch", "big", "column", "customer",
+      "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
+      "merge", "order", "part", "query", "row", "scan", "slow", "small",
+      "sort", "spark", "stream", "table", "the", "value", "vector", "window")
+      .map(lit(_)): _*)
     try {
       // ΔB: new customer ids hashing into buckets {0,1} of 32
       val m = math.max(dims / DeltaDiv, 32L)
@@ -157,22 +188,39 @@ object IvmSoak {
           .orderBy(col("c_id"))) - 1).cast("long").as("ix"))
         .localCheckpoint()
       val nIdx = idx.count()
-      val base = s.range(target).select(col("id").as("o_id"),
+      val narrowBase = s.range(target).select(col("id").as("o_id"),
         pmod(xxhash64(col("id"), lit(3L)), lit(dims)).as("cust0"),
         pmod(xxhash64(col("id"), lit(5L)), lit(100000L)).as("cents"),
         when(pmod(col("id"), lit(DeltaDiv)) === 0,
           pmod(col("id"), lit(nIdx))).otherwise(lit(-1L)).as("ix"))
+      // the wide payload: ~100 vocab words per row, xxhash-derived
+      val base = if (!wide) narrowBase else narrowBase
+        .withColumn("text", concat_ws(" ", transform(
+          sequence(lit(1), lit(100)), j => element_at(vocabArr,
+            (pmod(xxhash64(col("o_id"), j.cast("long"), lit(11L)),
+              lit(31L)) + 1).cast("int")))))
+      val factCols = Seq(col("o_id"),
+        coalesce(col("c_id"), col("cust0")).as("cust"), col("cents")) ++
+        (if (wide) Seq(col("text")) else Nil)
       base.join(broadcast(idx), Seq("ix"), "left")
-        .select(col("o_id"), coalesce(col("c_id"), col("cust0")).as("cust"),
-          col("cents"))
+        .select(factCols: _*)
         .repartition(buckets, col("cust"))
         .write.bucketBy(buckets, "cust").sortBy("cust")
         .option("path", s"$dir/fact_b").mode("overwrite")
         .saveAsTable(factTable)
       val fact = s.table(factTable)
+      // wide: the view READS the text column (per-seg total chars) — the
+      // byte-bound term the leg exists to measure
+      def view(o: DataFrame, c: DataFrame): DataFrame =
+        if (wide)
+          o.join(c, col("cust") === col("c_id"))
+            .groupBy(col("seg"))
+            .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
+              sum(length(col("text"))).as("chars"))
+        else segAgg(o, c)
       var truth: Array[String] = Array.empty
       val full = ScaleProbe.measure(s) {
-        truth = segAgg(fact, broadcast(dB)).orderBy(col("seg"))
+        truth = view(fact, broadcast(dB)).orderBy(col("seg"))
           .collect().map(_.toString); truth.length.toLong
       }
       // touched-bucket read: ΔB's buckets → the files carrying them
@@ -190,108 +238,17 @@ object IvmSoak {
               if touched.contains(id.toInt) => Some(st.getPath.toString)
             case _ => None
           }}.flatten
-        val got = segAgg(s.read.parquet(files: _*), broadcast(dB))
+        val got = view(s.read.parquet(files: _*), broadcast(dB))
           .orderBy(col("seg")).collect().map(_.toString)
-        require(got.sameElements(truth), "pruned inc2 diverged from full scan")
+        require(got.sameElements(truth), s"pruned $tag inc2 diverged from full scan")
         files.size.toLong
       }
-      f"""{"fact_rows":$target,"delta_dim_rows":$nIdx,"touched_buckets":2,
-         |"inc2_full_scan":${runJson(full)},"inc2_pruned_read":${runJson(pruned)}}"""
-        .stripMargin.replace("\n", "")
-    } finally {
-      s.sql(s"DROP TABLE IF EXISTS $factTable")
-      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
-      catch { case _: java.io.IOException => () }
-    }
-  }
-
-  /** The WIDE-ROW rerun of [[clusteredLeg]] (VERDICT r14 ask #4): SOAK_r14d
-    * measured the touched-bucket read winning only ~10–20% on the narrow
-    * 3-column fact and hedged "bucket pruning pays in proportion to row
-    * WIDTH". Here the fact carries a documents-style text column (~100
-    * vocab words ≈ 550 chars) and the maintained view READS it (per-seg
-    * sum of text length next to the cents sum — a token-stat view), so
-    * the inc2 term is byte-bound: reading 2/32 touched buckets cuts 16×
-    * the bytes where the narrow leg only cut codegen-cheap rows. Without
-    * the view reading the column, parquet column pruning would erase the
-    * width effect — that is the point: width pays exactly when the view
-    * materializes wide columns. Results asserted identical before
-    * timings are trusted. */
-  private def wideClusteredLeg(s: SparkSession, target: Long): String = {
-    val buckets = 32
-    val dims = math.max(target / 64, 100000L)
-    val dir = graft.Scratch.tempDir("graft-ivmwide").toString
-    val factTable = s"graft_ivmwide_fact_$target"
-    val vocabArr = array(Seq("a", "agg", "batch", "big", "column", "customer",
-      "data", "dup", "fast", "filter", "group", "hash", "join", "key", "line",
-      "merge", "order", "part", "query", "row", "scan", "slow", "small",
-      "sort", "spark", "stream", "table", "the", "value", "vector", "window")
-      .map(lit(_)): _*)
-    try {
-      val m = math.max(dims / DeltaDiv, 32L)
-      val dB = s.range(dims, dims * 4)
-        .filter(pmod(hash(col("id")), lit(buckets)) < 2)
-        .limit(m.toInt)
-        .select(col("id").as("c_id"),
-          concat(lit("seg_"), pmod(col("id"), lit(Segments.toLong))).as("seg"))
-        .localCheckpoint()
-      val idx = dB.select(col("c_id"),
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("c_id"))) - 1).cast("long").as("ix"))
-        .localCheckpoint()
-      val nIdx = idx.count()
-      val base = s.range(target).select(col("id").as("o_id"),
-        pmod(xxhash64(col("id"), lit(3L)), lit(dims)).as("cust0"),
-        pmod(xxhash64(col("id"), lit(5L)), lit(100000L)).as("cents"),
-        when(pmod(col("id"), lit(DeltaDiv)) === 0,
-          pmod(col("id"), lit(nIdx))).otherwise(lit(-1L)).as("ix"))
-        // the wide payload: ~100 vocab words per row, xxhash-derived
-        .withColumn("text", concat_ws(" ", transform(
-          sequence(lit(1), lit(100)), j => element_at(vocabArr,
-            (pmod(xxhash64(col("o_id"), j.cast("long"), lit(11L)),
-              lit(31L)) + 1).cast("int")))))
-      base.join(broadcast(idx), Seq("ix"), "left")
-        .select(col("o_id"), coalesce(col("c_id"), col("cust0")).as("cust"),
-          col("cents"), col("text"))
-        .repartition(buckets, col("cust"))
-        .write.bucketBy(buckets, "cust").sortBy("cust")
-        .option("path", s"$dir/fact_b").mode("overwrite")
-        .saveAsTable(factTable)
-      val fact = s.table(factTable)
-      // the view READS the text column: per-seg count/cents/total text chars
-      def segAggWide(o: DataFrame, c: DataFrame): DataFrame =
-        o.join(c, col("cust") === col("c_id"))
-          .groupBy(col("seg"))
-          .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"),
-            sum(length(col("text"))).as("chars"))
-      var truth: Array[String] = Array.empty
-      val full = ScaleProbe.measure(s) {
-        truth = segAggWide(fact, broadcast(dB)).orderBy(col("seg"))
-          .collect().map(_.toString); truth.length.toLong
-      }
-      val pruned = ScaleProbe.measure(s) {
-        val touched = dB
-          .select(pmod(hash(col("c_id")), lit(buckets)).as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val fs = new org.apache.hadoop.fs.Path(s"$dir/fact_b")
-          .getFileSystem(s.sparkContext.hadoopConfiguration)
-        val files = fs.listStatus(
-          new org.apache.hadoop.fs.Path(s"$dir/fact_b")).toSeq
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-          .collect { case st => st.getPath.getName match {
-            case graft.streaming.EventStreams.BucketFileId(id)
-              if touched.contains(id.toInt) => Some(st.getPath.toString)
-            case _ => None
-          }}.flatten
-        val got = segAggWide(s.read.parquet(files: _*), broadcast(dB))
-          .orderBy(col("seg")).collect().map(_.toString)
-        require(got.sameElements(truth), "pruned wide inc2 diverged from full scan")
-        files.size.toLong
-      }
-      val bytes = org.apache.commons.io.FileUtils.sizeOfDirectory(
-        new java.io.File(s"$dir/fact_b"))
-      f"""{"fact_rows":$target,"fact_bytes_on_disk":$bytes,
-         |"delta_dim_rows":$nIdx,"touched_buckets":2,
+      val bytesField = if (wide)
+        s""""fact_bytes_on_disk":${org.apache.commons.io.FileUtils
+          .sizeOfDirectory(new java.io.File(s"$dir/fact_b"))},"""
+      else ""
+      f"""{"fact_rows":$target,$bytesField"delta_dim_rows":$nIdx,
+         |"touched_buckets":2,
          |"inc2_full_scan":${runJson(full)},"inc2_pruned_read":${runJson(pruned)}}"""
         .stripMargin.replace("\n", "")
     } finally {

@@ -155,8 +155,17 @@ object ScaleProbe {
     s.sparkContext.addSparkListener(listener)
     import graft.CpuStat.{ticks, pct}
     val c0 = ticks(); val t0 = System.nanoTime()
-    val rows = try body finally s.sparkContext.removeSparkListener(listener)
-    val secs = (System.nanoTime() - t0) / 1e9
+    var secs = 0.0
+    // drain the async listener bus BEFORE detaching: the final stages'
+    // completion events can still be queued when the action returns, and
+    // losing them undercounts shuffle_mb — the soaks' witness metric.
+    // secs is stamped before the drain so the wait is not measured.
+    val rows =
+      try { val r = body; secs = (System.nanoTime() - t0) / 1e9; r }
+      finally {
+        org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+        s.sparkContext.removeSparkListener(listener)
+      }
     val (steal, sys) = pct(c0, ticks())
     val peak = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
     Run(secs, shuffleBytes.get() >> 20, peak, steal, sys, rows)
@@ -185,22 +194,6 @@ object ScaleProbe {
 
     val scratch = graft.Scratch.tempDir("scaleprobe")
     try {
-      // stage one generated dir per multiplier, sf0.1-shaped
-      // coalesce(1) mirrors the driver's one-file-per-table layout at
-      // every scale, so scan parallelism comes from the queries' own
-      // pre-amplification repartitions at 1× and 10× alike
-      val dirs = mults.map { m =>
-        val d = scratch.resolve(s"x$m"); java.nio.file.Files.createDirectory(d)
-        genDocs(spark, 5000L * m).coalesce(1).write.parquet(s"$d/documents.parquet")
-        genEvents(spark, 100000L * m).coalesce(1).write.parquet(s"$d/events.parquet")
-        genEmbeddings(spark, 2000L * m).coalesce(1).write.parquet(s"$d/embeddings.parquet")
-        val (o, l) = genOrdersLineitem(spark, 150000L * m)
-        o.coalesce(1).write.parquet(s"$d/orders.parquet")
-        l.coalesce(1).write.parquet(s"$d/lineitem.parquet")
-        println(s"staged x$m -> $d")
-        m -> d.toString
-      }
-
       val allFamilies = Seq(
         "d06_simhash_pairs", "d09_simhash64_pairs", "d13_simhash64_capped",
         "d08_lsh_recall", "d11_shared_passages", "d12_shared_passages_capped",
@@ -253,6 +246,30 @@ object ScaleProbe {
         // read ~linear, vs the corpus-wide s07 whose truth side is N²
         // by declared role (the r10 weak mark this knob closes).
         "s07c_sampled_audit_scaled")
+      // validate the family filter BEFORE staging: a misspelled name
+      // previously selected zero families silently and wrote an empty
+      // artifact after minutes of corpus parquet writes
+      val unknown = familyFilter.filterNot(allFamilies.contains)
+      require(unknown.isEmpty,
+        s"unknown families: ${unknown.mkString(", ")}; " +
+          s"known: ${allFamilies.mkString(", ")}")
+
+      // stage one generated dir per multiplier, sf0.1-shaped
+      // coalesce(1) mirrors the driver's one-file-per-table layout at
+      // every scale, so scan parallelism comes from the queries' own
+      // pre-amplification repartitions at 1× and 10× alike
+      val dirs = mults.map { m =>
+        val d = scratch.resolve(s"x$m"); java.nio.file.Files.createDirectory(d)
+        genDocs(spark, 5000L * m).coalesce(1).write.parquet(s"$d/documents.parquet")
+        genEvents(spark, 100000L * m).coalesce(1).write.parquet(s"$d/events.parquet")
+        genEmbeddings(spark, 2000L * m).coalesce(1).write.parquet(s"$d/embeddings.parquet")
+        val (o, l) = genOrdersLineitem(spark, 150000L * m)
+        o.coalesce(1).write.parquet(s"$d/orders.parquet")
+        l.coalesce(1).write.parquet(s"$d/lineitem.parquet")
+        println(s"staged x$m -> $d")
+        m -> d.toString
+      }
+
       val families =
         if (familyFilter.isEmpty) allFamilies
         else allFamilies.filter(familyFilter.contains)

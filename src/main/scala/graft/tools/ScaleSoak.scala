@@ -128,7 +128,12 @@ object D11SoakPhase {
       val out = DedupQueries.passagePairs(inv, Some(cap))
         .agg(count(lit(1)), sum(col("n_shared"))).head()
       (out.getLong(0), out.getLong(1), (System.nanoTime() - t0) / 1e9)
-    } finally s.sparkContext.removeSparkListener(listener)
+    } finally {
+      // drain the async bus before detaching or the final stages' shuffle
+      // bytes are nondeterministically dropped (timed above, so untimed)
+      org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+      s.sparkContext.removeSparkListener(listener)
+    }
     // uncapped pipeline ONLY where the prediction says the explode is
     // feasible on this box (the larger scale's hot grams would build
     // multi-hundred-MB pair arrays from single rows — the prediction IS
@@ -280,12 +285,20 @@ object TwsSoak {
     * SOAK_r10g). */
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SOAK_r09f.json")
-    val n = args.drop(1).headOption.filter(_.forall(_.isDigit))
-      .map(_.toLong).getOrElse(10000000L)
-    val selected = {
-      val names = args.drop(1).filterNot(_.forall(_.isDigit)).toSeq
-      if (names.nonEmpty) names else Seq("profile")
+    // strictly positional — [outJson] [nEvents] [op…] — so a misplaced
+    // numeric (`TwsSoak out profile 5000000`) is a LOUD usage error, not
+    // a silently-dropped size that runs a multi-hour soak at 2× depth
+    val rest = args.drop(1).toSeq
+    val n = rest.headOption.filter(_.forall(_.isDigit)) match {
+      case Some(d) => d.toLongOption.filter(_ > 0).getOrElse(sys.error(
+        s"nEvents must be a positive long, got '$d'"))
+      case None => 10000000L
     }
+    val opArgs = if (rest.headOption.exists(_.forall(_.isDigit))) rest.tail else rest
+    opArgs.filterNot(ops.contains).foreach(bad => sys.error(
+      s"unknown op '$bad' (nEvents goes BEFORE the ops); " +
+        s"usage: TwsSoak [outJson] [nEvents] [op…], ops: ${ops.keys.mkString(", ")}"))
+    val selected = if (opArgs.nonEmpty) opArgs else Seq("profile")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
