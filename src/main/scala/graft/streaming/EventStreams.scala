@@ -55,7 +55,11 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        (sum(floor(col("value") * 100 + lit(0.5))) / lit(100.0)).as("total_value"))
+        // cast BEFORE the sum: Spark's floor returns double, and a double
+        // sum of integer cents is exact only below 2^53 total — the money
+        // note above promises a BIGINT sum (the applyChangeset discipline)
+        (sum(floor(col("value") * 100 + lit(0.5)).cast("long")) / lit(100.0))
+          .as("total_value"))
       .select(col("w.start").as("bucket_start"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -143,7 +147,8 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        sum(floor(col("value") * 100 + lit(0.5))).as("tvc")) // exact cents
+        // BIGINT cents sum (cast before summing — see slidingCounts)
+        sum(floor(col("value") * 100 + lit(0.5)).cast("long")).as("tvc"))
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"),
         (col("tvc") / lit(100.0)).as("total_value"))
@@ -562,9 +567,30 @@ object EventStreams {
               // the emission forever. Close inline: in-window events can
               // no longer arrive (they would be watermark-late upstream),
               // so the result is already frozen. This batch's own events
-              // are all ≥ wm > window end — irrelevant to this episode.
-              state.remove()
-              close(userId, FunnelState(s1, buf))
+              // are all ≥ wm > window end — irrelevant to this episode,
+              // but NOT to the next one: a signup in this very batch is
+              // the declared fresh episode and must seed new state, not
+              // be dropped with the old (the timeout path gets this for
+              // free because the re-signup arrives in a LATER batch).
+              val stale = close(userId, FunnelState(s1, buf))
+              val s1New = batch.iterator.filter(_.event_type == "signup")
+                .map(_.ts.getTime).minOption.getOrElse(Long.MaxValue)
+              val bufNew = batch.iterator.filter(_.event_type != "signup")
+                .map(e => FEv(e.ts.getTime, e.event_type))
+                .filter(e => s1New == Long.MaxValue || e.ts <= s1New + windowMs)
+                .toList
+              if (s1New == Long.MaxValue && bufNew.isEmpty) state.remove()
+              else {
+                // the new window cannot itself be already closed:
+                // s1New >= wm (late rows are dropped upstream), so
+                // s1New + windowMs > wm
+                state.update(FunnelState(s1New, bufNew))
+                val closeAt =
+                  if (s1New != Long.MaxValue) s1New + windowMs
+                  else bufNew.map(_.ts).max
+                state.setTimeoutTimestamp(math.max(closeAt, wm + 1))
+              }
+              stale
             } else {
               if (s1 == Long.MaxValue && buf.isEmpty) state.remove()
               else {
@@ -783,17 +809,7 @@ object EventStreams {
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
-    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
-      // committed: skip — but a crash in the narrow window between the
-      // parquet commit and writeBucketCount leaves _SUCCESS without
-      // _BUCKETS, which would otherwise cost every LATER apply this
-      // version's Exchange-free scan, permanently. The replayed batch is
-      // the one place that knows it just re-ran this version, so heal
-      // here — exactly (from the data), never heuristically.
-      if (readBucketCount(fs, vDir).isEmpty)
-        healBucketMarker(s, fs, vDir, buckets)
-      return
-    }
+    if (committedAndHealed(s, fs, vDir, buckets)) return
     val chg = batch.groupBy(col("user_id"))
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
@@ -913,11 +929,7 @@ object EventStreams {
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
-    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
-      if (readBucketCount(fs, vDir).isEmpty) // same heal as the merge apply
-        healBucketMarker(s, fs, vDir, buckets)
-      return
-    }
+    if (committedAndHealed(s, fs, vDir, buckets)) return
     val (prior, priorBucketed) =
       priorSnapshotBucketed(s, fs, targetDir, batchId, tablePrefix, buckets)
     val pruned = prior.join(
@@ -996,11 +1008,7 @@ object EventStreams {
     val target = new org.apache.hadoop.fs.Path(targetDir)
     val fs = target.getFileSystem(s.sparkContext.hadoopConfiguration)
     val vDir = new org.apache.hadoop.fs.Path(target, s"v$batchId")
-    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
-      if (readBucketCount(fs, vDir).isEmpty)
-        healBucketMarker(s, fs, vDir, buckets)
-      return
-    }
+    if (committedAndHealed(s, fs, vDir, buckets)) return
     val stageName = s"${tablePrefix}_stage_v$batchId"
     val stageDir = new org.apache.hadoop.fs.Path(target, s".stage_v$batchId")
     val priorDir = latestVersion(targetDir, below = batchId)
@@ -1092,7 +1100,7 @@ object EventStreams {
     // before _SUCCESS leaves a torn dir the next apply rewrites; between
     // the two markers, the heal path recovers — same windows as the
     // full apply)
-    fs.create(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"), true).close()
+    writeSuccessMarker(fs, vDir)
     writeBucketCount(fs, vDir, buckets)
     val vName = s"${tablePrefix}_v$batchId"
     s.sql(s"DROP TABLE IF EXISTS $vName")
@@ -1147,6 +1155,24 @@ object EventStreams {
   private def writeSuccessMarker(fs: org.apache.hadoop.fs.FileSystem,
       vDir: org.apache.hadoop.fs.Path): Unit =
     fs.create(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"), true).close()
+
+  /** The bucketed applies' shared committed-skip guard: true when
+    * v{batchId} is already committed (retry → skip), healing a missing
+    * `_BUCKETS` on the way — a crash in the narrow window between the
+    * parquet commit and writeBucketCount leaves `_SUCCESS` without
+    * `_BUCKETS`, which would otherwise cost every LATER apply this
+    * version's Exchange-free scan, permanently. The replayed batch is
+    * the one place that knows it just re-ran this version, so the heal
+    * is exact (from the data), never heuristic. ONE definition so the
+    * three applies' skip/heal protocol cannot silently diverge. */
+  private def committedAndHealed(s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, vDir: org.apache.hadoop.fs.Path,
+      buckets: Int): Boolean =
+    if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS"))) {
+      if (readBucketCount(fs, vDir).isEmpty)
+        healBucketMarker(s, fs, vDir, buckets)
+      true
+    } else false
 
   private def writeBucketCount(fs: org.apache.hadoop.fs.FileSystem,
       vDir: org.apache.hadoop.fs.Path, buckets: Int): Unit = {

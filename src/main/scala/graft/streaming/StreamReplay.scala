@@ -894,7 +894,7 @@ object StreamReplay {
       (Long, Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]) = {
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
-    val target = Files.createTempDirectory("graft-cdcsoak-target").toString
+    val target = graft.Scratch.tempDir("graft-cdcsoak-target").toString
     try {
       replayRaw(s, dir, OutputMode.Append(),
         ds => ds.toDF(), ticks = false, chunks = chunks,
@@ -1100,7 +1100,7 @@ object StreamReplay {
     * (The retry rows are localCheckpointed first — a live lineage onto
     * the same path would make the overwrite read its own target.) */
   val st09_exactly_once_sink: Q = (s, dir) => {
-    val out = Files.createTempDirectory("graft-st09-sink").toString
+    val out = graft.Scratch.tempDir("graft-st09-sink").toString
     try {
       val r = replayRaw(s, dir, OutputMode.Append(),
         ds => EventStreams.windowedCounts(ds.toDF()),
@@ -1140,7 +1140,7 @@ object StreamReplay {
     * side is stateless (the merge state lives in the table), so nothing
     * event-timed needs closing. */
   val st17_cdc_apply: Q = (s, dir) => {
-    val target = Files.createTempDirectory("graft-st17-target").toString
+    val target = graft.Scratch.tempDir("graft-st17-target").toString
     try {
       replayRaw(s, dir, OutputMode.Append(),
         ds => ds.toDF(),
@@ -1177,7 +1177,7 @@ object StreamReplay {
   val st20_time_travel_read: Q = (s, dir) => {
     val K = 8L
     val asOf = 4L
-    val target = Files.createTempDirectory("graft-st20-target").toString
+    val target = graft.Scratch.tempDir("graft-st20-target").toString
     try {
       val ev = graft.Tables.events(s, dir)
         .select(col("user_id"), col("value"), unix_millis(col("ts")).as("ms"))
@@ -1217,7 +1217,7 @@ object StreamReplay {
     * how the batches sliced them — st17's oracle, reused verbatim. */
   val st21_cdc_apply_pruned: Q = (s, dir) => {
     val B = 8
-    val target = Files.createTempDirectory("graft-st21-target").toString
+    val target = graft.Scratch.tempDir("graft-st21-target").toString
     val prefix = s"graft_st21_${sinkId.incrementAndGet()}" // per-run: concurrent same-entry runs must not collide in the shared catalog
     try {
       val ev = graft.Tables.events(s, dir).select(col("user_id"), col("value"))
@@ -1259,7 +1259,7 @@ object StreamReplay {
     * full-outer diffed in SQL — maintain-then-diff ≡ recompute-and-diff. */
   val st22_version_diff: Q = (s, dir) => {
     val K = 8L
-    val target = Files.createTempDirectory("graft-st22-target").toString
+    val target = graft.Scratch.tempDir("graft-st22-target").toString
     val prefix = s"graft_st22_${sinkId.incrementAndGet()}"
     try {
       val ev = graft.Tables.events(s, dir)
@@ -1306,7 +1306,7 @@ object StreamReplay {
     * the removed/NULL shape written directly in SQL. */
   val st23_cdc_delete: Q = (s, dir) => {
     val K = 4L
-    val target = Files.createTempDirectory("graft-st23-target").toString
+    val target = graft.Scratch.tempDir("graft-st23-target").toString
     val prefix = s"graft_st23_${sinkId.incrementAndGet()}"
     try {
       val ev = graft.Tables.events(s, dir)

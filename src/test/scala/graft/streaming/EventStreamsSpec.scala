@@ -273,6 +273,43 @@ class EventStreamsSpec extends AnyFunSuite with BeforeAndAfterAll {
     query.stop()
   }
 
+  test("windowed funnel: a re-signup in the closing batch starts a fresh episode") {
+    val sp = spark; import sp.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    val query = EventStreams.funnelWindow(input.toDS(),
+        windowMs = 3600 * 1000L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("funnel3").outputMode(OutputMode.Append()).start()
+    // episode 1: signup 1:00, view 1:20
+    input.addData(
+      EventStreams.Event(1, ts(1, 0), 10, "signup", 0.0),
+      EventStreams.Event(2, ts(1, 20), 10, "view", 0.0))
+    query.processAllAvailable()
+    // push the watermark past episode 1's window end (2:00)
+    input.addData(EventStreams.Event(3, ts(4, 0), 99, "view", 0.0))
+    query.processAllAvailable()
+    // the CLOSING batch itself carries the user's fresh signup + view:
+    // the inline close emits episode 1 and must SEED episode 2 from this
+    // batch's events, not drop them with the old state
+    input.addData(
+      EventStreams.Event(4, ts(4, 0), 10, "signup", 0.0),
+      EventStreams.Event(5, ts(4, 20), 10, "view", 0.0))
+    query.processAllAvailable()
+    // close episode 2 via timeout
+    input.addData(EventStreams.Event(6, ts(6, 0), 99, "view", 0.0))
+    query.processAllAvailable()
+    input.addData(EventStreams.Event(7, ts(7, 0), 99, "view", 0.0))
+    query.processAllAvailable()
+    val rows = spark.table("funnel3").as[EventStreams.FunnelResult].collect()
+      .filter(_.user_id == 10L).sortBy(_.signup_ms)
+    assert(rows.length === 2, s"expected two episodes, got ${rows.toSeq}")
+    assert(rows(0).signup_ms === ts(1, 0).getTime)
+    assert(rows(0).view_ms === Some(ts(1, 20).getTime))
+    assert(rows(1).signup_ms === ts(4, 0).getTime)
+    assert(rows(1).view_ms === Some(ts(4, 20).getTime))
+    query.stop()
+  }
+
   test("streaming windowed top-k emits complete-window rankings at watermark close") {
     val sp = spark; import sp.implicits._
     implicit val sqlCtx = spark.sqlContext
