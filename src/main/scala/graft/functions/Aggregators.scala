@@ -35,4 +35,34 @@ object Aggregators {
     override def bufferEncoder: Encoder[WeightedAvgBuf] = Encoders.product[WeightedAvgBuf]
     override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
+
+  /** The INTEGER-STATE twin for money: Σ(cents·w)/Σw with BIGINT
+    * accumulation. [[WeightedAvg]]'s Double state is exact only while
+    * Σ(v·w) < 2^53 — with cents·qty up to ~5·10⁸ per lineitem row that
+    * bound dies at ~1.8·10⁷ rows per group, far under the 100 TB bar, and
+    * past it the partial sums round and the result depends on partition
+    * merge order (the retired round(sum(double),2) hazard, reappearing
+    * through the UDAF seam). Long state is exact to ~1.8·10¹⁰ rows per
+    * group (Σ < 2⁶³) and the terminal division of two exact integers is
+    * order-free by construction. q24 uses this one; WeightedAvg stays as
+    * the generic-mechanism demonstration.
+    */
+  case class WeightedAvgCentsBuf(var sum: Long, var weight: Long)
+
+  object WeightedAvgCents
+      extends Aggregator[(Long, Long), WeightedAvgCentsBuf, java.lang.Double] {
+    override def zero: WeightedAvgCentsBuf = WeightedAvgCentsBuf(0L, 0L)
+    override def reduce(b: WeightedAvgCentsBuf, in: (Long, Long)): WeightedAvgCentsBuf = {
+      b.sum += in._1 * in._2; b.weight += in._2; b
+    }
+    override def merge(a: WeightedAvgCentsBuf, b: WeightedAvgCentsBuf): WeightedAvgCentsBuf = {
+      a.sum += b.sum; a.weight += b.weight; a
+    }
+    // NULL on zero weight — same SQL-twin rule as WeightedAvg
+    override def finish(b: WeightedAvgCentsBuf): java.lang.Double =
+      if (b.weight == 0L) null else java.lang.Double.valueOf(b.sum.toDouble / b.weight)
+    override def bufferEncoder: Encoder[WeightedAvgCentsBuf] =
+      Encoders.product[WeightedAvgCentsBuf]
+    override def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
 }

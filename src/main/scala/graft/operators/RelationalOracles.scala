@@ -37,7 +37,9 @@ object RelationalOracles {
         |    o_totalprice * 1.05 AS new_price, CAST(NULL AS BIGINT) AS new_cust
         |  FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 13 != 0),
         |ins AS (
-        |  SELECT o_orderkey + max_key AS k, 'I' AS op,
+        |  -- + 1: strictly above the target key space (keys dense from 0,
+        |  -- so + max_key alone collides for source key 0)
+        |  SELECT o_orderkey + max_key + 1 AS k, 'I' AS op,
         |    o_totalprice AS new_price, o_custkey AS new_cust
         |  FROM orders CROSS JOIN mk WHERE o_orderkey % 11 = 0),
         |chg AS (

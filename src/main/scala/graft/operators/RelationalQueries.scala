@@ -412,14 +412,15 @@ object RelationalQueries {
     * encoder-serializes across the shuffle). Oracle twin: sum(v*w)/sum(w).
     */
   val q24_udaf_weighted_avg: Q = (s, dir) => {
-    val wavg = udaf(graft.functions.Aggregators.WeightedAvg)
+    // the BIGINT-state twin: Double state is exact only to ~1.8e7 rows
+    // per flag (sum(cents*qty) < 2^53) — under the 100 TB bar this file
+    // holds every other money path to. Long state is exact to ~1.8e10
+    // rows per group and the terminal division is order-free.
+    val wavg = udaf(graft.functions.Aggregators.WeightedAvgCents)
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      // cents in, so the Aggregator's double sums hold exact integers
-      // (cents*qty <= ~3e9/row, sums < 2^53) - order-free without
-      // changing the UDAF's Double state type; one terminal /100
-      .agg(round(wavg(floor(col("l_extendedprice") * 100 + lit(0.5)),
-          col("l_quantity")) / lit(100.0), 4).as("w_avg_price"),
+      .agg(round(wavg(floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long"),
+          col("l_quantity").cast("long")) / lit(100.0), 4).as("w_avg_price"),
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
@@ -1117,8 +1118,14 @@ object RelationalQueries {
     val upd = chgSrc.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 13 =!= 0)
       .select(col("o_orderkey").as("k"), lit("U").as("op"),
         (col("o_totalprice") * 1.05).as("new_price"), lit(null).cast("long").as("new_cust"))
+    // re-key STRICTLY ABOVE the target's key space: order keys are dense
+    // from 0, so `+ max_key` alone collides for source key 0 (k =
+    // max_key, an existing never-deleted row) — the full-outer "insert"
+    // then MATCHES the target, silently dropping its kept row and
+    // violating NOT-MATCHED-BY-TARGET semantics (and diverging from the
+    // collision-free post-merge state q39's oracle recomputes)
     val ins = chgSrc.filter(col("o_orderkey") % 11 === 0).crossJoin(broadcast(mk))
-      .select((col("o_orderkey") + col("max_key")).as("k"), lit("I").as("op"),
+      .select((col("o_orderkey") + col("max_key") + 1).as("k"), lit("I").as("op"),
         col("o_totalprice").as("new_price"), col("o_custkey").as("new_cust"))
     val chg = del.unionByName(upd).unionByName(ins)
     ord.join(chg, col("o_orderkey") === col("k"), "full_outer")

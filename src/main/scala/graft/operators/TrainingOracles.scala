@@ -151,6 +151,17 @@ object TrainingOracles {
     * under their nearest anchor, every point probing only its anchor's
     * group in BOTH assignment rounds (seed assign → quantized Lloyd →
     * final). row_number rk=1 ≡ the engine's min(struct(d2, cid)). */
+  /** ONE definition of the nearest-centroid ranking arithmetic — the
+    * squared-L2 via the dot-product expansion, centroid id as the
+    * deterministic tie-break (≡ the engine's min(struct(d2, cid))). Every
+    * assignment round in the hier/ivf/pq preludes ranks with THIS string,
+    * so a fix to the expansion or the tie-break lands everywhere at once
+    * instead of across ten hand-copied ORDER BY clauses. */
+  private def d2Rank(ptNorm: String, ptV: String, centV: String,
+      centId: String): String =
+    s"""$ptNorm + list_dot_product($centV, $centV)
+       |        - 2.0 * list_dot_product($ptV, $centV), $centId""".stripMargin
+
   private val hierCellsPrelude =
     s"""$embPrelude,
        |seeds AS (
@@ -160,22 +171,19 @@ object TrainingOracles {
        |  SELECT cid, cv, acid FROM (
        |    SELECT s.cid, s.cv, a.acid,
        |      row_number() OVER (PARTITION BY s.cid ORDER BY
-       |        list_dot_product(s.cv, s.cv) + list_dot_product(a.acv, a.acv)
-       |        - 2.0 * list_dot_product(s.cv, a.acv), a.acid) AS rk
+       |        ${d2Rank("list_dot_product(s.cv, s.cv)", "s.cv", "a.acv", "a.acid")}) AS rk
        |    FROM seeds s CROSS JOIN an0 a) t WHERE rk = 1),
        |p0 AS (
        |  SELECT vec_id, v, n2, acid FROM (
        |    SELECT n.vec_id, n.v, n.n2, a.acid,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |        n.n2 + list_dot_product(a.acv, a.acv)
-       |        - 2.0 * list_dot_product(n.v, a.acv), a.acid) AS rk
+       |        ${d2Rank("n.n2", "n.v", "a.acv", "a.acid")}) AS rk
        |    FROM n CROSS JOIN an0 a) t WHERE rk = 1),
        |a0 AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT p.vec_id, p.v, s.cid,
        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-       |        p.n2 + list_dot_product(s.cv, s.cv)
-       |        - 2.0 * list_dot_product(p.v, s.cv), s.cid) AS rk
+       |        ${d2Rank("p.n2", "p.v", "s.cv", "s.cid")}) AS rk
        |    FROM p0 p JOIN s2a s ON p.acid = s.acid) t WHERE rk = 1),
        |dims AS (
        |  SELECT cid, d['dim'] AS dim,
@@ -192,22 +200,19 @@ object TrainingOracles {
        |  SELECT cid, cv, acid FROM (
        |    SELECT c.cid, c.cv, a.acid,
        |      row_number() OVER (PARTITION BY c.cid ORDER BY
-       |        list_dot_product(c.cv, c.cv) + list_dot_product(a.acv, a.acv)
-       |        - 2.0 * list_dot_product(c.cv, a.acv), a.acid) AS rk
+       |        ${d2Rank("list_dot_product(c.cv, c.cv)", "c.cv", "a.acv", "a.acid")}) AS rk
        |    FROM cents c CROSS JOIN an1 a) t WHERE rk = 1),
        |p1 AS (
        |  SELECT vec_id, v, n2, acid FROM (
        |    SELECT n.vec_id, n.v, n.n2, a.acid,
        |      row_number() OVER (PARTITION BY n.vec_id ORDER BY
-       |        n.n2 + list_dot_product(a.acv, a.acv)
-       |        - 2.0 * list_dot_product(n.v, a.acv), a.acid) AS rk
+       |        ${d2Rank("n.n2", "n.v", "a.acv", "a.acid")}) AS rk
        |    FROM n CROSS JOIN an1 a) t WHERE rk = 1),
        |cells AS (
        |  SELECT vec_id, v, n2, cell FROM (
        |    SELECT p.vec_id, p.v, p.n2, c.cid AS cell,
        |      row_number() OVER (PARTITION BY p.vec_id ORDER BY
-       |        p.n2 + list_dot_product(c.cv, c.cv)
-       |        - 2.0 * list_dot_product(p.v, c.cv), c.cid) AS rk
+       |        ${d2Rank("p.n2", "p.v", "c.cv", "c.cid")}) AS rk
        |    FROM p1 p JOIN c2a c ON p.acid = c.acid) t WHERE rk = 1)""".stripMargin
 
   /** s06d: the two-level membership + the s06c within-cell kNN tail. */
@@ -320,8 +325,7 @@ object TrainingOracles {
        |  SELECT n.vec_id, n.v, n.cid FROM (
        |    SELECT n.vec_id, n.v, s.cid,
        |      row_number() OVER (PARTITION BY n.vec_id
-       |        ORDER BY n.n2 + list_dot_product(s.cv, s.cv)
-       |          - 2.0 * list_dot_product(n.v, s.cv), s.cid) AS rk
+       |        ORDER BY ${d2Rank("n.n2", "n.v", "s.cv", "s.cid")}) AS rk
        |    FROM n CROSS JOIN seeds s) n WHERE rk = 1),
        |dims AS (
        |  SELECT cid, d['dim'] AS dim,
@@ -336,8 +340,7 @@ object TrainingOracles {
        |fr AS (
        |  SELECT n.vec_id, n.v, n.n2, c.cid,
        |    row_number() OVER (PARTITION BY n.vec_id
-       |      ORDER BY n.n2 + list_dot_product(c.cv, c.cv)
-       |        - 2.0 * list_dot_product(n.v, c.cv), c.cid) AS rk
+       |      ORDER BY ${d2Rank("n.n2", "n.v", "c.cv", "c.cid")}) AS rk
        |  FROM n CROSS JOIN cents c),
        |cells AS (
        |  SELECT vec_id, v, n2, cid AS cell FROM fr WHERE rk = 1)""".stripMargin
@@ -378,8 +381,7 @@ object TrainingOracles {
        |  SELECT vec_id, m, sv, scid FROM (
        |    SELECT s.vec_id, s.m, s.sv, p.scid,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY list_dot_product(s.sv, s.sv) + list_dot_product(p.scv, p.scv)
-       |          - 2.0 * list_dot_product(s.sv, p.scv), p.scid) AS rk
+       |        ORDER BY ${d2Rank("list_dot_product(s.sv, s.sv)", "s.sv", "p.scv", "p.scid")}) AS rk
        |    FROM sub s JOIN pseed p ON s.m = p.m) WHERE rk = 1),
        |pdim AS (
        |  SELECT m, scid, d['dim'] AS dim,
@@ -398,8 +400,7 @@ object TrainingOracles {
        |  SELECT vec_id, m, cix FROM (
        |    SELECT s.vec_id, s.m, c.cix,
        |      row_number() OVER (PARTITION BY s.vec_id, s.m
-       |        ORDER BY list_dot_product(s.sv, s.sv) + list_dot_product(c.cv, c.cv)
-       |          - 2.0 * list_dot_product(s.sv, c.cv), c.scid) AS rk
+       |        ORDER BY ${d2Rank("list_dot_product(s.sv, s.sv)", "s.sv", "c.cv", "c.scid")}) AS rk
        |    FROM sub s JOIN cbx c ON s.m = c.m) WHERE rk = 1),
        |q AS (
        |  SELECT vec_id AS qid, v AS qv, n2 AS qn2, cid AS qcell
@@ -497,6 +498,43 @@ object TrainingOracles {
       |FROM dev d JOIN mad m ON d.lang = m.lang
       |WHERE d.dv > 2 * m.mad
       |ORDER BY d.lang, d.doc_id""".stripMargin
+
+  // d04/d14/d15/t11 share ONE 3-shingle candidate space: a single
+  // definition (the minhashCte discipline) so the jaccard/containment
+  // family's shingle eligibility cannot silently desynchronize across
+  // hand-copied preludes.
+  private val shingleCte =
+    """w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh0 AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      |  FROM w)""".stripMargin
+
+  private val shingleExCte =
+    s"""$shingleCte,
+       |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0)""".stripMargin
+
+  // d16/d17 share ONE SQL value: d17's claim is that deletion-neighborhood
+  // blocking is LOSSLESS for lev <= 2 — the listing must be identical to
+  // d16's, only the candidate space differs. A single val makes that
+  // identity structural (two hand-copied literals could silently drift,
+  // degrading the losslessness pin to an unchecked assertion) — the
+  // t17Sql / q38Sql sharing discipline.
+  private val fuzzyVocabSql =
+    """WITH v AS (
+      |  SELECT tok, count(*) AS n, length(tok) AS len FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY tok),
+      |b AS (SELECT tok, n, len, unnest([len - 2, len - 1, len]) AS bkt FROM v)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b,
+      |  levenshtein(a.tok, b.tok) AS dist, a.n AS na, b.n AS nb
+      |FROM v a JOIN b ON a.len = b.bkt
+      | AND (a.len < b.len OR (a.len = b.len AND a.tok < b.tok))
+      |WHERE levenshtein(a.tok, b.tok) <= 2
+      |ORDER BY tok_a, tok_b""".stripMargin
 
   val all: Map[String, String] = Map(
     // t16: the same positional posting-list intersection, in SQL —
@@ -725,15 +763,7 @@ object TrainingOracles {
          |FROM sc ORDER BY vec_id""".stripMargin,
 
     "d04_ngram_jaccard" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM w),
-        |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
+      s"""WITH $shingleExCte,
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |    floor(count(*)::DOUBLE /
@@ -789,46 +819,17 @@ object TrainingOracles {
     // d16: levenshtein agrees between engines (classic unit-cost DP);
     // the length-bucket explode and (len, token) pair dedup mirror the
     // engine exactly.
-    "d16_fuzzy_vocab" ->
-      """WITH v AS (
-        |  SELECT tok, count(*) AS n, length(tok) AS len FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY tok),
-        |b AS (SELECT tok, n, len, unnest([len - 2, len - 1, len]) AS bkt FROM v)
-        |SELECT a.tok AS tok_a, b.tok AS tok_b,
-        |  levenshtein(a.tok, b.tok) AS dist, a.n AS na, b.n AS nb
-        |FROM v a JOIN b ON a.len = b.bkt
-        | AND (a.len < b.len OR (a.len = b.len AND a.tok < b.tok))
-        |WHERE levenshtein(a.tok, b.tok) <= 2
-        |ORDER BY tok_a, tok_b""".stripMargin,
-    // d17: SAME oracle as d16 by construction — deletion-neighborhood
-    // blocking is lossless for lev <= 2, so the listing is identical;
-    // only the candidate space differs. The shared SQL IS the claim.
-    "d17_fuzzy_vocab_blocked" ->
-      """WITH v AS (
-        |  SELECT tok, count(*) AS n, length(tok) AS len FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
-        |  GROUP BY tok),
-        |b AS (SELECT tok, n, len, unnest([len - 2, len - 1, len]) AS bkt FROM v)
-        |SELECT a.tok AS tok_a, b.tok AS tok_b,
-        |  levenshtein(a.tok, b.tok) AS dist, a.n AS na, b.n AS nb
-        |FROM v a JOIN b ON a.len = b.bkt
-        | AND (a.len < b.len OR (a.len = b.len AND a.tok < b.tok))
-        |WHERE levenshtein(a.tok, b.tok) <= 2
-        |ORDER BY tok_a, tok_b""".stripMargin,
+    "d16_fuzzy_vocab" -> fuzzyVocabSql,
+    // d17: SAME oracle as d16 STRUCTURALLY (one shared val) — deletion-
+    // neighborhood blocking is lossless for lev <= 2, so the listing is
+    // identical; only the candidate space differs. The shared SQL IS the
+    // claim.
+    "d17_fuzzy_vocab_blocked" -> fuzzyVocabSql,
     // d15: d14 with the posting cap replicated — the pair space is
     // restricted to shingles shared by <= 64 docs; denominators stay the
     // full per-doc counts, exactly as the engine declares.
     "d15_containment_capped" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM w),
-        |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
+      s"""WITH $shingleExCte,
         |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 64),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
@@ -847,15 +848,7 @@ object TrainingOracles {
     // d14: d04's pair derivation, both containment directions from the
     // single unordered pair row.
     "d14_containment" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh0 AS (
-        |  SELECT doc_id, list_distinct(list_transform(
-        |    range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
-        |  FROM w),
-        |ex AS (SELECT doc_id, unnest(sh) AS s, len(sh) AS n FROM sh0),
+      s"""WITH $shingleExCte,
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter,
         |    any_value(a.n) AS na, any_value(b.n) AS nb
@@ -983,14 +976,8 @@ object TrainingOracles {
     // t11: same distinct-3-shingle construction as the minhash CTE;
     // "recycled" = the shingle's min owning doc_id is smaller
     "t11_novelty" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    range(1, len(w) - 1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
-        |  FROM w),
+      s"""WITH $shingleCte,
+        |sh AS (SELECT doc_id, unnest(sh) AS s FROM sh0),
         |own AS (SELECT s, min(doc_id) AS owner FROM sh GROUP BY s)
         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
         |  CAST(sum(CASE WHEN own.owner < sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
