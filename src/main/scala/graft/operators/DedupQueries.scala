@@ -45,7 +45,7 @@ object DedupQueries {
     // coalesce the tiny pre-explode rows back to one task; a numbered
     // repartition is exempt from AQE coalescing.
     val tok = df.repartition(df.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .select(col("doc_id"), toks.as("tk")) // THE tokenizer (one definition)
       .filter(size(col("tk")) >= 3)
     tok.select(col("doc_id"),
       array_distinct(transform(
@@ -207,8 +207,12 @@ object DedupQueries {
       val viaNbr = edges
         .join(labels.withColumnRenamed("doc_id", "v2"), col("v") === col("v2"))
         .select(col("u").as("doc_id"), col("lbl"))
-      val hop = labels.unionByName(viaNbr)
-        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl"))
+      // hop staged too: it sits on BOTH sides of the jump self-join, and
+      // un-staged its final aggregate (union + groupBy min) re-executes
+      // once per side per round — a full extra aggregation per round of
+      // a multi-round iterate at 100 TB
+      val hop = graft.Checkpoints.stage(labels.unionByName(viaNbr)
+        .groupBy(col("doc_id")).agg(min(col("lbl")).as("lbl")))
       val jumped = hop
         .join(hop.select(col("doc_id").as("d2"), col("lbl").as("l2")),
           col("lbl") === col("d2"), "left")
@@ -219,6 +223,7 @@ object DedupQueries {
       prevSum = newSum
       // the superseded iterate's blocks are dead the moment `jumped`
       // materialized — release eagerly (the PageRank lesson, SOAK_r14b)
+      graft.CacheOps.unpersistLocalCheckpoint(hop)
       graft.CacheOps.unpersistLocalCheckpoint(labels)
       labels = jumped
     }

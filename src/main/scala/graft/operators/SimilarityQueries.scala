@@ -170,13 +170,18 @@ object SimilarityQueries {
     // seed centroids: the k lowest vec_ids (deterministic)
     val seeds = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    // assignment: rank cells per point by (d2, cid); rk=1 = membership
+    // assignment: rank cells per point by (d2, cid); rk=1 = membership.
+    // cn2 = dot(cv, cv) once per CENTROID on the broadcast side (it was
+    // recomputed per (point, centroid) row — N·k redundant 64-multiply
+    // loops per pass); same expression on the same doubles, so the d2
+    // values are bit-identical to the inline form
     def ranked(points: DataFrame, cents: DataFrame): DataFrame = {
-      val joined = points.join(broadcast(cents))
-        .withColumn("d2", col("n2") + dot(col("cv"), col("cv")) -
+      val c2 = cents.withColumn("cn2", dot(col("cv"), col("cv")))
+      val joined = points.join(broadcast(c2))
+        .withColumn("d2", col("n2") + col("cn2") -
           lit(2.0) * dot(col("v"), col("cv")))
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
-      joined.withColumn("rk", row_number().over(w))
+      joined.withColumn("rk", row_number().over(w)).drop("cn2")
     }
     // one Lloyd step: assign to nearest seed, average per cell
     val assigned0 = ranked(e, seeds).filter(col("rk") === 1)
@@ -198,8 +203,11 @@ object SimilarityQueries {
 
   private def ivfKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     // final ranking against refined centroids: rk=1 is corpus membership,
-    // rk<=nProbe are the cells each query searches
-    val finalRanked = ivfRanked(s, dir)
+    // rk<=nProbe are the cells each query searches. Staged (the d06/d16
+    // discipline): two downstream references would otherwise re-execute
+    // the whole IVF build — scan, broadcast join, N-row window — twice.
+    val finalRanked = graft.Checkpoints.stage(
+      ivfRanked(s, dir).filter(col("rk") <= math.max(1, nProbe)))
     val cells = finalRanked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
     val q = finalRanked.filter(col("rk") <= nProbe && col("vec_id") < 10)
@@ -280,25 +288,32 @@ object SimilarityQueries {
       .groupBy(col("vec_id"))
       .agg(array_sort(collect_list(struct(col("m"), col("cix")))).as("mp"))
       .select(col("vec_id"), expr("transform(mp, p -> p.cix)").as("codes"))
-    // IVF side: cell membership for the corpus, own cell per query
-    val ranked = ivfRanked(s, dir)
-    val cells = ranked.filter(col("rk") === 1)
+    // IVF side: cell membership for the corpus, own cell per query —
+    // staged, else the two references re-run the IVF build twice
+    val ranked = graft.Checkpoints.stage(
+      ivfRanked(s, dir).filter(col("rk") === 1))
+    val cells = ranked
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
-    val q = ranked.filter(col("rk") === 1 && col("vec_id") < 10)
+    val q = ranked.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("n2").as("qn2"), col("cid").as("qcell"))
-    // per-query partial-distance table: idx = m*K + cix, value quantized
-    // to an exact integer so the 4-term ADC sum is associative
+    // per-query partial-distance table KEYED by idx = m*K + cix, value
+    // quantized to an exact integer so the 4-term ADC sum is associative.
+    // A map, not a positional array: cix is densified over SURVIVING
+    // codewords per subspace, so if any seed wins zero subvectors (e.g.
+    // duplicate subvector slices losing every scid tie) a subspace holds
+    // K' < K entries and positional striding by K reads the wrong
+    // subspace's partials — silent wrong neighbors. The oracle's ADC
+    // joins on idx (already keyed); the map makes the engine keyed too.
     val qsub = q.select(col("qid"), posexplode(subsOf(col("qv"))).as(Seq("m", "qsv")))
     val pd = qsub.join(broadcast(cb), Seq("m"))
       .select(col("qid"), (col("m") * K + col("cix")).as("idx"),
         floor(subD2(col("qsv"), col("cv")) * 1048576.0 + 0.5).cast("long").as("pdq"))
       .groupBy(col("qid"))
-      .agg(array_sort(collect_list(struct(col("idx"), col("pdq")))).as("ip"))
-      .select(col("qid"), expr("transform(ip, p -> p.pdq)").as("pda"))
+      .agg(map_from_entries(collect_list(struct(col("idx"), col("pdq")))).as("pdm"))
     // ADC scan of the query's cell over CODES: 4 lookups + 3 integer adds
     val adc = (0 until M).map(m =>
-      element_at(col("pda"), lit(m * K + 1) + element_at(col("codes"), m + 1)))
+      element_at(col("pdm"), lit(m * K) + element_at(col("codes"), m + 1)))
       .reduce(_ + _)
     val scored = cells.join(codes, Seq("vec_id"))
       .join(broadcast(q.join(pd, Seq("qid"))),
@@ -348,8 +363,13 @@ object SimilarityQueries {
     * vectors. No double ever enters a multi-row aggregation, so the
     * result is partitioning-invariant and engine-exact (the FP-order
     * hazard that makes naive centroid averages unreproducible at scale).
-    * Magnitudes stay far under 2^63: |q| ≤ ~2^12, corpus sums ≤ n·2^12,
-    * dot terms ≤ n²·2^24 × 64 dims.
+    * Magnitude audit: |qx| ≤ 2^10 (unit-norm in), per-dim sums ≤ n·2^10 —
+    * exact in BIGINT to astronomical n — but the SQUARED terms reach
+    * n²·2^20 (·64 dims for n2), which overflows int64 past n ≈ 370k rows
+    * per label: under the 100 TB bar, so the squared/product sums run in
+    * decimal(38,0) (the connectedComponents label-sum discipline; DuckDB
+    * mirrors with HUGEINT), good to n ≈ 10^14 per label. The terminal
+    * ratio is scalar double math — deterministic, no accumulation.
     *
     * Plan shape: one explode + one (label, dim)-keyed partial+final
     * aggregate collapses the corpus to labels×64 rows; everything
@@ -361,16 +381,20 @@ object SimilarityQueries {
       .select(col("label"), col("d"),
         floor(col("x").cast("double") * 1024.0 + 0.5).cast("long").as("qx"))
     val cent = dims.groupBy(col("label"), col("d")).agg(sum(col("qx")).as("sx"))
-    val norms = cent.groupBy(col("label")).agg(sum(col("sx") * col("sx")).as("n2"))
+    def sq(x: Column, y: Column): Column =
+      (x.cast("decimal(19,0)") * y.cast("decimal(19,0)")).cast("decimal(38,0)")
+    val norms = cent.groupBy(col("label"))
+      .agg(sum(sq(col("sx"), col("sx"))).as("n2"))
     val a = cent.select(col("label").as("label_a"), col("d"), col("sx").as("xa"))
     val b = cent.select(col("label").as("label_b"), col("d"), col("sx").as("xb"))
     a.join(b, Seq("d")).filter(col("label_a") < col("label_b"))
       .groupBy(col("label_a"), col("label_b"))
-      .agg(sum(col("xa") * col("xb")).as("dq"))
+      .agg(sum(sq(col("xa"), col("xb"))).as("dq"))
       .join(norms.select(col("label").as("label_a"), col("n2").as("na2")), "label_a")
       .join(norms.select(col("label").as("label_b"), col("n2").as("nb2")), "label_b")
       .select(col("label_a"), col("label_b"),
-        (floor(col("dq") / sqrt(col("na2").cast("double") * col("nb2").cast("double")) * 1e4 + 0.5) / 1e4)
+        (floor(col("dq").cast("double")
+          / sqrt(col("na2").cast("double") * col("nb2").cast("double")) * 1e4 + 0.5) / 1e4)
           .as("cos"))
       .orderBy(col("label_a"), col("label_b"))
   }
@@ -460,7 +484,10 @@ object SimilarityQueries {
 
   /** The shared s06c/s06d kNN tail: within-cell candidate join + per-query
     * ranking window over (cell, vec_id, v, n2) memberships. */
-  private def knnWithinCells(mem: DataFrame, k: Int): DataFrame = {
+  private def knnWithinCells(mem0: DataFrame, k: Int): DataFrame = {
+    // staged: the membership build (IVF or hierarchical assignment) is
+    // referenced on both sides of the candidate self-join
+    val mem = graft.Checkpoints.stage(mem0)
     val q = mem.select(col("cell").as("qcell"), col("vec_id").as("qid"),
       col("v").as("qv"), col("n2").as("qn2"))
     val scored = mem.join(q,
@@ -470,8 +497,10 @@ object SimilarityQueries {
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      // sim4: the ONE display-quantization convention (was an inline
+      // byte-identical copy a future rounding migration could miss)
       .select(col("qid"), col("rk"), col("vec_id").as("neighbor"),
-        (floor(col("cosr") * 1e4 + 0.5) / 1e4).as("sim"))
+        sim4(col("cosr")).as("sim"))
       .orderBy(col("qid"), col("rk"))
   }
 
@@ -585,18 +614,23 @@ object SimilarityQueries {
     * struct ordering reproduces the (d2, cid) rank-1 tiebreak as a
     * partial-aggregatable hash agg. Returns (vec_id, v, n2, cid). */
   private def hierAssign(points: DataFrame, cents: DataFrame, nCoarse: Int): DataFrame = {
+    // an2/cn2 once per anchor/centroid on the broadcast side, not per
+    // (point, centroid) row — same doubles, bit-identical d2 (ivfRanked's
+    // move, in the N·√cells hot loop)
     val anchors = cents.orderBy(col("cid")).limit(nCoarse)
       .select(col("cid").as("acid"), col("cv").as("acv"))
+      .withColumn("an2", dot(col("acv"), col("acv")))
     // fine → coarse: every centroid under its nearest anchor (cells·√cells)
     val c2a = cents.join(broadcast(anchors))
-      .withColumn("ad2", dot(col("cv"), col("cv")) + dot(col("acv"), col("acv"))
+      .withColumn("ad2", dot(col("cv"), col("cv")) + col("an2")
         - lit(2.0) * dot(col("cv"), col("acv")))
       .groupBy(col("cid"))
       .agg(min(struct(col("ad2"), col("acid"), col("cv"))).as("m"))
       .select(col("m.acid").as("acid"), col("cid"), col("m.cv").as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
     // point → coarse (N·√cells)
     val p2a = points.join(broadcast(anchors))
-      .withColumn("ad2", col("n2") + dot(col("acv"), col("acv"))
+      .withColumn("ad2", col("n2") + col("an2")
         - lit(2.0) * dot(col("v"), col("acv")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("ad2"), col("acid"), col("v"), col("n2"))).as("m"))
@@ -604,7 +638,7 @@ object SimilarityQueries {
         col("m.acid").as("acid"))
     // point → fine within its coarse group (N·E[cells/√cells])
     p2a.join(broadcast(c2a), Seq("acid"))
-      .withColumn("d2", col("n2") + dot(col("cv"), col("cv"))
+      .withColumn("d2", col("n2") + col("cn2")
         - lit(2.0) * dot(col("v"), col("cv")))
       .groupBy(col("vec_id"))
       .agg(min(struct(col("d2"), col("cid"), col("v"), col("n2"))).as("m"))
@@ -659,7 +693,13 @@ object SimilarityQueries {
     * composes with the graph stage, which is linear in edges on its own:
     * the scale exponent of the whole pipeline is the edge build's. */
   def triangleCensus(rawEdges: DataFrame): DataFrame = {
+    // drop self-loops at the seam: a (v, v) edge survives least/greatest
+    // + distinct, double-counts in the degree, and pairs with a real
+    // out-edge into a wedge whose "closing" edge is that edge itself —
+    // one phantom triangle per (loop, incident edge). The kNN edge
+    // builds can't emit loops, but this is the public any-edge-list seam.
     val edges = rawEdges
+      .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .distinct()
