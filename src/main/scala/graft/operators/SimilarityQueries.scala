@@ -203,11 +203,15 @@ object SimilarityQueries {
 
   private def ivfKnn(s: SparkSession, dir: String, nProbe: Int): DataFrame = {
     // final ranking against refined centroids: rk=1 is corpus membership,
-    // rk<=nProbe are the cells each query searches. Staged (the d06/d16
-    // discipline): two downstream references would otherwise re-execute
-    // the whole IVF build — scan, broadcast join, N-row window — twice.
-    val finalRanked = graft.Checkpoints.stage(
-      ivfRanked(s, dir).filter(col("rk") <= math.max(1, nProbe)))
+    // rk<=nProbe are the cells each query searches. Deliberately NOT
+    // checkpointed despite the two references: Catalyst's ReuseExchange
+    // dedups the expensive subtree (scan + broadcast join + the shuffle
+    // under the window), so only the window pass re-executes — measured
+    // CHEAPER than materializing a corpus-sized frame to executor
+    // storage (s03 1.17 s vs 1.26 s, s05 2.38 s vs 3.06 s solo at
+    // sf0.1), and at 100 TB corpus-sized localCheckpoint state is
+    // exactly what an index build must not pin in executor memory.
+    val finalRanked = ivfRanked(s, dir)
     val cells = finalRanked.filter(col("rk") === 1)
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
     val q = finalRanked.filter(col("rk") <= nProbe && col("vec_id") < 10)
@@ -289,9 +293,10 @@ object SimilarityQueries {
       .agg(array_sort(collect_list(struct(col("m"), col("cix")))).as("mp"))
       .select(col("vec_id"), expr("transform(mp, p -> p.cix)").as("codes"))
     // IVF side: cell membership for the corpus, own cell per query —
-    // staged, else the two references re-run the IVF build twice
-    val ranked = graft.Checkpoints.stage(
-      ivfRanked(s, dir).filter(col("rk") === 1))
+    // shared subtree deduped by ReuseExchange, not a checkpoint (see
+    // ivfKnn: materializing the corpus-sized frame measured slower and
+    // pins corpus state in executor storage at scale)
+    val ranked = ivfRanked(s, dir).filter(col("rk") === 1)
     val cells = ranked
       .select(col("vec_id"), col("v"), col("n2"), col("cid").as("cell"))
     val q = ranked.filter(col("vec_id") < 10)
@@ -484,10 +489,10 @@ object SimilarityQueries {
 
   /** The shared s06c/s06d kNN tail: within-cell candidate join + per-query
     * ranking window over (cell, vec_id, v, n2) memberships. */
-  private def knnWithinCells(mem0: DataFrame, k: Int): DataFrame = {
-    // staged: the membership build (IVF or hierarchical assignment) is
-    // referenced on both sides of the candidate self-join
-    val mem = graft.Checkpoints.stage(mem0)
+  private def knnWithinCells(mem: DataFrame, k: Int): DataFrame = {
+    // both sides of the candidate self-join reference the membership
+    // build; ReuseExchange dedups the shared subtree (a corpus-sized
+    // checkpoint here measured slower — see ivfKnn)
     val q = mem.select(col("cell").as("qcell"), col("vec_id").as("qid"),
       col("v").as("qv"), col("n2").as("qn2"))
     val scored = mem.join(q,
