@@ -64,11 +64,19 @@ object CurationQueries {
   /** The sequential-Poisson priority key — ONE definition of the
     * determinism-critical expression (12-hex md5 prefix → uniform long,
     * +1 so zero never divides, / n_chars as the weight), shared by c15
-    * and c16; bit-identical in DuckDB by construction. */
+    * and c16; bit-identical in DuckDB by construction.
+    *
+    * greatest(n_chars, 1): an EMPTY document (n_chars = 0) would
+    * otherwise split the engines — Spark 4's default ANSI mode throws
+    * DIVIDE_BY_ZERO while DuckDB's IEEE division yields +inf (ranked
+    * last) — crash on one side, silent divergence on the other. Clamping
+    * to 1 on BOTH sides pins one semantics: an empty doc gets the
+    * largest finite key its hash allows, i.e. effectively sampled last,
+    * matching the weight's intent. */
   private def poissonKey: Column = {
     val u = conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
       .cast("long")
-    (u + 1).cast("double") / col("n_chars")
+    (u + 1).cast("double") / greatest(col("n_chars"), lit(1))
   }
 
   val c02_train_test_split: Q = (s, dir) => {
@@ -597,7 +605,7 @@ object CurationQueries {
         |k AS (
         |  SELECT source, doc_id, n_tokens,
         |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-        |         AS BIGINT) + 1 AS DOUBLE) / n_chars AS skey
+        |         AS BIGINT) + 1 AS DOUBLE) / greatest(n_chars, 1) AS skey
         |  FROM q),
         |r AS (
         |  SELECT source, doc_id, n_tokens, skey,
@@ -609,7 +617,7 @@ object CurationQueries {
       """WITH k AS (
         |  SELECT source, doc_id, n_chars,
         |    CAST(CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
-        |         AS BIGINT) + 1 AS DOUBLE) / n_chars AS skey
+        |         AS BIGINT) + 1 AS DOUBLE) / greatest(n_chars, 1) AS skey
         |  FROM documents),
         |r AS (
         |  SELECT source, doc_id, n_chars, skey,

@@ -64,7 +64,7 @@ object ScaleQueries {
 
   private def tokens(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .select(explode(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       .filter(length(col("tok")) > 0)
 
   // ---- gate entries: exact twin + in-query envelope check ----------

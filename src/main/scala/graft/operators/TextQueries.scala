@@ -90,10 +90,15 @@ object TextQueries {
   /** t04: document fingerprint — md5 over whitespace-normalized lowercase
     * text (the reference's "content identity" idea, S11's validated string
     * handling). Output keyed by fingerprint for downstream dedup.
+    *
+    * The whitespace class is spelled EXPLICITLY (here and in the oracle +
+    * x03's tokenizer): Java-regex `\s` includes vertical tab (U+000B),
+    * RE2's does not — a document containing one would fingerprint
+    * differently per engine under the shorthand.
     */
   val t04_fingerprint: Q = (s, dir) => {
     Tables.documents(s, dir)
-      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+", " "))))
       .select(col("doc_id"), col("fp"))
       .orderBy(col("doc_id"))
   }

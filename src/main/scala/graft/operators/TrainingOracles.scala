@@ -1119,7 +1119,7 @@ object TrainingOracles {
 
     "t04_fingerprint" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "m01_media_meta" ->
@@ -1179,7 +1179,7 @@ object TrainingOracles {
 
     "x03_heavy_hitters" ->
       """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  SELECT unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS tok
         |  FROM documents),
         |cnt AS (
         |  SELECT tok, CAST(count(*) AS BIGINT) AS exact_count
