@@ -54,6 +54,18 @@ object AudioCodec {
     * one signal). meanSquare fits in an Int range: max 32767² ≈ 1.07e9 <
     * 2^31; duration is millis (clip-bounded); zero crossings counted on
     * sign changes of consecutive samples. */
+  /** Rolling hash over DECODED PCM samples — the audio twin of
+    * ImageCodec.pixelChecksum: container-invariant (same signal in any
+    * valid PCM16 WAV → same value), bounded < 2^31 for ANSI-safe sums. */
+  def pcmChecksum(clip: AudioClip): Long = {
+    var hsh = 5381L
+    var i = 0
+    while (i < clip.samples.length) {
+      hsh = (hsh * 33 + (clip.samples(i) & 0xffff)) % 2147483647L; i += 1
+    }
+    hsh
+  }
+
   def features(clip: AudioClip): Array[Long] = {
     val s = clip.samples
     val n = math.max(s.length, 1)

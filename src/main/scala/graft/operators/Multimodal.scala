@@ -78,16 +78,28 @@ object Multimodal {
     items.mapPartitions { it =>
       // per-partition setup of heavyweight codec state would happen once here
       it.map { m =>
-        val features =
+        // total function: a NULL payload (NULL text upstream) is an empty
+        // item, never an executor NPE
+        val payload = if (m.payload == null) Array.emptyByteArray else m.payload
+        // n_bytes/checksum come from DECODED canonical content when a real
+        // decode succeeds — pixel bytes / PCM bytes — NOT the container:
+        // container bytes depend on the ENCODER (a JDK imageio deflate
+        // change would shift them), and the m02/m04 scaladocs promise
+        // encoder-invariant aggregates (the m03 frame convention).
+        val decoded: Option[MediaFeatures] =
           if (m.kind.startsWith("image/"))
-            ImageCodec.decode(m.payload).map(ImageCodec.features)
-              .getOrElse(StubCodec.decode(m.payload))
+            ImageCodec.decode(payload).map(img =>
+              MediaFeatures(m.media_id, m.kind, m.source,
+                img.getWidth * img.getHeight * 3,
+                ImageCodec.pixelChecksum(img), ImageCodec.features(img)))
           else if (m.kind.startsWith("audio/"))
-            AudioCodec.decode(m.payload).map(AudioCodec.features)
-              .getOrElse(StubCodec.decode(m.payload))
-          else StubCodec.decode(m.payload)
-        MediaFeatures(m.media_id, m.kind, m.source, m.payload.length,
-          StubCodec.checksum(m.payload), features)
+            AudioCodec.decode(payload).map(clip =>
+              MediaFeatures(m.media_id, m.kind, m.source,
+                clip.samples.length * 2,
+                AudioCodec.pcmChecksum(clip), AudioCodec.features(clip)))
+          else None
+        decoded.getOrElse(MediaFeatures(m.media_id, m.kind, m.source,
+          payload.length, StubCodec.checksum(payload), StubCodec.decode(payload)))
       }
     }
   }
@@ -110,7 +122,9 @@ object Multimodal {
     */
   def sampleFrames(items: Dataset[MediaItem], n: Int): Dataset[Frame] = {
     import items.sparkSession.implicits._
-    items.flatMap { m =>
+    items.flatMap { m0 =>
+      val m = if (m0.payload == null)
+        m0.copy(payload = Array.emptyByteArray) else m0 // total at the seam
       val real =
         if (m.kind.startsWith("image/")) ImageCodec.decodeFrames(m.payload)
         else None
@@ -141,8 +155,11 @@ object Multimodal {
   def documentsAsMedia(s: SparkSession, dir: String): Dataset[MediaItem] = {
     import s.implicits._
     Tables.documents(s, dir)
+      // NULL text → empty payload at the SOURCE: every typed consumer
+      // (codecs, payload.length, frame spans) dereferences the array, and
+      // the pipeline's contract is total-function/no-row-loss
       .select(col("doc_id").as("media_id"), lit("text").as("kind"),
-        col("source"), encode(col("text"), "UTF-8").as("payload"))
+        col("source"), encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaItem]
   }
 
@@ -218,9 +235,13 @@ object Multimodal {
   /** m02: full decode→feature→aggregate pipeline over three media kinds —
     * real PNG and BMP decode (javax.imageio; containers alternate by id)
     * plus the stub path for text — grouped by (kind, source). Rows-only
-    * check: the mapPartitions codec stage is not SQL-expressible. Image
-    * features come from decoded pixels, so the aggregate is encoder- and
-    * partitioning-invariant.
+    * check: the mapPartitions codec stage is not SQL-expressible. ALL
+    * FOUR aggregated columns come from decoded content for decodable
+    * kinds (pixel bytes + pixel checksum, not container bytes — through
+    * r16 total_bytes/min_checksum hashed the PNG/BMP container, so a JDK
+    * imageio encoder change would have broken the golden on correct
+    * decode behavior), making the aggregate encoder- and
+    * partitioning-invariant as documented.
     */
   val m02_media_features: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._

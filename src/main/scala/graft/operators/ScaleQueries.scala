@@ -129,8 +129,14 @@ object ScaleQueries {
     * are the EXACT top-20 (count desc, token asc — `orderBy().limit()`,
     * i.e. distributed TakeOrdered, never a global single-partition
     * window). Per row, `within_bound` encodes the sketch's actual
-    * guarantee: either the sketch reported the token with an estimate
-    * within n/8192 of the true count, or the token sits inside the
+    * guarantee — which is NOT n/8192: Spark's approx_top_k(…, 8192)
+    * sizes the DataSketches ItemsSketch at maxMapSize =
+    * pow2(ceil(8192/0.75)) = 16384 (ApproxTopK.calMaxMapSize), whose
+    * published a-priori bound is 3.5·n/maxMapSize — once the vocabulary
+    * exceeds the map and the Misra-Gries purge activates, a CONFORMING
+    * sketch can exceed the naive n/8192 this gate asserted through r16.
+    * The envelope is the library's bound: either the estimate is within
+    * 3.5·n/16384 of the true count, or the token sits inside the
     * tie region at the top-20 cutoff (≤ cutoff + 2·bound) where the
     * sketch may legitimately swap it for an equal-weight neighbor. */
   val x03_heavy_hitters: Q = (s, dir) => {
@@ -141,7 +147,8 @@ object ScaleQueries {
     val sketch = tk.agg(expr("approx_top_k(tok, 20, 8192)").as("tkk"))
       .select(explode(col("tkk")).as("hh"))
       .select(col("hh.item").as("tok"), col("hh.count").as("est_count"))
-    val nBound = tk.agg((floor(count(lit(1)) / 8192) + 1).cast("long").as("bound"))
+    val nBound = tk.agg(
+      (floor(count(lit(1)) * 3.5 / 16384) + 1).cast("long").as("bound"))
     val cutoff = top20.agg(min(col("exact_count")).as("cutoff"))
     top20.join(sketch, Seq("tok"), "left")
       .crossJoin(broadcast(nBound)).crossJoin(broadcast(cutoff))
@@ -167,9 +174,18 @@ object ScaleQueries {
     * sits in exact sparse mode). The hash-stable outputs are the exact
     * twin + shard count; `within_bound` carries the sketch guarantee. */
   val x04_sketch_merge: Q = (s, dir) => {
+    // the tokens() discipline (lowercase, explicit whitespace class,
+    // empty-token filter): a bare single-space split emits '' tokens
+    // that countDistinct counts but the HLL update silently IGNORES
+    // (null/empty updates are no-ops) — the exact twin would measure a
+    // population the sketch can never represent, structurally biasing
+    // the envelope by 1 per affected lang. Staged: feeds both the
+    // per-shard sketches and the exact twin (the x03 precedent).
     val tk = Tables.documents(s, dir)
       .select(col("lang"), col("source"),
-        explode(split(col("text"), " ")).as("tok"))
+        explode(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .localCheckpoint()
     val perShard = tk.groupBy(col("lang"), col("source"))
       .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
     val merged = perShard.groupBy(col("lang"))

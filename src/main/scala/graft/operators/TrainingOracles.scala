@@ -1190,12 +1190,13 @@ object TrainingOracles {
     // twin; within_bound is the sketch-merge guarantee the engine gates
     "x04_sketch_merge" ->
       """WITH tok AS (
-        |  SELECT lang, source, unnest(string_split(text, ' ')) AS tok
+        |  SELECT lang, source,
+        |    unnest(regexp_split_to_array(lower(text), '[ \t\n\x0B\f\r]+')) AS tok
         |  FROM documents)
         |SELECT lang,
         |  CAST(count(DISTINCT tok) AS BIGINT) AS n_tokens_exact,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_shards,
         |  TRUE AS within_bound
-        |FROM tok GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM tok WHERE len(tok) > 0 GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }
