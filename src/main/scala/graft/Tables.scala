@@ -123,10 +123,13 @@ object Tables {
       }
     inferred("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        // integer div — a double division would lose sub-µs precision at
-        // epoch-ns magnitudes (~1.7e18 > 2^53)
+        // integer FLOOR division — a double division would lose sub-µs
+        // precision at epoch-ns magnitudes (~1.7e18 > 2^53), and a bare
+        // `div` truncates toward ZERO, off by 1 µs from DuckDB's floor on
+        // every pre-epoch non-multiple-of-1000 value. Subtracting the
+        // non-negative pmod first makes the exact `div` a true floor.
         s.read.schema(inferred).parquet(path)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         val patched = org.apache.spark.sql.types.StructType(inferred.map {
           case f if f.name == "ts" =>

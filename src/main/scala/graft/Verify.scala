@@ -34,7 +34,13 @@ object Verify {
     val oracles = pick(SparkEntry.oracleSql)
     // dump queries concurrently (independent jobs on one session) — halves
     // the driver's correctness-gate wall time vs sequential
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    // DAEMON workers: a query hung in driver-side code (the FDICT
+    // infinite-inflate class) must not keep the JVM alive past the pool
+    // timeout — non-daemon threads would make main() return while the
+    // process lives forever, and the driver gate would wait indefinitely
+    // instead of reading the not_run manifest
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
     val status = new java.util.concurrent.ConcurrentHashMap[String, String]()
     // pre-populate so a query still queued/hung at the pool timeout shows
     // up as non-ok in the manifest instead of silently vanishing
@@ -53,8 +59,11 @@ object Verify {
       })
     }
     pool.shutdown()
-    if (!pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS))
+    val timedOut = !pool.awaitTermination(2, java.util.concurrent.TimeUnit.HOURS)
+    if (timedOut) {
       System.err.println("[verify] pool timeout: some queries did not finish (left as not_run)")
+      pool.shutdownNow() // interrupt stragglers; daemon threads can't pin the JVM
+    }
     val failed = {
       import scala.jdk.CollectionConverters._
       status.asScala.filter(_._2 != "ok").keys.toSeq.sorted
@@ -77,5 +86,7 @@ object Verify {
     }
     Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
+    // loud exit on timeout — manifests are already on disk for the gate
+    if (timedOut) sys.exit(3)
   }
 }

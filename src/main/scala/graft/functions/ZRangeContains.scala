@@ -137,11 +137,21 @@ object ZRangeContains {
     * helper is total over ANY range input — a bare sort would let
     * overlapping ranges reach `checkInputDataTypes`' disjointness check
     * and fail at analysis time. */
+  /** Constructs the expression DIRECTLY (no FunctionRegistry round-trip) —
+    * the ZOrder.mortonKey rule: registering into the caller's session as
+    * a Column-building side effect silently overwrote any same-named user
+    * function (and wrote to the registry concurrently from Verify's
+    * thread pool). SQL callers still get the name via [[register]] /
+    * GraftExtensions. The `spark` parameter stays for source
+    * compatibility; it is no longer touched. */
   def zInRanges(spark: SparkSession, zkey: Column, ranges: Seq[(Long, Long)]): Column = {
-    register(spark)
     val norm = ZOrder.unionRanges(ranges)
     if (norm.isEmpty) lit(false)
-    else call_function("graft_z_in_ranges", zkey,
-      lit(norm.flatMap { case (l, h) => Seq(l, h) }.toArray))
+    else org.apache.spark.sql.GraftBridge.column(ZRangeContains(
+      org.apache.spark.sql.GraftBridge.expression(zkey),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        norm.flatMap { case (l, h) => Seq(l, h) }.toArray,
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, containsNull = false))))
   }
 }

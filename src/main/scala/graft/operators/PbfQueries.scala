@@ -29,21 +29,40 @@ object PbfQueries {
     * can never silently feed the oracle; a completed twin is marked with
     * a sentinel file and never rewritten, so the gate's later DuckDB read
     * can't race a re-transcode's delete+rename commit window. */
-  /** Per-user root: on a shared box another user cannot pre-create (squat)
-    * the twin path the gate trusts, because each user resolves a
-    * different directory. */
+  /** Per-user root under /tmp. The user-suffixed NAME alone is not a
+    * security boundary (/tmp is world-writable and the fingerprint is
+    * computable from public fixture bytes + schema), so
+    * [[ensureTranscoded]] additionally VERIFIES OWNERSHIP of the root
+    * before trusting any completion sentinel inside it — a squatter's
+    * pre-created root fails loudly instead of silently feeding the
+    * DuckDB gate attacker-controlled parquet. */
   val OracleRoot: String =
     s"/tmp/graft_oracle-${System.getProperty("user.name", "anon")}"
 
-  /** md5(input pbf bytes ++ output schema), 12 hex chars — the twin-path
-    * fingerprint. */
-  private def fingerprint(pbf: String): String = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    md.update(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pbf)))
-    md.update(graft.sources.pbf.OsmSchema.schema.catalogString
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    md.digest().map("%02x".format(_)).mkString.take(12)
+  private def requireOwnedRoot(): Unit = {
+    val p = java.nio.file.Paths.get(OracleRoot)
+    java.nio.file.Files.createDirectories(p)
+    val owner = java.nio.file.Files.getOwner(p).getName
+    val me = System.getProperty("user.name", "anon")
+    require(owner == me,
+      s"$OracleRoot is owned by '$owner', not '$me' — refusing to trust a " +
+        "pre-existing oracle root another user could have planted")
   }
+
+  /** md5(input pbf bytes ++ output schema), 12 hex chars — the twin-path
+    * fingerprint. Memoized per path: every gate/bench invocation calls
+    * through here, and re-reading + re-hashing the whole PBF per call
+    * (under the object lock) is pure repeated I/O — the input fixtures
+    * are write-once temp files. */
+  private val fpCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def fingerprint(pbf: String): String =
+    fpCache.computeIfAbsent(pbf, p => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+      md.update(graft.sources.pbf.OsmSchema.schema.catalogString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.digest().map("%02x".format(_)).mkString.take(12)
+    })
 
   private val CompleteMarker = "_GRAFT_ORACLE_OK"
   private val dumped = scala.collection.mutable.Set[String]()
@@ -59,7 +78,7 @@ object PbfQueries {
         // only race a concurrent gate read through the commit's
         // delete+rename window. Otherwise transcode and mark complete
         // before releasing the lock.
-        new java.io.File(OracleRoot).mkdirs()
+        requireOwnedRoot() // see OracleRoot: the name alone is squattable
         val ch = java.nio.channels.FileChannel.open(
           java.nio.file.Paths.get(OracleRoot, s".$key.lock"),
           java.nio.file.StandardOpenOption.CREATE,
@@ -373,6 +392,15 @@ object PbfQueries {
       .select(col("id").as("qid"), col("latn").as("qla"), col("lonn").as("qlo"),
         col("cla").as("qcla"), col("clo").as("qclo"))
     def rankedAt(r: Int): DataFrame = {
+      // BIGINT-overflow guard, O(1): a candidate lies within ±r cells of
+      // its query, so per-axis |delta| < (r+1)·2^26 nanodegrees; d2 =
+      // dlat² + dlon² stays under 2^63 only while that bound is ≤
+      // ⌊√(2^62)⌋ ≈ 3.037e9 (r ≤ 44 — beyond continent-scale at this
+      // cell size). Past it the squares would wrap SILENTLY and the
+      // ranking would return garbage neighbors; fail loudly instead.
+      require((r + 1L) << 26 <= 3037000499L,
+        s"ring radius $r spans > ±2^31.5 nanodegrees per axis — " +
+          "squared-distance BIGINT math would overflow; use a coarser cell size")
       val probes = q0
         .withColumn("da", explode(expr(s"sequence(${-r}L, ${r}L)")))
         .withColumn("db", explode(expr(s"sequence(${-r}L, ${r}L)")))
@@ -401,7 +429,11 @@ object PbfQueries {
         val maxR = math.max(b.getLong(0), b.getLong(1)).toInt + 1
         var r = 1
         while (r < maxR) {
-          val ranked = rankedAt(r)
+          // staged: the round's ranking feeds the settle count AND (on
+          // the settled round) the returned shape — query-set-sized after
+          // the top-k filter, so the cut is cheap, unlike the corpus-
+          // sized frames the IVF paths deliberately leave un-staged
+          val ranked = graft.Checkpoints.stage(rankedAt(r))
           // margin to the searched boundary: region is
           // [(qc−r)·2^26, (qc+r+1)·2^26) on each axis, outside points
           // differ by ≥ this in lat or lon; strict compare guards the

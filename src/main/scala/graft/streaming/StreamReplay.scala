@@ -297,7 +297,7 @@ object StreamReplay {
           else (srcFiles.size * stageCopies).toString)
         .parquet(stage.toString)
       val converted = raw.schema("ts").dataType match {
-        case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case LongType => raw.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
         case _ => raw // TimestampType — NTZ already re-declared above
       }
       val events = converted
