@@ -36,8 +36,15 @@ object Blobs {
     * positioned at file start. Bodies are shallow-parsed (tags + varints
     * only, a few bytes per blob; payload bytes are skipped, never read
     * whole or decompressed) to capture `raw_size` for task weighting.
+    *
+    * `stopAt`: early-exit hook for single-blob reads — enumeration
+    * returns as soon as a just-scanned span satisfies it, so locating
+    * the OSMHeader (the first blob in practice) or the first data blob
+    * costs one or two reads instead of a whole-file skip-scan (~10k
+    * header seeks through one remote stream on a planet file).
     */
-  def enumerate(in: InputStream): Seq[BlobSpan] = {
+  def enumerate(in: InputStream,
+                stopAt: BlobSpan => Boolean = _ => false): Seq[BlobSpan] = {
     val din = new DataInputStream(in)
     val spans = Seq.newBuilder[BlobSpan]
     var offset = 0L
@@ -55,9 +62,11 @@ object Blobs {
         if (datasize < 0 || datasize > MaxBodyBytes)
           throw new PbfFormatException(s"Blob size $datasize exceeds $MaxBodyBytes")
         val bodyOffset = offset + 4 + headerLen
-        spans += BlobSpan(bodyOffset, datasize, blobType,
+        val span = BlobSpan(bodyOffset, datasize, blobType,
           scanRawSize(din, datasize))
+        spans += span
         offset = bodyOffset + datasize
+        if (stopAt(span)) return spans.result()
       }
     }
     spans.result()

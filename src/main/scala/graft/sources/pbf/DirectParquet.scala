@@ -275,12 +275,24 @@ object DirectParquet {
       // release the codec's pooled/direct buffers even when the final
       // flush fails (disk full mid-close) — the replaced ParquetWriter
       // did this in a finally; a long-lived executor retrying tasks
-      // would otherwise accumulate leaked compressor memory
-      try {
+      // would otherwise accumulate leaked compressor memory. fw.end runs
+      // on EVERY path too: after a failed flush the file is torn either
+      // way (staging reclaims it), but a never-closed output stream is a
+      // leak that outlives the task — first error wins, later ones ride
+      // as suppressed.
+      var primary: Throwable = null
+      def attempt(body: => Unit): Unit =
+        try body
+        catch { case t: Throwable =>
+          if (primary == null) primary = t else primary.addSuppressed(t)
+        }
+      attempt {
         flushRowGroup(reinit = false) // closes the store iff it flushed rows
         if (store != null) store.close() // empty final group: close the untouched store
-      } finally codecFactory.release()
-      fw.end(java.util.Collections.emptyMap[String, String]())
+      }
+      attempt(codecFactory.release())
+      attempt(fw.end(java.util.Collections.emptyMap[String, String]()))
+      if (primary != null) throw primary
     }
   }
 
@@ -293,22 +305,38 @@ object DirectParquet {
       typeDir: Path,
       conf: Configuration,
       codec: CompressionCodecName,
-      taskId: Int,
+      taskTag: String,
       fileTargetBytes: Long,
       maxRecords: Long,
       rowGroupBytes: Long,
       rowGroupRows: Option[Int]) {
 
+    /** Int-tag convenience for single-attempt callers (tools, specs). */
+    def this(typeDir: Path, conf: Configuration, codec: CompressionCodecName,
+             taskId: Int, fileTargetBytes: Long, maxRecords: Long,
+             rowGroupBytes: Long, rowGroupRows: Option[Int]) =
+      this(typeDir, conf, codec, f"$taskId%05d", fileTargetBytes, maxRecords,
+        rowGroupBytes, rowGroupRows)
+
     private var writer: ColumnarWriter = _
     private var fileSeq = 0
     private var recordsInFile = 0L
     private var _total = 0L
+    private val names = Seq.newBuilder[String]
     private val ext = if (codec == CompressionCodecName.UNCOMPRESSED) "" else s".${codec.name.toLowerCase}"
 
     def total: Long = _total
 
+    /** File names this writer produced (the task-commit manifest: the
+      * transcode's job commit keeps exactly the winning attempts' files). */
+    def fileNames: Seq[String] = names.result()
+
+    /** The `type=<t>` dir name this writer targets. */
+    def typeName: String = typeDir.getName
+
     private def openNext(): Unit = {
-      val name = f"part-$taskId%05d-$fileSeq%04d$ext.parquet"
+      val name = f"part-$taskTag-$fileSeq%04d$ext.parquet"
+      names += name
       writer = new ColumnarWriter(new Path(typeDir, name), conf, codec,
         rowGroupBytes, rowGroupRows)
       fileSeq += 1

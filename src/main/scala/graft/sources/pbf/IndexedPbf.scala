@@ -150,6 +150,12 @@ object IndexedPbf {
         scala.jdk.CollectionConverters.IteratorHasAsScala(hit.iterator()).asScala
       }(Encoders.scalaInt)
       .distinct().collect().sorted
+    // the zone-map broadcasts are consumed ENTIRELY by the collect above —
+    // destroy deterministically rather than waiting for GC + ContextCleaner
+    // (the method's own no-session-lifetime-accumulation rationale; a
+    // long-lived session issuing many queries would otherwise accumulate
+    // dead broadcast blocks on the driver and executors)
+    Seq(bMins, bMaxs, bPmax).foreach(_.destroy())
 
     // Pass 2: pruned node blobs, node groups only, exact id semi-join.
     val nodeSpans = neededOrdinals.map(i => nodeBlobs(i).span).toSeq

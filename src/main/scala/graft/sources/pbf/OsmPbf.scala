@@ -27,20 +27,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object OsmPbf {
 
   /** Driver-side plan: spans of every blob in the file. */
-  def blobSpans(spark: SparkSession, path: String): Seq[Blobs.BlobSpan] = {
+  def blobSpans(spark: SparkSession, path: String,
+                stopAt: Blobs.BlobSpan => Boolean = _ => false): Seq[Blobs.BlobSpan] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
-    try Blobs.enumerate(in)
+    try Blobs.enumerate(in, stopAt)
     finally in.close()
   }
 
   /** File header metadata (bbox, features, replication info) — the
-    * reference's S6 operator (osmpbf/src/block.rs:15-86). One blob read. */
+    * reference's S6 operator (osmpbf/src/block.rs:15-86). One blob read —
+    * enumeration stops at the first OSMHeader instead of skip-scanning
+    * every blob header in the file. */
   def header(spark: SparkSession, path: String): Option[OsmHeader] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    blobSpans(spark, path).find(_.blobType == Blobs.TypeOsmHeader).map { span =>
+    blobSpans(spark, path, stopAt = _.blobType == Blobs.TypeOsmHeader)
+      .find(_.blobType == Blobs.TypeOsmHeader).map { span =>
       val in = fs.open(p)
       try {
         in.seek(span.offset)
@@ -61,10 +65,15 @@ object OsmPbf {
     * scheduler pressure).
     */
   def read(spark: SparkSession, path: String,
-           splitTargetBytes: Long = 64L << 20): DataFrame =
+           splitTargetBytes: Long = 64L << 20): DataFrame = {
+    // the scan option is MB-granular with a 1MB floor — reject a value
+    // the option cannot represent instead of silently reinterpreting it
+    require(splitTargetBytes >= (1L << 20) && (splitTargetBytes & ((1L << 20) - 1)) == 0,
+      s"splitTargetBytes must be a whole number of MB >= 1MB, got $splitTargetBytes")
     spark.read.format("osmpbf")
-      .option("splitMb", math.max(1L, splitTargetBytes >> 20).toString)
+      .option("splitMb", (splitTargetBytes >> 20).toString)
       .load(path)
+  }
 
   /** Typed view: same scan (pruning/pushdown included — the typed fields
     * Catalyst sees unused still prune), `Dataset[OsmElement]` on top. */
@@ -73,6 +82,12 @@ object OsmPbf {
     import spark.implicits._
     read(spark, path, splitTargetBytes).as[OsmElement]
   }
+
+  /** Decode-work weight of one blob: decoded payload bytes when known,
+    * else the format's 32MB worst case. */
+  def spanWeight(s: Blobs.BlobSpan): Long =
+    if (s.rawSize >= 0) math.max(s.rawSize, s.length).toLong
+    else Blobs.MaxBodyBytes.toLong
 
   /** Groups data-blob spans into ~`targetBytes` chunks of DECODED input so
     * task count scales with decode work, not blob count. Shared by the
@@ -88,12 +103,6 @@ object OsmPbf {
     * to one task per blob, the reference's own parallelism unit
     * (pbf.rs:79).
     */
-  /** Decode-work weight of one blob: decoded payload bytes when known,
-    * else the format's 32MB worst case. */
-  def spanWeight(s: Blobs.BlobSpan): Long =
-    if (s.rawSize >= 0) math.max(s.rawSize, s.length).toLong
-    else Blobs.MaxBodyBytes.toLong
-
   def groupSpans(spans: Seq[Blobs.BlobSpan], targetBytes: Long): Seq[Array[Blobs.BlobSpan]] = {
     def weight(s: Blobs.BlobSpan): Long = spanWeight(s)
     val groups = scala.collection.mutable.ArrayBuffer.empty[scala.collection.mutable.ArrayBuffer[Blobs.BlobSpan]]
@@ -116,7 +125,8 @@ object OsmPbf {
   def estimateRowBytes(spark: SparkSession, path: String, sampleRows: Int = 10000): Double = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val span = blobSpans(spark, path).find(_.blobType == Blobs.TypeOsmData)
+    val span = blobSpans(spark, path, stopAt = _.blobType == Blobs.TypeOsmData)
+      .find(_.blobType == Blobs.TypeOsmData)
       .getOrElse(throw new PbfFormatException(s"no data blobs in $path"))
     val in = fs.open(p)
     val rows = try {
@@ -179,14 +189,19 @@ object OsmPbf {
     import org.apache.parquet.hadoop.metadata.CompressionCodecName
     config.validate()
     val sc = spark.sparkContext
-    // This sink has no commit protocol by design (deterministic filenames,
-    // staging-dir swap): that is only safe when each task runs at most one
-    // attempt at a time. Speculative execution launches duplicate attempts
-    // that would race on the same staging file — refuse up front.
+    // Lightweight task-commit protocol: every ATTEMPT writes files whose
+    // names carry its globally-unique taskAttemptId, and returns the list
+    // of names it wrote. Exactly one successful attempt per partition
+    // reaches collect(), so the job-commit sweep below keeps precisely
+    // the files the winning attempts named and deletes everything else in
+    // staging — a zombie attempt (executor presumed lost but still
+    // writing: heartbeat-timeout relaunch, or speculation) can no longer
+    // corrupt output by racing a retry on the same filename, because no
+    // two attempts ever share a filename. Speculation is still refused:
+    // its duplicate work buys nothing on this one-stage job.
     require(!sc.getConf.getBoolean("spark.speculation", defaultValue = false),
-      "transcode requires spark.speculation=false: tasks write deterministic " +
-        "filenames with no commit protocol, so duplicate speculative attempts " +
-        "would corrupt staging output")
+      "transcode requires spark.speculation=false: duplicate speculative " +
+        "attempts only duplicate decode work on this one-stage sink")
     val allSpans = blobSpans(spark, config.input)
     // unknown blob types fail typed, matching pbf.rs:85-87
     allSpans.find(s => s.blobType != Blobs.TypeOsmData && s.blobType != Blobs.TypeOsmHeader)
@@ -208,10 +223,17 @@ object OsmPbf {
     val codec = if (config.compression == 0) CompressionCodecName.UNCOMPRESSED
       else CompressionCodecName.ZSTD
 
-    val outRoot = config.output.stripSuffix("/")
     val types = Seq(OsmSchema.TypeNode, OsmSchema.TypeWay, OsmSchema.TypeRelation)
-    val outPath = new Path(outRoot)
-    val ofs = outPath.getFileSystem(hc)
+    // QUALIFIED on the driver: a relative output (the default "./parquet")
+    // would otherwise resolve against each EXECUTOR's working directory in
+    // the tasks while the staging/commit logic resolves against the
+    // driver's — part files landing in executor-local scratch, an empty
+    // committed output, and nonzero returned counts (silent data loss;
+    // Spark's own sinks makeQualified for exactly this reason)
+    val rawOut = new Path(config.output.stripSuffix("/"))
+    val ofs = rawOut.getFileSystem(hc)
+    val outPath = ofs.makeQualified(rawOut)
+    val outRoot = outPath.toString
     // Tasks write into a `_staging` dir (underscore-prefixed: invisible to
     // parquet partition discovery even if a crashed run leaves it behind);
     // type= dirs swap into place only after the job SUCCEEDS. Two
@@ -231,7 +253,12 @@ object OsmPbf {
         try Thread.sleep(progressIntervalMs)
         catch { case _: InterruptedException => () }
         if (running)
-          onProgress(TranscodeProgress(elemAcc.value, byteAcc.value, (System.nanoTime() - t0) / 1e9))
+          // a throwing callback must not kill the monitor mid-job (a
+          // multi-hour transcode would silently stop reporting)
+          try onProgress(TranscodeProgress(elemAcc.value, byteAcc.value, (System.nanoTime() - t0) / 1e9))
+          catch { case e: Exception =>
+            System.err.println(s"[graft.transcode] progress callback failed: $e")
+          }
       }
     }, "graft-transcode-monitor")
     monitor.setDaemon(true)
@@ -243,9 +270,16 @@ object OsmPbf {
     val rowGroupBytes = config.rowGroupTargetMb.toLong << 20
     val rowGroupRows = config.maxRowGroupRows
     try {
-      val perTask = sc.parallelize(groups, groups.size).mapPartitions { groupIter =>
+      // valid empty PBF (header-only): zero data blobs must commit empty
+      // type= dirs and return zero counts, not crash parallelize(_, 0)
+      val perTask = if (groups.isEmpty) Array.empty[(Array[Long], Seq[String])]
+      else sc.parallelize(groups, groups.size).mapPartitions { groupIter =>
         val conf = hconf.value
-        val taskId = org.apache.spark.TaskContext.getPartitionId()
+        val tc = org.apache.spark.TaskContext.get()
+        val taskId = tc.partitionId()
+        // attempt-unique file tag: no two attempts of a partition ever
+        // share a staging filename (see the commit-protocol note above)
+        val attemptTag = s"$taskId-a${tc.taskAttemptId()}"
         val fsPath = new Path(input)
         val fs = fsPath.getFileSystem(conf)
         val in = fs.open(fsPath)
@@ -255,7 +289,7 @@ object OsmPbf {
         def writerFor(i: Int, t: String): DirectParquet.RotatingWriter = {
           if (writers(i) == null)
             writers(i) = new DirectParquet.RotatingWriter(
-              new Path(s"$outRoot/_staging/type=$t"), conf, codec, taskId,
+              new Path(s"$outRoot/_staging/type=$t"), conf, codec, attemptTag,
               fileTargetBytes, maxRecords, rowGroupBytes, rowGroupRows)
           writers(i)
         }
@@ -286,19 +320,43 @@ object OsmPbf {
             }
           }
         } finally {
-          writers.foreach(w => if (w != null) w.close())
-          in.close()
+          // close EVERY resource even when an earlier close throws — a
+          // first-writer flush failure (disk full) must not leak the
+          // remaining writers' compressor buffers or the input stream on
+          // a long-lived executor that will retry this task
+          var closeErr: Throwable = null
+          (writers.iterator.filter(_ != null).map(w => () => w.close()) ++
+            Iterator(() => in.close())).foreach { c =>
+            try c()
+            catch { case t: Throwable =>
+              if (closeErr == null) closeErr = t else closeErr.addSuppressed(t)
+            }
+          }
+          if (closeErr != null) throw closeErr
         }
-        Iterator.single(Array(
+        Iterator.single((Array(
           if (writers(0) != null) writers(0).total else 0L,
           if (writers(1) != null) writers(1).total else 0L,
-          if (writers(2) != null) writers(2).total else 0L))
+          if (writers(2) != null) writers(2).total else 0L),
+          writers.iterator.filter(_ != null).flatMap(w => w.fileNames.map(n =>
+            s"${w.typeName}/$n")).toSeq))
       }.collect()
-      // job succeeded: swap staging type= dirs into place (per-dir rename;
+      // job succeeded: sweep staging to EXACTLY the files the winning
+      // attempts reported (a zombie attempt's extra files are deleted, not
+      // published), then swap the type= dirs into place (per-dir rename;
       // the failure window is the swap itself, not the whole job). Hadoop
       // FileSystem.rename reports failure by returning false, not
       // throwing — a silently-ignored false would report success while the
       // type= dir is missing.
+      val expected = perTask.iterator.flatMap(_._2).toSet
+      types.foreach { t =>
+        val dir = new Path(staging, s"type=$t")
+        ofs.listStatus(dir).foreach { st =>
+          val rel = s"type=$t/${st.getPath.getName}"
+          if (st.isFile && !expected.contains(rel) && ofs.delete(st.getPath, false))
+            System.err.println(s"[graft.transcode] swept non-winning staging file $rel")
+        }
+      }
       types.foreach { t =>
         val live = new Path(outPath, s"type=$t")
         if (ofs.exists(live) && !ofs.delete(live, true))
@@ -308,11 +366,16 @@ object OsmPbf {
             s"transcode commit: rename ${new Path(staging, s"type=$t")} -> $live failed")
       }
       ofs.delete(staging, true)
-      types.zipWithIndex.map { case (t, i) => t -> perTask.map(_(i)).sum }.toMap
+      types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap
     } finally {
       running = false
       monitor.interrupt()
-      onProgress(TranscodeProgress(elemAcc.value, byteAcc.value, (System.nanoTime() - t0) / 1e9))
+      // inside a finally: a throwing callback would REPLACE the job's
+      // real exception (e.g. the decode error) as the reported failure
+      try onProgress(TranscodeProgress(elemAcc.value, byteAcc.value, (System.nanoTime() - t0) / 1e9))
+      catch { case e: Exception =>
+        System.err.println(s"[graft.transcode] final progress callback failed: $e")
+      }
     }
   }
 

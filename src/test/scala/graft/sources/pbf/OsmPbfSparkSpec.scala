@@ -36,6 +36,19 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byType === Map("node" -> 3L, "way" -> 1L, "relation" -> 1L))
   }
 
+  test("transcode of a header-only PBF commits empty type dirs and zero counts") {
+    // a valid file with ZERO data blobs (e.g. an extract of an empty
+    // region) previously crashed parallelize(_, 0) instead of committing
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptypbf").toString
+    val pbf = s"$dir/empty.osm.pbf"
+    PbfWriter.synthesize(pbf, blocks = 0, nodesPerBlock = 0)
+    val out = s"$dir/out"
+    val counts = OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out))
+    assert(counts.values.sum === 0L)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("type=node", "type=way", "type=relation"))
+  }
+
   test("transcode writes hive-partitioned parquet routed by type (K1/K6)") {
     val out = java.nio.file.Files.createTempDirectory("osmparq").toString
     val counts = OsmPbf.transcode(spark, PbfConfig(input = fixture, output = out, compression = 3))
