@@ -72,6 +72,15 @@ object Multimodal {
     * through the real `javax.imageio` decoder, audio kinds through the real
     * `javax.sound.sampled` WAV decoder; an undecodable payload or any other
     * kind takes the stub path (total function, no row loss).
+    *
+    * Decode-FAILURE rows (corrupt PNG/WAV under a decodable kind) keep the
+    * stub's container-byte length/checksum — values that are NOT
+    * encoder-invariant — so their `kind` is tagged `<kind>;undecoded`:
+    * they group separately and can never mix container-based numbers into
+    * a (kind, source) group whose aggregates m02/m04 document as coming
+    * from decoded content. Downstream sees corrupt items as their own
+    * first-class population (the triage bucket a 100 TB decode run needs
+    * anyway), not as silent contamination.
     */
   def extractFeatures(items: Dataset[MediaItem]): Dataset[MediaFeatures] = {
     import items.sparkSession.implicits._
@@ -98,8 +107,15 @@ object Multimodal {
                 clip.samples.length * 2,
                 AudioCodec.pcmChecksum(clip), AudioCodec.features(clip)))
           else None
-        decoded.getOrElse(MediaFeatures(m.media_id, m.kind, m.source,
-          payload.length, StubCodec.checksum(payload), StubCodec.decode(payload)))
+        decoded.getOrElse {
+          // a DECODABLE kind that failed decode is tagged — see scaladoc
+          val kind =
+            if (m.kind.startsWith("image/") || m.kind.startsWith("audio/"))
+              m.kind + ";undecoded"
+            else m.kind
+          MediaFeatures(m.media_id, kind, m.source,
+            payload.length, StubCodec.checksum(payload), StubCodec.decode(payload))
+        }
       }
     }
   }
@@ -241,7 +257,10 @@ object Multimodal {
     * r16 total_bytes/min_checksum hashed the PNG/BMP container, so a JDK
     * imageio encoder change would have broken the golden on correct
     * decode behavior), making the aggregate encoder- and
-    * partitioning-invariant as documented.
+    * partitioning-invariant as documented. The claim is total: a corrupt
+    * payload under a decodable kind lands in its own `<kind>;undecoded`
+    * group (see [[extractFeatures]]), so no (kind, source) group here
+    * ever mixes container-derived fallback values with decoded ones.
     */
   val m02_media_features: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._

@@ -428,12 +428,20 @@ object PbfQueries {
           (max(col("clo")) - min(col("clo"))).as("so")).head()
         val maxR = math.max(b.getLong(0), b.getLong(1)).toInt + 1
         var r = 1
+        // superseded rounds are released as soon as the next round's stage
+        // materializes (stage() is eager and each round recomputes from
+        // pts/q0, never from the previous iterate) — the PageRank/CC
+        // discipline; without it every expansion round pins a stale
+        // localCheckpoint in executor storage for the session lifetime
+        var prevStage: Option[DataFrame] = None
         while (r < maxR) {
           // staged: the round's ranking feeds the settle count AND (on
           // the settled round) the returned shape — query-set-sized after
           // the top-k filter, so the cut is cheap, unlike the corpus-
           // sized frames the IVF paths deliberately leave un-staged
           val ranked = graft.Checkpoints.stage(rankedAt(r))
+          prevStage.foreach(graft.CacheOps.unpersistLocalCheckpoint)
+          prevStage = Some(ranked)
           // margin to the searched boundary: region is
           // [(qc−r)·2^26, (qc+r+1)·2^26) on each axis, outside points
           // differ by ≥ this in lat or lon; strict compare guards the
@@ -448,9 +456,14 @@ object PbfQueries {
           val unsettled = q0.join(stats, Seq("qid"), "left")
             .filter(coalesce(col("cnt"), lit(0L)) < k ||
               col("kd2") >= m * m).count()
+          // the settled round's frame stays persisted — it backs the
+          // returned shape; only superseded rounds were ballast
           if (unsettled == 0) return shape(ranked)
           r += 1
         }
+        // loop exhausted: the cover-all direct run recomputes from source,
+        // so the last staged round is superseded too
+        prevStage.foreach(graft.CacheOps.unpersistLocalCheckpoint)
         shape(rankedAt(maxR))
     }
   }

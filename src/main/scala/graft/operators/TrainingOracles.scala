@@ -738,10 +738,11 @@ object TrainingOracles {
         |c AS (
         |  SELECT label, d, CAST(sum(qx) AS BIGINT) AS sx FROM dm GROUP BY label, d),
         |n AS (
-        |  SELECT label, CAST(sum(sx * sx) AS BIGINT) AS n2 FROM c GROUP BY label),
+        |  SELECT label, sum(CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS n2
+        |  FROM c GROUP BY label),
         |p AS (
         |  SELECT a.label AS label_a, b.label AS label_b,
-        |    CAST(sum(a.sx * b.sx) AS BIGINT) AS dq
+        |    sum(CAST(a.sx AS HUGEINT) * CAST(b.sx AS HUGEINT)) AS dq
         |  FROM c a JOIN c b ON a.d = b.d AND a.label < b.label
         |  GROUP BY 1, 2)
         |SELECT label_a, label_b,

@@ -192,13 +192,16 @@ object OsmPbf {
     // Lightweight task-commit protocol: every ATTEMPT writes files whose
     // names carry its globally-unique taskAttemptId, and returns the list
     // of names it wrote. Exactly one successful attempt per partition
-    // reaches collect(), so the job-commit sweep below keeps precisely
-    // the files the winning attempts named and deletes everything else in
-    // staging — a zombie attempt (executor presumed lost but still
-    // writing: heartbeat-timeout relaunch, or speculation) can no longer
-    // corrupt output by racing a retry on the same filename, because no
-    // two attempts ever share a filename. Speculation is still refused:
-    // its duplicate work buys nothing on this one-stage job.
+    // reaches collect(), so job commit renames precisely the files the
+    // winning attempts named into the live type= dirs, file by file — a
+    // zombie attempt (executor presumed lost but still writing:
+    // heartbeat-timeout relaunch, or speculation) cannot publish anything:
+    // it can't collide on a filename (attempt-unique tags), and a file it
+    // writes at ANY point — even after commit begins — sits in `_staging`
+    // until the final recursive delete, never renamed. Exercised by a
+    // REAL task retry in OsmPbfSparkSpec via the fail-once seam below.
+    // Speculation is still refused: its duplicate work buys nothing on
+    // this one-stage job.
     require(!sc.getConf.getBoolean("spark.speculation", defaultValue = false),
       "transcode requires spark.speculation=false: duplicate speculative " +
         "attempts only duplicate decode work on this one-stage sink")
@@ -334,6 +337,16 @@ object OsmPbf {
           }
           if (closeErr != null) throw closeErr
         }
+        // TEST SEAM (retry-commit pin): attempt 0 of the named partition
+        // dies HERE — after its staging files are closed and durable, the
+        // exact state a lost-executor relaunch leaves behind — so the spec
+        // can drive Spark's real task retry through the commit protocol
+        // and assert the loser's completed files are never published.
+        // Inert in production: the key is unset.
+        if (conf.getInt("graft.test.transcode.failPartitionOnce", -1) == taskId &&
+            tc.attemptNumber() == 0)
+          throw new RuntimeException(
+            s"graft.test: injected post-write failure, partition $taskId attempt 0")
         Iterator.single((Array(
           if (writers(0) != null) writers(0).total else 0L,
           if (writers(1) != null) writers(1).total else 0L,
@@ -341,29 +354,40 @@ object OsmPbf {
           writers.iterator.filter(_ != null).flatMap(w => w.fileNames.map(n =>
             s"${w.typeName}/$n")).toSeq))
       }.collect()
-      // job succeeded: sweep staging to EXACTLY the files the winning
-      // attempts reported (a zombie attempt's extra files are deleted, not
-      // published), then swap the type= dirs into place (per-dir rename;
-      // the failure window is the swap itself, not the whole job). Hadoop
-      // FileSystem.rename reports failure by returning false, not
-      // throwing — a silently-ignored false would report success while the
-      // type= dir is missing.
+      // job succeeded: publish EXACTLY the files the winning attempts
+      // reported, by renaming each manifest-named file individually into a
+      // fresh live type= dir. Publishing the whole staging dir (sweep +
+      // dir-rename, the pre-r17 protocol) left a window: a zombie attempt
+      // (executor presumed lost but still writing) could open a NEW
+      // staging file after the sweep and before the dir rename, and that
+      // file rode the rename into committed output as duplicate rows.
+      // With per-file publication a zombie's files are simply never
+      // renamed — writers only ever touch `_staging`, so nothing can
+      // inject into the live dirs. Hadoop FileSystem.rename reports
+      // failure by returning false, not throwing — a silently-ignored
+      // false would report success while committed files are missing.
       val expected = perTask.iterator.flatMap(_._2).toSet
-      types.foreach { t =>
-        val dir = new Path(staging, s"type=$t")
-        ofs.listStatus(dir).foreach { st =>
-          val rel = s"type=$t/${st.getPath.getName}"
-          if (st.isFile && !expected.contains(rel) && ofs.delete(st.getPath, false))
-            System.err.println(s"[graft.transcode] swept non-winning staging file $rel")
-        }
-      }
       types.foreach { t =>
         val live = new Path(outPath, s"type=$t")
         if (ofs.exists(live) && !ofs.delete(live, true))
           throw new java.io.IOException(s"transcode commit: failed to remove previous $live")
-        if (!ofs.rename(new Path(staging, s"type=$t"), live))
-          throw new java.io.IOException(
-            s"transcode commit: rename ${new Path(staging, s"type=$t")} -> $live failed")
+        if (!ofs.mkdirs(live))
+          throw new java.io.IOException(s"transcode commit: failed to create $live")
+        expected.iterator.filter(_.startsWith(s"type=$t/")).foreach { rel =>
+          val name = rel.substring(rel.indexOf('/') + 1)
+          if (!ofs.rename(new Path(staging, rel), new Path(live, name)))
+            throw new java.io.IOException(
+              s"transcode commit: rename $rel -> $live/$name failed " +
+                "(winning attempt's staging file missing or target exists)")
+        }
+        // audit trail: anything left behind in staging was written by a
+        // non-winning attempt and is about to be discarded unpublished
+        val dir = new Path(staging, s"type=$t")
+        ofs.listStatus(dir).foreach { st =>
+          if (st.isFile)
+            System.err.println(
+              s"[graft.transcode] discarding non-winning staging file type=$t/${st.getPath.getName}")
+        }
       }
       ofs.delete(staging, true)
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap

@@ -84,7 +84,10 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
         ImageCodec.encodePng(2, 2, Array(0x102030, 0x405060, 0x708090, 0xa0b0c0)))).toDS()
     val out = Multimodal.extractFeatures(broken).collect().sortBy(_.media_id)
     assert(out(0).features.toSeq === Multimodal.StubCodec.decode(Array[Byte](1, 2, 3, 4)).toSeq)
+    // container-based fallback values are quarantined under a tagged kind
+    assert(out(0).kind === "image/png;undecoded")
     assert(out(1).features(0) === 2L && out(1).features(1) === 2L) // real decode
+    assert(out(1).kind === "image/png")
   }
 
   test("image features are encoder-invariant: PNG and BMP of same pixels agree") {
@@ -155,7 +158,9 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       Multimodal.MediaItem(2L, "audio/wav", "s", real)).toDS()
     val out = Multimodal.extractFeatures(ds).collect().sortBy(_.media_id)
     assert(out(0).features.toSeq === Multimodal.StubCodec.decode(garbage).toSeq)
+    assert(out(0).kind === "audio/wav;undecoded") // quarantined, never mixed
     assert(out(1).features.toSeq === Seq(8000L, 1L, 4L, 0L, 100L, 100L, 3L, 10000L))
+    assert(out(1).kind === "audio/wav")
   }
 
   test("m04 pipeline: real WAV decode over testdata, exact frame accounting") {

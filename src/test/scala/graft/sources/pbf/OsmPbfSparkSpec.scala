@@ -16,7 +16,10 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def beforeAll(): Unit = {
     spark = SparkSession.builder()
-      .master("local[4]")
+      // local[4,2]: maxFailures=2, so the retry-commit pin below can drive
+      // a REAL Spark task retry (local[N] defaults to maxFailures=1, under
+      // which any task failure fails the job before a retry exists)
+      .master("local[4,2]")
       .appName("osmpbf-spec")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
@@ -108,6 +111,58 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       OsmPbf.transcode(spark, PbfConfig(input = bad, output = out))
     }
     assert(spark.read.parquet(out).count() === n) // old output intact
+  }
+
+  test("a REAL task retry never publishes the lost attempt's completed staging files") {
+    // The zombie-attempt hazard, executed rather than reasoned about: a
+    // task attempt finishes writing its staging parquet files (closed,
+    // durable — the state a heartbeat-timeout relaunch leaves behind) and
+    // THEN dies, so Spark relaunches the partition and a second attempt
+    // writes the same rows under its own attempt tag. Without manifest-
+    // based per-file publication, job commit would ship BOTH attempts'
+    // files — silent duplicate rows. sink.rs:82-105's single-writer
+    // rotation assumes this can't happen; Spark's retry semantics make it
+    // routine, hence the attempt-manifest protocol under test.
+    val dir = java.nio.file.Files.createTempDirectory("osmretry").toString
+    val pbf = s"$dir/in.osm.pbf"
+    // big enough to split into several groups (decoded-weight target
+    // floors at 1 MiB) so the retried partition's files coexist with
+    // other winners at commit
+    val n = PbfWriter.synthesize(pbf, blocks = 24, nodesPerBlock = 8000,
+      waysPerBlock = 4, relationsPerBlock = 1)
+    val out = s"$dir/out"
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setInt("graft.test.transcode.failPartitionOnce", 0)
+    try {
+      val counts = OsmPbf.transcode(spark, PbfConfig(input = pbf, output = out))
+      // counts come only from winning attempts
+      assert(counts.values.sum === n)
+      val back = spark.read.parquet(out)
+      // exact rows: a published loser file would double partition 0's rows
+      assert(back.count() === n)
+      // V1 validate: zero duplicate (id, type) — the precise corruption a
+      // double-published attempt produces
+      assert(OsmValidate.duplicates(back).count() === 0)
+      // file-level pin: every partition's files carry exactly ONE attempt
+      // tag (name shape "part-<taskId>-a<attemptId>-..."), i.e. the
+      // loser's files are gone, not merely out-voted
+      val tags = new java.io.File(out).listFiles().filter(_.isDirectory)
+        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+        .flatMap { name =>
+          "part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(name)
+            .map(m => (m.group(1).toLong, m.group(2).toLong))
+        }
+      assert(tags.nonEmpty, "no attempt-tagged part files found — name shape changed?")
+      val attemptsPerPartition = tags.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
+      assert(attemptsPerPartition.values.forall(_ == 1),
+        s"partition published files from multiple attempts: ${attemptsPerPartition.toMap}")
+      // (the retry itself is proven by success: partition 0 attempt 0
+      // throws unconditionally, so reaching here required attempt 1)
+      // full validate sweep (--validate parity): duplicates, missing,
+      // scalar + deep mismatches all zero against a fresh decode
+      val full = OsmValidate.report(OsmPbf.read(spark, pbf), back).collect()
+      assert(full.forall(_.getLong(1) === 0L), full.mkString(", "))
+    } finally hc.unset("graft.test.transcode.failPartitionOnce")
   }
 
   test("transcode progress monitor fires periodic + final events (C4)") {
