@@ -1,0 +1,366 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CROSS-ENTRY consistency invariants — the r16 lesson, systematized.
+  *
+  * Twin-derivation gating (engine vs DuckDB oracle) has exactly one blind
+  * spot: a bug MIRRORED into its own oracle is invisible to hash parity.
+  * Round 16 hit it twice — q38's merge insert-key collision and s05's ADC
+  * positional misalignment both stayed hash-green for sixteen rounds
+  * because each query's oracle reproduced the same mistake. What caught
+  * q38 was an INDEPENDENT invariant: q39's recompute oracle contradicted
+  * the state q38's output implied. This spec makes that method permanent:
+  * every test asserts an invariant between entries that share a domain
+  * but derive INDEPENDENTLY (different algorithm, different code path, or
+  * a plain-Scala reimplementation on the driver), so a mirrored bug in
+  * any one entry breaks an equation the other side of which it cannot
+  * also corrupt. Reference anchor: validate.py:66-91's
+  * outer-join-both-directions discipline — independent derivations, not
+  * twins.
+  *
+  * Each test's doc names the mirrored-bug class it would catch.
+  */
+class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("cross-entry-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Gate scale — the same corpus CORRECTNESS_r{N} runs on. */
+  private val dir = "/root/testdata/sf0.01"
+
+  private def q(name: String): DataFrame =
+    graft.SparkEntry.queries(name)(spark, dir)
+
+  // ---- plain-Scala reimplementations (the independent side) ----------
+
+  private def md5hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    d.map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Embedding vectors as double arrays, collected once. */
+  private lazy val vecs: Map[Long, Array[Double]] =
+    graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).iterator.map(_.toDouble).toArray).toMap
+
+  /** Exact cosine, replicating the engine's accumulation order
+    * (left-to-right double adds after the float→double cast) so the
+    * comparison is bit-exact, not tolerance-based. */
+  private def exactCos(a: Long, b: Long): Double = {
+    val va = vecs(a); val vb = vecs(b)
+    var dotAB = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < va.length) {
+      dotAB += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+      i += 1
+    }
+    dotAB / math.sqrt(na * nb)
+  }
+
+  private def sim4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+  private def rank6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+
+  private def annRows(name: String): Array[(Long, Int, Long, Double)] =
+    q(name).collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+
+  /** s01's per-query neighbor set and its k-th (weakest admitted) exact
+    * rank key — the brute-force universe the ANN variants are audited
+    * against. */
+  private lazy val bruteTopK: Map[Long, (Set[Long], Long)] =
+    annRows("s01_knn_brute").groupBy(_._1).map { case (qid, rows) =>
+      val ns = rows.map(_._3).toSet
+      qid -> (ns, rows.map(t => rank6(exactCos(qid, t._3))).min)
+    }
+
+  // ---- ANN family vs the brute-force baseline ------------------------
+
+  test("I1: every ANN-reported similarity equals the exact cosine, recomputed off-engine") {
+    // Mirrored-bug class: a candidate/score misalignment reproduced in
+    // the oracle — exactly s05's r16 ADC bug, where shifted partial
+    // distances picked wrong neighbors and the oracle, joining on the
+    // same mis-keyed table, agreed. The reported `sim` is documented as
+    // the exact cosine of (qid, neighbor); recomputing it from the raw
+    // parquet floats in plain Scala (no Catalyst, no graft_dot, no
+    // oracle) pins that claim independently of both gate sides.
+    for (name <- Seq("s02_knn_lsh", "s03_knn_ivf", "s04_knn_ivf_multiprobe", "s05_knn_ivfpq")) {
+      val rows = annRows(name)
+      assert(rows.nonEmpty, s"$name returned no rows")
+      rows.foreach { case (qid, rk, n, sim) =>
+        assert(sim === sim4(exactCos(qid, n)),
+          s"$name ($qid, rk=$rk): reported sim $sim != exact ${sim4(exactCos(qid, n))}")
+      }
+    }
+  }
+
+  test("I2: no ANN variant invents a neighbor better than brute force's k-th") {
+    // Mirrored-bug class: an ANN path scoring phantom candidates (wrong
+    // vector joined to an id, a corpus row duplicated into a cell). A
+    // reported neighbor ABSENT from s01's top-10 must have an exact rank
+    // key <= s01's weakest admitted key — brute force is exhaustive, so
+    // anything strictly better is in its list (ties may legitimately
+    // fall out on the smaller-vec_id tiebreak). Recall can lose; it can
+    // never invent.
+    for (name <- Seq("s02_knn_lsh", "s03_knn_ivf", "s04_knn_ivf_multiprobe", "s05_knn_ivfpq")) {
+      annRows(name).foreach { case (qid, rk, n, _) =>
+        val (ns, kthKey) = bruteTopK(qid)
+        if (!ns.contains(n))
+          assert(rank6(exactCos(qid, n)) <= kthKey,
+            s"$name invented ($qid, rk=$rk, $n): exact key ${rank6(exactCos(qid, n))} " +
+              s"beats brute k-th $kthKey yet is absent from s01's top-10")
+      }
+    }
+  }
+
+  test("I3: multiprobe (s04) dominates single-probe (s03) rank-for-rank") {
+    // Mirrored-bug class: the probe ranking picking the WRONG runner-up
+    // cell (or dropping the primary cell) while its oracle mirrors the
+    // same cell choice. Theorem: s04's candidate set (2 nearest cells)
+    // is a superset of s03's (the nearest cell), so at every rank r the
+    // r-th best exact similarity over the superset is >= the subset's.
+    val s3 = annRows("s03_knn_ivf").map(t => (t._1, t._2) -> t._3).toMap
+    val s4 = annRows("s04_knn_ivf_multiprobe").map(t => (t._1, t._2) -> t._3).toMap
+    assert(s3.nonEmpty && s4.nonEmpty)
+    s3.foreach { case ((qid, rk), n3) =>
+      val n4 = s4.get((qid, rk))
+      assert(n4.isDefined, s"s04 missing ($qid, rk=$rk) that s03 has — candidate superset violated")
+      assert(rank6(exactCos(qid, n4.get)) >= rank6(exactCos(qid, n3)),
+        s"s04 ($qid, rk=$rk) exact key < s03's — superset top-k cannot be worse")
+    }
+  }
+
+  // ---- dedup family ---------------------------------------------------
+
+  test("I4: identical-shingle-set pairs are NEVER lost by d02's LSH banding") {
+    // Mirrored-bug class: a band hash computed over the wrong columns or
+    // a broken bucket join, reproduced in d02's generated minhash CTEs.
+    // Theorem: equal shingle sets => equal 16 minhashes => equal 4 band
+    // hashes => the pair shares every bucket, so it MUST appear in the
+    // candidate list (gate corpora run uncapped). The sf0.01 corpus has
+    // no identical-set pairs, so the theorem is exercised on a planted
+    // corpus: exact copies, a reordered-shingle copy (same SET), a near
+    // dup and noise — the ground-truth side derived in plain Scala.
+    val sp = spark; import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),            // exact copy of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"),  // superset (near dup)
+      (4L, "one two three four five six seven"),
+      (5L, "one two three four five six seven"),              // exact copy of 4
+      (6L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    // ground truth in plain Scala: pairs with IDENTICAL 3-gram shingle sets
+    val sets = docs.collect().map { r =>
+      val tk = r.getString(1).split(" ", -1)
+      r.getLong(0) -> tk.sliding(3).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val identical = for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b && sa == sb
+    } yield (a, b)
+    assert(identical.toSet === Set((1L, 2L), (4L, 5L)), "planted corpus lost its design")
+    val candidates = DedupQueries.pairsFromBands(
+        DedupQueries.lshBands(DedupQueries.shingles(docs)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    identical.foreach { p =>
+      assert(candidates.contains(p),
+        s"exact-duplicate pair $p missing from LSH candidates — banding broke recall=1 on identity")
+    }
+  }
+
+  test("I5: d08's recall audit counters equal arithmetic over d02 and d04's own outputs") {
+    // Mirrored-bug class: the audit drifting from the listings it claims
+    // to audit (different shingle source, different threshold) with its
+    // oracle drifting in lockstep. n_candidates must equal |d02|,
+    // n_exact |d04|, n_hit |d04 ∩ d02|, recall the rounded ratio —
+    // computed here from the two listing queries' actual outputs.
+    val d02 = q("d02_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d04 = q("d04_ngram_jaccard").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = q("d08_lsh_recall").collect()
+    assert(a.length === 1)
+    val row = a.head
+    assert(row.getAs[Long]("n_candidates") === d02.size.toLong)
+    assert(row.getAs[Long]("n_exact") === d04.size.toLong)
+    val hit = d04.count(d02.contains).toLong
+    assert(row.getAs[Long]("n_hit") === hit)
+    val recall = if (d04.isEmpty) 0.0
+                 else math.floor(hit.toDouble / d04.size * 10000 + 0.5) / 10000
+    assert(row.getAs[Double]("recall") === recall)
+    assert(d04.nonEmpty && d02.nonEmpty, "gate corpus lost its near-dup population")
+  }
+
+  test("I6: d07's distributed clustering equals a driver-side union-find over d02's pairs") {
+    // Mirrored-bug class: a pointer-jumping/label-propagation bug (e.g.
+    // a jump step that strands a chain) mirrored by d07's generated
+    // recursive oracle. Union-find on the collected pair list is a
+    // different algorithm on a different runtime — their agreement on
+    // every (doc_id, cluster_id) is the invariant.
+    val pairs = q("d02_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = q("d07_dedup_clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+  }
+
+  // ---- CDC / IVM ------------------------------------------------------
+
+  test("I7: the aggregate recomputed from q38b's post-merge state equals q39b's maintained one") {
+    // Mirrored-bug class: THE r16 q38 bug — a merge insert re-key
+    // colliding with a live target key, mirrored into q38's own oracle
+    // and invisible to hash parity; q39's independently-derived
+    // recompute oracle was what contradicted it. Permanent form: rebuild
+    // the per-status aggregate from q38b's OUTPUT rows (status recovered
+    // by joining each row's source key back to orders) and require exact
+    // equality with q39b's base+delta maintenance. A key collision
+    // drops/duplicates a row on one side of this equation only.
+    val ord = graft.Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    val maxKey = graft.Tables.orders(spark, dir)
+      .agg(max(col("o_orderkey"))).head().getLong(0)
+    val merged = q("q38b_merge_bucketed")
+    val srcKey = when(col("action") === "inserted", col("key") - maxKey - 1)
+      .otherwise(col("key"))
+    val joined = merged.withColumn("sk", srcKey)
+      .join(ord.select(col("o_orderkey").as("sk"), col("o_orderstatus").as("status")), Seq("sk"))
+    // every output row must resolve to exactly one source order — a
+    // collision (two source rows folding into one output key) breaks this
+    assert(joined.count() === merged.count(),
+      "a merged row's source key did not resolve 1:1 against orders — re-key collision")
+    val recomputed = joined.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor(col("totalprice") * 100 + 0.5).cast("long")).as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val maintained = q("q39b_incremental_bucketed")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(recomputed === maintained)
+  }
+
+  // ---- streaming gate vs batch blocking -------------------------------
+
+  test("I8: st16's streaming admissions equal d02's batch blocking rule, rebuilt in-spec") {
+    // Mirrored-bug class: the stream's min-owner state logic and its
+    // oracle (generated from the same CTE skeleton) agreeing on a wrong
+    // rule — e.g. owner updated non-monotonically. Here the batch rule
+    // is rebuilt directly from the shared band rows: a doc is near-dup
+    // iff some band bucket has a smaller owner. The stream path
+    // (transformWithState, micro-batches, state store) shares none of
+    // that execution.
+    val bands = DedupQueries.lshBands(
+      DedupQueries.shingles(graft.Tables.documents(spark, dir)))
+    val own = bands.groupBy(col("band"), col("h")).agg(min(col("doc_id")).as("owner"))
+    val flagged = bands.join(own, Seq("band", "h"))
+      .filter(col("doc_id") > col("owner"))
+      .select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val expected = graft.Tables.documents(spark, dir).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+      .map(id => id -> (if (flagged(id)) 1L else 0L)).toMap
+    val got = q("st16_neardup_ingest").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(flagged.nonEmpty, "gate corpus lost its near-dup population")
+  }
+
+  // ---- sketches --------------------------------------------------------
+
+  test("I9: x04's sharded-merge estimate is merge-invariant and its exact twin matches plain Scala") {
+    // Mirrored-bug class: THE r16 x04 bug — engine and oracle comparing
+    // sketches against UNLIKE populations (raw-split vs normalized
+    // tokens), mirrored so the bound check stayed green while measuring
+    // the wrong thing. Two independent legs: (a) the per-lang exact
+    // distinct-token count recomputed in plain Scala off the parquet,
+    // (b) the HLL merge theorem — union of per-(lang, source) sketches
+    // must estimate EXACTLY like one whole-lang sketch (register-max
+    // merge is lossless), so a mis-merge shows as inequality.
+    val exactScala: Map[String, Long] = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("text")).collect()
+      .flatMap { r =>
+        r.getString(1).toLowerCase.split("[ \\t\\n\\u000B\\f\\r]+")
+          .filter(_.nonEmpty).map(t => (r.getString(0), t))
+      }.groupBy(_._1).map { case (l, ts) => l -> ts.map(_._2).distinct.length.toLong }
+    val out = q("x04_sketch_merge").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet === exactScala.keySet)
+    exactScala.foreach { case (lang, n) =>
+      assert(out(lang)._1 === n, s"x04 n_tokens_exact($lang) != plain-Scala distinct count")
+    }
+    // merge invariance on the same staged token stream x04 uses
+    val tk = graft.Tables.documents(spark, dir)
+      .select(col("lang"), col("source"),
+        explode(split(lower(col("text")), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val mergedEst = tk.groupBy(col("lang"), col("source"))
+      .agg(expr("hll_sketch_agg(tok, 12)").as("sk"))
+      .groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val wholeEst = tk.groupBy(col("lang"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(tok, 12))").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mergedEst === wholeEst, "HLL shard-union estimate != whole-corpus estimate")
+    // and the published bound verdicts must be the arithmetic they claim
+    mergedEst.foreach { case (lang, est) =>
+      val n = exactScala(lang)
+      val bound = math.max(1L, math.floor(n * 0.05).toLong)
+      assert(out(lang)._3 === (math.abs(est - n) <= bound),
+        s"x04 within_bound($lang) inconsistent with |est-exact| vs bound")
+    }
+  }
+
+  // ---- end-to-end curation pipeline ------------------------------------
+
+  test("I10: c16's fused pipeline equals a plain-Scala stage-by-stage recompute") {
+    // Mirrored-bug class: a shared literal or expression wrong in BOTH
+    // the fused query and its oracle (the same md5/conv/priority-key SQL
+    // is generated into the oracle strings). The driver-side rebuild
+    // uses MessageDigest, Long.parseLong and java.lang arithmetic — no
+    // Catalyst, no DuckDB — composing the documented stages: exact-dedup
+    // keepers (min doc_id per text hash) -> token-count gate (>= 20) ->
+    // sequential-Poisson top-10 per source ordered by (u+1)/max(chars,1).
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val keepers = docs.groupBy(t => md5hex(t._2)).values.map { g =>
+      val keep = g.minBy(_._1)
+      val nTokens = g.map(_._2.split(" ", -1).length).min
+      (keep._1, keep._3, g.map(_._4).min, nTokens)
+    }.filter(_._4 >= 20)
+    val expected = keepers.toSeq.map { case (id, source, nChars, nTokens) =>
+      val u = java.lang.Long.parseLong(md5hex(id.toString).substring(0, 12), 16)
+      val skey = (u + 1).toDouble / math.max(nChars, 1L)
+      (source, skey, id, nTokens)
+    }.groupBy(_._1).toSeq.flatMap { case (source, rows) =>
+      rows.sortBy(t => (t._2, t._3)).take(10).zipWithIndex.map {
+        case ((_, _, id, nTokens), i) => (source, i + 1, id, nTokens.toLong)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("c16_curation_e2e").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3).toLong)).toSeq
+    assert(got === expected)
+  }
+}
