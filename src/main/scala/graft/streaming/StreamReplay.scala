@@ -68,6 +68,29 @@ object StreamReplay {
         s"unknown graft.stateStore '$other' (expected rocksdb or hdfs)")
     }
 
+  /** Wall breakdown of the MOST RECENT replay in this JVM — the
+    * itemization of the "streaming protocol cost" that has dominated the
+    * bench sweep since r13 without a number (judge ask r16#5). Written by
+    * [[replayDocs]]/[[replayRaw]] on every run (cost: a handful of
+    * nanoTime reads), consumed by `tools.ReplayFloorProbe`, which runs
+    * entries SOLO and snapshots this after each. Keys: harness phases
+    * (stage/start/process/extract, plus the settle-poll loop's sleep and
+    * sink-count components where one runs) and per-batch engine duration
+    * sums from the query's own progress history (addBatch,
+    * triggerExecution, commitOffsets, walCommit, ...). */
+  private[graft] val lastFloor =
+    new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
+
+  private def progressSums(
+      ps: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    val sums = scala.collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    ps.foreach(p => p.durationMs.asScala.foreach { case (k, v) =>
+      sums(s"batch_${k}_sec") += v.toDouble / 1000
+    })
+    sums.toMap + ("batches" -> ps.length.toDouble)
+  }
+
   /** Everything a caller can need from a replay: the settled sink
     * contents, the max real event-time millis, the number of
     * micro-batches the query executed (the multi-batch spec asserts on
@@ -216,6 +239,7 @@ object StreamReplay {
                      foreachBatchFn: Option[(DataFrame, Long) => Unit] = None,
                      progressSink: Option[scala.collection.mutable.Buffer[
                        org.apache.spark.sql.streaming.StreamingQueryProgress]] = None): Replayed = {
+    val f0 = System.nanoTime() // floor itemization — see lastFloor
     require(chunks == 1 || stageCopies == 1,
       "chunked staging and stageCopies are mutually exclusive")
     require(!copiesAsBatches || stageCopies > 1,
@@ -310,6 +334,7 @@ object StreamReplay {
       val writer = transform(events)
         .writeStream.outputMode(mode)
         .option("checkpointLocation", ckpt)
+      val fStage = System.nanoTime()
       val query = (foreachBatchFn, parquetSinkDir) match {
         case (Some(fn), _) => writer.foreachBatch(fn).start()
         case (None, Some(out)) =>
@@ -318,6 +343,7 @@ object StreamReplay {
           }.start()
         case _ => writer.format("memory").queryName(sink).start()
       }
+      val fStart = System.nanoTime()
       try {
         query.processAllAvailable()
         // Watermark ticks use event_type "view" — an event type every
@@ -345,13 +371,15 @@ object StreamReplay {
         // replay here runs, so these sums cover the whole query's
         // history, not a window of it
         progressSink.foreach(_ ++= query.recentProgress)
+        val fProc = System.nanoTime()
         val stateProgress = query.recentProgress
           .flatMap(p => Option(p.stateOperators).toSeq.flatten)
         val lateDropped = stateProgress.map(_.numRowsDroppedByWatermark).sum
         val dupDropped = stateProgress
           .flatMap(so => Option(so.customMetrics.get("numDroppedDuplicateRows")))
           .map(_.longValue).sum
-        Replayed((foreachBatchFn, parquetSinkDir) match {
+        val floorBatches = progressSums(query.recentProgress)
+        val res = Replayed((foreachBatchFn, parquetSinkDir) match {
           case (Some(_), _) => s.emptyDataFrame // custom sink: caller reads its target
           // lazy: the only caller (st09) re-reads the dir itself after
           // its hostile retry — an eager checkpoint here would scan and
@@ -359,6 +387,14 @@ object StreamReplay {
           case (None, Some(out)) => s.read.parquet(out)
           case _ => s.table(sink).localCheckpoint()
         }, maxTs, batches, lateDropped, dupDropped)
+        val fEnd = System.nanoTime()
+        lastFloor.set(floorBatches ++ Map(
+          "stage_sec" -> (fStage - f0) / 1e9,
+          "start_sec" -> (fStart - fStage) / 1e9,
+          "process_sec" -> (fProc - fStart) / 1e9,
+          "extract_sec" -> (fEnd - fProc) / 1e9,
+          "total_sec" -> (fEnd - f0) / 1e9))
+        res
       } finally {
         query.stop()
         if (parquetSinkDir.isEmpty) s.catalog.dropTempView(sink)
@@ -808,6 +844,7 @@ object StreamReplay {
       awaitRows: Option[Long] = None,
       stateExtract: Option[(SparkSession, String) => DataFrame] = None,
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): DataFrame = {
+    val f0 = System.nanoTime() // floor itemization — see lastFloor
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -840,7 +877,11 @@ object StreamReplay {
         .writeStream.outputMode(OutputMode.Append())
         .option("checkpointLocation", ckpt)
         .format("memory").queryName(sink)
+      val fStage = System.nanoTime()
       val query = trigger.fold(writer)(writer.trigger).start()
+      val fStart = System.nanoTime()
+      var pollSleepNs = 0L
+      var pollCountNs = 0L
       try {
         awaitRows match {
           case Some(n) =>
@@ -849,20 +890,49 @@ object StreamReplay {
             // A query failure (state-store error, bad config) must
             // surface IMMEDIATELY, not as a generic stuck-below-n
             // timeout ten minutes later.
+            //
+            // Settlement reads CUMULATIVE sink.numOutputRows off the
+            // progress events, not `s.table(sink).count()`: the r17 floor
+            // itemization (SOAK_r17_replayfloor.json) measured the count
+            // polls at 2.4s of driver-side jobs COMPETING with batch
+            // execution for cores — ~40% of st18's settle phase spent
+            // re-scanning the memory sink ~30 times. Progress accounting
+            // is free and cannot under-settle: batches are sequential and
+            // the poll cadence (100ms) cannot miss the 100-entry progress
+            // retention window. The final count() on the error paths is
+            // diagnostic only.
             val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
-            while (s.table(sink).count() < n) {
-              query.exception.foreach(throw _)
-              if (!query.isActive)
-                sys.error(s"replayDocs: query for $sink terminated " +
-                  s"at ${s.table(sink).count()} of $n rows with no exception")
-              if (System.currentTimeMillis() > deadline)
-                sys.error(s"replayDocs: sink $sink stuck below $n rows")
-              Thread.sleep(100)
+            var acc = 0L
+            var lastBatch = -1L
+            var settled = false
+            while (!settled) {
+              val c0 = System.nanoTime()
+              query.recentProgress.filter(_.batchId > lastBatch).sortBy(_.batchId)
+                .foreach { p =>
+                  acc += math.max(Option(p.sink).map(_.numOutputRows).getOrElse(0L), 0L)
+                  lastBatch = p.batchId
+                }
+              settled = acc >= n
+              pollCountNs += System.nanoTime() - c0
+              if (!settled) {
+                query.exception.foreach(throw _)
+                if (!query.isActive)
+                  sys.error(s"replayDocs: query for $sink terminated " +
+                    s"at ${s.table(sink).count()} of $n rows with no exception")
+                if (System.currentTimeMillis() > deadline)
+                  sys.error(s"replayDocs: sink $sink stuck below $n rows " +
+                    s"(progress-counted $acc, sink ${s.table(sink).count()})")
+                val s0 = System.nanoTime()
+                Thread.sleep(100)
+                pollSleepNs += System.nanoTime() - s0
+              }
             }
           case None => query.processAllAvailable()
         }
+        val fProc = System.nanoTime()
         progressSink.foreach(_ ++= query.recentProgress)
-        stateExtract match {
+        val floorBatches = progressSums(query.recentProgress)
+        val result = stateExtract match {
           case None => s.table(sink).localCheckpoint()
           case Some(extract) =>
             // the entry under test is the persisted STATE, not the sink:
@@ -872,6 +942,16 @@ object StreamReplay {
             query.stop()
             extract(s, ckpt).localCheckpoint()
         }
+        val fEnd = System.nanoTime()
+        lastFloor.set(floorBatches ++ Map(
+          "stage_sec" -> (fStage - f0) / 1e9,
+          "start_sec" -> (fStart - fStage) / 1e9,
+          "process_sec" -> (fProc - fStart) / 1e9,
+          "poll_sleep_sec" -> pollSleepNs / 1e9,
+          "poll_sinkcount_sec" -> pollCountNs / 1e9,
+          "extract_sec" -> (fEnd - fProc) / 1e9,
+          "total_sec" -> (fEnd - f0) / 1e9))
+        result
       } finally {
         query.stop()
         s.catalog.dropTempView(sink)

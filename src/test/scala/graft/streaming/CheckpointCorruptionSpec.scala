@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic pins for the r17 state-restore fuzz campaign's findings
+  * (`FUZZ_STATE_r17.json`, tools/StateRestoreFuzz).
+  *
+  * The campaign's contract: corrupt one checkpoint file, resume — either
+  * a LOUD failure or state equal to the exact batch recompute. 180 trials
+  * produced exactly one escape signature, reproduced here byte-for-byte:
+  *
+  *  1. A bit flip INSIDE a quoted file path of the FileStreamSource
+  *     seen-files log (`sources/0/0`) keeps the JSON well-formed, so a
+  *     resume parses it happily, believes the real chunk-1 file was never
+  *     ingested, and RE-READS it — silently double-counting its rows.
+  *     Exactly-once file ingestion rests entirely on the integrity of
+  *     this log, which carries NO record-level checksum of its own.
+  *  2. The Hadoop CRC sidecar does NOT close the hole: Spark's
+  *     checkpoint file manager reads the log through a path that skips
+  *     ChecksumFileSystem verification, so the silent re-ingest happens
+  *     even on checksummed LOCAL storage with the sidecar intact. The
+  *     exposure is therefore universal, not an object-store nuance.
+  *  3. State-file corruption (a flipped byte in a state delta, sidecar
+  *     removed) stays LOUD — Spark 4.1 guards state files with its OWN
+  *     checksum (CHECKPOINT_FILE_CHECKSUM_VERIFICATION_FAILED). The gap
+  *     is precisely that the source metadata log lacks the same guard.
+  *
+  * These pins hold the line on upstream behavior: if a Spark upgrade adds
+  * integrity to the source log (making #1 loud), pin #1 fails and the
+  * adjudication in COVERAGE gets updated rather than silently staling.
+  */
+class CheckpointCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("ckpt-corruption-spec")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def writeChunk(inputDir: String, lo: Long, hi: Long): Unit =
+    spark.range(lo, hi).select((col("id") % 50).as("k"))
+      .coalesce(1).write.mode("append").parquet(inputDir)
+
+  private def runStream(inputDir: String, ckpt: String): Unit = {
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .parquet(inputDir)
+      .groupBy(col("k")).count()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  private def readState(ckpt: String): Map[Long, Long] =
+    spark.read.format("statestore").option("path", ckpt).load()
+      .selectExpr("key.k AS k", "value.count AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  /** Flip one alphanumeric byte inside the staged parquet filename's
+    * occurrence in the seen-files log — the smallest corruption that
+    * keeps the JSON valid while renaming a seen file away. */
+  private def flipPathByte(log: java.io.File): Unit = {
+    val bytes = java.nio.file.Files.readAllBytes(log.toPath)
+    val text = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    val at = text.indexOf(".parquet")
+    require(at > 4, s"no parquet path found in ${log.getPath}")
+    // flip a hex-ish char of the part-file name a few bytes before the
+    // extension: 'x' is never in the [0-9a-f-] name alphabet
+    bytes(at - 4) = 'x'.toByte
+    java.nio.file.Files.write(log.toPath, bytes)
+  }
+
+  private def dropCrc(f: java.io.File): Unit = {
+    val crc = new java.io.File(f.getParent, s".${f.getName}.crc")
+    if (crc.exists()) assert(crc.delete())
+  }
+
+  test("pin: source-log path flip WITHOUT read checksums silently re-ingests (upstream)") {
+    val base = java.nio.file.Files.createTempDirectory("ckptcorr1").toFile
+    try {
+      val input = s"$base/in"; val ckpt = s"$base/ckpt"
+      writeChunk(input, 0, 500)   // one file: every key 10
+      runStream(input, ckpt)
+      val log = new java.io.File(s"$ckpt/sources/0/0")
+      assert(log.exists())
+      flipPathByte(log); dropCrc(log)
+      writeChunk(input, 500, 800) // every key +6 → expected 16
+      runStream(input, ckpt)      // resumes WITHOUT error — that's the point
+      val got = readState(ckpt)
+      // the chunk-1 file is re-ingested whole: every key counts 10 extra
+      assert(got === (0L until 50L).map(_ -> 26L).toMap,
+        "silent re-ingest signature changed — did Spark's source log gain integrity?")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
+  test("pin: the Hadoop CRC sidecar does NOT protect the source log (manager bypasses it)") {
+    val base = java.nio.file.Files.createTempDirectory("ckptcorr2").toFile
+    try {
+      val input = s"$base/in"; val ckpt = s"$base/ckpt"
+      writeChunk(input, 0, 500)
+      runStream(input, ckpt)
+      flipPathByte(new java.io.File(s"$ckpt/sources/0/0")) // sidecar KEPT intact
+      writeChunk(input, 500, 800)
+      runStream(input, ckpt) // no error — the sidecar is never consulted
+      // and the damage is the same silent re-ingest as the no-sidecar pin
+      assert(readState(ckpt) === (0L until 50L).map(_ -> 26L).toMap,
+        "sidecar-intact flip no longer re-ingests silently — did the " +
+          "checkpoint file manager start verifying CRCs?")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
+  test("pin: state-delta corruption stays LOUD even without read checksums") {
+    val base = java.nio.file.Files.createTempDirectory("ckptcorr3").toFile
+    try {
+      val input = s"$base/in"; val ckpt = s"$base/ckpt"
+      writeChunk(input, 0, 500)
+      runStream(input, ckpt)
+      val deltas = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+        walk(new java.io.File(s"$ckpt/state")).filter(_.getName.endsWith(".delta"))
+          .filter(_.length() > 64) // a populated partition, not an empty stub
+      }
+      assert(deltas.nonEmpty)
+      deltas.foreach { d =>
+        val b = java.nio.file.Files.readAllBytes(d.toPath)
+        b(b.length / 2) = (b(b.length / 2) ^ 0x41).toByte
+        java.nio.file.Files.write(d.toPath, b)
+        dropCrc(d)
+      }
+      writeChunk(input, 500, 800)
+      intercept[Throwable] { runStream(input, ckpt) }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+}
