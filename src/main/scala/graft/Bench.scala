@@ -28,6 +28,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // host-speed calibration (judge ask r16#3): a fixed pure-JVM loop
+    // sampled inside every measurement window, so round-over-round drift
+    // reads as calibration_cur/calibration_prev instead of a per-query
+    // adjudication narrative. Tagged by window; all samples + median land
+    // in BENCH_DETAIL.json, the median also in BENCH_SUMMARY.json.
+    val calib = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    calib += "start" -> Calibration.sample()
+
     // PBF transcode throughput — the reference's headline metric
     // (README.md:87-102: planet transcode ≈4-5M elements/s on 6 cores).
     // Runs FIRST, in a fresh JVM, before the ~90-query sweep (r4 recorded
@@ -170,6 +178,7 @@ object Bench {
     // steal/system % in the artifact, a contended sweep is legible
     // instead of laundered into a plausible-looking total
     def sweep(): (Double, ConcurrentHashMap[String, Double], (Double, Double)) = {
+      calib += "sweep" -> Calibration.sample() // outside the timed interval
       val times = new ConcurrentHashMap[String, Double]()
       val pool = Executors.newFixedThreadPool(parallelism)
       val c0 = CpuStat.ticks()
@@ -240,6 +249,7 @@ object Bench {
     val ordered = benchQueries.toSeq.sortBy(_._1)
     val runs = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
+    calib += "solo_pre" -> Calibration.sample()
     (1 to 2).foreach { _ =>
       ordered.foreach { case (name, fn) => runs(name) = runs(name) :+ soloOnce(name, fn) }
     }
@@ -262,6 +272,8 @@ object Bench {
     val repCounts: Map[String, Int] = ordered.map { case (name, _) =>
       name -> runs(name).size
     }.toMap
+
+    calib += "solo_post" -> Calibration.sample()
 
     // Second transcode window: the query phase above put ~10 minutes
     // between samples. If window 1 never reached the capability floor,
@@ -383,12 +395,20 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map { case (st, sy) => s"[$st,$sy]" }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    // host-speed calibration: all window-tagged samples + the median.
+    // Drift adjudication = calibration_median_cur / calibration_median_prev
+    // (a judge reads host speed off two artifacts, no per-query narrative).
+    val calibMedian = { val s = calib.map(_._2).sorted; s(s.size / 2) }
+    val calibMeta =
+      s""","calibration_samples_ops_per_s":${calib.map { case (t, v) => s"""["$t",$v]""" }.mkString("[", ",", "]")}""" +
+      s""","calibration_median_ops_per_s":$calibMedian"""
+    val calibShort = s""","calibration_median_ops_per_s":$calibMedian"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
          |"timing":"total=concurrent sweep (clean-window gated: a rep whose system CPU exceeds the threshold is re-run up to the retry cap, see sweep_retries/sweep_sys_threshold_pct; per-sweep wall + steal/system CPU pct in sweep_totals_sec/sweep_steal_pct/sweep_sys_pct, per-solo-rep CPU in queries_solo_cpu_steal_sys_pct) over the n_bench_queries operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only; the set grows when a round adds operators — total_common_prev carries the like-for-like comparison); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
          |"queries_solo_cpu_steal_sys_pct":$soloCpuQs,
-         |"failed":$failed$extra$transcodeDetail$sweepMeta$diff$commonTotals}""".stripMargin.replace("\n", "")
+         |"failed":$failed$extra$transcodeDetail$sweepMeta$calibMeta$diff$commonTotals}""".stripMargin.replace("\n", "")
     try {
       // explicit UTF-8: the platform default charset mojibake'd non-ASCII
       // artifact text (em-dashes committed as '?') in earlier rounds
@@ -400,7 +420,7 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$calibShort$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}"""
     // The driver records only the LAST 2000 chars of combined output, and
     // when it runs through sbt the `[success]` trailer lands AFTER
     // whatever we print — through round 14 the full per-query line
@@ -424,6 +444,6 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
     println(fullLine)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":"BENCH_SUMMARY.json","sf":"$sfDir"$extra$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":"BENCH_SUMMARY.json","sf":"$sfDir"$extra$calibShort$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}""")
   }
 }

@@ -60,6 +60,56 @@ object CpuStat {
     }
 }
 
+/** Host-speed calibration: a FIXED pure-JVM CPU microbenchmark (no Spark,
+  * no I/O) sampled inside every bench window, so round-over-round drift is
+  * a NUMBER in the artifact (`calibration_cur / calibration_prev`) instead
+  * of a per-query narrative. Three rounds running (r13, r15→r16 twice) the
+  * bench adjudication argued "uniform host drift" from untouched-path
+  * movers; this pins the same conclusion mechanically. The work is one
+  * MD5 block + one 21-bit morton interleave per iteration — the engine's
+  * own hot primitives (signature hashing, z-order keys), single-threaded
+  * so the figure tracks per-core speed, which is what uniform drift
+  * scales.
+  */
+object Calibration {
+  private val Iters = 200000
+
+  /** ops/s over the fixed loop; ~100-200 ms per sample on this box.
+    * A short untimed warmup absorbs first-call JIT so early samples
+    * aren't biased slow. */
+  def sample(): Long = {
+    burn(20000) // untimed JIT warmup
+    val t0 = System.nanoTime()
+    val h = burn(Iters)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // the fold result escapes via an impossible branch so the loop
+    // cannot be dead-code-eliminated
+    if (h == Long.MinValue) System.err.println("calibration blackhole")
+    math.round(Iters / sec)
+  }
+
+  private def burn(iters: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = new Array[Byte](64)
+    var h = 0L
+    var i = 0
+    while (i < iters) {
+      buf(i % 64) = (i ^ (i >> 8)).toByte
+      val d = md.digest(buf)
+      h = h * 31 + d(0) + (d(15) << 8)
+      // 21-bit morton spread (the MortonKey shape): deterministic integer
+      // bit work alongside the hash block
+      var v = (i & 0x1fffff).toLong
+      v = (v | (v << 20)) & 0x000001FFC00003FFL
+      v = (v | (v << 10)) & 0x0007E007C0000FFFL
+      v = (v | (v << 4)) & 0x00786070C0380F03L
+      h ^= v
+      i += 1
+    }
+    h
+  }
+}
+
 object JsonEscape {
   /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
     * — a tab or CR in builder-authored SQL would otherwise make the
