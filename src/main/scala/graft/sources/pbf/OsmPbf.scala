@@ -355,39 +355,54 @@ object OsmPbf {
             s"${w.typeName}/$n")).toSeq))
       }.collect()
       // job succeeded: publish EXACTLY the files the winning attempts
-      // reported, by renaming each manifest-named file individually into a
-      // fresh live type= dir. Publishing the whole staging dir (sweep +
-      // dir-rename, the pre-r17 protocol) left a window: a zombie attempt
-      // (executor presumed lost but still writing) could open a NEW
-      // staging file after the sweep and before the dir rename, and that
-      // file rode the rename into committed output as duplicate rows.
-      // With per-file publication a zombie's files are simply never
-      // renamed — writers only ever touch `_staging`, so nothing can
-      // inject into the live dirs. Hadoop FileSystem.rename reports
-      // failure by returning false, not throwing — a silently-ignored
-      // false would report success while committed files are missing.
+      // reported. Two hazards shape the protocol:
+      //  - ZOMBIE attempts (executor presumed lost but still writing):
+      //    publishing the whole task-staging dir (sweep + dir-rename, the
+      //    pre-r17 protocol) left a window where a zombie could open a NEW
+      //    staging file after the sweep and ride the dir rename into
+      //    committed output as duplicate rows. So only MANIFEST-NAMED
+      //    files are ever moved — and they are moved into a fresh
+      //    `_staging/_publish/type=` dir that no task ever writes to
+      //    (writers are constructed on `_staging/type=` only).
+      //  - PARTIAL publication: renaming files one-by-one straight into
+      //    the live dir would, on a mid-loop failure, leave a readable
+      //    live dir holding a SUBSET of rows after the previous output was
+      //    already destroyed — a silent-partial read for any later
+      //    consumer. So the per-file moves all happen under `_staging`
+      //    (invisible to parquet discovery), and each type= goes live in
+      //    ONE dir rename: live is always old-complete, new-complete, or
+      //    absent (absent fails loudly on read).
+      // Hadoop FileSystem.rename reports failure by returning false, not
+      // throwing — a silently-ignored false would report success while
+      // committed files are missing.
       val expected = perTask.iterator.flatMap(_._2).toSet
+      val publish = new Path(staging, "_publish")
       types.foreach { t =>
-        val live = new Path(outPath, s"type=$t")
-        if (ofs.exists(live) && !ofs.delete(live, true))
-          throw new java.io.IOException(s"transcode commit: failed to remove previous $live")
-        if (!ofs.mkdirs(live))
-          throw new java.io.IOException(s"transcode commit: failed to create $live")
+        val pubDir = new Path(publish, s"type=$t")
+        if (!ofs.mkdirs(pubDir))
+          throw new java.io.IOException(s"transcode commit: failed to create $pubDir")
         expected.iterator.filter(_.startsWith(s"type=$t/")).foreach { rel =>
           val name = rel.substring(rel.indexOf('/') + 1)
-          if (!ofs.rename(new Path(staging, rel), new Path(live, name)))
+          if (!ofs.rename(new Path(staging, rel), new Path(pubDir, name)))
             throw new java.io.IOException(
-              s"transcode commit: rename $rel -> $live/$name failed " +
+              s"transcode commit: rename $rel -> $pubDir/$name failed " +
                 "(winning attempt's staging file missing or target exists)")
         }
-        // audit trail: anything left behind in staging was written by a
-        // non-winning attempt and is about to be discarded unpublished
-        val dir = new Path(staging, s"type=$t")
-        ofs.listStatus(dir).foreach { st =>
+        // audit trail: anything left behind in task staging was written by
+        // a non-winning attempt and will be discarded unpublished
+        ofs.listStatus(new Path(staging, s"type=$t")).foreach { st =>
           if (st.isFile)
             System.err.println(
               s"[graft.transcode] discarding non-winning staging file type=$t/${st.getPath.getName}")
         }
+      }
+      types.foreach { t =>
+        val live = new Path(outPath, s"type=$t")
+        if (ofs.exists(live) && !ofs.delete(live, true))
+          throw new java.io.IOException(s"transcode commit: failed to remove previous $live")
+        if (!ofs.rename(new Path(publish, s"type=$t"), live))
+          throw new java.io.IOException(
+            s"transcode commit: rename ${new Path(publish, s"type=$t")} -> $live failed")
       }
       ofs.delete(staging, true)
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap

@@ -897,31 +897,46 @@ object StreamReplay {
             // polls at 2.4s of driver-side jobs COMPETING with batch
             // execution for cores — ~40% of st18's settle phase spent
             // re-scanning the memory sink ~30 times. Progress accounting
-            // is free and cannot under-settle: batches are sequential and
-            // the poll cadence (100ms) cannot miss the 100-entry progress
-            // retention window. The final count() on the error paths is
-            // diagnostic only.
+            // is free; batches are sequential and the poll cadence (100ms)
+            // cannot realistically miss the 100-entry progress retention
+            // window — and the two ways it could still under-count are
+            // both guarded: a sink that stops reporting commit rows
+            // (numOutputRows = -1) flips the loop to sink-count settlement,
+            // and the deadline path believes one final sink count before
+            // declaring the run stuck.
             val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
             var acc = 0L
             var lastBatch = -1L
             var settled = false
+            // a sink/Spark version that stops reporting per-batch commit
+            // rows (SinkProgress.numOutputRows = -1) would make progress
+            // accounting permanently under-count — fall back to the
+            // (job-costing) sink count for the rest of the run instead of
+            // dying at the deadline with the sink actually full
+            var useCount = false
             while (!settled) {
               val c0 = System.nanoTime()
               query.recentProgress.filter(_.batchId > lastBatch).sortBy(_.batchId)
                 .foreach { p =>
-                  acc += math.max(Option(p.sink).map(_.numOutputRows).getOrElse(0L), 0L)
+                  val rows = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
+                  if (rows < 0) useCount = true else acc += rows
                   lastBatch = p.batchId
                 }
-              settled = acc >= n
+              settled = if (useCount) s.table(sink).count() >= n else acc >= n
               pollCountNs += System.nanoTime() - c0
               if (!settled) {
                 query.exception.foreach(throw _)
                 if (!query.isActive)
                   sys.error(s"replayDocs: query for $sink terminated " +
                     s"at ${s.table(sink).count()} of $n rows with no exception")
-                if (System.currentTimeMillis() > deadline)
-                  sys.error(s"replayDocs: sink $sink stuck below $n rows " +
+                if (System.currentTimeMillis() > deadline) {
+                  // belt-and-suspenders against any progress-accounting
+                  // blind spot (e.g. retention eviction under an extreme
+                  // batch storm): believe the sink itself before dying
+                  if (s.table(sink).count() >= n) settled = true
+                  else sys.error(s"replayDocs: sink $sink stuck below $n rows " +
                     s"(progress-counted $acc, sink ${s.table(sink).count()})")
+                }
                 val s0 = System.nanoTime()
                 Thread.sleep(100)
                 pollSleepNs += System.nanoTime() - s0

@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Itemize the streaming-replay cost floor (judge ask r16#5): st18/st19/
   * st09/st10 dominate the bench sweep at ~30% of total and have been
   * adjudicated "protocol cost" since r13 without a breakdown. This probe
-  * runs each entry SOLO (adaptive 2-3 reps, keeping the best-total rep)
+  * runs each entry SOLO (3 reps, keeping the best-total rep)
   * and reads [[graft.streaming.StreamReplay.lastFloor]] after each: wall
   * split into harness phases (staging, query start, processing,
   * settle-poll sleep/sink-count where the TTL protocol polls, state
@@ -64,8 +64,6 @@ object ReplayFloorProbe {
           "cpu_steal_pct" -> steal, "cpu_sys_pct" -> sys))
       }
       val best = reps.minBy(_._1)
-      out(name) = best._2 +
-        ("rep_walls_sec" -> -1.0) // placeholder replaced in JSON below
       println(f"$name: walls=${reps.map(r => f"${r._1}%.2f").mkString(",")} " +
         s"best floor=${best._2.toSeq.sortBy(_._1).map { case (k, v) => f"$k=$v%.2f" }.mkString(" ")}")
       out(name) = best._2

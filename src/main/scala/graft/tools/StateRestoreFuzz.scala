@@ -31,6 +31,37 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StateRestoreFuzz {
 
+  // ---- shared harness (also used by CheckpointCorruptionSpec, so the
+  // pins exercise EXACTLY the campaign's protocol and cannot drift) ----
+
+  /** Append one parquet chunk of (id % 50) keys in `files` part files. */
+  private[graft] def writeChunk(spark: SparkSession, inputDir: String,
+      lo: Long, hi: Long, files: Int = 2): Unit =
+    spark.range(lo, hi).select(col("id") % 50 as "k")
+      .coalesce(files).write.mode("append").parquet(inputDir)
+
+  /** The campaign's stateful query: per-key running count over a file
+    * stream, update mode, AvailableNow. */
+  private[graft] def runStream(spark: SparkSession, inputDir: String, ckpt: String): Unit = {
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+      .parquet(inputDir)
+      .groupBy(col("k")).count()
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("update")
+      .format("noop")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally if (q.isActive) q.stop()
+  }
+
+  private[graft] def readState(spark: SparkSession, ckpt: String): Map[Long, Long] =
+    spark.read.format("statestore").option("path", ckpt).load()
+      .selectExpr("key.k AS k", "value.count AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
   private val seed = 20260816L
   private val rnd = new scala.util.Random(seed)
 
@@ -90,34 +121,16 @@ object StateRestoreFuzz {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
 
     // chunked input with a known per-key count profile
     def writeChunk(inputDir: String, lo: Long, hi: Long): Unit =
-      spark.range(lo, hi).select((col("id") % 50).as("k"))
-        .repartition(2).write.mode("append").parquet(inputDir)
+      StateRestoreFuzz.writeChunk(spark, inputDir, lo, hi)
+    def runStream(inputDir: String, ckpt: String): Unit =
+      StateRestoreFuzz.runStream(spark, inputDir, ckpt)
+    def readState(ckpt: String): Map[Long, Long] =
+      StateRestoreFuzz.readState(spark, ckpt)
     val expected: Map[Long, Long] =
       (0L until 800L).map(_ % 50).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
-
-    def runStream(inputDir: String, ckpt: String): Unit = {
-      val q = spark.readStream
-        .schema(org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
-        .parquet(inputDir)
-        .groupBy(col("k")).count()
-        .writeStream
-        .option("checkpointLocation", ckpt)
-        .outputMode("update")
-        .format("noop")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
-    }
-
-    def readState(ckpt: String): Map[Long, Long] =
-      spark.read.format("statestore").option("path", ckpt).load()
-        .selectExpr("key.k AS k", "value.count AS n")
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
     val outcomes = scala.collection.mutable.Map(
       "loud_resume" -> 0L, "benign" -> 0L, "loud_stateread" -> 0L)
@@ -142,12 +155,15 @@ object StateRestoreFuzz {
             // flip + drop the CRC sidecar: the checksum-less-store model
             // (CheckpointCorruptionSpec pin 2 later showed the sidecar is
             // bypassed on the metadata-log read path anyway — kept as its
-            // own arm so the artifact distinguishes the two models)
-            val (m, _) = { val b = bytes.clone()
-              val at = rnd.nextInt(math.max(b.length, 1) min b.length max 1)
-              if (b.nonEmpty) b(at % b.length) = (b(at % b.length) ^ 1).toByte
-              (b, "flip") }
-            java.nio.file.Files.write(target.toPath, m)
+            // own arm so the artifact distinguishes the two models). Same
+            // random-bit flip as mutateBytes' flip case, so the two arms
+            // measure the same mutation under the two sidecar models.
+            val b = bytes.clone()
+            if (b.nonEmpty) {
+              val at = rnd.nextInt(b.length)
+              b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+            }
+            java.nio.file.Files.write(target.toPath, b)
             val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
             if (crc.exists()) { assert(crc.delete()) }
             "flip_nocrc"

@@ -332,6 +332,44 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  // ---- spatial kNN: approximate vs exact -------------------------------
+
+  test("I11: exact ring-kNN (p05b) dominates the one-probe form (p05) rank-for-rank") {
+    // Mirrored-bug class: a ring-expansion settle condition that stops
+    // too early (margin arithmetic off by one cell) while p05b's
+    // brute-force oracle shares the same quantized coordinates. Theorems
+    // between the two ENTRIES: (a) exact top-k distance at rank r can
+    // never exceed the 3x3-probe form's at the same rank; (b) any p05
+    // neighbor strictly closer than p05b's k-th must appear in p05b's
+    // list (the exact list contains everything strictly better than its
+    // own k-th); (c) where p05's k-th already settles inside the 3x3
+    // margin, the two lists agree exactly — on this cloud (~44
+    // points/cell >> k) that is every query, so (c) is the strong form
+    // and (a)/(b) keep the test honest if the cloud ever changes.
+    def rows(name: String): Map[(Long, Int), (Long, Long)] =
+      q(name).collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val approx = rows("p05_spatial_knn")
+    val exact = rows("p05b_spatial_knn_ring")
+    assert(approx.nonEmpty && exact.nonEmpty)
+    val kthExact: Map[Long, Long] = exact.groupBy(_._1._1)
+      .map { case (qid, m) => qid -> m.values.map(_._2).max }
+    approx.foreach { case ((qid, rk), (n, d2)) =>
+      exact.get((qid, rk)).foreach { case (_, ed2) =>
+        assert(ed2 <= d2, s"p05b ($qid, rk=$rk) d2 $ed2 > p05's $d2 — exact lost to approximate")
+      }
+      if (d2 < kthExact(qid)) {
+        val inExact = exact.exists { case ((q2, _), (n2, _)) => q2 == qid && n2 == n }
+        assert(inExact, s"p05 ($qid, $n, d2=$d2) beats p05b's k-th yet absent from exact list")
+      }
+    }
+    // strong form: this cloud settles every query at radius 1, so the
+    // lists must be IDENTICAL — a divergence means the settle condition
+    // or the probe geometry drifted
+    assert(approx === exact,
+      "p05 and p05b diverge on a cloud where the 3x3 probe is provably exact")
+  }
+
   // ---- end-to-end curation pipeline ------------------------------------
 
   test("I10: c16's fused pipeline equals a plain-Scala stage-by-stage recompute") {

@@ -1,8 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -49,29 +47,19 @@ class CheckpointCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
+  // the campaign's own harness (graft.tools.StateRestoreFuzz), so these
+  // pins exercise exactly the protocol the artifact's trials ran — a
+  // drifted copy would keep passing against a stale protocol. files=1:
+  // the re-ingest pins need chunk 1 to be ONE file so the flipped path
+  // re-ingests the whole chunk deterministically.
   private def writeChunk(inputDir: String, lo: Long, hi: Long): Unit =
-    spark.range(lo, hi).select((col("id") % 50).as("k"))
-      .coalesce(1).write.mode("append").parquet(inputDir)
+    graft.tools.StateRestoreFuzz.writeChunk(spark, inputDir, lo, hi, files = 1)
 
-  private def runStream(inputDir: String, ckpt: String): Unit = {
-    val q = spark.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
-      .parquet(inputDir)
-      .groupBy(col("k")).count()
-      .writeStream
-      .option("checkpointLocation", ckpt)
-      .outputMode("update")
-      .format("noop")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally if (q.isActive) q.stop()
-  }
+  private def runStream(inputDir: String, ckpt: String): Unit =
+    graft.tools.StateRestoreFuzz.runStream(spark, inputDir, ckpt)
 
   private def readState(ckpt: String): Map[Long, Long] =
-    spark.read.format("statestore").option("path", ckpt).load()
-      .selectExpr("key.k AS k", "value.count AS n")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.tools.StateRestoreFuzz.readState(spark, ckpt)
 
   /** Flip one alphanumeric byte inside the staged parquet filename's
     * occurrence in the seen-files log — the smallest corruption that
