@@ -112,6 +112,8 @@ object StateRestoreFuzz {
     val outJson = args.headOption.getOrElse("FUZZ_STATE_r17.json")
     val hdfsTrials = if (args.length > 1) args(1).toInt else 150
     val rocksTrials = if (args.length > 2) args(2).toInt else 30
+    val gateTrials = if (args.length > 3) args(3).toInt else 25
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     val spark = SparkSession.builder()
       .master("local[4]")
@@ -138,47 +140,52 @@ object StateRestoreFuzz {
     var escapes = 0
     val mutatorCounts = scala.collection.mutable.Map.empty[String, Long]
 
+    // pick one file under the checkpoint, apply one mutator; `delete` and
+    // `flip_nocrc` are extra arms. Returns (relative path, mutator kind).
+    def corruptOne(ckpt: String): (String, String) = {
+      val fs = targets(new java.io.File(ckpt))
+      val target = fs(rnd.nextInt(fs.size))
+      val bytes = java.nio.file.Files.readAllBytes(target.toPath)
+      val kind = rnd.nextInt(10) match {
+        case 0 =>
+          assert(target.delete()); "delete"
+        case 1 =>
+          // flip + drop the CRC sidecar: the checksum-less-store model
+          // (CheckpointCorruptionSpec pin 2 later showed the sidecar is
+          // bypassed on the metadata-log read path anyway — kept as its
+          // own arm so the artifact distinguishes the two models). Same
+          // random-bit flip as mutateBytes' flip case, so the two arms
+          // measure the same mutation under the two sidecar models.
+          val b = bytes.clone()
+          if (b.nonEmpty) {
+            val at = rnd.nextInt(b.length)
+            b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
+          }
+          java.nio.file.Files.write(target.toPath, b)
+          val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
+          if (crc.exists()) { assert(crc.delete()) }
+          "flip_nocrc"
+        case _ =>
+          val (m, k) = mutateBytes(bytes)
+          // drop the sidecar so the DESERIALIZATION surface is what's
+          // probed, not the local FS's sidecar layer (where a layer
+          // consults it at all — the metadata-log path does not)
+          val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
+          if (crc.exists()) { assert(crc.delete()) }
+          java.nio.file.Files.write(target.toPath, m)
+          k
+      }
+      (target.getPath.stripPrefix(ckpt), kind)
+    }
+
     def trial(i: Int, provider: String): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-statefuzz$i").toFile
       val inputDir = s"$base/input"; val ckpt = s"$base/ckpt"
       try {
         writeChunk(inputDir, 0, 500)
         runStream(inputDir, ckpt) // committed checkpoint over chunk 1
-        // pick one file, one mutator; `delete` and `nocrc` are extra arms
-        val fs = targets(new java.io.File(ckpt))
-        val target = fs(rnd.nextInt(fs.size))
-        val bytes = java.nio.file.Files.readAllBytes(target.toPath)
-        val kind = rnd.nextInt(10) match {
-          case 0 =>
-            assert(target.delete()); "delete"
-          case 1 =>
-            // flip + drop the CRC sidecar: the checksum-less-store model
-            // (CheckpointCorruptionSpec pin 2 later showed the sidecar is
-            // bypassed on the metadata-log read path anyway — kept as its
-            // own arm so the artifact distinguishes the two models). Same
-            // random-bit flip as mutateBytes' flip case, so the two arms
-            // measure the same mutation under the two sidecar models.
-            val b = bytes.clone()
-            if (b.nonEmpty) {
-              val at = rnd.nextInt(b.length)
-              b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
-            }
-            java.nio.file.Files.write(target.toPath, b)
-            val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
-            if (crc.exists()) { assert(crc.delete()) }
-            "flip_nocrc"
-          case _ =>
-            val (m, k) = mutateBytes(bytes)
-            // drop the sidecar so the DESERIALIZATION surface is what's
-            // probed, not the local FS's sidecar layer (where a layer
-            // consults it at all — the metadata-log path does not)
-            val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
-            if (crc.exists()) { assert(crc.delete()) }
-            java.nio.file.Files.write(target.toPath, m)
-            k
-        }
+        val (rel, kind) = corruptOne(ckpt)
         mutatorCounts(kind) = mutatorCounts.getOrElse(kind, 0L) + 1
-        val rel = target.getPath.stripPrefix(ckpt)
         writeChunk(inputDir, 500, 800)
         val resumed =
           try { runStream(inputDir, ckpt); true }
@@ -236,18 +243,103 @@ object StateRestoreFuzz {
       if (i % 10 == 0) println(s"rocksdb: $i/$rocksTrials ${outcomes.toMap} escapes=$escapes")
     }
     val rocksOutcome = outcomes.toMap
+
+    // GATE leg: the ENGINE'S OWN state shape — the st16 near-dup ingest
+    // gate's transformWithState ValueState owners (DocStreams
+    // .BandOwnerProcessor) under RocksDB (the provider transformWithState
+    // requires), fed by real documents split into doc_id-ranged chunks
+    // (lower ids first, the min-owner replay discipline). Contract
+    // unchanged; "state == recompute" here means the checkpoint's owner
+    // table (read via the state source) equals the batch min-owner rule
+    // over all documents.
+    outcomes.keys.foreach(k => outcomes(k) = 0L)
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .localCheckpoint()
+    val medianId = docsAll.selectExpr("percentile_cont(0.5) WITHIN GROUP (ORDER BY doc_id)")
+      .head().getDouble(0).toLong
+    val docsLow = docsAll.filter(col("doc_id") <= medianId)
+    val docsHigh = docsAll.filter(col("doc_id") > medianId)
+    val expectedOwners: Map[(Int, String), Long] =
+      graft.streaming.DocStreams.bandRows(docsAll)
+        .groupBy(col("band"), col("h")).agg(min(col("doc_id")).as("owner"))
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val docsSchema = docsAll.schema
+    def runGate(inputDir: String, ckpt: String): Unit = {
+      val q = graft.streaming.DocStreams.nearDupFlags(
+          spark.readStream.schema(docsSchema).parquet(inputDir))
+        .writeStream.option("checkpointLocation", ckpt)
+        .outputMode("append").format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+    }
+    def gateTrial(i: Int): Unit = {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-gatefuzz$i").toFile
+      val input = s"$base/input"; val ckpt = s"$base/ckpt"
+      try {
+        docsLow.coalesce(1).write.mode("append").parquet(input)
+        runGate(input, ckpt)
+        val (rel, kind) = corruptOne(ckpt)
+        mutatorCounts(kind) = mutatorCounts.getOrElse(kind, 0L) + 1
+        docsHigh.coalesce(1).write.mode("append").parquet(input)
+        val resumed =
+          try { runGate(input, ckpt); true }
+          catch { case e: Throwable =>
+            outcomes("loud_resume") += 1
+            val c = e.getClass.getSimpleName
+            loudClasses(c) = loudClasses.getOrElse(c, 0L) + 1
+            false
+          }
+        if (resumed) {
+          val state =
+            try Some(graft.streaming.DocStreams.ownerState(spark, ckpt)
+              .select(col("band"), col("h"), col("owner"))
+              .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap)
+            catch { case _: Throwable => outcomes("loud_stateread") += 1; None }
+          state.foreach { got =>
+            if (got == expectedOwners) outcomes("benign") += 1
+            else {
+              escapes += 1
+              println(s"ESCAPE [gate] trial=$i file=$rel mutator=$kind seed=$seed: " +
+                s"resume succeeded with WRONG owner state (${got.size} buckets vs " +
+                s"${expectedOwners.size}; diff=${(expectedOwners.toSet diff got.toSet).take(5)} ...)")
+            }
+          }
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+    // gate control: clean two-chunk replay must reproduce the batch rule
+    locally {
+      val base = java.nio.file.Files.createTempDirectory("graft-gatefuzz-ctl").toFile
+      try {
+        docsLow.coalesce(1).write.mode("append").parquet(s"$base/input")
+        runGate(s"$base/input", s"$base/ckpt")
+        docsHigh.coalesce(1).write.mode("append").parquet(s"$base/input")
+        runGate(s"$base/input", s"$base/ckpt")
+        val got = graft.streaming.DocStreams.ownerState(spark, s"$base/ckpt")
+          .select(col("band"), col("h"), col("owner"))
+          .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+        require(got == expectedOwners, s"gate control mismatch: ${got.size} buckets")
+        println("gate control: clean resume owner state == batch min-owner rule")
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+    }
+    (1 to gateTrials).foreach { i =>
+      gateTrial(hdfsTrials + rocksTrials + i)
+      if (i % 10 == 0) println(s"gate: $i/$gateTrials ${outcomes.toMap} escapes=$escapes")
+    }
+    val gateOutcome = outcomes.toMap
     val secs = (System.nanoTime() - t0) / 1e9
 
     def j(m: Map[String, Long]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,""" +
+      s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,"gate_trials":$gateTrials,""" +
       s""""escapes":$escapes,"wall_sec":${math.round(secs)},""" +
       s""""contract":"corrupt one checkpoint file, resume: loud failure (any raised error) or state == exact batch recompute; a successful resume with wrong state is an escape",""" +
       s""""mutators":${j(mutatorCounts.toMap)},""" +
       s""""loud_exception_classes":${j(loudClasses.toMap)},""" +
       s""""escape_adjudication":"every escape to date shares one signature: a bit flip inside a quoted file path of the FileStreamSource seen-files log (sources/0/0) stays valid JSON, so resume re-ingests the renamed-away file - silent duplicate rows; pinned deterministically (incl. the sidecar-intact variant and the loud state-delta contrast) in CheckpointCorruptionSpec",""" +
-      s""""hdfs":${j(hdfsOutcome)},"rocksdb":${j(rocksOutcome)}}"""
+      s""""hdfs":${j(hdfsOutcome)},"rocksdb":${j(rocksOutcome)},"gate":${j(gateOutcome)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
