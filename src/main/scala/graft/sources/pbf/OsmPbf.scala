@@ -370,8 +370,16 @@ object OsmPbf {
       //    already destroyed — a silent-partial read for any later
       //    consumer. So the per-file moves all happen under `_staging`
       //    (invisible to parquet discovery), and each type= goes live in
-      //    ONE dir rename: live is always old-complete, new-complete, or
-      //    absent (absent fails loudly on read).
+      //    ONE dir rename: a type dir is always old-complete,
+      //    new-complete, or absent. What per-type renames CANNOT make
+      //    atomic is the set of three swaps itself — a crash between them
+      //    leaves a root read (`spark.read.parquet(out)`) mixing
+      //    generations or missing a type via partition discovery. That
+      //    residual window gets the industry-standard marker: `_SUCCESS`
+      //    is deleted before the first swap and recreated only after all
+      //    three complete, so any consumer that gates on it (as every
+      //    committer-based pipeline does) reads only fully-committed
+      //    generations.
       // Hadoop FileSystem.rename reports failure by returning false, not
       // throwing — a silently-ignored false would report success while
       // committed files are missing.
@@ -396,6 +404,8 @@ object OsmPbf {
               s"[graft.transcode] discarding non-winning staging file type=$t/${st.getPath.getName}")
         }
       }
+      val successMarker = new Path(outPath, "_SUCCESS")
+      ofs.delete(successMarker, false) // entering the swap window
       types.foreach { t =>
         val live = new Path(outPath, s"type=$t")
         if (ofs.exists(live) && !ofs.delete(live, true))
@@ -404,6 +414,7 @@ object OsmPbf {
           throw new java.io.IOException(
             s"transcode commit: rename ${new Path(publish, s"type=$t")} -> $live failed")
       }
+      ofs.create(successMarker, true).close() // all three swaps complete
       ofs.delete(staging, true)
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap
     } finally {

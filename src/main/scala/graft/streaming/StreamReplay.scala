@@ -851,7 +851,9 @@ object StreamReplay {
     // checkpointing moved st18/st19 by -3% (inside run noise — addBatch
     // is TWS execution, not snapshot upload, at this state size) and 4
     // partitions measured slightly WORSE (less batch parallelism, same
-    // per-batch envelope). Both knobs stay at Spark defaults; at 100 TB
+    // per-batch envelope). Both knobs keep their shipped values below
+    // (8 partitions is the replay's own scoping, NOT Spark's 200-partition
+    // default; changelog checkpointing stays at Spark's default off); at 100 TB
     // state sizes changelog checkpointing is still the right production
     // setting — the null result here is about gate-scale replay cost.
     s.conf.set("spark.sql.shuffle.partitions", "8")
@@ -930,7 +932,10 @@ object StreamReplay {
                   if (rows < 0) useCount = true else acc += rows
                   lastBatch = p.batchId
                 }
-              settled = if (useCount) s.table(sink).count() >= n else acc >= n
+              // acc keeps accumulating the batches that DO report, so it
+              // stays the free fast path even after a -1 latched useCount —
+              // the count() job only runs while neither signal has settled
+              settled = acc >= n || (useCount && s.table(sink).count() >= n)
               pollCountNs += System.nanoTime() - c0
               if (!settled) {
                 query.exception.foreach(throw _)

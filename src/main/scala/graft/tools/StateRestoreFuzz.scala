@@ -265,25 +265,38 @@ object StateRestoreFuzz {
         .groupBy(col("band"), col("h")).agg(min(col("doc_id")).as("owner"))
         .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
     val docsSchema = docsAll.schema
-    def runGate(inputDir: String, ckpt: String): Unit = {
+    val expectedFlagRows = graft.streaming.DocStreams.expectedBandRows(docsAll)
+    // sink: idempotent per-batchId parquet (st09's writer), NOT noop —
+    // the owner-state oracle alone is BLIND to the campaign's one known
+    // escape class: silent duplicate re-ingestion re-folds min(doc_id)
+    // over the same docs and leaves the owner table unchanged. Counting
+    // emitted flag rows catches it (a re-ingested chunk emits its band
+    // rows again under a NEW batch id), while a legitimate same-batch
+    // re-run (commit-log deleted -> Spark reruns the batch) overwrites
+    // its own batch_id partition and stays invisible — exactly the
+    // at-least-once-vs-duplicate distinction the check needs.
+    def runGate(inputDir: String, ckpt: String, sinkDir: String): Unit = {
       val q = graft.streaming.DocStreams.nearDupFlags(
           spark.readStream.schema(docsSchema).parquet(inputDir))
         .writeStream.option("checkpointLocation", ckpt)
-        .outputMode("append").format("noop")
+        .outputMode("append")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.streaming.EventStreams.writeBatchIdempotent(b, id, sinkDir)
+        }
         .trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
     }
     def gateTrial(i: Int): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-gatefuzz$i").toFile
-      val input = s"$base/input"; val ckpt = s"$base/ckpt"
+      val input = s"$base/input"; val ckpt = s"$base/ckpt"; val sinkDir = s"$base/sink"
       try {
         docsLow.coalesce(1).write.mode("append").parquet(input)
-        runGate(input, ckpt)
+        runGate(input, ckpt, sinkDir)
         val (rel, kind) = corruptOne(ckpt)
         mutatorCounts(kind) = mutatorCounts.getOrElse(kind, 0L) + 1
         docsHigh.coalesce(1).write.mode("append").parquet(input)
         val resumed =
-          try { runGate(input, ckpt); true }
+          try { runGate(input, ckpt, sinkDir); true }
           catch { case e: Throwable =>
             outcomes("loud_resume") += 1
             val c = e.getClass.getSimpleName
@@ -297,12 +310,15 @@ object StateRestoreFuzz {
               .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap)
             catch { case _: Throwable => outcomes("loud_stateread") += 1; None }
           state.foreach { got =>
-            if (got == expectedOwners) outcomes("benign") += 1
+            val flagRows = spark.read.parquet(sinkDir).count()
+            if (got == expectedOwners && flagRows == expectedFlagRows)
+              outcomes("benign") += 1
             else {
               escapes += 1
               println(s"ESCAPE [gate] trial=$i file=$rel mutator=$kind seed=$seed: " +
-                s"resume succeeded with WRONG owner state (${got.size} buckets vs " +
-                s"${expectedOwners.size}; diff=${(expectedOwners.toSet diff got.toSet).take(5)} ...)")
+                s"resume succeeded with WRONG output (owner buckets ${got.size} vs " +
+                s"${expectedOwners.size}, stateDiff=${(expectedOwners.toSet diff got.toSet).take(3)}; " +
+                s"flag rows $flagRows vs $expectedFlagRows)")
             }
           }
         }
@@ -313,14 +329,18 @@ object StateRestoreFuzz {
       val base = java.nio.file.Files.createTempDirectory("graft-gatefuzz-ctl").toFile
       try {
         docsLow.coalesce(1).write.mode("append").parquet(s"$base/input")
-        runGate(s"$base/input", s"$base/ckpt")
+        runGate(s"$base/input", s"$base/ckpt", s"$base/sink")
         docsHigh.coalesce(1).write.mode("append").parquet(s"$base/input")
-        runGate(s"$base/input", s"$base/ckpt")
+        runGate(s"$base/input", s"$base/ckpt", s"$base/sink")
         val got = graft.streaming.DocStreams.ownerState(spark, s"$base/ckpt")
           .select(col("band"), col("h"), col("owner"))
           .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
         require(got == expectedOwners, s"gate control mismatch: ${got.size} buckets")
-        println("gate control: clean resume owner state == batch min-owner rule")
+        val flagRows = spark.read.parquet(s"$base/sink").count()
+        require(flagRows == expectedFlagRows,
+          s"gate control flag-row mismatch: $flagRows vs $expectedFlagRows")
+        println("gate control: clean resume owner state == batch min-owner rule, " +
+          s"$flagRows flag rows exact")
       } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
     }
     (1 to gateTrials).foreach { i =>

@@ -358,7 +358,9 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
       exact.get((qid, rk)).foreach { case (_, ed2) =>
         assert(ed2 <= d2, s"p05b ($qid, rk=$rk) d2 $ed2 > p05's $d2 — exact lost to approximate")
       }
-      if (d2 < kthExact(qid)) {
+      val kth = kthExact.get(qid)
+      assert(kth.isDefined, s"p05b returned no rows for query $qid that p05 covers")
+      if (d2 < kth.get) {
         val inExact = exact.exists { case ((q2, _), (n2, _)) => q2 == qid && n2 == n }
         assert(inExact, s"p05 ($qid, $n, d2=$d2) beats p05b's k-th yet absent from exact list")
       }

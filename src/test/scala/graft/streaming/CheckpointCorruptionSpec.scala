@@ -8,8 +8,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * (`FUZZ_STATE_r17.json`, tools/StateRestoreFuzz).
   *
   * The campaign's contract: corrupt one checkpoint file, resume — either
-  * a LOUD failure or state equal to the exact batch recompute. 180 trials
-  * produced exactly one escape signature, reproduced here byte-for-byte:
+  * a LOUD failure or state equal to the exact batch recompute. Across the
+  * committed campaign (hdfs + rocksdb + gate legs; see the artifact for
+  * trial counts), every escape shares ONE signature, reproduced here
+  * byte-for-byte:
   *
   *  1. A bit flip INSIDE a quoted file path of the FileStreamSource
   *     seen-files log (`sources/0/0`) keeps the JSON well-formed, so a
