@@ -372,6 +372,42 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
       "p05 and p05b diverge on a cloud where the 3x3 probe is provably exact")
   }
 
+  test("I12: c17's decontaminated buckets equal plain-Scala eviction over d02's pairs") {
+    // Mirrored-bug class: c17's adjacency wiring (join direction, the
+    // exactly-one-side-is-train rule, the quarantine bucket fold) drifting
+    // while its oracle — generated from the same minhash CTE skeleton —
+    // drifts in lockstep. Rebuild driver-side: the md5 split rule in
+    // plain Scala, adjacency from d02's OWN output, quarantine = train
+    // docs with a candidate pair into val/test, then bucket counts and
+    // char sums from the collected corpus. (The split thresholds are the
+    // engine's shared literals by design — what this catches is the
+    // EVICTION algebra, which is where a silent drift would live.)
+    val pairs = q("d02_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def split(id: Long): String = {
+      val h = md5hex(id.toString).substring(0, 2)
+      if (h <= "cb") "train" else if (h <= "e5") "val" else "test"
+    }
+    val contaminated = pairs.flatMap { case (a, b) =>
+      (split(a) == "train", split(b) == "train") match {
+        case (true, false) => Some(a)
+        case (false, true) => Some(b)
+        case _ => None // within-train dups are d01/d02's business; val-test pairs aren't leakage
+      }
+    }.toSet
+    val expected = docs.toSeq.map { case (id, chars) =>
+      val bucket = if (split(id) == "train" && contaminated(id)) "quarantined" else split(id)
+      (bucket, chars)
+    }.groupBy(_._1).map { case (b, rows) => (b, rows.size.toLong, rows.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+    val got = q("c17_decontaminated_split").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got === expected)
+    assert(contaminated.nonEmpty, "gate corpus lost its cross-split near-dup population")
+  }
+
   // ---- end-to-end curation pipeline ------------------------------------
 
   test("I10: c16's fused pipeline equals a plain-Scala stage-by-stage recompute") {
