@@ -405,7 +405,12 @@ object OsmPbf {
         }
       }
       val successMarker = new Path(outPath, "_SUCCESS")
-      ofs.delete(successMarker, false) // entering the swap window
+      // entering the swap window: a FAILED delete (returns false, does not
+      // throw) would leave the PREVIOUS generation's marker live across
+      // the very window it guards — check it like every rename here
+      if (ofs.exists(successMarker) && !ofs.delete(successMarker, false))
+        throw new java.io.IOException(
+          s"transcode commit: failed to remove stale $successMarker")
       types.foreach { t =>
         val live = new Path(outPath, s"type=$t")
         if (ofs.exists(live) && !ofs.delete(live, true))

@@ -18,6 +18,23 @@ object OsmValidate {
   def duplicates(df: DataFrame): DataFrame =
     df.groupBy(col("id"), col("type")).count().filter(col("count") > 1)
 
+  /** Attempt-tag audit of a committed transcode output: parses the
+    * writer's `part-<taskId>-a<attemptId>-...` name shape (the one place
+    * that shape is interpreted outside the writer — the retry pin and the
+    * retry soak both assert through THIS) and returns the distinct
+    * attempt ids seen per partition. Fails loudly when no tagged files
+    * parse — a silent zero would make every downstream "one attempt per
+    * partition" check vacuously true after a name-shape drift. */
+  def attemptTags(out: java.io.File): Map[Long, Set[Long]] = {
+    val tags = out.listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
+      .flatMap("part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(_)
+        .map(m => (m.group(1).toLong, m.group(2).toLong)))
+    require(tags.nonEmpty,
+      s"no attempt-tagged part files found under $out — writer name shape changed?")
+    tags.groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2).toSet }
+  }
+
   /** V3: rows present in exactly one side (validate.py:75-91). */
   def missing(expected: DataFrame, actual: DataFrame): DataFrame = {
     val e = expected.select(col("id"), col("type"))

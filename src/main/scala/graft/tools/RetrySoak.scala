@@ -51,18 +51,15 @@ object RetrySoak {
       val dups = back.groupBy(col("id"), col("type")).count()
         .filter(col("count") > 1).count()
       require(dups == 0L, s"$dups duplicate (id, type) rows — loser published?")
-      val tags = new java.io.File(out).listFiles().filter(_.isDirectory)
-        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
-        .flatMap("part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(_)
-          .map(m => (m.group(1).toLong, m.group(2).toLong)))
-      val multiAttempt = tags.groupBy(_._1).filter(_._2.map(_._2).distinct.size > 1)
+      val tags = OsmValidate.attemptTags(new java.io.File(out))
+      val multiAttempt = tags.filter(_._2.size > 1)
       require(multiAttempt.isEmpty, s"multi-attempt partitions: ${multiAttempt.keys}")
       require(new java.io.File(out, "_SUCCESS").exists(), "_SUCCESS missing")
       val json =
         f"""{"elements":$n,"seconds":$secs%.1f,"elems_per_s":${(n / secs).round},""" +
         s""""injected":"partition 0 attempt 0 killed after durable staging files",""" +
         s""""duplicates":0,"multi_attempt_partitions":0,"success_marker":true,""" +
-        s""""partitions":${tags.map(_._1).distinct.length}}"""
+        s""""partitions":${tags.size}}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
       println(json)
       println("RETRY SOAK OK")

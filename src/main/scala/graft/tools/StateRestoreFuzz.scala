@@ -355,7 +355,7 @@ object StateRestoreFuzz {
     val json =
       s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,"gate_trials":$gateTrials,""" +
       s""""escapes":$escapes,"wall_sec":${math.round(secs)},""" +
-      s""""contract":"corrupt one checkpoint file, resume: loud failure (any raised error) or state == exact batch recompute; a successful resume with wrong state is an escape",""" +
+      s""""contract":"corrupt one checkpoint file, resume: loud failure (any raised error) or output == exact batch recompute (count legs: state table; gate leg: owner state AND emitted flag-row count through the idempotent per-batchId sink); a successful resume with wrong state OR wrong emission count is an escape",""" +
       s""""mutators":${j(mutatorCounts.toMap)},""" +
       s""""loud_exception_classes":${j(loudClasses.toMap)},""" +
       s""""escape_adjudication":"every escape to date shares one signature: a bit flip inside a quoted file path of the FileStreamSource seen-files log (sources/0/0) stays valid JSON, so resume re-ingests the renamed-away file - silent duplicate rows; pinned deterministically (incl. the sidecar-intact variant and the loud state-delta contrast) in CheckpointCorruptionSpec",""" +

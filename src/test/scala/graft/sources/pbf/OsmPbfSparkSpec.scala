@@ -144,18 +144,12 @@ class OsmPbfSparkSpec extends AnyFunSuite with BeforeAndAfterAll {
       // double-published attempt produces
       assert(OsmValidate.duplicates(back).count() === 0)
       // file-level pin: every partition's files carry exactly ONE attempt
-      // tag (name shape "part-<taskId>-a<attemptId>-..."), i.e. the
-      // loser's files are gone, not merely out-voted
-      val tags = new java.io.File(out).listFiles().filter(_.isDirectory)
-        .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
-        .flatMap { name =>
-          "part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(name)
-            .map(m => (m.group(1).toLong, m.group(2).toLong))
-        }
-      assert(tags.nonEmpty, "no attempt-tagged part files found — name shape changed?")
-      val attemptsPerPartition = tags.groupBy(_._1).view.mapValues(_.map(_._2).distinct.size)
-      assert(attemptsPerPartition.values.forall(_ == 1),
-        s"partition published files from multiple attempts: ${attemptsPerPartition.toMap}")
+      // tag, i.e. the loser's files are gone, not merely out-voted — via
+      // the shared audit (OsmValidate.attemptTags, also driven at 40M by
+      // tools/RetrySoak), which itself fails loud on name-shape drift
+      val attemptsPerPartition = OsmValidate.attemptTags(new java.io.File(out))
+      assert(attemptsPerPartition.values.forall(_.size == 1),
+        s"partition published files from multiple attempts: $attemptsPerPartition")
       // (the retry itself is proven by success: partition 0 attempt 0
       // throws unconditionally, so reaching here required attempt 1)
       // full validate sweep (--validate parity): duplicates, missing,
