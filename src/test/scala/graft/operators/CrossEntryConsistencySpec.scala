@@ -408,6 +408,52 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(contaminated.nonEmpty, "gate corpus lost its cross-split near-dup population")
   }
 
+  test("I13: native session_window (a09) refines lag/cumsum sessionization (a03) exactly") {
+    // Mirrored-bug class: the two sessionizers drifting together with
+    // their generated oracles (both SQL twins restate each engine rule).
+    // They are DIFFERENT ALGORITHMS — windowed lag + running sum vs
+    // Catalyst's session-window merge — with one declared tie difference:
+    // a03 splits on gap > 30min, a09 on gap >= 30min, and a09's
+    // session_end is last-event + gap. Theorems for ANY corpus: a09's
+    // sessions REFINE a03's (a09 splits at least as often), so every a09
+    // session sits inside one a03 session of the same user, and per-user
+    // event/purchase totals are conserved. On a corpus with no exact-30min
+    // gap (this one: equal session counts), refinement collapses to exact
+    // equality — starts equal, n_events equal, a03.end == a09.end - gap.
+    val gapUs = 1800000000L
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val a03 = q("a03_sessionize").collect().map(r => (r.getLong(0),
+      micros(r.getAs[java.sql.Timestamp]("session_start")),
+      micros(r.getAs[java.sql.Timestamp]("session_end")),
+      r.getAs[Long]("n_events")))
+    val a09 = q("a09_session_window").collect().map(r => (r.getLong(0),
+      micros(r.getAs[java.sql.Timestamp]("session_start")),
+      micros(r.getAs[java.sql.Timestamp]("session_end")),
+      r.getAs[Long]("n_events")))
+    assert(a03.nonEmpty && a09.nonEmpty)
+    val a03ByUser = a03.groupBy(_._1); val a09ByUser = a09.groupBy(_._1)
+    assert(a03ByUser.keySet === a09ByUser.keySet)
+    a09ByUser.foreach { case (u, sessions) =>
+      val coarse = a03ByUser(u)
+      // conservation: same events, just possibly regrouped
+      assert(sessions.map(_._4).sum === coarse.map(_._4).sum, s"user $u event total")
+      // containment: each fine session inside exactly one coarse session
+      sessions.foreach { case (_, st, en, _) =>
+        val lastEvent = en - gapUs // a09 end = last event + gap
+        assert(coarse.count(c => c._2 <= st && lastEvent <= c._3) === 1,
+          s"user $u a09 session [$st, $lastEvent] not contained in one a03 session")
+      }
+      // strong form where the tie rule provably never fired
+      if (sessions.length == coarse.length) {
+        sessions.sortBy(_._2).zip(coarse.sortBy(_._2)).foreach { case (f, c) =>
+          assert(f._2 == c._2 && f._3 - gapUs == c._3 && f._4 == c._4,
+            s"user $u sessions diverge with equal counts: $f vs $c")
+        }
+      }
+    }
+  }
+
   // ---- end-to-end curation pipeline ------------------------------------
 
   test("I10: c16's fused pipeline equals a plain-Scala stage-by-stage recompute") {
