@@ -32,6 +32,17 @@ object Multimodal {
   final case class MediaItem(media_id: Long, kind: String, source: String,
                              payload: Array[Byte])
 
+  /** One decoded (or fallback-decoded) media item. SCHEMA CONVENTION:
+    * `kind` is the item's MIME-ish kind verbatim, EXCEPT for rows whose
+    * kind is decodable (`image/ *`, `audio/ *`) but whose payload failed
+    * decode — those carry `<kind>;undecoded` (e.g. `image/png;undecoded`).
+    * For such rows `n_bytes`/`checksum`/`features` are CONTAINER-byte
+    * derived (encoder-dependent), not content-derived, so they must never
+    * aggregate with decoded rows; the tag makes them their own group.
+    * Consumers filtering `kind = 'image/png'` therefore see only
+    * successfully-decoded items — corrupt items are a first-class triage
+    * population under the `;undecoded` suffix, not silent contamination.
+    */
   final case class MediaFeatures(media_id: Long, kind: String, source: String,
                                  n_bytes: Int, checksum: Long, features: Array[Long])
 
@@ -248,6 +259,25 @@ object Multimodal {
     }
   }
 
+  /** Deterministic corruption of a thin sample of decodable payloads:
+    * every `every`-th media_id with an image/audio kind keeps only its
+    * first 8 container bytes (shorter than any PNG/BMP/GIF/WAV header can
+    * survive), guaranteeing decode failure. This plants the
+    * `<kind>;undecoded` group (see [[MediaFeatures]]) INSIDE the
+    * golden-gated corpora, so the quarantine branch is pinned by the
+    * driver's oracle gate and MediaGoldenSpec — not only by unit tests.
+    * A real 100 TB corpus always contains corrupt items; the gate corpus
+    * now does too. */
+  def corruptSample(items: Dataset[MediaItem], every: Long): Dataset[MediaItem] = {
+    import items.sparkSession.implicits._
+    items.map { m =>
+      if ((m.kind.startsWith("image/") || m.kind.startsWith("audio/")) &&
+          m.media_id % every == 0 && m.payload != null && m.payload.length > 8)
+        m.copy(payload = java.util.Arrays.copyOf(m.payload, 8))
+      else m
+    }
+  }
+
   /** m02: full decode→feature→aggregate pipeline over three media kinds —
     * real PNG and BMP decode (javax.imageio; containers alternate by id)
     * plus the stub path for text — grouped by (kind, source). Rows-only
@@ -264,7 +294,11 @@ object Multimodal {
     */
   val m02_media_features: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    val media = documentsAsMedia(s, dir).unionByName(imagesFromDocs(s, dir))
+    // corruptSample plants image/{png,bmp};undecoded groups in the gated
+    // output — every 67th id, hitting both the even (PNG) and odd (BMP)
+    // container populations
+    val media = corruptSample(
+      documentsAsMedia(s, dir).unionByName(imagesFromDocs(s, dir)), 67L)
     extractFeatures(media)
       .groupBy(col("kind"), col("source"))
       .agg(count(lit(1)).as("n_items"),
@@ -298,7 +332,10 @@ object Multimodal {
     */
   val m04_audio_features: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    val media = documentsAsMedia(s, dir).unionByName(audioFromDocs(s, dir))
+    // corruptSample plants the audio/wav;undecoded group in the gated
+    // output (same convention as m02's image legs)
+    val media = corruptSample(
+      documentsAsMedia(s, dir).unionByName(audioFromDocs(s, dir)), 67L)
     extractFeatures(media)
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_items"),

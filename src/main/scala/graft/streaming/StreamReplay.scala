@@ -909,11 +909,14 @@ object StreamReplay {
             // re-scanning the memory sink ~30 times. Progress accounting
             // is free; batches are sequential and the poll cadence (100ms)
             // cannot realistically miss the 100-entry progress retention
-            // window — and the two ways it could still under-count are
-            // both guarded: a sink that stops reporting commit rows
+            // window — and the three ways it could still under-count are
+            // all guarded: a sink that stops reporting commit rows
             // (numOutputRows = -1) flips the loop to sink-count settlement,
-            // and the deadline path believes one final sink count before
-            // declaring the run stuck.
+            // a batchId GAP in recentProgress (entries evicted past the
+            // retention window between polls — a batch storm) latches the
+            // same fallback IMMEDIATELY instead of stalling to the
+            // deadline, and the deadline path believes one final sink
+            // count before declaring the run stuck.
             val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
             var acc = 0L
             var lastBatch = -1L
@@ -924,18 +927,37 @@ object StreamReplay {
             // (job-costing) sink count for the rest of the run instead of
             // dying at the deadline with the sink actually full
             var useCount = false
+            // once useCount latches, the count() job is throttled to 1s
+            // cadence: running it every 100ms poll would reintroduce the
+            // driver-job contention the progress accounting was measured
+            // to remove (SOAK_r17_replayfloor). 0 ⇒ first count runs
+            // immediately on latch.
+            var lastCountMs = 0L
             while (!settled) {
               val c0 = System.nanoTime()
-              query.recentProgress.filter(_.batchId > lastBatch).sortBy(_.batchId)
-                .foreach { p =>
-                  val rows = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
-                  if (rows < 0) useCount = true else acc += rows
-                  lastBatch = p.batchId
-                }
+              val newer = query.recentProgress.filter(_.batchId > lastBatch)
+                .sortBy(_.batchId)
+              // eviction detection: the oldest retained entry skipping
+              // past lastBatch+1 means batches fell out of the retention
+              // window un-counted — acc is permanently short; latch the
+              // sink-count fallback now rather than ride to the deadline
+              if (newer.nonEmpty && newer.head.batchId > lastBatch + 1)
+                useCount = true
+              newer.foreach { p =>
+                val rows = Option(p.sink).map(_.numOutputRows).getOrElse(-1L)
+                if (rows < 0) useCount = true else acc += rows
+                lastBatch = p.batchId
+              }
               // acc keeps accumulating the batches that DO report, so it
               // stays the free fast path even after a -1 latched useCount —
               // the count() job only runs while neither signal has settled
-              settled = acc >= n || (useCount && s.table(sink).count() >= n)
+              settled = acc >= n || (useCount && {
+                val now = System.currentTimeMillis()
+                if (now - lastCountMs >= 1000L) {
+                  lastCountMs = now
+                  s.table(sink).count() >= n
+                } else false
+              })
               pollCountNs += System.nanoTime() - c0
               if (!settled) {
                 query.exception.foreach(throw _)

@@ -64,7 +64,8 @@ object DedupSoakPhase {
 
   final case class ScaleResult(docs: Long, buckets: Long, maxBucket: Long,
                                predictedPairs: Long, distinctPairs: Long,
-                               clusters: Long, shuffleMb: Long, seconds: Double)
+                               clusters: Long, shuffleMb: Long, seconds: Double,
+                               drained: Boolean = true)
 
   def runScale(s: SparkSession, nDocs: Long): ScaleResult = {
     val shuffleBytes = new AtomicLong(0)
@@ -91,10 +92,10 @@ object DedupSoakPhase {
       // drain the async bus BEFORE reading the counter: the final stages'
       // completion events can still be queued when the action returns, and
       // losing them undercounts shuffle_mb (secs stamped above, untimed)
-      org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+      val drained = org.apache.spark.GraftListenerBus.drain(s.sparkContext)
       ScaleResult(nDocs, bucketSizes.getLong(0), bucketSizes.getLong(1),
         bucketSizes.getLong(2), nPairs, nClusters,
-        shuffleBytes.get() >> 20, secs)
+        shuffleBytes.get() >> 20, secs, drained)
     } finally s.sparkContext.removeSparkListener(listener)
   }
 
@@ -105,7 +106,8 @@ object DedupSoakPhase {
       f"""{"docs":${r.docs},"lsh_buckets":${r.buckets},"max_bucket":${r.maxBucket},
          |"predicted_candidate_pairs":${r.predictedPairs},
          |"distinct_candidate_pairs":${r.distinctPairs},"clusters":${r.clusters},
-         |"shuffle_mb":${r.shuffleMb},"seconds":${f"${r.seconds}%.1f"}}""".stripMargin.replace("\n", "")
+         |"shuffle_mb":${r.shuffleMb},"seconds":${f"${r.seconds}%.1f"},
+         |"listener_drained":${r.drained}}""".stripMargin.replace("\n", "")
     }.mkString("[", ",", "]")
     val growthDocs = rs.last.docs.toDouble / rs.head.docs
     val growthPairs = rs.last.distinctPairs.toDouble / math.max(rs.head.distinctPairs, 1)

@@ -140,7 +140,8 @@ object ScaleProbe {
   // --- telemetry harness ---
 
   final case class Run(secs: Double, shuffleMb: Long, peakHeapMb: Long,
-                       stealPct: Double, sysPct: Double, rows: Long)
+                       stealPct: Double, sysPct: Double, rows: Long,
+                       drained: Boolean = true)
 
   def measure(s: SparkSession)(body: => Long): Run = {
     import scala.jdk.CollectionConverters._
@@ -160,20 +161,22 @@ object ScaleProbe {
     // completion events can still be queued when the action returns, and
     // losing them undercounts shuffle_mb — the soaks' witness metric.
     // secs is stamped before the drain so the wait is not measured.
+    var drained = true
     val rows =
       try { val r = body; secs = (System.nanoTime() - t0) / 1e9; r }
       finally {
-        org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+        drained = org.apache.spark.GraftListenerBus.drain(s.sparkContext)
         s.sparkContext.removeSparkListener(listener)
       }
     val (steal, sys) = pct(c0, ticks())
     val peak = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
-    Run(secs, shuffleBytes.get() >> 20, peak, steal, sys, rows)
+    Run(secs, shuffleBytes.get() >> 20, peak, steal, sys, rows, drained)
   }
 
   private[tools] def runJson(r: Run): String =
     f"""{"seconds":${r.secs}%.2f,"shuffle_mb":${r.shuffleMb},"peak_heap_mb":${r.peakHeapMb},
-       |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct},"rows":${r.rows}}""".stripMargin.replace("\n", "")
+       |"steal_pct":${r.stealPct},"sys_pct":${r.sysPct},"rows":${r.rows},
+       |"listener_drained":${r.drained}}""".stripMargin.replace("\n", "")
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("SOAK_r09.json")

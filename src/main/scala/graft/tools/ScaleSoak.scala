@@ -96,7 +96,8 @@ object D11SoakPhase {
                          predCapped: Long, cappedPairs: Long,
                          cappedEmitted: Long, cappedShuffleMb: Long,
                          cappedSecs: Double,
-                         uncappedRun: Option[(Long, Long, Double)])
+                         uncappedRun: Option[(Long, Long, Double)],
+                         drained: Boolean = true)
 
   def runScale(s: SparkSession, nDocs: Long): Phase = {
     val shuffleBytes = new AtomicLong(0)
@@ -123,6 +124,7 @@ object D11SoakPhase {
         .as("pred_capped")).head()
     // capped pipeline, timed with shuffle telemetry
     s.sparkContext.addSparkListener(listener)
+    var drained = true
     val (cappedPairs, cappedEmitted, cappedSecs) = try {
       val t0 = System.nanoTime()
       val out = DedupQueries.passagePairs(inv, Some(cap))
@@ -131,7 +133,7 @@ object D11SoakPhase {
     } finally {
       // drain the async bus before detaching or the final stages' shuffle
       // bytes are nondeterministically dropped (timed above, so untimed)
-      org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+      drained = org.apache.spark.GraftListenerBus.drain(s.sparkContext)
       s.sparkContext.removeSparkListener(listener)
     }
     // uncapped pipeline ONLY where the prediction says the explode is
@@ -146,7 +148,7 @@ object D11SoakPhase {
     } else None
     Phase(nDocs, stats.getLong(0), stats.getLong(1), histRows,
       stats.getLong(2), stats.getLong(3), cappedPairs, cappedEmitted,
-      shuffleBytes.get() >> 20, cappedSecs, uncapped)
+      shuffleBytes.get() >> 20, cappedSecs, uncapped, drained)
   }
 
   def runJson(s: SparkSession, scales: Seq[Long]): String = {
@@ -162,7 +164,7 @@ object D11SoakPhase {
          |"predicted_pairs_capped":${r.predCapped},
          |"capped":{"cap":${DedupQueries.DefaultPassageCap},"distinct_pairs":${r.cappedPairs},
          |"emitted_pairs":${r.cappedEmitted},"shuffle_mb":${r.cappedShuffleMb},
-         |"seconds":${f"${r.cappedSecs}%.1f"}},
+         |"seconds":${f"${r.cappedSecs}%.1f"},"listener_drained":${r.drained}},
          |"uncapped":$uncappedJson}""".stripMargin.replace("\n", "")
     }.mkString("[", ",", "]")
     val growthDocs = rs.last.docs.toDouble / rs.head.docs

@@ -156,15 +156,21 @@ object StateRestoreFuzz {
           // own arm so the artifact distinguishes the two models). Same
           // random-bit flip as mutateBytes' flip case, so the two arms
           // measure the same mutation under the two sidecar models.
-          val b = bytes.clone()
-          if (b.nonEmpty) {
-            val at = rnd.nextInt(b.length)
-            b(at) = (b(at) ^ (1 << rnd.nextInt(8))).toByte
-          }
+          // An EMPTY target has no bit to flip — writing it back
+          // unchanged would count a no-op trial toward the benign rate;
+          // fall through to the noise fallback exactly as mutateBytes
+          // does for its empty-input case.
+          val b =
+            if (bytes.nonEmpty) {
+              val c = bytes.clone()
+              val at = rnd.nextInt(c.length)
+              c(at) = (c(at) ^ (1 << rnd.nextInt(8))).toByte
+              c
+            } else Array[Byte](0, 1, 2, 3)
           java.nio.file.Files.write(target.toPath, b)
           val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
           if (crc.exists()) { assert(crc.delete()) }
-          "flip_nocrc"
+          if (bytes.nonEmpty) "flip_nocrc" else "noise"
         case _ =>
           val (m, k) = mutateBytes(bytes)
           // drop the sidecar so the DESERIALIZATION surface is what's

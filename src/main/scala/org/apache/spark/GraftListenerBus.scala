@@ -17,14 +17,17 @@ object GraftListenerBus {
     * ScaleSoak), where a throw would mask the body's real exception and
     * skip `removeSparkListener` — so a lapse is logged and swallowed,
     * making the wait genuinely non-throwing as documented. A lapsed
-    * drain means the metric read MAY be short; the log line is the
-    * audit trail. */
-  def drain(sc: SparkContext, timeoutMs: Long = 10000L): Unit =
-    try sc.listenerBus.waitUntilEmpty(timeoutMs)
+    * drain means the metric read MAY be short; returns `false` in that
+    * case so callers can record `listener_drained` next to the numbers
+    * the drain protects — the stderr line alone leaves no trace in the
+    * soak artifacts where the possibly-short metric is consumed. */
+  def drain(sc: SparkContext, timeoutMs: Long = 10000L): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
     catch {
       case _: java.util.concurrent.TimeoutException =>
         System.err.println(
           s"[GraftListenerBus] listener bus not drained after ${timeoutMs}ms; " +
             "metrics read may undercount — continuing (bounded, non-throwing)")
+        false
     }
 }

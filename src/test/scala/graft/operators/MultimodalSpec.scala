@@ -49,12 +49,19 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(rows.nonEmpty)
     assert(df.columns.toSeq === Seq("kind", "source", "n_items", "total_bytes", "f0_sum", "min_checksum"))
-    // the stub (text) and BOTH real decoders (PNG even ids, BMP odd ids)
-    assert(rows.map(_.getString(0)).toSet === Set("text", "image/png", "image/bmp"))
-    // all image payloads decoded: f0 = width = 16 for every synthesized image
-    rows.filter(_.getString(0).startsWith("image/")).foreach { r =>
+    // the stub (text), BOTH real decoders (PNG even ids, BMP odd ids), and
+    // the planted corrupt sample (every 67th id — ids 0/134/… PNG,
+    // 67/201/… BMP) quarantined under ;undecoded
+    assert(rows.map(_.getString(0)).toSet === Set("text", "image/png",
+      "image/bmp", "image/png;undecoded", "image/bmp;undecoded"))
+    // all surviving image payloads decoded: f0 = width = 16 per image
+    rows.filter(r => r.getString(0).startsWith("image/") &&
+        !r.getString(0).endsWith(";undecoded")).foreach { r =>
       assert(r.getAs[Long]("f0_sum") === 16L * r.getAs[Long]("n_items"))
     }
+    // the corrupt sample is exactly the ids divisible by 67 (500 docs → 8)
+    assert(rows.filter(_.getString(0).endsWith(";undecoded"))
+      .map(_.getAs[Long]("n_items")).sum === 8L)
     // deterministic under re-run
     val again = Multimodal.m02_media_features(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
@@ -168,12 +175,15 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val rows = df.collect()
     assert(df.columns.toSeq ===
       Seq("kind", "n_items", "total_bytes", "frames_sum", "zero_cross_sum", "peak_max"))
-    assert(rows.map(_.getString(0)).toSet === Set("text", "audio/wav"))
+    assert(rows.map(_.getString(0)).toSet ===
+      Set("text", "audio/wav", "audio/wav;undecoded"))
     val audio = rows.find(_.getString(0) == "audio/wav").get
-    // every clip decoded: frames_sum must equal the synthesized sample
-    // counts Σ(400 + (doc_id % 7) * 100) — provable only via real decode
+    // every SURVIVING clip decoded: frames_sum must equal the synthesized
+    // sample counts Σ(400 + (doc_id % 7) * 100) over the non-corrupted ids
+    // (every 67th id is planted corrupt) — provable only via real decode
     val sp = spark
     val expected = graft.Tables.documents(sp, "/root/testdata/sf0.001")
+      .where(org.apache.spark.sql.functions.expr("doc_id % 67 != 0"))
       .select(org.apache.spark.sql.functions.expr("sum(400 + (doc_id % 7) * 100)"))
       .head().getLong(0)
     assert(audio.getAs[Long]("frames_sum") === expected)
