@@ -1,0 +1,205 @@
+package graft.tools
+
+import graft.SparkEntry
+import graft.sources.pbf._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-PROCESS execution proof (the r17 verdict's #1 ask): every prior
+  * round — including the executed retry race — ran inside ONE JVM
+  * (`local[N]`), so task-result and broadcast serialization, the manifest
+  * commit protocol with executors in SEPARATE processes, and
+  * executor-side state stores had never crossed a process boundary.
+  * Spark's `local-cluster[N,cores,mem]` master launches REAL executor
+  * JVMs on this box (no cluster needed); this tool runs the four paths
+  * the verdict names under it and proves counts/hashes identical to the
+  * same code on an in-process master:
+  *
+  *   (a) the PBF transcode WITH the injected retry race (partition 0
+  *       attempt 0 dies after its staging files are durable) — the
+  *       manifest publication/atomic-swap protocol with the loser and
+  *       winner potentially in DIFFERENT processes;
+  *   (b) p01's zone-map broadcast semi-join ([[graft.operators.IndexedPbf]]
+  *       — driver-built zone maps broadcast to executor JVMs);
+  *   (c) the `TopKPerKey` custom operator (q29 — custom physical operator
+  *       + partial aggregation serialized across the exchange);
+  *   (d) the st16 transformWithState streaming ingest gate (executor-side
+  *       state store lifecycle + checkpoint commit across processes).
+  *
+  * Process-boundary evidence is recorded, not assumed: each leg set runs
+  * a PID probe (`ManagementFactory.getRuntimeMXBean.getName` per
+  * partition) and the artifact lists the distinct executor `pid@host`
+  * identities next to the driver's — under local-cluster there must be
+  * ≥2 and none may equal the driver's.
+  *
+  * Hashes are order/partitioning-invariant: sum of xxhash64 over every
+  * column cast to string, so "identical" means value-identical results,
+  * not an accident of task scheduling.
+  *
+  * Usage: SPARK_SCALA_VERSION=2.13 scripts/run.sh
+  *          graft.tools.LocalClusterProof [outJson] [blocks]
+  * (SPARK_GRAFT_SF_DIR selects the relational/st16 input, default sf0.01.
+  * SPARK_SCALA_VERSION is REQUIRED: the Worker's executor launcher
+  * resolves the jars dir via `getScalaVersion()`, which on a dist-layout
+  * SPARK_HOME without `launcher/target/` build dirs throws "Cannot find
+  * any build directories." — the env var short-circuits that probe.)
+  */
+object LocalClusterProof {
+
+  /** Order-invariant content fingerprint: (rows, sum of per-row xxhash64
+    * over all columns as strings). NULLs hash via a sentinel so a NULL
+    * column cannot collide with the same literal value. */
+  private def fingerprint(df: DataFrame): (Long, String) = {
+    val cols = df.columns.map(c =>
+      coalesce(col(c).cast("string"), lit("\u0000graft-null")))
+    // decimal(38,0) sum: exact (no ANSI Long overflow at millions of rows),
+    // order- and partitioning-invariant, duplicate-row-sensitive
+    val row = df.select(xxhash64(cols: _*).cast("decimal(38,0)").as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("h")).as("hs")).head()
+    (row.getLong(0),
+      if (row.isNullAt(1)) "0" else row.getDecimal(1).toBigInteger.toString)
+  }
+
+  /** Distinct task-side JVM identities (pid@host), via a probe job wide
+    * enough to hit every executor. */
+  private def taskJvms(s: SparkSession): Seq[String] =
+    s.sparkContext.parallelize(1 to 64, 16)
+      .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
+      .distinct().collect().sorted.toSeq
+
+  private val AddOpens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
+    "java.base/java.nio", "java.base/java.util",
+    "java.base/java.util.concurrent", "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar")
+    .map(p => s"--add-opens $p=ALL-UNNAMED").mkString(" ")
+
+  private def session(master: String): SparkSession = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName("graft-localcluster-proof")
+      // modest parallelism: the cluster side has 2 executors × 2 cores
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      // the injected attempt-0 failure must leave Spark a retry to win with
+      .config("spark.task.maxFailures", "2")
+    if (master.startsWith("local-cluster")) {
+      // executor JVMs are launched fresh by the in-process Worker: they
+      // get Spark's jars from SPARK_HOME but need this repo's classes and
+      // the same JDK17 module opens the driver runs with (run.sh)
+      b.config("spark.executor.extraClassPath",
+          "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraJavaOptions", AddOpens)
+        .config("spark.executor.memory", "1500m")
+    }
+    val s = b.getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  final case class Leg(name: String, rows: Long, hash: String)
+
+  /** Runs the four legs on an open session; returns leg fingerprints plus
+    * the distinct task-JVM identities observed. */
+  private def runLegs(s: SparkSession, sfDir: String, pbf: String,
+                      scratch: String, tag: String): (Seq[Leg], Seq[String]) = {
+    val jvms = taskJvms(s)
+
+    // (a) transcode + injected retry race through the commit protocol
+    val out = s"$scratch/out_$tag"
+    s.sparkContext.hadoopConfiguration
+      .setInt("graft.test.transcode.failPartitionOnce", 0)
+    val counts = OsmPbf.transcode(s, PbfConfig(input = pbf, output = out,
+      fileTargetMb = Some(16)))
+    s.sparkContext.hadoopConfiguration.unset("graft.test.transcode.failPartitionOnce")
+    val back = s.read.parquet(out)
+    val dups = back.groupBy(col("id"), col("type")).count()
+      .filter(col("count") > 1).count()
+    require(dups == 0L, s"[$tag] $dups duplicate (id,type) rows — loser published?")
+    val tags = OsmValidate.attemptTags(new java.io.File(out))
+    require(tags.forall(_._2.size == 1),
+      s"[$tag] multi-attempt partitions: ${tags.filter(_._2.size > 1).keys}")
+    require(new java.io.File(out, "_SUCCESS").exists(), s"[$tag] _SUCCESS missing")
+    val (tRows, tHash) = fingerprint(back)
+    require(tRows == counts.values.sum,
+      s"[$tag] read-back $tRows != counted ${counts.values.sum}")
+    val legA = Leg("transcode_retry", tRows, tHash)
+
+    // (b) p01 zone-map broadcast semi-join
+    val (pRows, pHash) = fingerprint(SparkEntry.queries("p01_ways_and_deps")(s, sfDir))
+    // (c) TopKPerKey custom operator
+    val (qRows, qHash) = fingerprint(SparkEntry.queries("q29_topk_custom_operator")(s, sfDir))
+    // (d) st16 transformWithState ingest gate
+    val (sRows, sHash) = fingerprint(SparkEntry.queries("st16_neardup_ingest")(s, sfDir))
+
+    (Seq(legA, Leg("p01_zonemap_semijoin", pRows, pHash),
+      Leg("q29_topk_operator", qRows, qHash),
+      Leg("st16_tws_gate", sRows, sHash)), jvms)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outJson = args.headOption.getOrElse("LOCALCLUSTER_r18.json")
+    val blocks = if (args.length > 1) args(1).toInt else 45 // ~1M elements
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    require(sys.env.contains("SPARK_SCALA_VERSION"),
+      "set SPARK_SCALA_VERSION=2.13: the executor launcher cannot infer " +
+        "the Scala version from a dist-layout SPARK_HOME (see scaladoc)")
+    val driverJvm = java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+    val scratch = graft.Scratch.tempDir("lcproof").toString
+    try {
+      // one synthesized input shared by both sides — the comparison is
+      // master-vs-master on identical bytes
+      val pbf = s"$scratch/in.osm.pbf"
+      val n = PbfWriter.synthesize(pbf, blocks, nodesPerBlock = 20000,
+        waysPerBlock = 2250, relationsPerBlock = 29)
+
+      // local[4,2]: in-process masters read retries from the master string,
+      // not spark.task.maxFailures — the injected failure needs attempt 1
+      val sLocal = session("local[4,2]")
+      val (localLegs, localJvms) = runLegs(sLocal, sfDir, pbf, scratch, "local")
+      sLocal.stop()
+      // in-process side sanity: every task ran in the driver JVM
+      require(localJvms == Seq(driverJvm),
+        s"local side expected driver-only JVMs, got $localJvms")
+
+      val sCluster = session("local-cluster[2,2,2048]")
+      val t0 = System.nanoTime()
+      val (clusterLegs, clusterJvms) = runLegs(sCluster, sfDir, pbf, scratch, "cluster")
+      val clusterSecs = (System.nanoTime() - t0) / 1e9
+      sCluster.stop()
+      val execJvms = clusterJvms.filterNot(_ == driverJvm)
+      require(execJvms.size >= 2,
+        s"local-cluster expected >=2 separate executor JVMs, got $clusterJvms")
+      require(!clusterJvms.contains(driverJvm),
+        s"local-cluster tasks must not run in the driver JVM, got $clusterJvms")
+
+      val pairs = localLegs.zip(clusterLegs)
+      val mism = pairs.filter { case (l, c) => l.rows != c.rows || l.hash != c.hash }
+      require(mism.isEmpty, s"CROSS-JVM MISMATCH: $mism")
+
+      val legsJson = pairs.map { case (l, c) =>
+        s"""{"leg":"${l.name}","rows":${l.rows},"hash":"${l.hash}",""" +
+          s""""cluster_rows":${c.rows},"cluster_hash":"${c.hash}","match":true}"""
+      }.mkString("[", ",", "]")
+      val json =
+        s"""{"cluster_master":"local-cluster[2,2,2048]","transcode_elements":$n,""" +
+        s""""driver_jvm":"$driverJvm",""" +
+        s""""executor_jvms":${execJvms.map(j => s""""$j"""").mkString("[", ",", "]")},""" +
+        s""""injected":"partition 0 attempt 0 killed after durable staging files (both sides)",""" +
+        s""""legs":$legsJson,"all_match":true,""" +
+        f""""cluster_side_secs":$clusterSecs%.1f}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
+      println(json)
+      println("LOCAL-CLUSTER PROOF OK")
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scratch))
+      catch { case _: Throwable => () }
+      graft.Scratch.untrack(scratch)
+    }
+  }
+}
