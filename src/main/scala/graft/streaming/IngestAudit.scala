@@ -1,0 +1,110 @@
+package graft.streaming
+
+/** Engine-layer defense for the ONE silent failure mode the r17 fuzz
+  * campaign left open (FUZZ_STATE_r17 `escape_adjudication`, pinned in
+  * [[CheckpointCorruptionSpec]]): a bit flip inside a quoted file path of
+  * the FileStreamSource seen-files log stays valid JSON, so a resume
+  * silently RE-INGESTS the renamed-away file — duplicate rows under a
+  * clean exit, even on checksummed local storage (the CRC sidecar is
+  * bypassed on the metadata-log read path). Upstream carries no
+  * record-level integrity on that log; the engine's replay harness,
+  * however, knows EXACTLY which files it staged — so at settle time it
+  * can audit the checkpoint's own source log against the staged manifest
+  * and convert the silent class to LOUD at our layer.
+  *
+  * The audit reads `ckpt/sources/<i>/<batch>` (and `.compact`) files —
+  * `v1` header + one JSON entry per line, each carrying `path` and
+  * `batchId` — and fails unless:
+  *   - every recorded path is in the staged manifest (a corrupted entry
+  *     "renames" a staged file away: its flipped twin surfaces here);
+  *   - no path is recorded in MORE than one batch (re-ingestion — the
+  *     exact silent-duplicate signature);
+  *   - every staged file is recorded at least once (omission).
+  * Compact files legitimately repeat (path, batchId) pairs; those
+  * dedupe. A line the parser cannot read is itself loud — corruption
+  * that breaks the log's shape must never pass the audit.
+  *
+  * At 100 TB this is the cheap invariant a production resume wants
+  * anyway: the source log is tiny next to the data, the audit is pure
+  * driver-side metadata I/O, and it turns "trust the log" into "check
+  * the log against the ingest ledger".
+  */
+object IngestAudit {
+
+  private val PathRe = """"path":"((?:[^"\\]|\\.)*)"""".r
+  private val BatchRe = """"batchId":\s*(-?\d+)""".r
+
+  final case class Entry(path: String, batchId: Long)
+
+  /** Every (path, batchId) recorded by the checkpoint's file-source
+    * metadata logs, deduplicated (compact files repeat earlier entries). */
+  def entries(ckptDir: String): Seq[Entry] = {
+    val srcRoot = new java.io.File(ckptDir, "sources")
+    if (!srcRoot.isDirectory) return Seq.empty
+    val logFiles = for {
+      src <- Option(srcRoot.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+      if src.isDirectory
+      f <- Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+      if f.isFile && !f.getName.startsWith(".") && !f.getName.endsWith(".crc") &&
+        !f.getName.endsWith(".tmp")
+    } yield f
+    logFiles.flatMap { f =>
+      val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("v")).map { line =>
+        val p = PathRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(
+          throw new IllegalStateException(
+            s"ingest audit: no path field in source log ${f.getPath}: $line"))
+        val b = BatchRe.findFirstMatchIn(line).map(_.group(1).toLong).getOrElse(
+          throw new IllegalStateException(
+            s"ingest audit: no batchId field in source log ${f.getPath}: $line"))
+        Entry(p, b)
+      }.toSeq
+    }.distinct
+  }
+
+  /** URI → plain path; the staged manifests are plain local paths while
+    * the log records file: URIs. Unparseable strings stay verbatim (they
+    * then fail the unknown-path check — corruption must stay loud). */
+  private def normalize(p: String): String =
+    try {
+      val u = new java.net.URI(p)
+      if (u.getPath == null) p else u.getPath
+    } catch { case _: Exception => p }
+
+  /** Fails loud unless the source logs record EXACTLY the given staged
+    * files, each in exactly one batch. */
+  def auditFiles(ckptDir: String, staged: Seq[String]): Unit = {
+    val want = staged.map(normalize).toSet
+    require(want.size == staged.size,
+      s"ingest audit: staged manifest self-collides after normalization: $staged")
+    val byPath = entries(ckptDir).groupBy(e => normalize(e.path))
+      .view.mapValues(_.map(_.batchId).distinct).toMap
+    val unknown = (byPath.keySet diff want).toSeq.sorted
+    val missing = (want diff byPath.keySet).toSeq.sorted
+    val reingested = byPath.filter(_._2.size > 1).toSeq.sortBy(_._1)
+    if (unknown.nonEmpty || missing.nonEmpty || reingested.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest audit FAILED for checkpoint $ckptDir:" +
+          (if (unknown.nonEmpty)
+            s" unknown ingested paths (corrupted seen-files entry?): ${unknown.take(3)};"
+          else "") +
+          (if (missing.nonEmpty)
+            s" staged but never ingested: ${missing.take(3)};"
+          else "") +
+          (if (reingested.nonEmpty)
+            s" ingested in MULTIPLE batches (silent duplicate rows): ${reingested.take(3)};"
+          else ""))
+  }
+
+  /** [[auditFiles]] with the manifest read from the harness-owned staging
+    * directory itself: every visible file (FileStreamSource's own
+    * hidden-file rule — names starting with `_` or `.` are invisible to
+    * it) must have been ingested exactly once. */
+  def audit(ckptDir: String, stageDir: java.nio.file.Path): Unit = {
+    val staged = Option(stageDir.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .map(_.getAbsolutePath).toSeq
+    auditFiles(ckptDir, staged)
+  }
+}

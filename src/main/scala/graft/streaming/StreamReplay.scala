@@ -366,6 +366,11 @@ object StreamReplay {
           addTickFile(s, fileSchema, stage, 2, maxTs + 366L * 86400000L)
           query.processAllAvailable()
         }
+        // settle-time ingest audit (see IngestAudit): the checkpoint's
+        // own source log must record exactly the stage dir's visible
+        // files, each once — the engine-layer guard that converts the
+        // seen-files-log corruption class from silent duplicates to loud
+        IngestAudit.audit(ckpt, stage)
         val batches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
         // recentProgress retains (by default) far more batches than any
         // replay here runs, so these sums cover the whole query's
@@ -979,6 +984,10 @@ object StreamReplay {
             }
           case None => query.processAllAvailable()
         }
+        // settle-time ingest audit — same guard as replayRaw's (see
+        // IngestAudit); by settlement every staged doc chunk has been
+        // planned into a batch, so the source log is complete
+        IngestAudit.audit(ckpt, stage)
         val fProc = System.nanoTime()
         progressSink.foreach(_ ++= query.recentProgress)
         val floorBatches = progressSums(query.recentProgress)

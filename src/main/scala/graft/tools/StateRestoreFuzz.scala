@@ -41,8 +41,12 @@ object StateRestoreFuzz {
       .coalesce(files).write.mode("append").parquet(inputDir)
 
   /** The campaign's stateful query: per-key running count over a file
-    * stream, update mode, AvailableNow. */
-  private[graft] def runStream(spark: SparkSession, inputDir: String, ckpt: String): Unit = {
+    * stream, update mode, AvailableNow. `audit = false` bypasses the
+    * engine-layer ingest audit — [[graft.streaming.CheckpointCorruptionSpec]]
+    * uses it to keep pinning the UPSTREAM silent-re-ingest behavior the
+    * audit exists to catch. */
+  private[graft] def runStream(spark: SparkSession, inputDir: String, ckpt: String,
+      audit: Boolean = true): Unit = {
     val q = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
@@ -55,6 +59,10 @@ object StateRestoreFuzz {
       .trigger(Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally if (q.isActive) q.stop()
+    // the engine-layer guard under test: every visible input file must be
+    // recorded ingested exactly once by the checkpoint's own source log
+    if (audit)
+      graft.streaming.IngestAudit.audit(ckpt, java.nio.file.Paths.get(inputDir))
   }
 
   private[graft] def readState(spark: SparkSession, ckpt: String): Map[Long, Long] =
@@ -291,6 +299,9 @@ object StateRestoreFuzz {
         }
         .trigger(Trigger.AvailableNow()).start()
       try q.awaitTermination() finally if (q.isActive) q.stop()
+      // same engine-layer guard as runStream — a corrupted seen-files log
+      // must fail HERE, loudly, not as silent duplicate flag rows
+      graft.streaming.IngestAudit.audit(ckpt, java.nio.file.Paths.get(inputDir))
     }
     def gateTrial(i: Int): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-gatefuzz$i").toFile
@@ -364,7 +375,7 @@ object StateRestoreFuzz {
       s""""contract":"corrupt one checkpoint file, resume: loud failure (any raised error) or output == exact batch recompute (count legs: state table; gate leg: owner state AND emitted flag-row count through the idempotent per-batchId sink); a successful resume with wrong state OR wrong emission count is an escape",""" +
       s""""mutators":${j(mutatorCounts.toMap)},""" +
       s""""loud_exception_classes":${j(loudClasses.toMap)},""" +
-      s""""escape_adjudication":"every escape to date shares one signature: a bit flip inside a quoted file path of the FileStreamSource seen-files log (sources/0/0) stays valid JSON, so resume re-ingests the renamed-away file - silent duplicate rows; pinned deterministically (incl. the sidecar-intact variant and the loud state-delta contrast) in CheckpointCorruptionSpec",""" +
+      s""""escape_adjudication":"the r17 campaign's one escape class (a bit flip inside a quoted file path of the FileStreamSource seen-files log stays valid JSON, so resume silently re-ingests the renamed-away file) is now DEFENDED at the engine layer: IngestAudit checks the checkpoint's own source log against the staged file set after every run, so the class fails LOUD (IllegalStateException) instead of escaping; the upstream silent behavior stays pinned in CheckpointCorruptionSpec via the audit-bypass arm, next to the guard pin that proves the flip is caught",""" +
       s""""hdfs":${j(hdfsOutcome)},"rocksdb":${j(rocksOutcome)},"gate":${j(gateOutcome)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)

@@ -32,6 +32,12 @@ import org.scalatest.funsuite.AnyFunSuite
   * These pins hold the line on upstream behavior: if a Spark upgrade adds
   * integrity to the source log (making #1 loud), pin #1 fails and the
   * adjudication in COVERAGE gets updated rather than silently staling.
+  *
+  * Since r18 the engine DEFENDS against class #1 at its own layer
+  * ([[IngestAudit]]: the harness checks the checkpoint's source log
+  * against the staged file set after every run), so the upstream pins
+  * run with `audit = false` — they pin what SPARK does — and the guard
+  * pin below proves the same corruption is LOUD with the audit on.
   */
 class CheckpointCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
@@ -57,8 +63,13 @@ class CheckpointCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def writeChunk(inputDir: String, lo: Long, hi: Long): Unit =
     graft.tools.StateRestoreFuzz.writeChunk(spark, inputDir, lo, hi, files = 1)
 
+  /** audit = false: the upstream pins assert SPARK's own behavior, which
+    * the engine-layer ingest audit would (correctly) interrupt. */
   private def runStream(inputDir: String, ckpt: String): Unit =
-    graft.tools.StateRestoreFuzz.runStream(spark, inputDir, ckpt)
+    graft.tools.StateRestoreFuzz.runStream(spark, inputDir, ckpt, audit = false)
+
+  private def runStreamGuarded(inputDir: String, ckpt: String): Unit =
+    graft.tools.StateRestoreFuzz.runStream(spark, inputDir, ckpt, audit = true)
 
   private def readState(ckpt: String): Map[Long, Long] =
     graft.tools.StateRestoreFuzz.readState(spark, ckpt)
@@ -113,6 +124,36 @@ class CheckpointCorruptionSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(readState(ckpt) === (0L until 50L).map(_ -> 26L).toMap,
         "sidecar-intact flip no longer re-ingests silently — did the " +
           "checkpoint file manager start verifying CRCs?")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
+  test("guard: the ingest audit converts the path-flip class to LOUD") {
+    val base = java.nio.file.Files.createTempDirectory("ckptcorr4").toFile
+    try {
+      val input = s"$base/in"; val ckpt = s"$base/ckpt"
+      writeChunk(input, 0, 500)
+      runStreamGuarded(input, ckpt) // clean first leg: audit passes
+      flipPathByte(new java.io.File(s"$ckpt/sources/0/0")) // sidecar KEPT
+      writeChunk(input, 500, 800)
+      // the resume still silently re-ingests inside Spark — but the
+      // settle-time audit sees the flipped (unknown) path in the source
+      // log AND the real file recorded twice, and fails the run loudly
+      val e = intercept[IllegalStateException] { runStreamGuarded(input, ckpt) }
+      assert(e.getMessage.contains("ingest audit FAILED"), e.getMessage)
+      assert(e.getMessage.contains("unknown ingested paths") ||
+        e.getMessage.contains("MULTIPLE batches"), e.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+  }
+
+  test("guard: a clean two-chunk resume passes the ingest audit (no false alarm)") {
+    val base = java.nio.file.Files.createTempDirectory("ckptcorr5").toFile
+    try {
+      val input = s"$base/in"; val ckpt = s"$base/ckpt"
+      writeChunk(input, 0, 500)
+      runStreamGuarded(input, ckpt)
+      writeChunk(input, 500, 800)
+      runStreamGuarded(input, ckpt)
+      assert(readState(ckpt) === (0L until 50L).map(_ -> 16L).toMap)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
   }
 
