@@ -485,4 +485,215 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3).toLong)).toSeq
     assert(got === expected)
   }
+
+  // ---- graph family (r18: previously twin-oracle-only) -----------------
+
+  test("I14: g01's triangle census equals a driver-side census over s06's edge list") {
+    // Mirrored-bug class: an orientation or tie mistake in the
+    // degree-oriented wedge join (triangleCensus) reproduced in g01's
+    // unrolled oracle SQL — both sides would over/under-count the same
+    // wedges. The driver rebuild uses adjacency SETS and intersection
+    // counting (a different algorithm: every triangle found 3x and
+    // divided out, no orientation anywhere), over the (qid, neighbor)
+    // pairs the s06 gate entry itself returns.
+    val raw = q("s06_knn_join").select(col("qid"), col("neighbor"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = raw.filter(t => t._1 != t._2)
+      .map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).distinct
+    val adj = scala.collection.mutable.Map.empty[Long, Set[Long]].withDefaultValue(Set.empty)
+    edges.foreach { case (a, b) => adj(a) += b; adj(b) += a }
+    val nVertices = adj.size.toLong
+    val nEdges = edges.length.toLong
+    val nWedges = adj.valuesIterator.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    val tri3 = edges.iterator.map { case (a, b) => (adj(a) intersect adj(b)).size.toLong }.sum
+    assert(tri3 % 3 === 0L, s"triangle triple-count $tri3 not divisible by 3")
+    val g = q("g01_knn_triangles").head()
+    assert(g.getAs[Long]("n_vertices") === nVertices)
+    assert(g.getAs[Long]("n_edges") === nEdges)
+    assert(g.getAs[Long]("n_wedges") === nWedges)
+    assert(g.getAs[Long]("n_triangles") === tri3 / 3,
+      s"engine triangles ${g.getAs[Long]("n_triangles")} != driver ${tri3 / 3}")
+  }
+
+  /** Plain-Scala quantized PageRank — mirrors GraphQueries.pagerank's
+    * documented arithmetic exactly (integer micro-units, integral floor
+    * shares, the two floor-quantized double multiplies), but as a driver
+    * loop over collected rows: no joins, no Catalyst, no DuckDB. */
+  private def pagerankScala(verts: Seq[Long], edges: Seq[(Long, Long)],
+      redistribute: Boolean, iters: Int = 8, damping: Double = 0.85): Map[Long, Long] = {
+    val scale = graft.operators.GraphQueries.RankScale
+    val n = verts.size.toLong
+    val odeg = edges.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val dangling = verts.filterNot(odeg.contains)
+    var rq: Map[Long, Long] = verts.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val in = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      edges.foreach { case (s, d) => in(d) += rq(s) / odeg(s) }
+      val dmass = if (redistribute) dangling.iterator.map(rq).sum else 0L
+      rq = verts.map { v =>
+        val mm = in(v) + (if (redistribute) dmass / n else 0L)
+        v -> (math.floor((1.0 - damping) * scale.toDouble / n).toLong +
+          math.floor(damping * mm.toDouble).toLong)
+      }.toMap
+    }
+    rq
+  }
+
+  test("I15: g02/g02b PageRank equals a plain-Scala quantized power iteration") {
+    // Mirrored-bug class: a wrong constant, a mis-keyed join, or a
+    // dangling-mass slip in the iterate that g02's unrolled-CTE oracle
+    // (generated from the same formulation) reproduces verbatim. The
+    // driver loop shares only the documented arithmetic — the exact
+    // integers after 8 iterations must agree, and the dangling
+    // redistribution must be exactly the g02b-minus-g02 difference.
+    val verts = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    val edges = q("s06_knn_join").select(col("qid"), col("neighbor"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    def top20(m: Map[Long, Long]): Seq[(Long, Long)] =
+      m.toSeq.sortBy { case (vx, rq) => (-rq, vx) }.take(20)
+    val gotAlpha = q("g02_pagerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val gotFull = q("g02b_pagerank_full").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotAlpha === top20(pagerankScala(verts, edges, redistribute = false)),
+      "g02 alpha-only ranks diverge from the driver-side power iteration")
+    assert(gotFull === top20(pagerankScala(verts, edges, redistribute = true)),
+      "g02b full ranks diverge from the driver-side power iteration")
+  }
+
+  // ---- retrieval family ------------------------------------------------
+
+  test("I16: t13's BM25 scores recomputed in plain Scala, corpus scalars tied to t03") {
+    // Mirrored-bug class: a shared Okapi-formula slip (swapped k1/b
+    // placement, df off-by-one) generated into both t13's query and its
+    // oracle SQL. The driver rebuild tokenizes with split(" ", -1) and
+    // scores with java.lang.Math — and its corpus token total must also
+    // equal the sum of t03's per-source n_tokens, tying the two entries'
+    // token accounting together.
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    val toks = docs.map { case (id, text) => (id, text.split(" ", -1)) }
+    val nDocs = toks.length.toLong
+    val totalTokens = toks.iterator.map(_._2.length.toLong).sum
+    val t03Total = q("t03_token_count").collect().map(_.getAs[Long]("n_tokens")).sum
+    assert(totalTokens === t03Total,
+      s"driver token total $totalTokens != t03's corpus sum $t03Total")
+    val avgdl = totalTokens.toDouble / nDocs
+    val (k1, b) = (1.2, 0.75)
+    val expected = graft.operators.TextQueries.DefaultBm25Terms.flatMap { term =>
+      val tf = toks.map { case (id, w) => (id, w.length, w.count(_ == term)) }
+        .filter(_._3 > 0)
+      val df = tf.length.toLong
+      tf.map { case (id, dl, f) =>
+        val idf = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+        val s = idf * (f * (k1 + 1.0)) / (f + k1 * (1.0 - b + b * dl / avgdl))
+        (term, id, f.toLong, math.floor(s * 1e6 + 0.5) / 1e6)
+      }.sortBy { case (_, id, _, s) => (-s, id) }.take(5).zipWithIndex.map {
+        case ((t, id, f, s), i) => (t, i + 1, id, f, s)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("t13_bm25").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+  }
+
+  // ---- SCD2 family -----------------------------------------------------
+
+  test("I17: a08's SCD2 intervals equal a driver-side interval builder") {
+    // Mirrored-bug class: a window-frame or tie-order mistake (lag vs
+    // lead, ts-only ordering) mirrored into a08's oracle SQL. The driver
+    // rebuild walks each user's sorted event list imperatively: open a
+    // version on state CHANGE, close it at the next change, flag the last
+    // open — no window functions on either side of the comparison.
+    val evs = graft.Tables.events(spark, dir)
+      .filter(col("user_id") % 50 === 0)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = evs.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(t => (t._2.getTime, t._3))
+      val changes = ordered.foldLeft(Vector.empty[(String, java.sql.Timestamp)]) {
+        case (acc, (_, ts, _, tpe)) =>
+          if (acc.nonEmpty && acc.last._1 == tpe) acc else acc :+ (tpe, ts)
+      }
+      changes.zipWithIndex.map { case ((state, from), i) =>
+        val to = if (i + 1 < changes.length) changes(i + 1)._2 else null
+        (u, i + 1, state, from, to, if (to == null) 1 else 0)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = q("a08_scd2").collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getTimestamp(3), r.getTimestamp(4),
+      r.getInt(5))).toSeq
+    assert(got === expected)
+  }
+
+  // ---- media family ----------------------------------------------------
+
+  test("I18: m02's decoded-media aggregates equal a pixel-level recompute, no codec") {
+    // Mirrored-bug class: a feature/checksum slip shared by the pipeline
+    // and the checked-in golden (the golden is GENERATED by the pipeline,
+    // so alone it pins only drift, not correctness). The rebuild derives
+    // every image group's aggregates straight from the documented pixel
+    // formula (b<<16 | ((7b)&0xff)<<8 | (13b)&0xff over the text bytes)
+    // and the text groups' from the stub polynomial — never running the
+    // PNG/BMP encoder or javax decode, so an encode/decode asymmetry or
+    // feature bug cannot cancel out. (Encode→decode pixel fidelity itself
+    // is pinned separately in MultimodalSpec.) The planted ;undecoded
+    // groups carry container-derived values (encoder-dependent), so for
+    // them the rebuild checks memberships and counts only.
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("source")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse(""), r.getString(2)))
+    def payload(text: String) = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def stubChecksum(p: Array[Byte]): Long = {
+      var h = 5381L; var i = 0
+      while (i < p.length) { h = (h * 33 + (p(i) & 0xff)) % 2147483647L; i += 1 }
+      h
+    }
+    def stubF0(p: Array[Byte]): Long = {
+      var f = 0L; var i = 0
+      while (i < p.length) { if (i % 8 == 0) f = (f * 31 + (p(i) & 0xff)) % 2147483647L; i += 1 }
+      f
+    }
+    def pixelChecksum(text: String): Long = {
+      val p = payload(text)
+      var h = 5381L; var i = 0
+      while (i < 256) {
+        val b = if (p.isEmpty) 0 else p(i % p.length) & 0xff
+        val rgb = (b << 16) | (((b * 7) & 0xff) << 8) | ((b * 13) & 0xff)
+        h = (h * 33 + rgb) % 2147483647L
+        i += 1
+      }
+      h
+    }
+    // expected groups: text (stub over utf-8), image/{png,bmp} (pixel
+    // recompute; every 67th id corrupt -> its own ;undecoded group)
+    val expected = scala.collection.mutable.Map.empty[(String, String), (Long, Long, Long, Long)]
+    def add(kind: String, source: String, bytes: Long, f0: Long, ck: Long): Unit = {
+      val k = (kind, source)
+      val (n0, b0, f00, c0) = expected.getOrElse(k, (0L, 0L, 0L, Long.MaxValue))
+      expected(k) = (n0 + 1, b0 + bytes, f00 + f0, math.min(c0, ck))
+    }
+    docs.foreach { case (id, text, source) =>
+      val p = payload(text)
+      add("text", source, p.length.toLong, stubF0(p), stubChecksum(p))
+      val imgKind = if (id % 2 == 0) "image/png" else "image/bmp"
+      if (id % 67 == 0) add(imgKind + ";undecoded", source, 0L, 0L, 0L) // counts only
+      else add(imgKind, source, 16L * 16L * 3L, 16L, pixelChecksum(text))
+    }
+    val got = q("m02_media_features").collect().map(r => (r.getString(0), r.getString(1)) ->
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === expected.keySet.toSet, "m02 group membership diverged")
+    expected.foreach { case (k @ (kind, _), (n, bytes, f0, ck)) =>
+      val (gn, gb, gf, gc) = got(k)
+      assert(gn === n, s"$k n_items $gn != $n")
+      if (!kind.endsWith(";undecoded")) {
+        assert(gb === bytes, s"$k total_bytes $gb != $bytes")
+        assert(gf === f0, s"$k f0_sum $gf != $f0")
+        assert(gc === ck, s"$k min_checksum $gc != $ck")
+      }
+    }
+  }
 }
