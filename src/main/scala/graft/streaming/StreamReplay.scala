@@ -56,6 +56,21 @@ object StreamReplay {
     resolveStateStore(
       sys.props.get("graft.stateStore").orElse(sys.env.get("GRAFT_STATE_STORE")))
 
+  /** A/B seam: `-Dgraft.replay.conf="k=v;k=v"` applies extra SQL confs to
+    * the replay's ISOLATED session — `newSession()` does not inherit a
+    * caller's runtime-set confs, so a measurement probe cannot inject a
+    * knob any other way without editing entry code. Gate/production runs
+    * never set it; the r18 st10 replanning A/B (tools.St10PlanAB) is the
+    * consumer. */
+  private[streaming] def applyReplayConfOverrides(s: SparkSession): Unit =
+    sys.props.get("graft.replay.conf").foreach { spec =>
+      spec.split(";").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"graft.replay.conf entry '$kv' is not k=v")
+        s.conf.set(kv.take(i), kv.drop(i + 1))
+      }
+    }
+
   /** Short provider name → provider class (None = keep Spark's default
     * HDFS-backed provider). Shared by the sys-prop path and the explicit
     * `stateStore` parameter of [[replayRaw]]. */
@@ -255,6 +270,7 @@ object StreamReplay {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    applyReplayConfOverrides(s)
     // None = inherit the process-level override (-Dgraft.stateStore /
     // GRAFT_STATE_STORE); an explicit name resolves through the same
     // table (Some("hdfs") forces the default provider). No null
@@ -864,6 +880,7 @@ object StreamReplay {
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    applyReplayConfOverrides(s)
     val base = graft.Scratch.tempDir("graftdocreplay")
     val stage = Files.createDirectory(base.resolve("in"))
     val ckpt = base.resolve("ckpt").toString
