@@ -70,6 +70,25 @@ object StateRestoreFuzz {
       .selectExpr("key.k AS k", "value.count AS n")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
+  /** Trial-scratch teardown tolerant of the stop-time write race: a
+    * corrupted trial's stopped query can still have FileFormatWriter
+    * attempts aborting asynchronously, recreating files mid-delete —
+    * r18's first campaign run died on exactly that
+    * (DirectoryNotEmptyException out of a trial's finally). Retry a few
+    * times; a leaked temp dir beats a killed 200-trial campaign. */
+  private def cleanup(dir: java.io.File): Unit = {
+    var tries = 0
+    var done = false
+    while (!done && tries < 10) {
+      try { org.apache.commons.io.FileUtils.deleteDirectory(dir); done = true }
+      catch {
+        case _: java.io.IOException =>
+          tries += 1; Thread.sleep(200)
+      }
+    }
+    if (!done) System.err.println(s"[statefuzz] leaking scratch $dir after 10 delete attempts")
+  }
+
   private val seed = 20260816L
   private val rnd = new scala.util.Random(seed)
 
@@ -205,7 +224,10 @@ object StateRestoreFuzz {
           try { runStream(inputDir, ckpt); true }
           catch { case e: Throwable =>
             outcomes("loud_resume") += 1
-            val c = e.getClass.getSimpleName
+            // the engine-layer guard's failures get their own bucket so
+            // the artifact SHOWS the defense firing, not a generic ISE
+            val c = if (Option(e.getMessage).exists(_.contains("ingest audit")))
+              "IngestAuditFailure" else e.getClass.getSimpleName
             loudClasses(c) = loudClasses.getOrElse(c, 0L) + 1
             false
           }
@@ -223,7 +245,7 @@ object StateRestoreFuzz {
             }
           }
         }
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+      } finally cleanup(base)
     }
 
     // harness control: an UNCORRUPTED run must round-trip exactly, else
@@ -238,7 +260,7 @@ object StateRestoreFuzz {
         val got = readState(s"$base/ckpt")
         require(got == expected, s"control trial mismatch: $got")
         println("control: clean resume state == batch recompute")
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+      } finally cleanup(base)
     }
 
     val t0 = System.nanoTime()
@@ -316,7 +338,10 @@ object StateRestoreFuzz {
           try { runGate(input, ckpt, sinkDir); true }
           catch { case e: Throwable =>
             outcomes("loud_resume") += 1
-            val c = e.getClass.getSimpleName
+            // the engine-layer guard's failures get their own bucket so
+            // the artifact SHOWS the defense firing, not a generic ISE
+            val c = if (Option(e.getMessage).exists(_.contains("ingest audit")))
+              "IngestAuditFailure" else e.getClass.getSimpleName
             loudClasses(c) = loudClasses.getOrElse(c, 0L) + 1
             false
           }
@@ -339,7 +364,7 @@ object StateRestoreFuzz {
             }
           }
         }
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+      } finally cleanup(base)
     }
     // gate control: clean two-chunk replay must reproduce the batch rule
     locally {
@@ -358,7 +383,7 @@ object StateRestoreFuzz {
           s"gate control flag-row mismatch: $flagRows vs $expectedFlagRows")
         println("gate control: clean resume owner state == batch min-owner rule, " +
           s"$flagRows flag rows exact")
-      } finally org.apache.commons.io.FileUtils.deleteDirectory(base)
+      } finally cleanup(base)
     }
     (1 to gateTrials).foreach { i =>
       gateTrial(hdfsTrials + rocksTrials + i)
