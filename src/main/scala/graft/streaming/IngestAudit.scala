@@ -28,6 +28,16 @@ package graft.streaming
   * anyway: the source log is tiny next to the data, the audit is pure
   * driver-side metadata I/O, and it turns "trust the log" into "check
   * the log against the ingest ledger".
+  *
+  * Declared residual: a corruption that REMOVES a whole entry while
+  * leaving a well-formed shorter log (truncation landing exactly on a
+  * line boundary) erases the evidence of the first ingestion — the
+  * re-ingested path then appears once, indistinguishable from a clean
+  * single ingestion by the log alone. Random truncation almost always
+  * cuts mid-line (loud here), the 205-trial campaign produced zero such
+  * escapes, and the fuzz gate leg's flag-row oracle would catch the
+  * duplicates downstream — but the audit itself cannot see this class
+  * and does not claim to.
   */
 object IngestAudit {
 
@@ -51,7 +61,16 @@ object IngestAudit {
     logFiles.flatMap { f =>
       val text = new String(java.nio.file.Files.readAllBytes(f.toPath),
         java.nio.charset.StandardCharsets.UTF_8)
-      text.linesIterator.filter(l => l.nonEmpty && !l.startsWith("v")).map { line =>
+      val lines = text.linesIterator.toSeq
+      // strict shape: the version header ("v1") is legal ONLY at line 0 —
+      // a later line matching the header filter would otherwise be
+      // SKIPPED, so a corruption rewriting an entry's first byte toward
+      // 'v' could erase the record of an ingestion without going loud
+      if (lines.isEmpty || !lines.head.startsWith("v"))
+        throw new IllegalStateException(
+          s"ingest audit: source log ${f.getPath} lacks a version header " +
+            s"(first line: ${lines.headOption.getOrElse("<empty>")})")
+      lines.drop(1).filter(_.nonEmpty).map { line =>
         val p = PathRe.findFirstMatchIn(line).map(_.group(1)).getOrElse(
           throw new IllegalStateException(
             s"ingest audit: no path field in source log ${f.getPath}: $line"))
@@ -59,7 +78,7 @@ object IngestAudit {
           throw new IllegalStateException(
             s"ingest audit: no batchId field in source log ${f.getPath}: $line"))
         Entry(p, b)
-      }.toSeq
+      }
     }.distinct
   }
 
