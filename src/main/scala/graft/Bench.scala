@@ -410,11 +410,20 @@ object Bench {
     // ~1/host-speed, so total_at_prev_host_speed = total * (cur / prev).
     // Read from the on-disk BENCH_DETAIL.json BEFORE this run overwrites
     // it (the committed previous round — same source as prevQueries).
+    // Same-sf guard as prevQueries: a quick dev run at another sf must
+    // not become the calibration baseline. Same-round RE-benching at the
+    // same sf still self-normalizes toward 1.0 by construction (the
+    // on-disk detail is then minutes old) — the round-over-round reading
+    // belongs to the COMMITTED artifact pair, which is what the driver
+    // diffs; documented here rather than pretended away.
     val calibPrev: Option[Double] = try {
       val f = new java.io.File("BENCH_DETAIL.json")
       if (!f.exists()) None else {
-        val v = om.readTree(f).path("calibration_median_ops_per_s").asDouble(0.0)
-        if (v > 0) Some(v) else None
+        val tree = om.readTree(f)
+        if (tree.path("sf").asText("") != sfDir) None else {
+          val v = tree.path("calibration_median_ops_per_s").asDouble(0.0)
+          if (v > 0) Some(v) else None
+        }
       }
     } catch { case _: Throwable => None }
     val calibCompare = calibPrev.map { p =>

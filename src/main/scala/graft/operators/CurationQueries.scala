@@ -481,14 +481,20 @@ object CurationQueries {
     * bounded window with map-side WindowGroupLimit. One content-hash
     * shuffle + one source-window shuffle, total.
     */
-  val c16_curation_e2e: Q = (s, dir) => {
-    val keep = Tables.documents(s, dir)
-      .groupBy(md5(col("text")).as("h"))
+  /** c16's dedup + quality-gate prefix (content-hash keepers → token
+    * gate), exposed so `tools.CurationSoak`'s stage witness measures THE
+    * SAME prefix the fused entry runs — an inline copy would silently
+    * drift if the hash choice or the >= 20 threshold ever changed. */
+  private[graft] def c16Keepers(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"),
         min_by(col("source"), col("doc_id")).as("source"),
         min(col("n_chars")).as("n_chars"),
         min(size(split(col("text"), " "))).as("n_tokens"))
       .filter(col("n_tokens") >= 20)
+
+  val c16_curation_e2e: Q = (s, dir) => {
+    val keep = c16Keepers(Tables.documents(s, dir))
     val w = Window.partitionBy(col("source"))
       .orderBy(col("skey"), col("doc_id"))
     keep.withColumn("skey", poissonKey)

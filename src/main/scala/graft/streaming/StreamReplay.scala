@@ -270,7 +270,6 @@ object StreamReplay {
     val s: SparkSession = outer.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "8")
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    applyReplayConfOverrides(s)
     // None = inherit the process-level override (-Dgraft.stateStore /
     // GRAFT_STATE_STORE); an explicit name resolves through the same
     // table (Some("hdfs") forces the default provider). No null
@@ -278,6 +277,12 @@ object StreamReplay {
     // the override a soak was launched under.
     (stateStore.fold(stateStoreOverride)(n => resolveStateStore(Some(n))))
       .foreach(s.conf.set("spark.sql.streaming.stateStore.providerClass", _))
+    // LAST, in both replay paths, so a probe's override always wins —
+    // applying it before the provider resolution here would silently
+    // clobber a providerClass override on replayRaw-backed entries while
+    // honoring it on replayDocs-backed ones (two legs of one sweep
+    // silently running different experiments)
+    applyReplayConfOverrides(s)
     import s.implicits._
 
     // the one driver-side scalar: max real event time, via a distributed

@@ -41,6 +41,10 @@ object CurationSoak {
     val outJson = args.headOption.getOrElse("SOAK_r18_curation.json")
     val scales = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
                  else Seq(20000L, 200000L, 600000L)
+    // the exponents divide by log(last/first): one scale (or equal
+    // endpoints) would put NaN into the JSON artifact — fail loud instead
+    require(scales.size >= 2 && scales.last != scales.head,
+      s"need >=2 distinct scales for log-log exponents, got $scales")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,15 +66,12 @@ object CurationSoak {
         val dir = base.toString
         DedupSoakPhase.corpus(spark, n)
           .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-        // stage prefix: c16's dedup+gate head, rebuilt from the entry's
-        // own documented stages (same expressions; witness = md5 exchange)
+        // stage prefix: c16's OWN dedup+gate head (the shared c16Keepers
+        // def — the soak can never measure a drifted copy of the entry)
         var keepers = 0L
         val mKeep = ScaleProbe.measure(spark) {
-          keepers = graft.Tables.documents(spark, dir)
-            .groupBy(md5(col("text")).as("h"))
-            .agg(min(col("doc_id")).as("doc_id"),
-              min(size(split(col("text"), " "))).as("n_tokens"))
-            .filter(col("n_tokens") >= 20).count()
+          keepers = CurationQueries.c16Keepers(
+            graft.Tables.documents(spark, dir)).count()
           keepers
         }
         var c16Rows = 0L

@@ -168,6 +168,17 @@ object LocalClusterProof {
         s"local side expected driver-only JVMs, got $localJvms")
 
       val sCluster = session("local-cluster[2,2,2048]")
+      // wait for BOTH executor JVMs to register before any leg runs:
+      // standalone scheduling starts as soon as the FIRST executor offers
+      // cores, so on a loaded box the PID probe could otherwise complete
+      // entirely on executor 1 and fail the >=2-JVM check only AFTER the
+      // four expensive cluster legs had already run
+      val regDeadline = System.currentTimeMillis() + 120000L
+      while (sCluster.sparkContext.getExecutorMemoryStatus.size < 3 &&
+             System.currentTimeMillis() < regDeadline) Thread.sleep(250)
+      require(sCluster.sparkContext.getExecutorMemoryStatus.size >= 3,
+        "local-cluster executors did not register within 120s " +
+          s"(got ${sCluster.sparkContext.getExecutorMemoryStatus.size - 1} of 2)")
       val t0 = System.nanoTime()
       val (clusterLegs, clusterJvms) = runLegs(sCluster, sfDir, pbf, scratch, "cluster")
       val clusterSecs = (System.nanoTime() - t0) / 1e9

@@ -89,6 +89,19 @@ object StateRestoreFuzz {
     if (!done) System.err.println(s"[statefuzz] leaking scratch $dir after 10 delete attempts")
   }
 
+  /** Loud-class bucketing: the engine-layer guard's failures get their
+    * own bucket so the artifact SHOWS the defense firing. Only
+    * IllegalStateException carries the audit's detection messages
+    * ("ingest audit FAILED", parse-shape errors); the audit's
+    * IllegalArgumentException preconditions (e.g. a self-colliding
+    * staged manifest) are harness misconfigurations and keep their own
+    * class name rather than inflating the defense counter. */
+  private def loudClass(e: Throwable): String =
+    if (e.isInstanceOf[IllegalStateException] &&
+        Option(e.getMessage).exists(_.contains("ingest audit")))
+      "IngestAuditFailure"
+    else e.getClass.getSimpleName
+
   private val seed = 20260816L
   private val rnd = new scala.util.Random(seed)
 
@@ -224,11 +237,7 @@ object StateRestoreFuzz {
           try { runStream(inputDir, ckpt); true }
           catch { case e: Throwable =>
             outcomes("loud_resume") += 1
-            // the engine-layer guard's failures get their own bucket so
-            // the artifact SHOWS the defense firing, not a generic ISE
-            val c = if (Option(e.getMessage).exists(_.contains("ingest audit")))
-              "IngestAuditFailure" else e.getClass.getSimpleName
-            loudClasses(c) = loudClasses.getOrElse(c, 0L) + 1
+            loudClasses(loudClass(e)) = loudClasses.getOrElse(loudClass(e), 0L) + 1
             false
           }
         if (resumed) {
@@ -338,11 +347,7 @@ object StateRestoreFuzz {
           try { runGate(input, ckpt, sinkDir); true }
           catch { case e: Throwable =>
             outcomes("loud_resume") += 1
-            // the engine-layer guard's failures get their own bucket so
-            // the artifact SHOWS the defense firing, not a generic ISE
-            val c = if (Option(e.getMessage).exists(_.contains("ingest audit")))
-              "IngestAuditFailure" else e.getClass.getSimpleName
-            loudClasses(c) = loudClasses.getOrElse(c, 0L) + 1
+            loudClasses(loudClass(e)) = loudClasses.getOrElse(loudClass(e), 0L) + 1
             false
           }
         if (resumed) {
