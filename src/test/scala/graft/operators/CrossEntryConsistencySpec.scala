@@ -696,4 +696,68 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("I19: m04's audio aggregates equal a sample-level recompute, no codec") {
+    // Mirrored-bug class: same as I18 for the AUDIO leg — the golden is
+    // generated by the pipeline, so a WAV encode/decode asymmetry or a
+    // feature-band slip shared with it stays invisible. The rebuild
+    // derives every clip's samples straight from the documented sawtooth
+    // formula over the text bytes (never running the WAV encoder or
+    // javax.sound decode; PCM16 round-trip fidelity is pinned separately
+    // in MultimodalSpec) and folds the documented feature bands in plain
+    // Scala; the text group's stub bands likewise.
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def payload(text: String) = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def stubBand(p: Array[Byte], band: Int): Long = {
+      var f = 0L; var i = 0
+      while (i < p.length) {
+        if (i % 8 == band) f = (f * 31 + (p(i) & 0xff)) % 2147483647L
+        i += 1
+      }
+      f
+    }
+    // (frames, zc, peak, n_bytes) of the synthesized clip for one doc —
+    // the audioFromDocs sample formula + the AudioCodec feature folds,
+    // both re-derived here from their documented arithmetic
+    def clipStats(id: Long, text: String): (Long, Long, Long, Long) = {
+      val p = payload(text)
+      val n = 400 + (id % 7).toInt * 100
+      var prev = 0; var zc = 0L; var peak = 0L
+      var i = 0
+      while (i < n) {
+        val b = if (p.isEmpty) 0 else p(i % p.length) & 0xff
+        val v = (((b * 257) - 32768) * (if ((i / 8) % 2 == 0) 1 else -1) / 2).toShort.toInt
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && ((prev < 0 && v >= 0) || (prev >= 0 && v < 0))) zc += 1
+        prev = v; i += 1
+      }
+      (n.toLong, zc, peak, n.toLong * 2)
+    }
+    var (aN, aBytes, aFrames, aZc, aPeak) = (0L, 0L, 0L, 0L, 0L)
+    var (tN, tBytes, tFrames, tZc, tPeak) = (0L, 0L, 0L, 0L, 0L)
+    var undecoded = 0L
+    docs.foreach { case (id, text) =>
+      val p = payload(text)
+      // text kind: stub bands (frames band 2, peak band 5, zc band 6)
+      tN += 1; tBytes += p.length
+      tFrames += stubBand(p, 2); tZc += stubBand(p, 6)
+      tPeak = math.max(tPeak, stubBand(p, 5))
+      if (id % 67 == 0) undecoded += 1
+      else {
+        val (frames, zc, peak, bytes) = clipStats(id, text)
+        aN += 1; aBytes += bytes; aFrames += frames; aZc += zc
+        aPeak = math.max(aPeak, peak)
+      }
+    }
+    val got = q("m04_audio_features").collect().map(r => r.getString(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.keySet === Set("text", "audio/wav", "audio/wav;undecoded"))
+    assert(got("audio/wav") === ((aN, aBytes, aFrames, aZc, aPeak)),
+      s"audio/wav group ${got("audio/wav")} != recomputed ${(aN, aBytes, aFrames, aZc, aPeak)}")
+    assert(got("text") === ((tN, tBytes, tFrames, tZc, tPeak)),
+      s"text group ${got("text")} != recomputed ${(tN, tBytes, tFrames, tZc, tPeak)}")
+    assert(got("audio/wav;undecoded")._1 === undecoded)
+  }
 }
