@@ -27,7 +27,10 @@ import org.apache.spark.sql.streaming.Trigger
   * 44-60, applied to state files as r16 applied it to blobs.
   *
   * Usage: scripts/run.sh graft.tools.StateRestoreFuzz [outJson]
-  *        [hdfsTrials] [rocksTrials]
+  *        [hdfsTrials] [rocksTrials] [gateTrials] [sourcesTrials]
+  * (sourcesTrials, r18: a leg that corrupts ONLY files under `sources/` —
+  * the seen-files log — so the IngestAudit defense is measured at
+  * volume, not via incidental hits.)
   */
 object StateRestoreFuzz {
 
@@ -153,6 +156,7 @@ object StateRestoreFuzz {
     val hdfsTrials = if (args.length > 1) args(1).toInt else 150
     val rocksTrials = if (args.length > 2) args(2).toInt else 30
     val gateTrials = if (args.length > 3) args(3).toInt else 25
+    val sourcesTrials = if (args.length > 4) args(4).toInt else 40
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     val spark = SparkSession.builder()
@@ -182,8 +186,10 @@ object StateRestoreFuzz {
 
     // pick one file under the checkpoint, apply one mutator; `delete` and
     // `flip_nocrc` are extra arms. Returns (relative path, mutator kind).
-    def corruptOne(ckpt: String): (String, String) = {
-      val fs = targets(new java.io.File(ckpt))
+    def corruptOne(ckpt: String, only: Option[String] = None): (String, String) = {
+      val all = targets(new java.io.File(ckpt))
+      val fs = only.fold(all)(sub => all.filter(_.getPath.contains(sub)))
+      require(fs.nonEmpty, s"no corruption targets matching $only under $ckpt")
       val target = fs(rnd.nextInt(fs.size))
       val bytes = java.nio.file.Files.readAllBytes(target.toPath)
       val kind = rnd.nextInt(10) match {
@@ -224,13 +230,13 @@ object StateRestoreFuzz {
       (target.getPath.stripPrefix(ckpt), kind)
     }
 
-    def trial(i: Int, provider: String): Unit = {
+    def trial(i: Int, provider: String, only: Option[String] = None): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-statefuzz$i").toFile
       val inputDir = s"$base/input"; val ckpt = s"$base/ckpt"
       try {
         writeChunk(inputDir, 0, 500)
         runStream(inputDir, ckpt) // committed checkpoint over chunk 1
-        val (rel, kind) = corruptOne(ckpt)
+        val (rel, kind) = corruptOne(ckpt, only)
         mutatorCounts(kind) = mutatorCounts.getOrElse(kind, 0L) + 1
         writeChunk(inputDir, 500, 800)
         val resumed =
@@ -395,18 +401,36 @@ object StateRestoreFuzz {
       if (i % 10 == 0) println(s"gate: $i/$gateTrials ${outcomes.toMap} escapes=$escapes")
     }
     val gateOutcome = outcomes.toMap
+
+    // SOURCES-ONLY leg (r18): every trial corrupts a file under
+    // `sources/` — the seen-files log, the exact surface whose silent
+    // re-ingest class the IngestAudit defense closed. The whole-surface
+    // legs hit this log only incidentally (a couple of trials per
+    // campaign); this leg measures the defense AT VOLUME: every
+    // corruption here must end benign (landed on bytes the resume never
+    // consumes) or loud — with the audit's own detections visible as
+    // IngestAuditFailure in the class table.
+    outcomes.keys.foreach(k => outcomes(k) = 0L)
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    (1 to sourcesTrials).foreach { i =>
+      trial(hdfsTrials + rocksTrials + gateTrials + i, "sources-hdfs",
+        only = Some("/sources/"))
+      if (i % 10 == 0) println(s"sources: $i/$sourcesTrials ${outcomes.toMap} escapes=$escapes")
+    }
+    val sourcesOutcome = outcomes.toMap
     val secs = (System.nanoTime() - t0) / 1e9
 
     def j(m: Map[String, Long]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,"gate_trials":$gateTrials,""" +
+      s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,"gate_trials":$gateTrials,"sources_trials":$sourcesTrials,""" +
       s""""escapes":$escapes,"wall_sec":${math.round(secs)},""" +
       s""""contract":"corrupt one checkpoint file, resume: loud failure (any raised error) or output == exact batch recompute (count legs: state table; gate leg: owner state AND emitted flag-row count through the idempotent per-batchId sink); a successful resume with wrong state OR wrong emission count is an escape",""" +
       s""""mutators":${j(mutatorCounts.toMap)},""" +
       s""""loud_exception_classes":${j(loudClasses.toMap)},""" +
       s""""escape_adjudication":"the r17 campaign's one escape class (a bit flip inside a quoted file path of the FileStreamSource seen-files log stays valid JSON, so resume silently re-ingests the renamed-away file) is now DEFENDED at the engine layer: IngestAudit checks the checkpoint's own source log against the staged file set after every run, so the class fails LOUD (IllegalStateException) instead of escaping; the upstream silent behavior stays pinned in CheckpointCorruptionSpec via the audit-bypass arm, next to the guard pin that proves the flip is caught",""" +
-      s""""hdfs":${j(hdfsOutcome)},"rocksdb":${j(rocksOutcome)},"gate":${j(gateOutcome)}}"""
+      s""""hdfs":${j(hdfsOutcome)},"rocksdb":${j(rocksOutcome)},"gate":${j(gateOutcome)},""" +
+      s""""sources_only":${j(sourcesOutcome)}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()
