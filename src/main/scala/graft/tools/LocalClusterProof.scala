@@ -49,7 +49,7 @@ object LocalClusterProof {
   /** Order-invariant content fingerprint: (rows, sum of per-row xxhash64
     * over all columns as strings). NULLs hash via a sentinel so a NULL
     * column cannot collide with the same literal value. */
-  private def fingerprint(df: DataFrame): (Long, String) = {
+  private[tools] def fingerprint(df: DataFrame): (Long, String) = {
     val cols = df.columns.map(c =>
       coalesce(col(c).cast("string"), lit("\u0000graft-null")))
     // decimal(38,0) sum: exact (no ANSI Long overflow at millions of rows),

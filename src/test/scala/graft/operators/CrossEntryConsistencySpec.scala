@@ -760,4 +760,61 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"text group ${got("text")} != recomputed ${(tN, tBytes, tFrames, tZc, tPeak)}")
     assert(got("audio/wav;undecoded")._1 === undecoded)
   }
+
+  test("I20: m03's frame-sampling aggregates equal a frame-level recompute, no codec") {
+    // Mirrored-bug class: same as I18/I19 for the FRAME-SAMPLING leg —
+    // a slip in the uniform temporal pick rule (i*total/n), the
+    // byte-span stub boundaries, or the pixel checksum that the
+    // generated golden would reproduce. The rebuild derives every GIF
+    // frame's gray pixels from the documented formula ((b + f*31)&0xff
+    // over (i + f*7)-strided text bytes; gray g decodes to rgb g*0x010101)
+    // and re-applies the pick rule and span arithmetic in plain Scala —
+    // never running the GIF encoder or javax decode (multi-frame
+    // round-trip fidelity is pinned separately in MultimodalSpec).
+    val docs = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).getOrElse("")))
+    def payload(text: String) = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    def stubChecksum(p: Array[Byte]): Long = {
+      var h = 5381L; var i = 0
+      while (i < p.length) { h = (h * 33 + (p(i) & 0xff)) % 2147483647L; i += 1 }
+      h
+    }
+    // (frame_idx, n_bytes, checksum) rows for one doc, both legs
+    def frameRows(id: Long, text: String): Seq[(Int, Long, Long)] = {
+      val p = payload(text)
+      val len = p.length
+      // text leg: payload split into 4 equal byte spans (the stub path)
+      val spans = (0 until 4).map { i =>
+        val from = (len.toLong * i / 4).toInt
+        val until = (len.toLong * (i + 1) / 4).toInt
+        val span = java.util.Arrays.copyOfRange(p, from, until)
+        (i, span.length.toLong, stubChecksum(span))
+      }
+      // gif leg: 2..6 gray 8x8 frames, uniform temporal picks, pixel
+      // checksum over gray-rendered rgb (g, g, g)
+      val side = 8
+      val nFrames = 2 + (id % 5).toInt
+      val picks = if (nFrames <= 4) 0 until nFrames
+                  else (0 until 4).map(i => i * nFrames / 4)
+      val frames = picks.map { f =>
+        var h = 5381L; var i = 0
+        while (i < side * side) {
+          val b = if (p.isEmpty) 0 else p((i + f * 7) % p.length) & 0xff
+          val g = (b + f * 31) & 0xff
+          h = (h * 33 + g * 0x010101) % 2147483647L
+          i += 1
+        }
+        (f, (side * side).toLong, h)
+      }
+      spans ++ frames
+    }
+    val expected = docs.flatMap { case (id, text) => frameRows(id, text) }
+      .groupBy(_._1).toSeq.map { case (fi, rows) =>
+        (fi, rows.length.toLong, rows.map(_._2).sum, rows.map(_._3).sum)
+      }.sortBy(_._1)
+    val got = q("m03_frame_sample").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === expected)
+  }
 }
