@@ -29,10 +29,8 @@ import org.apache.spark.sql.functions._
   */
 object ExecutorDeathProof {
 
-  private def taskJvms(s: SparkSession): Seq[String] =
-    s.sparkContext.parallelize(1 to 64, 16)
-      .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
-      .distinct().collect().sorted.toSeq
+  // PID probe + executor JDK17 module opens shared with LocalClusterProof
+  private def taskJvms(s: SparkSession): Seq[String] = LocalClusterProof.taskJvms(s)
 
   def main(args: Array[String]): Unit = {
     val outJson = args.headOption.getOrElse("EXECDEATH_r18.json")
@@ -70,6 +68,7 @@ object ExecutorDeathProof {
         .config("spark.task.maxFailures", "4")
         .config("spark.executor.extraClassPath",
           "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraJavaOptions", LocalClusterProof.AddOpens)
         .config("spark.executor.memory", "1500m")
         .getOrCreate()
       s.sparkContext.setLogLevel("ERROR")
@@ -93,9 +92,16 @@ object ExecutorDeathProof {
           fileTargetMb = Some(16)))
       }
       Thread.sleep((killAfterSec * 1000).toLong)
-      require(!fut.isCompleted,
-        s"transcode finished before the ${killAfterSec}s kill point — " +
-          "raise blocks or lower killAfterSec so the death lands mid-flight")
+      // distinguish "already failed" from "already finished" before the
+      // mid-flight assertion: a config error completing the future
+      // exceptionally at T+2s must surface AS that error, not as a
+      // misleading sizing diagnostic
+      fut.value.foreach {
+        case scala.util.Failure(e) => throw e
+        case scala.util.Success(_) => sys.error(
+          s"transcode finished before the ${killAfterSec}s kill point — " +
+            "raise blocks or lower killAfterSec so the death lands mid-flight")
+      }
       new ProcessBuilder("kill", "-9", victimPid).start().waitFor()
       println(s"[execdeath] killed executor JVM $victim at T+${killAfterSec}s")
       val counts = Await.result(fut, 15.minutes)

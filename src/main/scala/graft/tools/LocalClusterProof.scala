@@ -61,13 +61,13 @@ object LocalClusterProof {
   }
 
   /** Distinct task-side JVM identities (pid@host), via a probe job wide
-    * enough to hit every executor. */
-  private def taskJvms(s: SparkSession): Seq[String] =
+    * enough to hit every executor. Shared with [[ExecutorDeathProof]]. */
+  private[tools] def taskJvms(s: SparkSession): Seq[String] =
     s.sparkContext.parallelize(1 to 64, 16)
       .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
       .distinct().collect().sorted.toSeq
 
-  private val AddOpens = Seq(
+  private[tools] val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
     "java.base/java.nio", "java.base/java.util",

@@ -152,7 +152,7 @@ object StateRestoreFuzz {
   }
 
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("FUZZ_STATE_r17.json")
+    val outJson = args.headOption.getOrElse("FUZZ_STATE_r18.json")
     val hdfsTrials = if (args.length > 1) args(1).toInt else 150
     val rocksTrials = if (args.length > 2) args(2).toInt else 30
     val gateTrials = if (args.length > 3) args(3).toInt else 25
