@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for [[IngestAudit]]'s parser and decision rules in
+  * isolation — the integration behavior (real checkpoints, the fuzz
+  * campaign, the guard pins) lives in CheckpointCorruptionSpec and the
+  * StateRestoreFuzz artifact; these tests pin the parser edges those
+  * paths exercise only incidentally: compact-file deduplication, URI
+  * normalization, the header-position rule, and each of the three
+  * failure classes in isolation.
+  */
+class IngestAuditSpec extends AnyFunSuite {
+
+  /** A scratch checkpoint with the given source-log files (name → lines). */
+  private def ckptWith(files: (String, Seq[String])*): java.nio.file.Path = {
+    val base = java.nio.file.Files.createTempDirectory("ingestaudit")
+    val src = java.nio.file.Files.createDirectories(base.resolve("ckpt/sources/0"))
+    files.foreach { case (name, lines) =>
+      java.nio.file.Files.writeString(src.resolve(name), lines.mkString("\n"))
+    }
+    base
+  }
+
+  private def stageWith(base: java.nio.file.Path, names: String*): java.nio.file.Path = {
+    val stage = java.nio.file.Files.createDirectories(base.resolve("in"))
+    names.foreach(n => java.nio.file.Files.writeString(stage.resolve(n), "x"))
+    stage
+  }
+
+  private def entry(stage: java.nio.file.Path, name: String, batch: Long): String =
+    s"""{"path":"file://${stage.resolve(name)}","timestamp":1,"batchId":$batch}"""
+
+  private def cleanup(base: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteDirectory(base.toFile)
+
+  test("clean log over the staged set passes; hidden files are invisible") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      // _SUCCESS and dotfiles are invisible to FileStreamSource and must
+      // be invisible to the manifest too
+      java.nio.file.Files.writeString(stage.resolve("_SUCCESS"), "")
+      java.nio.file.Files.writeString(stage.resolve(".hidden"), "")
+      val src = base.resolve("ckpt/sources/0")
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 0)).mkString("\n"))
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+    } finally cleanup(base)
+  }
+
+  test("compact files legitimately repeat earlier entries (dedup, no false alarm)") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0)).mkString("\n"))
+      java.nio.file.Files.writeString(src.resolve("1"),
+        Seq("v1", entry(stage, "b.parquet", 1)).mkString("\n"))
+      // the compact repeats BOTH earlier entries verbatim — same
+      // (path, batchId) pairs must not read as re-ingestion
+      java.nio.file.Files.writeString(src.resolve("1.compact"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 1)).mkString("\n"))
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+    } finally cleanup(base)
+  }
+
+  test("the three failure classes fire in isolation, with their own words") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      // re-ingestion: same path under two batchIds
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 0),
+          entry(stage, "a.parquet", 1)).mkString("\n"))
+      val e1 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e1.getMessage.contains("MULTIPLE batches"), e1.getMessage)
+      // unknown path (the flipped-twin class)
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 0),
+          entry(stage, "x.parquet", 0)).mkString("\n"))
+      val e2 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e2.getMessage.contains("unknown ingested paths"), e2.getMessage)
+      // omission: a staged file never recorded
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0)).mkString("\n"))
+      val e3 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e3.getMessage.contains("never ingested"), e3.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("header-position rule: missing header and mid-file header lines are loud") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      // no header at line 0 (e.g. truncation ate it)
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq(entry(stage, "a.parquet", 0)).mkString("\n"))
+      val e1 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e1.getMessage.contains("lacks a version header"), e1.getMessage)
+      // an entry line corrupted toward a header shape must NOT be
+      // silently skipped (pre-hardening it was, erasing the record of an
+      // ingestion): with its fields intact it still PARSES and keeps its
+      // record in the accounting — the stronger outcome than loud
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", "v" + entry(stage, "a.parquet", 0).drop(1)).mkString("\n"))
+      assert(IngestAudit.entries(base.resolve("ckpt").toString)
+        .exists(_.path.endsWith("a.parquet")),
+        "v-corrupted entry with intact fields lost its ingestion record")
+      IngestAudit.audit(base.resolve("ckpt").toString, stage) // accounting correct
+      // empty log file: loud
+      java.nio.file.Files.writeString(src.resolve("0"), "")
+      val e3 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e3.getMessage.contains("lacks a version header"), e3.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("an entry missing its fields is loud (corruption cannot hide in parse gaps)") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", """{"timestamp":1,"batchId":0}""").mkString("\n"))
+      val e1 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e1.getMessage.contains("no path field"), e1.getMessage)
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", s"""{"path":"file://${stage.resolve("a.parquet")}","timestamp":1}""").mkString("\n"))
+      val e2 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e2.getMessage.contains("no batchId field"), e2.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("no sources dir at all means no entries (pre-first-batch checkpoint)") {
+    val base = java.nio.file.Files.createTempDirectory("ingestaudit-bare")
+    try {
+      java.nio.file.Files.createDirectories(base.resolve("ckpt"))
+      assert(IngestAudit.entries(base.resolve("ckpt").toString).isEmpty)
+      // and an EMPTY sources/0 dir (created, nothing logged yet) is
+      // likewise no-entries rather than loud
+      java.nio.file.Files.createDirectories(base.resolve("ckpt/sources/0"))
+      assert(IngestAudit.entries(base.resolve("ckpt").toString).isEmpty)
+    } finally cleanup(base)
+  }
+}
