@@ -27,7 +27,13 @@ package graft.streaming
   * At 100 TB this is the cheap invariant a production resume wants
   * anyway: the source log is tiny next to the data, the audit is pure
   * driver-side metadata I/O, and it turns "trust the log" into "check
-  * the log against the ingest ledger".
+  * the log against the ingest ledger". Scale bound, stated honestly:
+  * memory is O(distinct ingested files) and I/O re-reads each entry
+  * ~2× (its batch file + the covering compact) — fine for any
+  * harness-scale replay and for most production streams; a
+  * multi-million-file stream would want the same check restructured
+  * incrementally over the latest compact, which this deliberately
+  * simple one-shot form does not attempt.
   *
   * Declared residual: a corruption that REMOVES a whole entry while
   * leaving a well-formed shorter log (truncation landing exactly on a
