@@ -53,13 +53,22 @@ object IngestAudit {
   final case class Entry(path: String, batchId: Long)
 
   /** Every (path, batchId) recorded by the checkpoint's file-source
-    * metadata logs, deduplicated (compact files repeat earlier entries). */
+    * metadata logs, deduplicated (compact files repeat earlier entries).
+    * SINGLE-SOURCE checkpoints only: with two file sources over
+    * overlapping inputs, pooling their entries would either flag a
+    * legitimate per-source ingestion as re-ingestion or hide a genuine
+    * one — fail loud instead of mis-auditing (every harness replay is
+    * single-source). */
   def entries(ckptDir: String): Seq[Entry] = {
     val srcRoot = new java.io.File(ckptDir, "sources")
     if (!srcRoot.isDirectory) return Seq.empty
+    val srcDirs = Option(srcRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    require(srcDirs.length <= 1,
+      s"ingest audit supports single-source checkpoints; found " +
+        s"${srcDirs.length} source dirs under $srcRoot")
     val logFiles = for {
-      src <- Option(srcRoot.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
-      if src.isDirectory
+      src <- srcDirs.toSeq.sortBy(_.getName)
       f <- Option(src.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
       if f.isFile && !f.getName.startsWith(".") && !f.getName.endsWith(".crc") &&
         !f.getName.endsWith(".tmp")
@@ -88,22 +97,59 @@ object IngestAudit {
     }.distinct
   }
 
-  /** URI → plain path; the staged manifests are plain local paths while
-    * the log records file: URIs. Unparseable strings stay verbatim (they
-    * then fail the unknown-path check — corruption must stay loud). */
-  private def normalize(p: String): String =
+  /** JSON string unescape for the captured path: the log writer escapes
+    * backslash/quote/control characters, and leaving the escapes in place
+    * would make such a path never match its staged original. Unknown
+    * escapes stay verbatim (they then fail the unknown-path check —
+    * corruption must stay loud). */
+  private def jsonUnescape(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case '/' => b += '/'; i += 2
+          case 'n' => b += '\n'; i += 2
+          case 't' => b += '\t'; i += 2
+          case 'r' => b += '\r'; i += 2
+          case 'b' => b += '\b'; i += 2
+          case 'f' => b += '\f'; i += 2
+          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+            try { b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6 }
+            catch { case _: NumberFormatException => b += c; i += 1 }
+          case _ => b += c; i += 1
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  /** LOG-SIDE-ONLY normalization: JSON-unescape, then URI → plain path
+    * (the log records `file:` URIs with %-encoding; `getPath` decodes
+    * back to the literal filesystem path). The STAGED side is used
+    * verbatim — it is already a plain local path, and URI-decoding it
+    * too would corrupt legal names containing '%', '#', or '?'.
+    * Unparseable strings stay verbatim (they then fail the unknown-path
+    * check — corruption must stay loud). */
+  private def normalizeLogPath(raw: String): String = {
+    val p = jsonUnescape(raw)
     try {
       val u = new java.net.URI(p)
       if (u.getPath == null) p else u.getPath
     } catch { case _: Exception => p }
+  }
 
   /** Fails loud unless the source logs record EXACTLY the given staged
-    * files, each in exactly one batch. */
+    * files (plain local paths, compared verbatim), each in exactly one
+    * batch. */
   def auditFiles(ckptDir: String, staged: Seq[String]): Unit = {
-    val want = staged.map(normalize).toSet
+    val want = staged.toSet
     require(want.size == staged.size,
-      s"ingest audit: staged manifest self-collides after normalization: $staged")
-    val byPath = entries(ckptDir).groupBy(e => normalize(e.path))
+      s"ingest audit: staged manifest self-collides: $staged")
+    val byPath = entries(ckptDir).groupBy(e => normalizeLogPath(e.path))
       .view.mapValues(_.map(_.batchId).distinct).toMap
     val unknown = (byPath.keySet diff want).toSeq.sorted
     val missing = (want diff byPath.keySet).toSeq.sorted
@@ -122,13 +168,24 @@ object IngestAudit {
           else ""))
   }
 
+  /** Mirror of Spark's `InMemoryFileIndex.shouldFilterOut`, the listing
+    * rule FileStreamSource sees files through: dot- and underscore-
+    * prefixed names are hidden, EXCEPT underscore names containing '='
+    * (partition-dir shapes) and the `_metadata`/`_common_metadata`
+    * sidecars, which Spark's listing explicitly keeps. */
+  private def visibleToFileSource(name: String): Boolean = {
+    val excluded = (name.startsWith("_") && !name.contains("=")) ||
+      name.startsWith(".")
+    val kept = name.startsWith("_metadata") || name.startsWith("_common_metadata")
+    !excluded || kept
+  }
+
   /** [[auditFiles]] with the manifest read from the harness-owned staging
-    * directory itself: every visible file (FileStreamSource's own
-    * hidden-file rule — names starting with `_` or `.` are invisible to
-    * it) must have been ingested exactly once. */
+    * directory itself: every file visible to FileStreamSource's listing
+    * rule must have been ingested exactly once. */
   def audit(ckptDir: String, stageDir: java.nio.file.Path): Unit = {
     val staged = Option(stageDir.toFile.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .filter(f => f.isFile && visibleToFileSource(f.getName))
       .map(_.getAbsolutePath).toSeq
     auditFiles(ckptDir, staged)
   }

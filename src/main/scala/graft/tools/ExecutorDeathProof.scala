@@ -51,10 +51,10 @@ object ExecutorDeathProof {
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false").getOrCreate()
       sLocal.sparkContext.setLogLevel("ERROR")
-      OsmPbf.transcode(sLocal, PbfConfig(input = pbf,
+      val truthCounts = OsmPbf.transcode(sLocal, PbfConfig(input = pbf,
         output = s"$scratch/out_truth", fileTargetMb = Some(16)))
-      val (truthRows, truthHash) =
-        LocalClusterProof.fingerprint(sLocal.read.parquet(s"$scratch/out_truth"))
+      val (truthRows, truthHash) = LocalClusterProof.validateCommittedOutput(
+        sLocal, s"$scratch/out_truth", truthCounts.values.sum, "truth")
       sLocal.stop()
 
       val s = SparkSession.builder()
@@ -66,8 +66,7 @@ object ExecutorDeathProof {
         // headroom: an executor death fails every in-flight task once;
         // give each task room for the relaunch-window retry too
         .config("spark.task.maxFailures", "4")
-        .config("spark.executor.extraClassPath",
-          "/root/repo/target/scala-2.13/classes")
+        .config("spark.executor.extraClassPath", LocalClusterProof.RepoClasses)
         .config("spark.executor.extraJavaOptions", LocalClusterProof.AddOpens)
         .config("spark.executor.memory", "1500m")
         .getOrCreate()
@@ -75,6 +74,12 @@ object ExecutorDeathProof {
       val regDeadline = System.currentTimeMillis() + 120000L
       while (s.sparkContext.getExecutorMemoryStatus.size < 3 &&
              System.currentTimeMillis() < regDeadline) Thread.sleep(250)
+      // loud, not a hang: a wedged (non-crashing) worker launch would
+      // otherwise leave the PID probe blocked forever on an app with no
+      // resources (LocalClusterProof guards this identically)
+      require(s.sparkContext.getExecutorMemoryStatus.size >= 3,
+        "local-cluster executors did not register within 120s " +
+          s"(got ${s.sparkContext.getExecutorMemoryStatus.size - 1} of 2)")
       val pidsBefore = taskJvms(s)
       require(pidsBefore.size >= 2, s"expected 2 executor JVMs, got $pidsBefore")
 
@@ -85,6 +90,23 @@ object ExecutorDeathProof {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
+      // in-flight witness: the proof's claim is a MID-FLIGHT death, so it
+      // must be able to FAIL if the kill lands between tasks or after the
+      // job — active tasks are snapshotted at the kill instant and at
+      // least one task must end non-successfully because of it
+      val activeTasks = new java.util.concurrent.atomic.AtomicLong(0)
+      val failedTasks = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          activeTasks.incrementAndGet()
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          activeTasks.decrementAndGet()
+          if (t.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
+        }
+      }
+      s.sparkContext.addSparkListener(listener)
       val out = s"$scratch/out_killed"
       val t0 = System.nanoTime()
       val fut = Future {
@@ -102,21 +124,23 @@ object ExecutorDeathProof {
           s"transcode finished before the ${killAfterSec}s kill point — " +
             "raise blocks or lower killAfterSec so the death lands mid-flight")
       }
+      val activeAtKill = activeTasks.get()
       new ProcessBuilder("kill", "-9", victimPid).start().waitFor()
-      println(s"[execdeath] killed executor JVM $victim at T+${killAfterSec}s")
+      println(s"[execdeath] killed executor JVM $victim at T+${killAfterSec}s " +
+        s"($activeAtKill tasks in flight)")
       val counts = Await.result(fut, 15.minutes)
       val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.GraftListenerBus.drain(s.sparkContext)
+      s.sparkContext.removeSparkListener(listener)
+      // the kill must have LANDED mid-flight: at least one task ended
+      // non-successfully because the executor died — without this the
+      // proof could pass vacuously (kill between tasks / after the job)
+      require(failedTasks.get() > 0,
+        s"no task failed from the kill (active at kill: $activeAtKill) — " +
+          "the death landed outside the job; adjust killAfterSec/blocks")
 
       require(counts.values.sum == n, s"counts ${counts.values.sum} != $n")
-      val back = s.read.parquet(out)
-      val dups = back.groupBy(col("id"), col("type")).count()
-        .filter(col("count") > 1).count()
-      require(dups == 0L, s"$dups duplicate (id,type) rows — dead attempt published?")
-      val tags = OsmValidate.attemptTags(new java.io.File(out))
-      require(tags.forall(_._2.size == 1),
-        s"multi-attempt partitions: ${tags.filter(_._2.size > 1).keys}")
-      require(new java.io.File(out, "_SUCCESS").exists(), "_SUCCESS missing")
-      val (rows, hash) = LocalClusterProof.fingerprint(back)
+      val (rows, hash) = LocalClusterProof.validateCommittedOutput(s, out, n, "killed")
       require(rows == truthRows && hash == truthHash,
         s"content diverged from the undisturbed run: ($rows,$hash) vs ($truthRows,$truthHash)")
 
@@ -131,6 +155,8 @@ object ExecutorDeathProof {
           s""""executors_before":${pidsBefore.map(p => s""""$p"""").mkString("[", ",", "]")},""" +
           s""""executors_after":${pidsAfter.map(p => s""""$p"""").mkString("[", ",", "]")},""" +
           s""""worker_relaunched_replacement":$relaunched,""" +
+          s""""tasks_in_flight_at_kill":$activeAtKill,""" +
+          s""""tasks_failed_by_kill":${failedTasks.get()},""" +
           f""""wall_sec":$wall%.1f,"duplicates":0,"multi_attempt_partitions":0,""" +
           s""""success_marker":true,"hash_match_vs_undisturbed":true,"rows":$rows}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)

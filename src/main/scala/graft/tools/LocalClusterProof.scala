@@ -67,6 +67,29 @@ object LocalClusterProof {
       .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
       .distinct().collect().sorted.toSeq
 
+  /** Executor classpath for repo classes, shared by the proof tools. */
+  private[tools] val RepoClasses = "/root/repo/target/scala-2.13/classes"
+
+  /** Committed-transcode-output validation shared by the cross-process
+    * proofs: zero duplicate (id, type), one attempt tag per published
+    * partition, `_SUCCESS` present, read-back count exact. Returns the
+    * order-invariant content fingerprint. */
+  private[tools] def validateCommittedOutput(s: SparkSession, out: String,
+      expected: Long, tag: String): (Long, String) = {
+    val back = s.read.parquet(out)
+    val dups = back.groupBy(col("id"), col("type")).count()
+      .filter(col("count") > 1).count()
+    require(dups == 0L,
+      s"[$tag] $dups duplicate (id,type) rows — non-winning attempt published?")
+    val tags = OsmValidate.attemptTags(new java.io.File(out))
+    require(tags.forall(_._2.size == 1),
+      s"[$tag] multi-attempt partitions: ${tags.filter(_._2.size > 1).keys}")
+    require(new java.io.File(out, "_SUCCESS").exists(), s"[$tag] _SUCCESS missing")
+    val (rows, hash) = fingerprint(back)
+    require(rows == expected, s"[$tag] read-back $rows != expected $expected")
+    (rows, hash)
+  }
+
   private[tools] val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",
@@ -92,8 +115,7 @@ object LocalClusterProof {
       // executor JVMs are launched fresh by the in-process Worker: they
       // get Spark's jars from SPARK_HOME but need this repo's classes and
       // the same JDK17 module opens the driver runs with (run.sh)
-      b.config("spark.executor.extraClassPath",
-          "/root/repo/target/scala-2.13/classes")
+      b.config("spark.executor.extraClassPath", RepoClasses)
         .config("spark.executor.extraJavaOptions", AddOpens)
         .config("spark.executor.memory", "1500m")
     }
@@ -117,17 +139,7 @@ object LocalClusterProof {
     val counts = OsmPbf.transcode(s, PbfConfig(input = pbf, output = out,
       fileTargetMb = Some(16)))
     s.sparkContext.hadoopConfiguration.unset("graft.test.transcode.failPartitionOnce")
-    val back = s.read.parquet(out)
-    val dups = back.groupBy(col("id"), col("type")).count()
-      .filter(col("count") > 1).count()
-    require(dups == 0L, s"[$tag] $dups duplicate (id,type) rows — loser published?")
-    val tags = OsmValidate.attemptTags(new java.io.File(out))
-    require(tags.forall(_._2.size == 1),
-      s"[$tag] multi-attempt partitions: ${tags.filter(_._2.size > 1).keys}")
-    require(new java.io.File(out, "_SUCCESS").exists(), s"[$tag] _SUCCESS missing")
-    val (tRows, tHash) = fingerprint(back)
-    require(tRows == counts.values.sum,
-      s"[$tag] read-back $tRows != counted ${counts.values.sum}")
+    val (tRows, tHash) = validateCommittedOutput(s, out, counts.values.sum, tag)
     val legA = Leg("transcode_retry", tRows, tHash)
 
     // (b) p01 zone-map broadcast semi-join

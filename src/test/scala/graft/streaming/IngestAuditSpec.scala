@@ -141,6 +141,35 @@ class IngestAuditSpec extends AnyFunSuite {
     } finally cleanup(base)
   }
 
+  test("a staged name containing '%' audits cleanly (no double URI-decode)") {
+    // the log records file: URIs with %-encoding; getPath decodes the LOG
+    // side back to the literal path — the STAGED side must stay verbatim,
+    // else '/a%20b' would decode to '/a b' and a clean run would fail
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a%20b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      // as Spark writes it: the literal '%' is URI-encoded to %25
+      val uri = stage.resolve("a%20b.parquet").toUri.toString
+      assert(uri.contains("%2520b") || uri.contains("a%2520b") || uri.contains("%25"),
+        s"expected %-encoding in $uri")
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", s"""{"path":"$uri","timestamp":1,"batchId":0}""").mkString("\n"))
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+    } finally cleanup(base)
+  }
+
+  test("a second source dir fails loud instead of mis-auditing pooled entries") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet")
+      java.nio.file.Files.createDirectories(base.resolve("ckpt/sources/1"))
+      val e = intercept[IllegalArgumentException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e.getMessage.contains("single-source"), e.getMessage)
+    } finally cleanup(base)
+  }
+
   test("no sources dir at all means no entries (pre-first-batch checkpoint)") {
     val base = java.nio.file.Files.createTempDirectory("ingestaudit-bare")
     try {
