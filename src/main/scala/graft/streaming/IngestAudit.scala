@@ -117,7 +117,7 @@ object IngestAudit {
           case 'r' => b += '\r'; i += 2
           case 'b' => b += '\b'; i += 2
           case 'f' => b += '\f'; i += 2
-          case 'u' if i + 5 < s.length + 1 && i + 6 <= s.length =>
+          case 'u' if i + 6 <= s.length =>
             try { b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6 }
             catch { case _: NumberFormatException => b += c; i += 1 }
           case _ => b += c; i += 1
@@ -175,7 +175,7 @@ object IngestAudit {
     * sidecars, which Spark's listing explicitly keeps. */
   private def visibleToFileSource(name: String): Boolean = {
     val excluded = (name.startsWith("_") && !name.contains("=")) ||
-      name.startsWith(".")
+      name.startsWith(".") || name.endsWith("._COPYING_")
     val kept = name.startsWith("_metadata") || name.startsWith("_common_metadata")
     !excluded || kept
   }

@@ -96,6 +96,13 @@ object ExecutorDeathProof {
       // least one task must end non-successfully because of it
       val activeTasks = new java.util.concurrent.atomic.AtomicLong(0)
       val failedTasks = new java.util.concurrent.atomic.AtomicLong(0)
+      // DEATH-attributable ends only: a generic non-Success counter would
+      // let an unrelated transient failure (retried fetch, spill error)
+      // satisfy the mid-flight assertion even if the kill landed between
+      // tasks. ExecutorLostFailure carries the lost executor's id; the
+      // removed-executor events (timestamped) tie that id to OUR kill.
+      val lostTaskExecIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+      val removedExecIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
       val listener = new org.apache.spark.scheduler.SparkListener {
         override def onTaskStart(
             t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
@@ -103,8 +110,16 @@ object ExecutorDeathProof {
         override def onTaskEnd(
             t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
           activeTasks.decrementAndGet()
-          if (t.reason != org.apache.spark.Success) failedTasks.incrementAndGet()
+          t.reason match {
+            case org.apache.spark.Success => ()
+            case e: org.apache.spark.ExecutorLostFailure =>
+              failedTasks.incrementAndGet(); lostTaskExecIds.add(e.execId)
+            case _ => failedTasks.incrementAndGet()
+          }
         }
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          removedExecIds.add(e.executorId)
       }
       s.sparkContext.addSparkListener(listener)
       val out = s"$scratch/out_killed"
@@ -132,11 +147,19 @@ object ExecutorDeathProof {
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBus.drain(s.sparkContext)
       s.sparkContext.removeSparkListener(listener)
-      // the kill must have LANDED mid-flight: at least one task ended
-      // non-successfully because the executor died — without this the
-      // proof could pass vacuously (kill between tasks / after the job)
-      require(failedTasks.get() > 0,
-        s"no task failed from the kill (active at kill: $activeAtKill) — " +
+      // the kill must have LANDED mid-flight: at least one task ended with
+      // ExecutorLostFailure naming an executor that was REMOVED during the
+      // run — without this the proof could pass vacuously (kill between
+      // tasks / after the job), and a generic non-Success end (unrelated
+      // transient failure) cannot satisfy it
+      val deathEnds = {
+        import scala.jdk.CollectionConverters._
+        lostTaskExecIds.asScala.toSet intersect removedExecIds.asScala.toSet
+      }
+      require(deathEnds.nonEmpty,
+        s"no task ended with ExecutorLostFailure for a removed executor " +
+          s"(active at kill: $activeAtKill, non-success ends: ${failedTasks.get()}, " +
+          s"lost-task execIds: $lostTaskExecIds, removed: $removedExecIds) — " +
           "the death landed outside the job; adjust killAfterSec/blocks")
 
       require(counts.values.sum == n, s"counts ${counts.values.sum} != $n")
@@ -157,6 +180,7 @@ object ExecutorDeathProof {
           s""""worker_relaunched_replacement":$relaunched,""" +
           s""""tasks_in_flight_at_kill":$activeAtKill,""" +
           s""""tasks_failed_by_kill":${failedTasks.get()},""" +
+          s""""death_attributed_exec_ids":${deathEnds.toSeq.sorted.map(i => s""""$i"""").mkString("[", ",", "]")},""" +
           f""""wall_sec":$wall%.1f,"duplicates":0,"multi_attempt_partitions":0,""" +
           s""""success_marker":true,"hash_match_vs_undisturbed":true,"rows":$rows}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)

@@ -67,8 +67,15 @@ object LocalClusterProof {
       .map(_ => java.lang.management.ManagementFactory.getRuntimeMXBean.getName)
       .distinct().collect().sorted.toSeq
 
-  /** Executor classpath for repo classes, shared by the proof tools. */
-  private[tools] val RepoClasses = "/root/repo/target/scala-2.13/classes"
+  /** Executor classpath for repo classes, shared by the proof tools —
+    * derived from where THIS class was loaded from (so a relocated repo
+    * or a different build output dir keeps working), with the sbt default
+    * as the fallback when the code source is unavailable (e.g. loaded
+    * from a merged bootstrap loader). */
+  private[tools] val RepoClasses: String =
+    Option(getClass.getProtectionDomain.getCodeSource)
+      .map(cs => new java.io.File(cs.getLocation.toURI).getAbsolutePath)
+      .getOrElse("/root/repo/target/scala-2.13/classes")
 
   /** Committed-transcode-output validation shared by the cross-process
     * proofs: zero duplicate (id, type), one attempt tag per published
