@@ -312,10 +312,20 @@ object Multimodal {
     * not SQL-expressible). Real animated-GIF containers (multi-frame
     * decode + uniform temporal sampling, pixel-derived checksums) union'd
     * with the byte-span stub path over raw text payloads; ≤4 frames per
-    * item; aggregate per source frame index. */
+    * item; aggregate per source frame index.
+    *
+    * Corrupt-row coverage matches m02/m04: every 67th GIF is truncated to
+    * its first 8 container bytes, so the undecodable-image → byte-span
+    * fallback branch of [[sampleFrames]] executes INSIDE the gated corpus
+    * and shapes the golden. m03 has no `kind` column, so the corrupt rows
+    * surface as stub spans folded into the frame_idx aggregates rather
+    * than a `;undecoded` group — the fallback is still oracle-pinned
+    * (remove it and the golden breaks), and I20's codec-free recompute
+    * re-derives those spans from the format-mandated GIF header bytes. */
   val m03_frame_sample: (SparkSession, String) => DataFrame = (s, dir) => {
     import s.implicits._
-    val media = documentsAsMedia(s, dir).unionByName(gifsFromDocs(s, dir))
+    val media = corruptSample(
+      documentsAsMedia(s, dir).unionByName(gifsFromDocs(s, dir)), 67L)
     sampleFrames(media, 4)
       .groupBy(col("frame_idx"))
       .agg(count(lit(1)).as("n_frames"), sum(col("n_bytes")).as("total_bytes"),

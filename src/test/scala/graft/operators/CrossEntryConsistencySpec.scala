@@ -791,21 +791,36 @@ class CrossEntryConsistencySpec extends AnyFunSuite with BeforeAndAfterAll {
         val span = java.util.Arrays.copyOfRange(p, from, until)
         (i, span.length.toLong, stubChecksum(span))
       }
-      // gif leg: 2..6 gray 8x8 frames, uniform temporal picks, pixel
-      // checksum over gray-rendered rgb (g, g, g)
-      val side = 8
-      val nFrames = 2 + (id % 5).toInt
-      val picks = if (nFrames <= 4) 0 until nFrames
-                  else (0 until 4).map(i => i * nFrames / 4)
-      val frames = picks.map { f =>
-        var h = 5381L; var i = 0
-        while (i < side * side) {
-          val b = if (p.isEmpty) 0 else p((i + f * 7) % p.length) & 0xff
-          val g = (b + f * 31) & 0xff
-          h = (h * 33 + g * 0x010101) % 2147483647L
-          i += 1
+      // gif leg, corrupt sample (every 67th id, matching m02/m04's
+      // planting): the payload is truncated to its first 8 container
+      // bytes, which for ANY conforming encoder of an 8x8 animated GIF
+      // are format-MANDATED, not encoder-chosen — the GIF89a signature
+      // plus the logical-screen width (8, little-endian). decode fails,
+      // so the byte-span stub emits 4 two-byte spans of that header.
+      val frames = if (id % 67 == 0) {
+        val hdr = "GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++
+          Array[Byte](8, 0)
+        (0 until 4).map { i =>
+          val span = java.util.Arrays.copyOfRange(hdr, i * 2, i * 2 + 2)
+          (i, span.length.toLong, stubChecksum(span))
         }
-        (f, (side * side).toLong, h)
+      } else {
+        // gif leg: 2..6 gray 8x8 frames, uniform temporal picks, pixel
+        // checksum over gray-rendered rgb (g, g, g)
+        val side = 8
+        val nFrames = 2 + (id % 5).toInt
+        val picks = if (nFrames <= 4) 0 until nFrames
+                    else (0 until 4).map(i => i * nFrames / 4)
+        picks.map { f =>
+          var h = 5381L; var i = 0
+          while (i < side * side) {
+            val b = if (p.isEmpty) 0 else p((i + f * 7) % p.length) & 0xff
+            val g = (b + f * 31) & 0xff
+            h = (h * 33 + g * 0x010101) % 2147483647L
+            i += 1
+          }
+          (f, (side * side).toLong, h)
+        }
       }
       spans ++ frames
     }
