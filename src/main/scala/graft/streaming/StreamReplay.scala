@@ -919,6 +919,11 @@ object StreamReplay {
       val fStart = System.nanoTime()
       var pollSleepNs = 0L
       var pollCountNs = 0L
+      // settle instrumentation, surfaced through lastFloor (see below):
+      // -1 = no awaitRows loop ran (processAllAvailable settlement)
+      var settleSignalOut = -1.0
+      var settleCountJobs = 0.0
+      var settleResidualSec = 0.0
       try {
         awaitRows match {
           case Some(n) =>
@@ -948,6 +953,16 @@ object StreamReplay {
             var acc = 0L
             var lastBatch = -1L
             var settled = false
+            // settle-path instrumentation (r18 verdict #4): WHICH signal
+            // settled the run (0=progress accounting, 1=throttled sink
+            // count, 2=deadline-path final count), how many fallback
+            // count() jobs ran, and the residual wait between the sink
+            // actually filling (last batch's commit end, estimated from
+            // its progress timestamp + triggerExecution) and settle
+            // detection — so the next st06-style warmed-sweep flag is
+            // answered by a field, not a fresh-JVM re-run
+            var settleSignal = 0.0
+            var countJobs = 0L
             // a sink/Spark version that stops reporting per-batch commit
             // rows (SinkProgress.numOutputRows = -1) would make progress
             // accounting permanently under-count — fall back to the
@@ -982,7 +997,10 @@ object StreamReplay {
                 val now = System.currentTimeMillis()
                 if (now - lastCountMs >= 1000L) {
                   lastCountMs = now
-                  s.table(sink).count() >= n
+                  countJobs += 1
+                  val full = s.table(sink).count() >= n
+                  if (full) settleSignal = 1.0
+                  full
                 } else false
               })
               pollCountNs += System.nanoTime() - c0
@@ -995,7 +1013,8 @@ object StreamReplay {
                   // belt-and-suspenders against any progress-accounting
                   // blind spot (e.g. retention eviction under an extreme
                   // batch storm): believe the sink itself before dying
-                  if (s.table(sink).count() >= n) settled = true
+                  countJobs += 1
+                  if (s.table(sink).count() >= n) { settled = true; settleSignal = 2.0 }
                   else sys.error(s"replayDocs: sink $sink stuck below $n rows " +
                     s"(progress-counted $acc, sink ${s.table(sink).count()})")
                 }
@@ -1004,6 +1023,21 @@ object StreamReplay {
                 pollSleepNs += System.nanoTime() - s0
               }
             }
+            settleSignalOut = settleSignal
+            settleCountJobs = countJobs.toDouble
+            // residual wait: detection instant minus the last batch's
+            // COMMIT END, estimated from its progress timestamp (trigger
+            // start) + triggerExecution duration — the moment the sink
+            // actually filled for the normal sequential-batch case. A
+            // lower-bound estimate when extra (post-fill) batches
+            // committed before detection; exact enough to adjudicate a
+            // warmed-sweep flag against the 1s count throttle.
+            val detectMs = System.currentTimeMillis()
+            val lastCommitEndMs = query.recentProgress.map { p =>
+              java.time.Instant.parse(p.timestamp).toEpochMilli +
+                Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+            }.maxOption.getOrElse(detectMs)
+            settleResidualSec = math.max(0L, detectMs - lastCommitEndMs) / 1e3
           case None => query.processAllAvailable()
         }
         // settle-time ingest audit — same guard as replayRaw's (see
@@ -1030,6 +1064,13 @@ object StreamReplay {
           "process_sec" -> (fProc - fStart) / 1e9,
           "poll_sleep_sec" -> pollSleepNs / 1e9,
           "poll_sinkcount_sec" -> pollCountNs / 1e9,
+          // which settlement signal fired (0=progress accounting,
+          // 1=throttled sink count, 2=deadline-path final count; -1 = no
+          // awaitRows loop), how many fallback count() jobs ran, and the
+          // sink-full -> settle-detection residual (see the loop)
+          "settle_signal" -> settleSignalOut,
+          "settle_count_jobs" -> settleCountJobs,
+          "settle_residual_wait_sec" -> settleResidualSec,
           "extract_sec" -> (fEnd - fProc) / 1e9,
           "total_sec" -> (fEnd - f0) / 1e9))
         result
