@@ -35,15 +35,17 @@ package graft.streaming
   * incrementally over the latest compact, which this deliberately
   * simple one-shot form does not attempt.
   *
-  * Declared residual: a corruption that REMOVES a whole entry while
-  * leaving a well-formed shorter log (truncation landing exactly on a
-  * line boundary) erases the evidence of the first ingestion — the
-  * re-ingested path then appears once, indistinguishable from a clean
-  * single ingestion by the log alone. Random truncation almost always
-  * cuts mid-line (loud here), the 205-trial campaign produced zero such
-  * escapes, and the fuzz gate leg's flag-row oracle would catch the
-  * duplicates downstream — but the audit itself cannot see this class
-  * and does not claim to.
+  * The r18-declared residual — a corruption that REMOVES a whole entry
+  * while leaving a well-formed shorter log (truncation landing exactly
+  * on a line boundary, or a deleted line) — is now ATTEMPTED
+  * deliberately by the campaign's targeted line mutators and defended
+  * in two layers: [[auditBatchLedger]] makes the structural sub-classes
+  * loud (missing batch file, batch file recording no ingestion for its
+  * own batch, commits/sources disagreement), and
+  * [[reconcileRowTotal]] closes the one sub-class the log's own
+  * structure cannot witness (an erased entry beside a surviving
+  * same-batch entry) at the harness layer, where staged and ingested
+  * row totals are both known.
   */
 object IngestAudit {
 
@@ -142,9 +144,104 @@ object IngestAudit {
     } catch { case _: Exception => p }
   }
 
+  /** Batch-ledger reconciliation (the r18 verdict's #2 ask): the
+    * line-boundary-truncation residual erases an ENTRY while leaving a
+    * well-formed shorter log, so the entry checks alone cannot see it.
+    * What the checkpoint still carries is STRUCTURE, and three rules make
+    * most of the class loud:
+    *   - source batch FILE names must be contiguous (a deleted middle
+    *     batch file is a hole, not a shorter history);
+    *   - every batch file `N`/`N.compact` must contribute >=1 entry with
+    *     batchId == N (a file source plans a batch only when it has new
+    *     files, so a well-formed batch file recording NO ingestion for
+    *     its own batch is exactly the whole-entry-erasure signature);
+    *   - the `commits/` log must be contiguous and cover every sources
+    *     batch (maxCommit >= maxSources, NOT equality: processing-time
+    *     TWS legitimately commits trailing batches that ingest no files).
+    * The sub-class these rules cannot see — an erased entry in a batch
+    * file that RETAINS another entry for the same batch — is closed by
+    * [[reconcileRowTotal]] at the harness layer, where the staged row
+    * total and the ingested/sink row total are both known. */
+  def auditBatchLedger(ckptDir: String): Unit = {
+    def ids(dir: java.io.File, what: String): Seq[Long] = {
+      val fs = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.endsWith(".crc") && !f.getName.endsWith(".tmp"))
+      fs.toSeq.map { f =>
+        val name = f.getName.stripSuffix(".compact")
+        try name.toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"ingest audit: non-numeric $what log file ${f.getPath}")
+        }
+      }.sorted
+    }
+    val srcRoot = new java.io.File(ckptDir, "sources")
+    if (!srcRoot.isDirectory) return
+    val srcDirs = Option(srcRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    if (srcDirs.isEmpty) return
+    val srcDir = srcDirs.head // single-source enforced by entries()
+    val fileIds = ids(srcDir, "sources")
+    if (fileIds.isEmpty) return
+    val holes = (fileIds.min to fileIds.max).filterNot(fileIds.contains)
+    if (holes.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest audit FAILED for checkpoint $ckptDir: sources log batch " +
+          s"files are not contiguous — missing batch file(s) ${holes.take(3)} " +
+          s"in [${fileIds.min}, ${fileIds.max}]")
+    val byBatch = entries(ckptDir).groupBy(_.batchId)
+    val uncovered = fileIds.filterNot(byBatch.contains)
+    if (uncovered.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest audit FAILED for checkpoint $ckptDir: sources batch " +
+          s"file(s) ${uncovered.take(3)} record no ingestion for their own " +
+          "batch (whole-entry erasure?)")
+    val stray = byBatch.keys.filter(b => b < fileIds.min || b > fileIds.max)
+    if (stray.nonEmpty)
+      throw new IllegalStateException(
+        s"ingest audit FAILED for checkpoint $ckptDir: entries recorded " +
+          s"for batch(es) ${stray.toSeq.sorted.take(3)} outside the batch-file " +
+          s"range [${fileIds.min}, ${fileIds.max}]")
+    val commitsDir = new java.io.File(ckptDir, "commits")
+    if (commitsDir.isDirectory) {
+      val commitIds = ids(commitsDir, "commits")
+      if (commitIds.nonEmpty) {
+        val commitHoles = (commitIds.min to commitIds.max).filterNot(commitIds.contains)
+        if (commitHoles.nonEmpty)
+          throw new IllegalStateException(
+            s"ingest audit FAILED for checkpoint $ckptDir: commits log not " +
+              s"contiguous — missing ${commitHoles.take(3)}")
+        if (commitIds.max < fileIds.max)
+          throw new IllegalStateException(
+            s"ingest audit FAILED for checkpoint $ckptDir: sources log " +
+              s"records batch ${fileIds.max} but the commits log stops at " +
+              s"${commitIds.max} (settle-time audit expects a cleanly " +
+              "committed run)")
+      }
+    }
+  }
+
+  /** Row-total reconciliation, the harness-layer close of the ledger's
+    * declared residual (an erased entry in a batch file that retains
+    * another entry for the same batch): at settle the rows INGESTED
+    * (sink/state/progress accounting — the caller knows which) must
+    * equal the rows STAGED. A silent re-ingestion inflates the ingested
+    * side by the duplicated file's rows, so the one corruption class the
+    * log's own structure cannot witness turns loud here. */
+  def reconcileRowTotal(ckptDir: String, stagedRows: Long, ingestedRows: Long,
+      what: String): Unit =
+    if (stagedRows != ingestedRows)
+      throw new IllegalStateException(
+        s"ingest audit FAILED for checkpoint $ckptDir: row-total " +
+          s"reconciliation — staged $stagedRows rows but $what accounts " +
+          s"$ingestedRows (silent re-ingestion or row loss)")
+
   /** Fails loud unless the source logs record EXACTLY the given staged
     * files (plain local paths, compared verbatim), each in exactly one
-    * batch. */
+    * batch. Also runs the batch-ledger reconciliation (AFTER the entry
+    * checks: when both fire, the entry-level message names the exact
+    * paths, which is the more actionable diagnosis). */
   def auditFiles(ckptDir: String, staged: Seq[String]): Unit = {
     val want = staged.toSet
     require(want.size == staged.size,
@@ -166,6 +263,7 @@ object IngestAudit {
           (if (reingested.nonEmpty)
             s" ingested in MULTIPLE batches (silent duplicate rows): ${reingested.take(3)};"
           else ""))
+    auditBatchLedger(ckptDir)
   }
 
   /** Mirror of Spark's `InMemoryFileIndex.shouldFilterOut`, the listing

@@ -96,6 +96,30 @@ object StreamReplay {
   private[graft] val lastFloor =
     new java.util.concurrent.atomic.AtomicReference[Map[String, Double]](Map.empty)
 
+  /** Settle-time row-total reconciliation (IngestAudit.reconcileRowTotal,
+    * the r18 verdict's #2 ask): the rows the progress history accounts as
+    * READ from the source must equal the rows STAGED — the harness-layer
+    * close of the one seen-files-log corruption sub-class the log's own
+    * structure cannot witness (silent re-ingestion inflates the read
+    * side). Guarded on full progress coverage: if retention evicted any
+    * batch (never at replay scale — the settle loop latches a fallback on
+    * the same condition), the sum is short and the check would be a false
+    * alarm, so it is skipped rather than mis-fired. The staged count is a
+    * footer-metadata job (no column reads). */
+  private def reconcileStagedRows(s: SparkSession,
+      query: org.apache.spark.sql.streaming.StreamingQuery,
+      ckpt: String, stage: Path): Unit = {
+    val ps = query.recentProgress
+    if (ps.isEmpty) return
+    val bids = ps.map(_.batchId)
+    if (bids.min != 0L || bids.distinct.length.toLong != bids.max + 1) return
+    val ingested = ps.map(p =>
+      Option(p.sources).toSeq.flatten.map(_.numInputRows).sum).sum
+    val staged = s.read.parquet(stage.toString).count()
+    IngestAudit.reconcileRowTotal(ckpt, staged, ingested,
+      "the progress history's source input rows")
+  }
+
   private def progressSums(
       ps: Array[org.apache.spark.sql.streaming.StreamingQueryProgress]): Map[String, Double] = {
     import scala.jdk.CollectionConverters._
@@ -392,6 +416,7 @@ object StreamReplay {
         // files, each once — the engine-layer guard that converts the
         // seen-files-log corruption class from silent duplicates to loud
         IngestAudit.audit(ckpt, stage)
+        reconcileStagedRows(s, query, ckpt, stage)
         val batches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
         // recentProgress retains (by default) far more batches than any
         // replay here runs, so these sums cover the whole query's
@@ -1044,6 +1069,7 @@ object StreamReplay {
         // IngestAudit); by settlement every staged doc chunk has been
         // planned into a batch, so the source log is complete
         IngestAudit.audit(ckpt, stage)
+        reconcileStagedRows(s, query, ckpt, stage)
         val fProc = System.nanoTime()
         progressSink.foreach(_ ++= query.recentProgress)
         val floorBatches = progressSums(query.recentProgress)

@@ -28,9 +28,12 @@ import org.apache.spark.sql.streaming.Trigger
   *
   * Usage: scripts/run.sh graft.tools.StateRestoreFuzz [outJson]
   *        [hdfsTrials] [rocksTrials] [gateTrials] [sourcesTrials]
+  *        [lineTrials]
   * (sourcesTrials, r18: a leg that corrupts ONLY files under `sources/` —
   * the seen-files log — so the IngestAudit defense is measured at
-  * volume, not via incidental hits.)
+  * volume, not via incidental hits. lineTrials, r19: the targeted
+  * line-boundary leg attempting the audit's r18-declared residual —
+  * every trial must fire the layered defense loud.)
   */
 object StateRestoreFuzz {
 
@@ -64,8 +67,17 @@ object StateRestoreFuzz {
     try q.awaitTermination() finally if (q.isActive) q.stop()
     // the engine-layer guard under test: every visible input file must be
     // recorded ingested exactly once by the checkpoint's own source log
-    if (audit)
+    // (incl. the batch-ledger rules), and the STATE's row accounting must
+    // equal the staged rows — the r18 verdict's #2 reconciliation, which
+    // closes the erased-line class the log's structure cannot witness
+    // (the count query's state total IS the ingested row total)
+    if (audit) {
       graft.streaming.IngestAudit.audit(ckpt, java.nio.file.Paths.get(inputDir))
+      val staged = spark.read.parquet(inputDir).count()
+      val ingested = readState(spark, ckpt).values.sum
+      graft.streaming.IngestAudit.reconcileRowTotal(ckpt, staged, ingested,
+        "the state table's count total")
+    }
   }
 
   private[graft] def readState(spark: SparkSession, ckpt: String): Map[Long, Long] =
@@ -101,9 +113,15 @@ object StateRestoreFuzz {
     * class name rather than inflating the defense counter. */
   private def loudClass(e: Throwable): String =
     if (e.isInstanceOf[IllegalStateException] &&
-        Option(e.getMessage).exists(_.contains("ingest audit")))
-      "IngestAuditFailure"
-    else e.getClass.getSimpleName
+        Option(e.getMessage).exists(_.contains("ingest audit"))) {
+      // sub-bucket by WHICH defense fired, so the artifact shows the
+      // layered close of the line-boundary class, not one opaque counter
+      val m = e.getMessage
+      if (m.contains("row-total")) "IngestAuditRowReconcile"
+      else if (m.contains("not contiguous") || m.contains("no ingestion") ||
+               m.contains("commits log")) "IngestAuditLedger"
+      else "IngestAuditFailure"
+    } else e.getClass.getSimpleName
 
   private val seed = 20260816L
   private val rnd = new scala.util.Random(seed)
@@ -152,11 +170,12 @@ object StateRestoreFuzz {
   }
 
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("FUZZ_STATE_r18.json")
+    val outJson = args.headOption.getOrElse("FUZZ_STATE_r19.json")
     val hdfsTrials = if (args.length > 1) args(1).toInt else 150
     val rocksTrials = if (args.length > 2) args(2).toInt else 30
     val gateTrials = if (args.length > 3) args(3).toInt else 25
     val sourcesTrials = if (args.length > 4) args(4).toInt else 40
+    val lineTrials = if (args.length > 5) args(5).toInt else 30
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
     val spark = SparkSession.builder()
@@ -230,13 +249,55 @@ object StateRestoreFuzz {
       (target.getPath.stripPrefix(ckpt), kind)
     }
 
-    def trial(i: Int, provider: String, only: Option[String] = None): Unit = {
+    // Targeted line-boundary mutators (r18 verdict #2): corruption landing
+    // EXACTLY on a line boundary of a sources batch file — the declared
+    // residual no random mutator had ever attempted (random truncation
+    // cuts mid-line). Both leave a WELL-FORMED shorter log. The richest
+    // file (most entry lines) is chosen so line_delete can leave a
+    // surviving same-batch entry — the exact sub-class the batch ledger
+    // cannot see and only the row-total reconciliation catches.
+    def corruptLineBoundary(ckpt: String, mode: Int): (String, String) = {
+      val all = targets(new java.io.File(ckpt)).filter(_.getPath.contains("/sources/"))
+      require(all.nonEmpty, s"no sources log files under $ckpt")
+      val (target, text) = all.map(f => f -> new String(
+        java.nio.file.Files.readAllBytes(f.toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+        .maxBy(_._2.linesIterator.count(_.nonEmpty))
+      val endsNl = text.endsWith("\n")
+      val lines = text.linesIterator.toVector // [version header, entry, ...]
+      require(lines.size >= 2, s"sources file ${target.getPath} has no entry lines")
+      val (mutated, kind) = mode % 3 match {
+        case 0 =>
+          // drop the LAST line — truncation landing exactly on the
+          // preceding line's terminator
+          (lines.dropRight(1).mkString("\n") + "\n", "line_truncate")
+        case 1 =>
+          // remove one whole entry line (a strictly-interior one when the
+          // file has several), re-joining the rest verbatim
+          val idx = 1 + rnd.nextInt(lines.size - 1)
+          (lines.patch(idx, Nil, 1).mkString("\n") + (if (endsNl) "\n" else ""),
+            "line_delete")
+        case _ =>
+          // erase EVERY entry line, leaving a well-formed header-only
+          // batch file — the structural sub-class the LEDGER catches (a
+          // batch file recording no ingestion for its own batch)
+          (lines.head + "\n", "line_erase_all")
+      }
+      java.nio.file.Files.write(target.toPath,
+        mutated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val crc = new java.io.File(target.getParent, s".${target.getName}.crc")
+      if (crc.exists()) { assert(crc.delete()) }
+      (target.getPath.stripPrefix(ckpt), kind)
+    }
+
+    def trial(i: Int, provider: String, only: Option[String] = None,
+              corruptFn: Option[String => (String, String)] = None): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-statefuzz$i").toFile
       val inputDir = s"$base/input"; val ckpt = s"$base/ckpt"
       try {
         writeChunk(inputDir, 0, 500)
         runStream(inputDir, ckpt) // committed checkpoint over chunk 1
-        val (rel, kind) = corruptOne(ckpt, only)
+        val (rel, kind) = corruptFn.fold(corruptOne(ckpt, only))(_(ckpt))
         mutatorCounts(kind) = mutatorCounts.getOrElse(kind, 0L) + 1
         writeChunk(inputDir, 500, 800)
         val resumed =
@@ -339,6 +400,23 @@ object StateRestoreFuzz {
       // same engine-layer guard as runStream — a corrupted seen-files log
       // must fail HERE, loudly, not as silent duplicate flag rows
       graft.streaming.IngestAudit.audit(ckpt, java.nio.file.Paths.get(inputDir))
+      // gate-shaped row reconciliation: a re-ingested chunk emits its
+      // band rows AGAIN (under a new batch_id partition; a legitimate
+      // same-batch re-run overwrites its own partition and stays
+      // invisible). Group by the EMISSION IDENTITY (doc_id, band) — not
+      // all columns: the duplicate emission's dup flag legitimately
+      // differs from the first (the owner state already exists), so a
+      // whole-row group-by would split the two copies apart and miss
+      // them. Any identity emitted more than once is the duplicate
+      // signature, made loud without an oracle recompute.
+      val sink = spark.read.parquet(sinkDir)
+      val multi = sink.groupBy(col("doc_id"), col("band"))
+        .agg(count(lit(1)).as("n_rows"))
+        .filter(col("n_rows") > 1).count()
+      if (multi > 0)
+        throw new IllegalStateException(
+          s"ingest audit FAILED for checkpoint $ckpt: $multi (doc_id, band) " +
+            "flag identities emitted more than once (silent re-ingestion)")
     }
     def gateTrial(i: Int): Unit = {
       val base = java.nio.file.Files.createTempDirectory(s"graft-gatefuzz$i").toFile
@@ -418,19 +496,46 @@ object StateRestoreFuzz {
       if (i % 10 == 0) println(s"sources: $i/$sourcesTrials ${outcomes.toMap} escapes=$escapes")
     }
     val sourcesOutcome = outcomes.toMap
+
+    // LINE-BOUNDARY leg (r19): the r18-declared residual, ATTEMPTED
+    // deliberately. Every trial erases a whole entry line from a sources
+    // batch file (last-line truncation or interior deletion) leaving a
+    // well-formed shorter log — the class the entry checks alone cannot
+    // see. The resume silently re-ingests the erased file upstream; the
+    // defense must make every trial LOUD (ledger rules for the
+    // structural sub-classes, row-total reconciliation for the
+    // erased-beside-survivor sub-class). A benign outcome here is
+    // IMPOSSIBLE by construction (the erased entry always names a
+    // nonempty data file), so any benign/escape count is a defense hole.
+    outcomes.keys.foreach(k => outcomes(k) = 0L)
+    (1 to lineTrials).foreach { i =>
+      trial(hdfsTrials + rocksTrials + gateTrials + sourcesTrials + i,
+        "line-boundary",
+        corruptFn = Some(ckpt => corruptLineBoundary(ckpt, mode = i % 3)))
+      if (i % 10 == 0) println(s"line: $i/$lineTrials ${outcomes.toMap} escapes=$escapes")
+    }
+    val lineOutcome = outcomes.toMap
+    val lineHole = lineOutcome.getOrElse("benign", 0L)
+    if (lineHole > 0) {
+      escapes += lineHole.toInt
+      println(s"ESCAPE [line-boundary]: $lineHole trials ended BENIGN — " +
+        "an erased sources-log line must always fire the layered defense")
+    }
     val secs = (System.nanoTime() - t0) / 1e9
 
     def j(m: Map[String, Long]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,"gate_trials":$gateTrials,"sources_trials":$sourcesTrials,""" +
+      s"""{"seed":$seed,"hdfs_trials":$hdfsTrials,"rocksdb_trials":$rocksTrials,"gate_trials":$gateTrials,"sources_trials":$sourcesTrials,"line_trials":$lineTrials,""" +
       s""""escapes":$escapes,"wall_sec":${math.round(secs)},""" +
       s""""contract":"corrupt one checkpoint file, resume: loud failure (any raised error) or output == exact batch recompute (count legs: state table; gate leg: owner state AND emitted flag-row count through the idempotent per-batchId sink); a successful resume with wrong state OR wrong emission count is an escape",""" +
       s""""mutators":${j(mutatorCounts.toMap)},""" +
       s""""loud_exception_classes":${j(loudClasses.toMap)},""" +
       s""""escape_adjudication":"the r17 campaign's one escape class (a bit flip inside a quoted file path of the FileStreamSource seen-files log stays valid JSON, so resume silently re-ingests the renamed-away file) is now DEFENDED at the engine layer: IngestAudit checks the checkpoint's own source log against the staged file set after every run, so the class fails LOUD (IllegalStateException) instead of escaping; the upstream silent behavior stays pinned in CheckpointCorruptionSpec via the audit-bypass arm, next to the guard pin that proves the flip is caught",""" +
       s""""hdfs":${j(hdfsOutcome)},"rocksdb":${j(rocksOutcome)},"gate":${j(gateOutcome)},""" +
-      s""""sources_only":${j(sourcesOutcome)}}"""
+      s""""sources_only":${j(sourcesOutcome)},""" +
+      s""""line_boundary":${j(lineOutcome)},""" +
+      s""""line_boundary_contract":"every trial erases a whole sources-log entry line (last-line truncation or interior deletion, well-formed shorter log — the r18-declared residual, attempted deliberately); the resume must fail LOUD via the batch ledger (structural sub-classes) or the row-total reconciliation (erased-beside-survivor sub-class); benign is impossible by construction and counts as an escape"}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json)
     println(json)
     spark.stop()

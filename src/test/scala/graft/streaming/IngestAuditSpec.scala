@@ -170,6 +170,89 @@ class IngestAuditSpec extends AnyFunSuite {
     } finally cleanup(base)
   }
 
+  test("batch ledger: a deleted middle batch file is loud") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0)).mkString("\n"))
+      java.nio.file.Files.writeString(src.resolve("2"),
+        Seq("v1", entry(stage, "b.parquet", 2)).mkString("\n"))
+      val e = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e.getMessage.contains("not contiguous"), e.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("batch ledger: a batch file recording no ingestion for its own batch is loud") {
+    // the line-erasure resume scenario: batch 0's entries were erased
+    // (well-formed header-only file survives), the resume re-ingested
+    // both files under batch 1 — entry checks all pass, the LEDGER fires
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      java.nio.file.Files.writeString(src.resolve("0"), "v1")
+      java.nio.file.Files.writeString(src.resolve("1"),
+        Seq("v1", entry(stage, "a.parquet", 1), entry(stage, "b.parquet", 1)).mkString("\n"))
+      val e = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e.getMessage.contains("no ingestion"), e.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("batch ledger: commits log must be contiguous and cover the sources log") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0)).mkString("\n"))
+      java.nio.file.Files.writeString(src.resolve("1"),
+        Seq("v1", entry(stage, "b.parquet", 1)).mkString("\n"))
+      val commits = java.nio.file.Files.createDirectories(base.resolve("ckpt/commits"))
+      // commits stop at 0 while sources record batch 1
+      java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
+      val e1 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e1.getMessage.contains("commits log stops"), e1.getMessage)
+      // a commits hole is loud too
+      java.nio.file.Files.writeString(commits.resolve("2"), "v1\n{}")
+      val e2 = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e2.getMessage.contains("commits log not contiguous"), e2.getMessage)
+      // complete commits pass; trailing no-ingest commits (processing-time
+      // TWS) are legal — maxCommit > maxSources must NOT fire
+      java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+      java.nio.file.Files.writeString(commits.resolve("3"), "v1\n{}")
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+    } finally cleanup(base)
+  }
+
+  test("batch ledger: entries outside the batch-file range are loud") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      // batch file 0 carries an entry claiming batch 5 — no file 5 exists
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 5)).mkString("\n"))
+      val e = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e.getMessage.contains("outside the batch-file range"), e.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("row-total reconciliation: mismatch is loud, equality passes") {
+    IngestAudit.reconcileRowTotal("/ckpt", 800L, 800L, "the state total")
+    val e = intercept[IllegalStateException] {
+      IngestAudit.reconcileRowTotal("/ckpt", 800L, 1050L, "the state total") }
+    assert(e.getMessage.contains("row-total"), e.getMessage)
+    assert(e.getMessage.contains("1050"), e.getMessage)
+  }
+
   test("no sources dir at all means no entries (pre-first-batch checkpoint)") {
     val base = java.nio.file.Files.createTempDirectory("ingestaudit-bare")
     try {
