@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   *   [--compression 3] [--input-buffer-size-mb 16]
   *   [--max-records-per-file N] [--file-target-mb 500]
  *   [--row-group-target-mb 128] [--max-row-group-count N]
+ *   [--commit-mode rename|pointer]
  *   [--master local[*] | --worker-threads N]
   *
   * graft.Main --validate <expectedParquet> --against <actualParquet>
@@ -62,7 +63,10 @@ object Main {
         maxRecordsPerFile = numeric(opts, "max-records-per-file", "5000000").toLong,
         fileTargetMb = opts.get("file-target-mb").map(v => numeric("file-target-mb", v).toInt),
         rowGroupTargetMb = numeric(opts, "row-group-target-mb", "128").toInt,
-        maxRowGroupRows = opts.get("max-row-group-count").map(v => numeric("max-row-group-count", v).toInt))
+        maxRowGroupRows = opts.get("max-row-group-count").map(v => numeric("max-row-group-count", v).toInt),
+        // rename (default, HDFS-class atomic-rename stores) or pointer
+        // (object stores: write-once generation + _CURRENT PUT, no renames)
+        commitMode = opts.getOrElse("commit-mode", PbfConfig.CommitRename))
       c.validate()
       c
     }
@@ -85,7 +89,7 @@ object Main {
   private val KnownOpts = Set("input", "output", "compression",
     "input-buffer-size-mb", "max-records-per-file", "file-target-mb",
     "row-group-target-mb", "max-row-group-count", "master", "worker-threads",
-    "validate", "against")
+    "commit-mode", "validate", "against")
 
   /** Every user input error — unknown option, dangling arg, non-numeric
     * or out-of-range value — exits 2 with a one-line message (clap

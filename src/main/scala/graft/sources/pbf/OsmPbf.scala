@@ -83,6 +83,56 @@ object OsmPbf {
     read(spark, path, splitTargetBytes).as[OsmElement]
   }
 
+  /** The generation the `_CURRENT` pointer names, if a pointer-committed
+    * output lives at `outPath`. (graft-visible: the proof tools and specs
+    * inspect the live generation directly.) */
+  private[graft] def currentGenToken(fs: FileSystem, outPath: Path): Option[String] = {
+    val ptr = new Path(outPath, "_CURRENT")
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      val tok = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(tok.startsWith("_gen-") && !tok.contains('/') && tok.length < 64,
+        s"corrupt _CURRENT pointer under $outPath: '$tok'")
+      Some(tok)
+    }
+  }
+
+  /** Committed-generation read for transcode outputs, either protocol:
+    * a pointer-committed output (`_CURRENT` present) resolves the live
+    * generation and loads EXACTLY the manifest's files (zombie-attempt
+    * files sitting in the generation dir are never read; the hive
+    * `type=` partition column comes back via `basePath`); a
+    * rename-committed output is read whole, GATED on `_SUCCESS` — the
+    * marker that excludes the between-swaps window. An ungated
+    * `spark.read.parquet(out)` stays available for rename-mode outputs,
+    * same as any committer-based pipeline; this entry point is the
+    * gated discipline. */
+  def readCommitted(spark: SparkSession, out: String): DataFrame = {
+    val rawOut = new Path(out.stripSuffix("/"))
+    val fs = rawOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outPath = fs.makeQualified(rawOut)
+    currentGenToken(fs, outPath) match {
+      case Some(tok) =>
+        val gen = new Path(outPath, tok)
+        val mf = new Path(gen, "_MANIFEST")
+        val in = fs.open(mf)
+        val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector finally in.close()
+        require(lines.headOption.exists(_.startsWith("v")),
+          s"generation manifest $mf lacks a version header")
+        val files = lines.drop(1).filter(_.nonEmpty)
+          .map(rel => new Path(gen, rel).toString)
+        spark.read.option("basePath", gen.toString).parquet(files: _*)
+      case None =>
+        require(fs.exists(new Path(outPath, "_SUCCESS")),
+          s"no _CURRENT pointer and no _SUCCESS marker under $outPath — " +
+            "refusing an ungated read of a possibly mid-commit output")
+        spark.read.parquet(outPath.toString)
+    }
+  }
+
   /** Decode-work weight of one blob: decoded payload bytes when known,
     * else the format's 32MB worst case. */
   def spanWeight(s: Blobs.BlobSpan): Long =
@@ -237,15 +287,34 @@ object OsmPbf {
     val ofs = rawOut.getFileSystem(hc)
     val outPath = ofs.makeQualified(rawOut)
     val outRoot = outPath.toString
-    // Tasks write into a `_staging` dir (underscore-prefixed: invisible to
-    // parquet partition discovery even if a crashed run leaves it behind);
-    // type= dirs swap into place only after the job SUCCEEDS. Two
-    // invariants fall out: a mid-run failure leaves the previous good
-    // output untouched, and a re-run with fewer tasks can't inherit stale
-    // deterministic-named part files from a wider previous run.
-    val staging = new Path(outPath, "_staging")
-    if (ofs.exists(staging)) ofs.delete(staging, true)
+    // Two commit protocols (see PbfConfig.commitMode):
+    //  - "rename" (default, HDFS-class stores): tasks write into a
+    //    `_staging` dir (underscore-prefixed: invisible to parquet
+    //    partition discovery even if a crashed run leaves it behind);
+    //    type= dirs swap into place only after the job SUCCEEDS. Two
+    //    invariants fall out: a mid-run failure leaves the previous good
+    //    output untouched, and a re-run with fewer tasks can't inherit
+    //    stale deterministic-named part files from a wider previous run.
+    //  - "pointer" (object stores — S3-class, no atomic rename): tasks
+    //    write ONCE into a fresh `_gen-<token>` generation dir and the
+    //    commit never renames anything; see the commit branch below.
+    val pointerMode = config.commitMode == PbfConfig.CommitPointer
+    val genToken = s"_gen-${java.util.UUID.randomUUID().toString.take(12)}"
+    val staging = new Path(outPath, if (pointerMode) genToken else "_staging")
+    if (pointerMode) {
+      // GC stale generations from PREVIOUS runs (everything except the
+      // one `_CURRENT` names) — deferred to run START rather than done at
+      // the previous commit, so readers of the last-committed generation
+      // keep a full inter-run grace window (the pointer flip never races
+      // a reader that resolved it moments earlier; production would widen
+      // this to a TTL)
+      val current = currentGenToken(ofs, outPath)
+      Option(ofs.globStatus(new Path(outPath, "_gen-*"))).getOrElse(Array.empty)
+        .filter(st => st.isDirectory && !current.contains(st.getPath.getName))
+        .foreach(st => ofs.delete(st.getPath, true))
+    } else if (ofs.exists(staging)) ofs.delete(staging, true)
     types.foreach(t => ofs.mkdirs(new Path(staging, s"type=$t")))
+    val writeSub = staging.getName
 
     val elemAcc = sc.longAccumulator("graft.transcode.elements")
     val byteAcc = sc.longAccumulator("graft.transcode.inputBytes")
@@ -292,7 +361,7 @@ object OsmPbf {
         def writerFor(i: Int, t: String): DirectParquet.RotatingWriter = {
           if (writers(i) == null)
             writers(i) = new DirectParquet.RotatingWriter(
-              new Path(s"$outRoot/_staging/type=$t"), conf, codec, attemptTag,
+              new Path(s"$outRoot/$writeSub/type=$t"), conf, codec, attemptTag,
               fileTargetBytes, maxRecords, rowGroupBytes, rowGroupRows)
           writers(i)
         }
@@ -384,6 +453,40 @@ object OsmPbf {
       // throwing — a silently-ignored false would report success while
       // committed files are missing.
       val expected = perTask.iterator.flatMap(_._2).toSet
+      if (pointerMode) {
+        // RENAME-FREE object-store commit (the reference never renames
+        // either: multipart PUT via object_store::BufWriter,
+        // sink.rs:119-132). Data files were written ONCE into the
+        // generation dir — PUT-visible, so a dying writer leaves no
+        // partial object on a real store. Publication is two small
+        // writes: a `_MANIFEST` naming exactly the winning attempts'
+        // files, then ONE `_CURRENT` pointer PUT — a single-object
+        // overwrite, which every object store makes atomic. A crash
+        // anywhere before the pointer PUT leaves the previous generation
+        // fully live; after it, the new one; no reader can observe a mix
+        // and no rename-atomicity is assumed anywhere. Zombie attempts
+        // can drop files into the generation dir at ANY point, but
+        // readCommitted loads only manifest-named files, so they are
+        // never read — logged here, reclaimed with the generation by a
+        // later run's GC.
+        val manifest = new Path(staging, "_MANIFEST")
+        val mo = ofs.create(manifest, true)
+        try mo.write(("v1\n" + expected.toSeq.sorted.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally mo.close()
+        types.foreach { t =>
+          ofs.listStatus(new Path(staging, s"type=$t")).foreach { st =>
+            if (st.isFile && !st.getPath.getName.startsWith(".") &&
+                !expected.contains(s"type=$t/${st.getPath.getName}"))
+              System.err.println("[graft.transcode] non-winning generation " +
+                s"file never published: type=$t/${st.getPath.getName}")
+          }
+        }
+        val po = ofs.create(new Path(outPath, "_CURRENT"), true)
+        try po.write(genToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally po.close()
+        return types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap
+      }
       val publish = new Path(staging, "_publish")
       types.foreach { t =>
         val pubDir = new Path(publish, s"type=$t")
@@ -452,9 +555,21 @@ final case class PbfConfig(
     rowGroupTargetMb: Int = 128,
     /** max rows per row group — `--max-row-group-count`
       * (util.rs:57-59, sink.rs:146-148) parity. */
-    maxRowGroupRows: Option[Int] = None) {
+    maxRowGroupRows: Option[Int] = None,
+    /** Commit protocol: [[PbfConfig.CommitRename]] (default) publishes
+      * via per-type directory swaps and is correct ONLY on stores with
+      * atomic rename (HDFS-class); [[PbfConfig.CommitPointer]] writes
+      * each data file once into a generation dir and commits with a
+      * single `_CURRENT` pointer PUT — the object-store-safe protocol
+      * (S3 has no atomic rename; S3A rename is copy+delete). Pointer
+      * outputs are read with [[OsmPbf.readCommitted]]. */
+    commitMode: String = PbfConfig.CommitRename) {
 
   def validate(): Unit = {
+    require(commitMode == PbfConfig.CommitRename ||
+        commitMode == PbfConfig.CommitPointer,
+      s"commitMode must be '${PbfConfig.CommitRename}' or " +
+        s"'${PbfConfig.CommitPointer}': $commitMode")
     require(input.endsWith(".pbf") || input.endsWith(".osm.pbf"),
       s"input must end with .pbf/.osm.pbf: $input") // util.rs:81-85
     require(compression >= 0 && compression <= 22,
@@ -464,6 +579,10 @@ final case class PbfConfig(
     require(fileTargetMb.forall(_ > 0), "file target must be positive") // util.rs:121-125
     require(rowGroupTargetMb > 0, "row group target must be positive")
     require(maxRowGroupRows.forall(_ > 0), "max row group count must be positive") // util.rs:57-59
+    // (no require on scheme×commitMode: the engine cannot know whether an
+    // arbitrary Hadoop FS scheme has atomic rename — the choice is the
+    // operator's, documented on commitMode; ObjectStoreCommitSpec shows
+    // exactly what each protocol does under object-store semantics)
     // No scheme allowlist. The reference hard-splits s3:// vs plain
     // paths because it has exactly two IO backends (util.rs:129-151);
     // this engine has ONE generic backend — the Hadoop FileSystem API —
@@ -473,4 +592,12 @@ final case class PbfConfig(
     // "No FileSystem for scheme" error, which is strictly more
     // informative than a pre-emptive require here could be.
   }
+}
+
+object PbfConfig {
+  /** HDFS-class commit: publish via per-type atomic directory swaps. */
+  val CommitRename = "rename"
+  /** Object-store commit: write-once generation dir + `_CURRENT` pointer
+    * PUT; zero renames (S3-safe). */
+  val CommitPointer = "pointer"
 }
