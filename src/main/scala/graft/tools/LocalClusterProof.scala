@@ -11,20 +11,17 @@ import org.apache.spark.sql.functions._
   * commit protocol with executors in SEPARATE processes, and
   * executor-side state stores had never crossed a process boundary.
   * Spark's `local-cluster[N,cores,mem]` master launches REAL executor
-  * JVMs on this box (no cluster needed); this tool runs the four paths
-  * the verdict names under it and proves counts/hashes identical to the
-  * same code on an in-process master:
-  *
-  *   (a) the PBF transcode WITH the injected retry race (partition 0
-  *       attempt 0 dies after its staging files are durable) — the
-  *       manifest publication/atomic-swap protocol with the loser and
-  *       winner potentially in DIFFERENT processes;
-  *   (b) p01's zone-map broadcast semi-join ([[graft.operators.IndexedPbf]]
-  *       — driver-built zone maps broadcast to executor JVMs);
-  *   (c) the `TopKPerKey` custom operator (q29 — custom physical operator
-  *       + partial aggregation serialized across the exchange);
-  *   (d) the st16 transformWithState streaming ingest gate (executor-side
-  *       state store lifecycle + checkpoint commit across processes).
+  * JVMs on this box (no cluster needed); this tool runs the transcode
+  * WITH the injected retry race (partition 0 attempt 0 dies after its
+  * staging files are durable — the commit protocol with loser and winner
+  * potentially in DIFFERENT processes) plus a FAMILY-REPRESENTATIVE
+  * entry sweep ([[SweepEntries]], r18 verdict #3: one entry per distinct
+  * execution shape — broadcast joins, window functions, skew salting +
+  * AQE, variant shredding, iterative graph, banded LSH, IVF-PQ ANN,
+  * sketches, the morton-key codegen expressions, the media codec stage,
+  * flatMapGroupsWithState and transformWithState state stores, CDC
+  * merge) under it, and proves counts/hashes identical to the same code
+  * on an in-process master.
   *
   * Process-boundary evidence is recorded, not assumed: each leg set runs
   * a PID probe (`ManagementFactory.getRuntimeMXBean.getName` per
@@ -133,13 +130,45 @@ object LocalClusterProof {
 
   final case class Leg(name: String, rows: Long, hash: String)
 
-  /** Runs the four legs on an open session; returns leg fingerprints plus
-    * the distinct task-JVM identities observed. */
+  /** The family-representative entry sweep (r18 verdict #3): one entry per
+    * distinct EXECUTION SHAPE, so every operator family crosses a real
+    * process boundary — task-result/broadcast serialization, executor-side
+    * state stores, custom-operator exchanges, codegen'd expressions in
+    * executor JVMs. The r18 proof covered the first four shapes; the rest
+    * had only ever run in-process. */
+  private[tools] val SweepEntries = Seq(
+    "p01_ways_and_deps",        // zone-map broadcast semi-join (DSv2 PBF scan)
+    "q29_topk_custom_operator", // custom physical operator across the exchange
+    "st16_neardup_ingest",      // transformWithState gate (RocksDB state on executors)
+    "q01_agg",                  // partial+final agg baseline
+    "q03_join_broadcast",       // broadcast hash join
+    "q09_window_topk",          // window functions
+    "q14_setops",               // set operations
+    "q25_sql_correlated",       // SQL frontend + correlated subquery
+    "q27_salted_join",          // skew salting + AQE
+    "q38_merge_upsert",         // CDC merge/upsert
+    "q43_variant_shred",        // variant/JSON shredding
+    "g02_pagerank",             // iterative graph (many-stage lineage)
+    "d02_minhash_lsh",          // banded LSH dedup (wide shuffle)
+    "s05_knn_ivfpq",            // IVF-PQ ANN (broadcast codebooks)
+    "e02_centroid_sim",         // embedding aggregation
+    "t13_bm25",                 // text retrieval scoring
+    "c16_curation_e2e",         // fused curation pipeline
+    "a01_asof_join",            // as-of temporal join
+    "x01_approx_distinct",      // sketch aggregators
+    "m02_media_features",       // mapPartitions codec stage + quarantine
+    "p03_zorder_bbox",          // graft_morton_key codegen expression
+    "st11_scd2_stream",         // flatMapGroupsWithState (HDFS state store)
+    "st13_profile_tws")         // event-domain TWS under RocksDB
+
+  /** Runs the transcode+retry leg plus the entry sweep on an open session;
+    * returns leg fingerprints plus the distinct task-JVM identities. */
   private def runLegs(s: SparkSession, sfDir: String, pbf: String,
-                      scratch: String, tag: String): (Seq[Leg], Seq[String]) = {
+                      scratch: String, tag: String,
+                      entries: Seq[String]): (Seq[Leg], Seq[String]) = {
     val jvms = taskJvms(s)
 
-    // (a) transcode + injected retry race through the commit protocol
+    // transcode + injected retry race through the commit protocol
     val out = s"$scratch/out_$tag"
     s.sparkContext.hadoopConfiguration
       .setInt("graft.test.transcode.failPartitionOnce", 0)
@@ -149,21 +178,21 @@ object LocalClusterProof {
     val (tRows, tHash) = validateCommittedOutput(s, out, counts.values.sum, tag)
     val legA = Leg("transcode_retry", tRows, tHash)
 
-    // (b) p01 zone-map broadcast semi-join
-    val (pRows, pHash) = fingerprint(SparkEntry.queries("p01_ways_and_deps")(s, sfDir))
-    // (c) TopKPerKey custom operator
-    val (qRows, qHash) = fingerprint(SparkEntry.queries("q29_topk_custom_operator")(s, sfDir))
-    // (d) st16 transformWithState ingest gate
-    val (sRows, sHash) = fingerprint(SparkEntry.queries("st16_neardup_ingest")(s, sfDir))
-
-    (Seq(legA, Leg("p01_zonemap_semijoin", pRows, pHash),
-      Leg("q29_topk_operator", qRows, qHash),
-      Leg("st16_tws_gate", sRows, sHash)), jvms)
+    val legs = entries.map { name =>
+      val t0 = System.nanoTime()
+      val (rows, hash) = fingerprint(SparkEntry.queries(name)(s, sfDir))
+      System.err.println(f"[lcproof:$tag] $name: $rows rows in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs")
+      Leg(name, rows, hash)
+    }
+    (legA +: legs, jvms)
   }
 
   def main(args: Array[String]): Unit = {
-    val outJson = args.headOption.getOrElse("LOCALCLUSTER_r18.json")
+    val outJson = args.headOption.getOrElse("LOCALCLUSTER_r19.json")
     val blocks = if (args.length > 1) args(1).toInt else 45 // ~1M elements
+    // optional entry filter: comma-separated names (default = full sweep)
+    val entries = if (args.length > 2) args(2).split(',').toSeq else SweepEntries
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     require(sys.env.contains("SPARK_SCALA_VERSION"),
       "set SPARK_SCALA_VERSION=2.13: the executor launcher cannot infer " +
@@ -180,7 +209,7 @@ object LocalClusterProof {
       // local[4,2]: in-process masters read retries from the master string,
       // not spark.task.maxFailures — the injected failure needs attempt 1
       val sLocal = session("local[4,2]")
-      val (localLegs, localJvms) = runLegs(sLocal, sfDir, pbf, scratch, "local")
+      val (localLegs, localJvms) = runLegs(sLocal, sfDir, pbf, scratch, "local", entries)
       sLocal.stop()
       // in-process side sanity: every task ran in the driver JVM
       require(localJvms == Seq(driverJvm),
@@ -199,7 +228,7 @@ object LocalClusterProof {
         "local-cluster executors did not register within 120s " +
           s"(got ${sCluster.sparkContext.getExecutorMemoryStatus.size - 1} of 2)")
       val t0 = System.nanoTime()
-      val (clusterLegs, clusterJvms) = runLegs(sCluster, sfDir, pbf, scratch, "cluster")
+      val (clusterLegs, clusterJvms) = runLegs(sCluster, sfDir, pbf, scratch, "cluster", entries)
       val clusterSecs = (System.nanoTime() - t0) / 1e9
       sCluster.stop()
       val execJvms = clusterJvms.filterNot(_ == driverJvm)
