@@ -155,9 +155,12 @@ object IngestAudit {
     *     batchId == N (a file source plans a batch only when it has new
     *     files, so a well-formed batch file recording NO ingestion for
     *     its own batch is exactly the whole-entry-erasure signature);
-    *   - the `commits/` log must be contiguous and cover every sources
-    *     batch (maxCommit >= maxSources, NOT equality: processing-time
-    *     TWS legitimately commits trailing batches that ingest no files).
+    *   - the `commits/` log must be contiguous and cover the sources
+    *     batches up to ONE trailing planned-but-uncommitted batch (a
+    *     batch is durably planned before it commits, and count-settled
+    *     audits can land in that window; equality is NOT required in the
+    *     other direction either — processing-time TWS legitimately
+    *     commits trailing batches that ingest no files).
     * The sub-class these rules cannot see — an erased entry in a batch
     * file that RETAINS another entry for the same batch — is closed by
     * [[reconcileRowTotal]] at the harness layer, where the staged row
@@ -212,12 +215,17 @@ object IngestAudit {
           throw new IllegalStateException(
             s"ingest audit FAILED for checkpoint $ckptDir: commits log not " +
               s"contiguous — missing ${commitHoles.take(3)}")
-        if (commitIds.max < fileIds.max)
+        // tolerate exactly ONE trailing in-flight batch: a batch is
+        // durably PLANNED (sources entry written) before it is committed,
+        // and a count-settled replay can audit inside that window — also
+        // a legal crash state (resume re-runs the planned batch; the
+        // seen-files log keeps the re-run idempotent). A commits log
+        // lagging by >=2, or holed (above), is still corruption.
+        if (commitIds.max < fileIds.max - 1)
           throw new IllegalStateException(
             s"ingest audit FAILED for checkpoint $ckptDir: sources log " +
               s"records batch ${fileIds.max} but the commits log stops at " +
-              s"${commitIds.max} (settle-time audit expects a cleanly " +
-              "committed run)")
+              s"${commitIds.max} (more than one trailing batch uncommitted)")
       }
     }
   }

@@ -105,7 +105,17 @@ object StreamReplay {
     * batch (never at replay scale — the settle loop latches a fallback on
     * the same condition), the sum is short and the check would be a false
     * alarm, so it is skipped rather than mis-fired. The staged count is a
-    * footer-metadata job (no column reads). */
+    * footer-metadata job (no column reads).
+    *
+    * SCOPE: single-scan transforms only. A stream-stream SELF-join scans
+    * the one source from both sides, and its observed numInputRows
+    * multiplicity is PLAN-DEPENDENT, not a fixed 2x (exchange/scan reuse
+    * collapses one side in some micro-batches — measured: 2.0x on a
+    * single-batch st05, ~1.3x on the chunked variant), so no declared
+    * factor can make the equality sound. Those entries pass
+    * `multiScan = true` to skip this check; their ingestion is still
+    * guarded by the file-set audit (every staged file in exactly one
+    * batch) and their OUTPUT by the DuckDB hash gate. */
   private def reconcileStagedRows(s: SparkSession,
       query: org.apache.spark.sql.streaming.StreamingQuery,
       ckpt: String, stage: Path): Unit = {
@@ -277,7 +287,8 @@ object StreamReplay {
                      parquetSinkDir: Option[String] = None,
                      foreachBatchFn: Option[(DataFrame, Long) => Unit] = None,
                      progressSink: Option[scala.collection.mutable.Buffer[
-                       org.apache.spark.sql.streaming.StreamingQueryProgress]] = None): Replayed = {
+                       org.apache.spark.sql.streaming.StreamingQueryProgress]] = None,
+                     multiScan: Boolean = false): Replayed = {
     val f0 = System.nanoTime() // floor itemization — see lastFloor
     require(chunks == 1 || stageCopies == 1,
       "chunked staging and stageCopies are mutually exclusive")
@@ -416,7 +427,7 @@ object StreamReplay {
         // files, each once — the engine-layer guard that converts the
         // seen-files-log corruption class from silent duplicates to loud
         IngestAudit.audit(ckpt, stage)
-        reconcileStagedRows(s, query, ckpt, stage)
+        if (!multiScan) reconcileStagedRows(s, query, ckpt, stage)
         val batches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
         // recentProgress retains (by default) far more batches than any
         // replay here runs, so these sums cover the whole query's
@@ -576,7 +587,7 @@ object StreamReplay {
   private def st05Shaped(s: SparkSession, dir: String, chunks: Int): DataFrame =
     replayRaw(s, dir, OutputMode.Append(),
       ds => EventStreams.clickViewJoin(ds.toDF()), ticks = false,
-      chunks = chunks).df
+      chunks = chunks, multiScan = true).df
       .select(col("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))
       .orderBy(col("click_id"), col("view_id"))
@@ -594,7 +605,8 @@ object StreamReplay {
     */
   val st10_interval_join_outer: Q = (s, dir) =>
     replayRaw(s, dir, OutputMode.Append(),
-      ds => EventStreams.clickViewJoinOuter(ds.toDF()), chunks = 1).df
+      ds => EventStreams.clickViewJoinOuter(ds.toDF()), chunks = 1,
+      multiScan = true).df
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("click_id"), col("view_id"),
         unix_micros(col("c_ts")).as("c_us"), unix_micros(col("v_ts")).as("v_us"))

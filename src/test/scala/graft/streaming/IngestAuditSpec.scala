@@ -205,28 +205,36 @@ class IngestAuditSpec extends AnyFunSuite {
   test("batch ledger: commits log must be contiguous and cover the sources log") {
     val base = ckptWith()
     try {
-      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val stage = stageWith(base, "a.parquet", "b.parquet", "c.parquet")
       val src = base.resolve("ckpt/sources/0")
       java.nio.file.Files.writeString(src.resolve("0"),
         Seq("v1", entry(stage, "a.parquet", 0)).mkString("\n"))
       java.nio.file.Files.writeString(src.resolve("1"),
         Seq("v1", entry(stage, "b.parquet", 1)).mkString("\n"))
+      java.nio.file.Files.writeString(src.resolve("2"),
+        Seq("v1", entry(stage, "c.parquet", 2)).mkString("\n"))
       val commits = java.nio.file.Files.createDirectories(base.resolve("ckpt/commits"))
-      // commits stop at 0 while sources record batch 1
+      // commits stop at 0 while sources record batch 2: >=2 trailing
+      // batches uncommitted is corruption
       java.nio.file.Files.writeString(commits.resolve("0"), "v1\n{}")
       val e1 = intercept[IllegalStateException] {
         IngestAudit.audit(base.resolve("ckpt").toString, stage) }
       assert(e1.getMessage.contains("commits log stops"), e1.getMessage)
-      // a commits hole is loud too
-      java.nio.file.Files.writeString(commits.resolve("2"), "v1\n{}")
+      // ONE trailing planned-but-uncommitted batch is legal (a batch is
+      // durably planned before it commits; count-settled audits can land
+      // in that window) — must NOT fire
+      java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+      // a commits hole is loud
+      java.nio.file.Files.writeString(commits.resolve("3"), "v1\n{}")
       val e2 = intercept[IllegalStateException] {
         IngestAudit.audit(base.resolve("ckpt").toString, stage) }
       assert(e2.getMessage.contains("commits log not contiguous"), e2.getMessage)
       // complete commits pass; trailing no-ingest commits (processing-time
       // TWS) are legal — maxCommit > maxSources must NOT fire
-      java.nio.file.Files.writeString(commits.resolve("1"), "v1\n{}")
+      java.nio.file.Files.writeString(commits.resolve("2"), "v1\n{}")
       IngestAudit.audit(base.resolve("ckpt").toString, stage)
-      java.nio.file.Files.writeString(commits.resolve("3"), "v1\n{}")
+      java.nio.file.Files.writeString(commits.resolve("4"), "v1\n{}")
       IngestAudit.audit(base.resolve("ckpt").toString, stage)
     } finally cleanup(base)
   }
