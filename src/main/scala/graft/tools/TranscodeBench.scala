@@ -8,13 +8,18 @@ import org.apache.spark.sql.SparkSession
   * probe's 4.46M elements) and prints elem/s per rep so write-path changes
   * — and corpus-size amortization — can be measured in isolation.
   *
-  * Usage: TranscodeBench [reps] [blocks]
+  * Usage: TranscodeBench [reps] [blocks] [commitMode]
+  * (commitMode rename|pointer, default rename — the A/B answers whether
+  * the object-store pointer protocol costs wall time: it shouldn't, the
+  * task write path is identical and the commit differs only in two
+  * small writes vs O(files) renames.)
   */
 object TranscodeBench {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = args.headOption.map(_.toInt).getOrElse(3)
     val blocks = if (args.length > 1) args(1).toInt else 200
+    val commitMode = if (args.length > 2) args(2) else PbfConfig.CommitRename
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,9 +38,9 @@ object TranscodeBench {
       (1 to reps).foreach { i =>
         val t = System.nanoTime()
         OsmPbf.transcode(spark,
-          PbfConfig(input = pbf, output = s"$dir/out$i"))
+          PbfConfig(input = pbf, output = s"$dir/out$i", commitMode = commitMode))
         val rate = (n / ((System.nanoTime() - t) / 1e9)).round
-        println(s"run $i: $rate elem/s")
+        println(s"run $i [$commitMode]: $rate elem/s")
         // outputs are never read back — drop each so N reps hold one
         // output's tmpfs RAM, and the dir doesn't outlive the run
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/out$i"))
