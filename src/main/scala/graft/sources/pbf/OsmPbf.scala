@@ -482,6 +482,16 @@ object OsmPbf {
                 s"file never published: type=$t/${st.getPath.getName}")
           }
         }
+        // commit-time missing-winning-file detection (parity with the
+        // rename protocol, where a vanished staging file fails its rename
+        // loudly): every manifest-named file must exist BEFORE the pointer
+        // flips, so a lost task output or store inconsistency surfaces at
+        // the WRITER — which can retry — not at an arbitrary future reader
+        expected.foreach { rel =>
+          if (!ofs.exists(new Path(staging, rel)))
+            throw new java.io.IOException(
+              s"transcode commit: winning attempt's generation file missing: $rel")
+        }
         val po = ofs.create(new Path(outPath, "_CURRENT"), true)
         try po.write(genToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally po.close()

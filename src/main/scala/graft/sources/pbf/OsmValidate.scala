@@ -18,20 +18,38 @@ object OsmValidate {
   def duplicates(df: DataFrame): DataFrame =
     df.groupBy(col("id"), col("type")).count().filter(col("count") > 1)
 
-  /** Attempt-tag audit of a committed transcode output: parses the
-    * writer's `part-<taskId>-a<attemptId>-...` name shape (the one place
-    * that shape is interpreted outside the writer — the retry pin and the
-    * retry soak both assert through THIS) and returns the distinct
-    * attempt ids seen per partition. Fails loudly when no tagged files
-    * parse — a silent zero would make every downstream "one attempt per
-    * partition" check vacuously true after a name-shape drift. */
+  /** (partition, attempt) parsed from one part-file name — THE one
+    * interpreter of the writer's `part-<task>-a<attempt>-` shape (the
+    * proof tools parse pointer-commit manifests through this too, so a
+    * name-shape change breaks exactly one anchored regex, loudly). */
+  def attemptTagOf(fileName: String): Option[(Long, Long)] =
+    "part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(fileName)
+      .map(m => (m.group(1).toLong, m.group(2).toLong))
+
+  /** Attempt-tag audit of a committed transcode output: greps part-file
+    * names via [[attemptTagOf]] (the retry pin and the retry soak both
+    * assert through THIS) and returns the distinct attempt ids seen per
+    * partition. Fails loudly when no tagged files parse — a silent zero
+    * would make every downstream "one attempt per partition" check
+    * vacuously true after a name-shape drift. */
   def attemptTags(out: java.io.File): Map[Long, Set[Long]] = {
     val tags = out.listFiles().filter(_.isDirectory)
       .flatMap(_.listFiles()).map(_.getName).filter(_.endsWith(".parquet"))
-      .flatMap("part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(_)
-        .map(m => (m.group(1).toLong, m.group(2).toLong)))
+      .flatMap(attemptTagOf)
     require(tags.nonEmpty,
       s"no attempt-tagged part files found under $out — writer name shape changed?")
+    tags.groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2).toSet }
+  }
+
+  /** [[attemptTags]] over a pointer-commit manifest's relative paths
+    * (`type=t/part-...`): one attempt per partition is the commit
+    * invariant the proofs assert. Loud on an unparsable name. */
+  def attemptTagsOfManifest(relPaths: Seq[String]): Map[Long, Set[Long]] = {
+    val tags = relPaths.map(_.split('/').last).map { name =>
+      attemptTagOf(name).getOrElse(sys.error(
+        s"manifest entry has no attempt tag: $name — writer name shape changed?"))
+    }
+    require(tags.nonEmpty, "empty manifest has no attempt tags to check")
     tags.groupBy(_._1).map { case (p, ts) => p -> ts.map(_._2).toSet }
   }
 

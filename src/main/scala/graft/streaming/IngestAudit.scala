@@ -165,7 +165,8 @@ object IngestAudit {
     * file that RETAINS another entry for the same batch — is closed by
     * [[reconcileRowTotal]] at the harness layer, where the staged row
     * total and the ingested/sink row total are both known. */
-  def auditBatchLedger(ckptDir: String): Unit = {
+  def auditBatchLedger(ckptDir: String,
+      preparsed: Option[Seq[Entry]] = None): Unit = {
     def ids(dir: java.io.File, what: String): Seq[Long] = {
       val fs = Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && !f.getName.startsWith(".") &&
@@ -193,19 +194,26 @@ object IngestAudit {
         s"ingest audit FAILED for checkpoint $ckptDir: sources log batch " +
           s"files are not contiguous — missing batch file(s) ${holes.take(3)} " +
           s"in [${fileIds.min}, ${fileIds.max}]")
-    val byBatch = entries(ckptDir).groupBy(_.batchId)
+    // auditFiles hands its already-parsed entries through, so one audit
+    // reads each log file once and both rule sets see one snapshot
+    val byBatch = preparsed.getOrElse(entries(ckptDir)).groupBy(_.batchId)
     val uncovered = fileIds.filterNot(byBatch.contains)
     if (uncovered.nonEmpty)
       throw new IllegalStateException(
         s"ingest audit FAILED for checkpoint $ckptDir: sources batch " +
           s"file(s) ${uncovered.take(3)} record no ingestion for their own " +
           "batch (whole-entry erasure?)")
-    val stray = byBatch.keys.filter(b => b < fileIds.min || b > fileIds.max)
+    // only ABOVE-max entries are stray: entries below fileIds.min are
+    // legal once FileStreamSourceLog cleanup deletes batch files older
+    // than a compact (the compact still carries their entries) — flagging
+    // them would false-loud every healthy long-running stream past the
+    // retention horizon
+    val stray = byBatch.keys.filter(_ > fileIds.max)
     if (stray.nonEmpty)
       throw new IllegalStateException(
         s"ingest audit FAILED for checkpoint $ckptDir: entries recorded " +
-          s"for batch(es) ${stray.toSeq.sorted.take(3)} outside the batch-file " +
-          s"range [${fileIds.min}, ${fileIds.max}]")
+          s"for batch(es) ${stray.toSeq.sorted.take(3)} beyond the latest " +
+          s"batch file ${fileIds.max}")
     val commitsDir = new java.io.File(ckptDir, "commits")
     if (commitsDir.isDirectory) {
       val commitIds = ids(commitsDir, "commits")
@@ -254,7 +262,8 @@ object IngestAudit {
     val want = staged.toSet
     require(want.size == staged.size,
       s"ingest audit: staged manifest self-collides: $staged")
-    val byPath = entries(ckptDir).groupBy(e => normalizeLogPath(e.path))
+    val parsed = entries(ckptDir)
+    val byPath = parsed.groupBy(e => normalizeLogPath(e.path))
       .view.mapValues(_.map(_.batchId).distinct).toMap
     val unknown = (byPath.keySet diff want).toSeq.sorted
     val missing = (want diff byPath.keySet).toSeq.sorted
@@ -271,7 +280,7 @@ object IngestAudit {
           (if (reingested.nonEmpty)
             s" ingested in MULTIPLE batches (silent duplicate rows): ${reingested.take(3)};"
           else ""))
-    auditBatchLedger(ckptDir)
+    auditBatchLedger(ckptDir, Some(parsed))
   }
 
   /** Mirror of Spark's `InMemoryFileIndex.shouldFilterOut`, the listing

@@ -1081,7 +1081,16 @@ object StreamReplay {
         // IngestAudit); by settlement every staged doc chunk has been
         // planned into a batch, so the source log is complete
         IngestAudit.audit(ckpt, stage)
-        reconcileStagedRows(s, query, ckpt, stage)
+        // row reconciliation only when the progress history is KNOWN
+        // complete: a sink-count/deadline settle (signal 1/2) can detect
+        // fullness between the final batch's addBatch and its progress
+        // event, and the coverage guard inside reconcileStagedRows cannot
+        // see a missing TAIL entry — the sum would be short and the
+        // check would false-loud a passing replay. Signal 0 (the crossing
+        // progress event itself was read) and -1 (no loop:
+        // processAllAvailable ran to quiescence) are both complete.
+        if (settleSignalOut != 1.0 && settleSignalOut != 2.0)
+          reconcileStagedRows(s, query, ckpt, stage)
         val fProc = System.nanoTime()
         progressSink.foreach(_ ++= query.recentProgress)
         val floorBatches = progressSums(query.recentProgress)

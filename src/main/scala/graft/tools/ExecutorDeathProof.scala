@@ -93,35 +93,11 @@ object ExecutorDeathProof {
       // in-flight witness: the proof's claim is a MID-FLIGHT death, so it
       // must be able to FAIL if the kill lands between tasks or after the
       // job — active tasks are snapshotted at the kill instant and at
-      // least one task must end non-successfully because of it
-      val activeTasks = new java.util.concurrent.atomic.AtomicLong(0)
-      val failedTasks = new java.util.concurrent.atomic.AtomicLong(0)
-      // DEATH-attributable ends only: a generic non-Success counter would
-      // let an unrelated transient failure (retried fetch, spill error)
-      // satisfy the mid-flight assertion even if the kill landed between
-      // tasks. ExecutorLostFailure carries the lost executor's id; the
-      // removed-executor events (timestamped) tie that id to OUR kill.
-      val lostTaskExecIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val removedExecIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskStart(
-            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-          activeTasks.incrementAndGet()
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          activeTasks.decrementAndGet()
-          t.reason match {
-            case org.apache.spark.Success => ()
-            case e: org.apache.spark.ExecutorLostFailure =>
-              failedTasks.incrementAndGet(); lostTaskExecIds.add(e.execId)
-            case _ => failedTasks.incrementAndGet()
-          }
-        }
-        override def onExecutorRemoved(
-            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
-          removedExecIds.add(e.executorId)
-      }
-      s.sparkContext.addSparkListener(listener)
+      // least one task must end with an ExecutorLostFailure tied to an
+      // executor removed during the run (shared DeathWitness, so the
+      // attribution logic cannot drift between the two kill proofs)
+      val witness = new LocalClusterProof.DeathWitness
+      s.sparkContext.addSparkListener(witness.listener)
       val out = s"$scratch/out_killed"
       val t0 = System.nanoTime()
       val fut = Future {
@@ -139,27 +115,24 @@ object ExecutorDeathProof {
           s"transcode finished before the ${killAfterSec}s kill point — " +
             "raise blocks or lower killAfterSec so the death lands mid-flight")
       }
-      val activeAtKill = activeTasks.get()
+      val activeAtKill = witness.activeTasks.get()
       new ProcessBuilder("kill", "-9", victimPid).start().waitFor()
       println(s"[execdeath] killed executor JVM $victim at T+${killAfterSec}s " +
         s"($activeAtKill tasks in flight)")
       val counts = Await.result(fut, 15.minutes)
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.spark.GraftListenerBus.drain(s.sparkContext)
-      s.sparkContext.removeSparkListener(listener)
+      s.sparkContext.removeSparkListener(witness.listener)
       // the kill must have LANDED mid-flight: at least one task ended with
       // ExecutorLostFailure naming an executor that was REMOVED during the
       // run — without this the proof could pass vacuously (kill between
       // tasks / after the job), and a generic non-Success end (unrelated
       // transient failure) cannot satisfy it
-      val deathEnds = {
-        import scala.jdk.CollectionConverters._
-        lostTaskExecIds.asScala.toSet intersect removedExecIds.asScala.toSet
-      }
+      val deathEnds = witness.deathAttributedExecIds
       require(deathEnds.nonEmpty,
         s"no task ended with ExecutorLostFailure for a removed executor " +
-          s"(active at kill: $activeAtKill, non-success ends: ${failedTasks.get()}, " +
-          s"lost-task execIds: $lostTaskExecIds, removed: $removedExecIds) — " +
+          s"(active at kill: $activeAtKill, non-success ends: " +
+          s"${witness.nonSuccessEnds.get()}, ${witness.summary}) — " +
           "the death landed outside the job; adjust killAfterSec/blocks")
 
       require(counts.values.sum == n, s"counts ${counts.values.sum} != $n")
@@ -179,7 +152,8 @@ object ExecutorDeathProof {
           s""""executors_after":${pidsAfter.map(p => s""""$p"""").mkString("[", ",", "]")},""" +
           s""""worker_relaunched_replacement":$relaunched,""" +
           s""""tasks_in_flight_at_kill":$activeAtKill,""" +
-          s""""tasks_failed_by_kill":${failedTasks.get()},""" +
+          s""""tasks_nonsuccess_ends":${witness.nonSuccessEnds.get()},""" +
+          s""""tasks_executor_lost_ends":${witness.executorLostEnds.get()},""" +
           s""""death_attributed_exec_ids":${deathEnds.toSeq.sorted.map(i => s""""$i"""").mkString("[", ",", "]")},""" +
           f""""wall_sec":$wall%.1f,"duplicates":0,"multi_attempt_partitions":0,""" +
           s""""success_marker":true,"hash_match_vs_undisturbed":true,"rows":$rows}"""

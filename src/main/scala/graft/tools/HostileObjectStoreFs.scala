@@ -47,11 +47,18 @@ class HostileObjectStoreFs extends RawLocalFileSystem {
       s".inflight-${java.util.UUID.randomUUID().toString.take(8)}-${f.getName}")
     val inner = super.createOutputStreamWithMode(tmp, false, permission)
     new java.io.OutputStream {
+      // idempotent close: Hadoop cleanup paths (try-with-resources plus
+      // IOUtils sweeps) double-close routinely; a second close must be a
+      // no-op, NOT re-run the materialization (which would delete the
+      // already-PUT object and throw — the opposite of S3 semantics)
+      private var closed = false
       override def write(b: Int): Unit = inner.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
         inner.write(b, off, len)
       override def flush(): Unit = inner.flush()
       override def close(): Unit = {
+        if (closed) return
+        closed = true
         inner.close()
         // one-shot injected PUT death: the object never materializes
         // (the hidden temp is all that remains — invisible to listings

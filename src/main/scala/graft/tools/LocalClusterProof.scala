@@ -94,6 +94,49 @@ object LocalClusterProof {
     (rows, hash)
   }
 
+  /** Executor-death witness shared by the kill proofs (one copy, so a
+    * future fix to the attribution logic cannot drift between artifacts):
+    * tracks in-flight tasks, non-success task ends, ExecutorLostFailure
+    * ends, and ties the lost-failure executor ids to executors REMOVED
+    * during the run — the intersection is the set a mid-flight kill
+    * assertion may rely on; a generic non-success end may not. */
+  private[tools] final class DeathWitness {
+    val activeTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val nonSuccessEnds = new java.util.concurrent.atomic.AtomicLong(0)
+    val executorLostEnds = new java.util.concurrent.atomic.AtomicLong(0)
+    private val lostTaskExecIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    private val removedExecIds =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener: org.apache.spark.scheduler.SparkListener =
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskStart(
+            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
+          activeTasks.incrementAndGet()
+        override def onTaskEnd(
+            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          activeTasks.decrementAndGet()
+          t.reason match {
+            case org.apache.spark.Success => ()
+            case e: org.apache.spark.ExecutorLostFailure =>
+              nonSuccessEnds.incrementAndGet()
+              executorLostEnds.incrementAndGet()
+              lostTaskExecIds.add(e.execId)
+            case _ => nonSuccessEnds.incrementAndGet()
+          }
+        }
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          removedExecIds.add(e.executorId)
+      }
+    def deathAttributedExecIds: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      lostTaskExecIds.asScala.toSet intersect removedExecIds.asScala.toSet
+    }
+    def summary: String =
+      s"lost-task execIds: $lostTaskExecIds, removed: $removedExecIds"
+  }
+
   private[tools] val AddOpens = Seq(
     "java.base/java.lang", "java.base/java.lang.invoke",
     "java.base/java.lang.reflect", "java.base/java.io", "java.base/java.net",

@@ -45,11 +45,7 @@ object ObjectStoreProof {
     val mf = fs.open(new org.apache.hadoop.fs.Path(outPath, s"$gen/_MANIFEST"))
     val manifest = try scala.io.Source.fromInputStream(mf, "UTF-8")
       .getLines().toVector finally mf.close()
-    val tags = manifest.drop(1).filter(_.nonEmpty).map(_.split('/').last)
-      .map { name =>
-        val core = name.stripPrefix("part-")
-        (core.split("-a")(0), core.split("-a")(1).split("-")(0))
-      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val tags = OsmValidate.attemptTagsOfManifest(manifest.drop(1).filter(_.nonEmpty))
     require(tags.values.forall(_.size == 1),
       s"[$tag] multiple attempts published for one partition: " +
         tags.filter(_._2.size > 1))
@@ -139,26 +135,8 @@ object ObjectStoreProof {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val activeTasks = new java.util.concurrent.atomic.AtomicLong(0)
-      val lostTaskExecIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val removedExecIds = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
-      val listener = new org.apache.spark.scheduler.SparkListener {
-        override def onTaskStart(
-            t: org.apache.spark.scheduler.SparkListenerTaskStart): Unit =
-          activeTasks.incrementAndGet()
-        override def onTaskEnd(
-            t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          activeTasks.decrementAndGet()
-          t.reason match {
-            case e: org.apache.spark.ExecutorLostFailure => lostTaskExecIds.add(e.execId)
-            case _ => ()
-          }
-        }
-        override def onExecutorRemoved(
-            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
-          removedExecIds.add(e.executorId)
-      }
-      s.sparkContext.addSparkListener(listener)
+      val witness = new LocalClusterProof.DeathWitness
+      s.sparkContext.addSparkListener(witness.listener)
       val killedOut = s"grafts3://$scratch/out_killed"
       val fut = Future {
         OsmPbf.transcode(s, PbfConfig(input = pbf, output = killedOut,
@@ -170,20 +148,18 @@ object ObjectStoreProof {
         case scala.util.Success(_) => sys.error(
           s"transcode finished before the ${killAfterSec}s kill point — raise blocks")
       }
-      val activeAtKill = activeTasks.get()
+      val activeAtKill = witness.activeTasks.get()
       new ProcessBuilder("kill", "-9", victimPid).start().waitFor()
       println(s"[objstore] killed executor JVM $victim at T+${killAfterSec}s " +
         s"($activeAtKill tasks in flight)")
       val killedCounts = Await.result(fut, 15.minutes)
       org.apache.spark.GraftListenerBus.drain(s.sparkContext)
-      s.sparkContext.removeSparkListener(listener)
-      val deathEnds = {
-        import scala.jdk.CollectionConverters._
-        lostTaskExecIds.asScala.toSet intersect removedExecIds.asScala.toSet
-      }
+      s.sparkContext.removeSparkListener(witness.listener)
+      val deathEnds = witness.deathAttributedExecIds
       require(deathEnds.nonEmpty,
         s"no task ended with ExecutorLostFailure for a removed executor " +
-          s"(active at kill: $activeAtKill) — adjust killAfterSec/blocks")
+          s"(active at kill: $activeAtKill, ${witness.summary}) — " +
+          "adjust killAfterSec/blocks")
       require(killedCounts.values.sum == n,
         s"counts ${killedCounts.values.sum} != $n")
       val killRenames = HostileObjectStoreFs.renameCalls.get()

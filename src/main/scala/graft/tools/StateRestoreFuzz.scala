@@ -272,9 +272,13 @@ object StateRestoreFuzz {
           // preceding line's terminator
           (lines.dropRight(1).mkString("\n") + "\n", "line_truncate")
         case 1 =>
-          // remove one whole entry line (a strictly-interior one when the
-          // file has several), re-joining the rest verbatim
-          val idx = 1 + rnd.nextInt(lines.size - 1)
+          // remove one whole entry line — STRICTLY interior when the file
+          // has several, so this arm never degenerates into the
+          // truncation arm and the interior-deletion sub-class the
+          // contract advertises is genuinely attempted every trial
+          val idx =
+            if (lines.size > 2) 1 + rnd.nextInt(lines.size - 2)
+            else 1
           (lines.patch(idx, Nil, 1).mkString("\n") + (if (endsNl) "\n" else ""),
             "line_delete")
         case _ =>

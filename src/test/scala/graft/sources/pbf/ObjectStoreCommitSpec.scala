@@ -119,11 +119,8 @@ class ObjectStoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     // listing: the loser's durable files legitimately remain on disk
     val manifest = java.nio.file.Files.readAllLines(
       new java.io.File(gen, "_MANIFEST").toPath)
-    val tagsByPartition = manifest.toArray(Array.empty[String]).toSeq.drop(1)
-      .map(_.split('/').last).map { name =>
-        val core = name.stripPrefix("part-")
-        (core.split("-a")(0), core.split("-a")(1).split("-")(0))
-      }.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val tagsByPartition = OsmValidate.attemptTagsOfManifest(
+      manifest.toArray(Array.empty[String]).toSeq.drop(1).filter(_.nonEmpty))
     assert(tagsByPartition.values.forall(_.size == 1),
       s"multiple attempts published for one partition: $tagsByPartition")
   }

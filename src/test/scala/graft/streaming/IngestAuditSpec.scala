@@ -249,7 +249,7 @@ class IngestAuditSpec extends AnyFunSuite {
         Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 5)).mkString("\n"))
       val e = intercept[IllegalStateException] {
         IngestAudit.audit(base.resolve("ckpt").toString, stage) }
-      assert(e.getMessage.contains("outside the batch-file range"), e.getMessage)
+      assert(e.getMessage.contains("beyond the latest batch file"), e.getMessage)
     } finally cleanup(base)
   }
 
