@@ -474,21 +474,31 @@ object OsmPbf {
         try mo.write(("v1\n" + expected.toSeq.sorted.mkString("\n") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally mo.close()
+        val listed = scala.collection.mutable.HashSet[String]()
         types.foreach { t =>
           ofs.listStatus(new Path(staging, s"type=$t")).foreach { st =>
-            if (st.isFile && !st.getPath.getName.startsWith(".") &&
-                !expected.contains(s"type=$t/${st.getPath.getName}"))
-              System.err.println("[graft.transcode] non-winning generation " +
-                s"file never published: type=$t/${st.getPath.getName}")
+            if (st.isFile && !st.getPath.getName.startsWith(".")) {
+              val rel = s"type=$t/${st.getPath.getName}"
+              listed += rel
+              if (!expected.contains(rel))
+                System.err.println("[graft.transcode] non-winning generation " +
+                  s"file never published: $rel")
+            }
           }
         }
         // commit-time missing-winning-file detection (parity with the
         // rename protocol, where a vanished staging file fails its rename
         // loudly): every manifest-named file must exist BEFORE the pointer
         // flips, so a lost task output or store inconsistency surfaces at
-        // the WRITER — which can retry — not at an arbitrary future reader
+        // the WRITER — which can retry — not at an arbitrary future reader.
+        // The listings the zombie audit just took answer this for free; a
+        // per-file HEAD runs only for names the listing missed, because
+        // object-store listings can LAG writes while point lookups stay
+        // read-after-write consistent — a listing-only diff would
+        // false-fail a healthy commit under lag, and HEAD-for-everything
+        // would double the commit's metadata traffic
         expected.foreach { rel =>
-          if (!ofs.exists(new Path(staging, rel)))
+          if (!listed.contains(rel) && !ofs.exists(new Path(staging, rel)))
             throw new java.io.IOException(
               s"transcode commit: winning attempt's generation file missing: $rel")
         }

@@ -23,7 +23,7 @@ object OsmValidate {
     * proof tools parse pointer-commit manifests through this too, so a
     * name-shape change breaks exactly one anchored regex, loudly). */
   def attemptTagOf(fileName: String): Option[(Long, Long)] =
-    "part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(fileName)
+    "^part-(\\d+)-a(\\d+)-".r.findFirstMatchIn(fileName)
       .map(m => (m.group(1).toLong, m.group(2).toLong))
 
   /** Attempt-tag audit of a committed transcode output: greps part-file

@@ -203,17 +203,31 @@ object IngestAudit {
         s"ingest audit FAILED for checkpoint $ckptDir: sources batch " +
           s"file(s) ${uncovered.take(3)} record no ingestion for their own " +
           "batch (whole-entry erasure?)")
-    // only ABOVE-max entries are stray: entries below fileIds.min are
-    // legal once FileStreamSourceLog cleanup deletes batch files older
-    // than a compact (the compact still carries their entries) — flagging
-    // them would false-loud every healthy long-running stream past the
-    // retention horizon
+    // above-max entries are always stray. Below-min entries are legal
+    // ONLY after FileStreamSourceLog cleanup has deleted batch files
+    // older than a compact — the retained minimum is then that compact,
+    // which still carries the deleted batches' entries; flagging them
+    // would false-loud every healthy stream past the retention horizon.
+    // But when no cleanup can have run (the log still starts at batch 0,
+    // or the oldest retained file is a plain batch file), a below-min
+    // entry is corruption and stays loud.
     val stray = byBatch.keys.filter(_ > fileIds.max)
     if (stray.nonEmpty)
       throw new IllegalStateException(
         s"ingest audit FAILED for checkpoint $ckptDir: entries recorded " +
           s"for batch(es) ${stray.toSeq.sorted.take(3)} beyond the latest " +
           s"batch file ${fileIds.max}")
+    val cleanupEvident = fileIds.min > 0 &&
+      new java.io.File(srcDir, s"${fileIds.min}.compact").isFile
+    if (!cleanupEvident) {
+      val strayLow = byBatch.keys.filter(_ < fileIds.min)
+      if (strayLow.nonEmpty)
+        throw new IllegalStateException(
+          s"ingest audit FAILED for checkpoint $ckptDir: entries recorded " +
+            s"for batch(es) ${strayLow.toSeq.sorted.take(3)} before the " +
+            s"oldest batch file ${fileIds.min} with no compact cleanup " +
+            "evident (corrupted batchId?)")
+    }
     val commitsDir = new java.io.File(ckptDir, "commits")
     if (commitsDir.isDirectory) {
       val commitIds = ids(commitsDir, "commits")

@@ -271,16 +271,19 @@ object StateRestoreFuzz {
           // drop the LAST line — truncation landing exactly on the
           // preceding line's terminator
           (lines.dropRight(1).mkString("\n") + "\n", "line_truncate")
-        case 1 =>
-          // remove one whole entry line — STRICTLY interior when the file
-          // has several, so this arm never degenerates into the
-          // truncation arm and the interior-deletion sub-class the
-          // contract advertises is genuinely attempted every trial
-          val idx =
-            if (lines.size > 2) 1 + rnd.nextInt(lines.size - 2)
-            else 1
+        case 1 if lines.size > 2 =>
+          // remove one strictly-INTERIOR entry line, so this arm never
+          // degenerates into the truncation arm and the interior-deletion
+          // sub-class the contract advertises is genuinely attempted
+          val idx = 1 + rnd.nextInt(lines.size - 2)
           (lines.patch(idx, Nil, 1).mkString("\n") + (if (endsNl) "\n" else ""),
             "line_delete")
+        case 1 =>
+          // the richest file holds a single entry line: deleting it
+          // leaves a header-only file, which IS the erase-all structural
+          // class — label it honestly so the artifact's line_delete count
+          // never claims interior coverage that was not exercised
+          (lines.head + "\n", "line_erase_all")
         case _ =>
           // erase EVERY entry line, leaving a well-formed header-only
           // batch file — the structural sub-class the LEDGER catches (a

@@ -253,6 +253,37 @@ class IngestAuditSpec extends AnyFunSuite {
     } finally cleanup(base)
   }
 
+  test("batch ledger: below-min entries are loud when no compact cleanup is evident") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      // the log still starts at batch 0, so NOTHING below min can be
+      // legal — an entry claiming batch -1 is a corrupted batchId, not a
+      // compact-carried survivor of cleanup
+      java.nio.file.Files.writeString(src.resolve("0"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", -1)).mkString("\n"))
+      val e = intercept[IllegalStateException] {
+        IngestAudit.audit(base.resolve("ckpt").toString, stage) }
+      assert(e.getMessage.contains("before the oldest batch file"), e.getMessage)
+    } finally cleanup(base)
+  }
+
+  test("batch ledger: below-min entries pass when the oldest retained file is a compact") {
+    val base = ckptWith()
+    try {
+      val stage = stageWith(base, "a.parquet", "b.parquet", "c.parquet")
+      val src = base.resolve("ckpt/sources/0")
+      // post-cleanup shape: plain files 0..1 deleted, the retained
+      // minimum IS the compact, still carrying batches 0 and 1 — their
+      // below-min entries are cleanup survivors, not corruption
+      java.nio.file.Files.writeString(src.resolve("2.compact"),
+        Seq("v1", entry(stage, "a.parquet", 0), entry(stage, "b.parquet", 1),
+          entry(stage, "c.parquet", 2)).mkString("\n"))
+      IngestAudit.audit(base.resolve("ckpt").toString, stage)
+    } finally cleanup(base)
+  }
+
   test("row-total reconciliation: mismatch is loud, equality passes") {
     IngestAudit.reconcileRowTotal("/ckpt", 800L, 800L, "the state total")
     val e = intercept[IllegalStateException] {
