@@ -109,10 +109,28 @@ object OsmPbf {
     * `spark.read.parquet(out)` stays available for rename-mode outputs,
     * same as any committer-based pipeline; this entry point is the
     * gated discipline. */
+  /** Relative file paths of a generation `_MANIFEST` — THE one
+    * interpreter of the manifest format (readCommitted, the object-store
+    * proof, and the commit spec all parse through it), header-checked so
+    * a format drift fails loudly everywhere at once. */
+  def manifestEntries(lines: Seq[String], where: String): Seq[String] = {
+    require(lines.headOption.exists(_.startsWith("v")),
+      s"generation manifest $where lacks a version header")
+    lines.drop(1).filter(_.nonEmpty)
+  }
+
   def readCommitted(spark: SparkSession, out: String): DataFrame = {
     val rawOut = new Path(out.stripSuffix("/"))
     val fs = rawOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val outPath = fs.makeQualified(rawOut)
+    // a committed-but-EMPTY output (header-only PBF: zero data blobs
+    // commit zero files) has nothing to infer a schema from —
+    // spark.read.parquet() with no paths throws. Committed means
+    // readable: return an empty frame with the engine's schema (the
+    // default 13-column shape; LocationsOnWays adds its trailing column
+    // only via rows, so an empty output has none to carry).
+    def emptyCommitted: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), OsmSchema.schema)
     currentGenToken(fs, outPath) match {
       case Some(tok) =>
         val gen = new Path(outPath, tok)
@@ -120,16 +138,17 @@ object OsmPbf {
         val in = fs.open(mf)
         val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
           .getLines().toVector finally in.close()
-        require(lines.headOption.exists(_.startsWith("v")),
-          s"generation manifest $mf lacks a version header")
-        val files = lines.drop(1).filter(_.nonEmpty)
+        val files = manifestEntries(lines, mf.toString)
           .map(rel => new Path(gen, rel).toString)
-        spark.read.option("basePath", gen.toString).parquet(files: _*)
+        if (files.isEmpty) emptyCommitted
+        else spark.read.option("basePath", gen.toString).parquet(files: _*)
       case None =>
         require(fs.exists(new Path(outPath, "_SUCCESS")),
           s"no _CURRENT pointer and no _SUCCESS marker under $outPath — " +
             "refusing an ungated read of a possibly mid-commit output")
-        spark.read.parquet(outPath.toString)
+        val any = Option(fs.globStatus(new Path(outPath, "type=*/*.parquet")))
+          .exists(_.nonEmpty)
+        if (!any) emptyCommitted else spark.read.parquet(outPath.toString)
     }
   }
 
@@ -502,6 +521,15 @@ object OsmPbf {
             throw new java.io.IOException(
               s"transcode commit: winning attempt's generation file missing: $rel")
         }
+        // a previously RENAME-committed output leaves a `_SUCCESS` marker
+        // at the root; once the pointer flips, the root type= dirs are
+        // superseded, so a committer-gated root reader must refuse rather
+        // than silently read them — remove the marker BEFORE the flip (a
+        // crash between leaves neither gate live: loud, never stale)
+        val staleSuccess = new Path(outPath, "_SUCCESS")
+        if (ofs.exists(staleSuccess) && !ofs.delete(staleSuccess, false))
+          throw new java.io.IOException(
+            s"transcode commit: failed to remove stale $staleSuccess")
         val po = ofs.create(new Path(outPath, "_CURRENT"), true)
         try po.write(genToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally po.close()
@@ -542,8 +570,26 @@ object OsmPbf {
           throw new java.io.IOException(
             s"transcode commit: rename ${new Path(publish, s"type=$t")} -> $live failed")
       }
+      // a previously POINTER-committed output leaves a `_CURRENT` pointer
+      // naming a now-superseded generation, and readCommitted checks it
+      // FIRST — it must be gone before the root goes live under
+      // `_SUCCESS`, or the gated reader silently serves the old
+      // generation forever. Ordering: keep the pointer through the swaps
+      // (a crash mid-swap then still resolves the LAST-committed,
+      // consistent generation), delete it here, then create the marker —
+      // a crash between the two leaves neither gate live: loud, never
+      // stale
+      val stalePtr = new Path(outPath, "_CURRENT")
+      if (ofs.exists(stalePtr) && !ofs.delete(stalePtr, false))
+        throw new java.io.IOException(
+          s"transcode commit: failed to remove stale $stalePtr")
       ofs.create(successMarker, true).close() // all three swaps complete
       ofs.delete(staging, true)
+      // the orphaned generation dirs are `_`-prefixed (invisible to root
+      // parquet reads) and now unreachable — reclaim them; a failed
+      // delete only leaks space, never correctness
+      Option(ofs.globStatus(new Path(outPath, "_gen-*"))).getOrElse(Array.empty)
+        .filter(_.isDirectory).foreach(st => ofs.delete(st.getPath, true))
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap
     } finally {
       running = false

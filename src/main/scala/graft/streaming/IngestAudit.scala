@@ -165,6 +165,25 @@ object IngestAudit {
     * file that RETAINS another entry for the same batch — is closed by
     * [[reconcileRowTotal]] at the harness layer, where the staged row
     * total and the ingested/sink row total are both known. */
+  /** Highest batch-file id in the checkpoint's sources log, if any —
+    * what the source has durably PLANNED, independent of which progress
+    * events a caller managed to observe (the replay harness uses it to
+    * decide whether its progress history is complete before trusting a
+    * row-total equality). */
+  def maxSourcesBatchId(ckptDir: String): Option[Long] = {
+    val srcRoot = new java.io.File(ckptDir, "sources")
+    if (!srcRoot.isDirectory) return None
+    Option(srcRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory).headOption.flatMap { srcDir =>
+        val ids = Option(srcDir.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isFile && !f.getName.startsWith(".") &&
+            !f.getName.endsWith(".crc") && !f.getName.endsWith(".tmp"))
+          .flatMap(f =>
+            scala.util.Try(f.getName.stripSuffix(".compact").toLong).toOption)
+        if (ids.isEmpty) None else Some(ids.max)
+      }
+  }
+
   def auditBatchLedger(ckptDir: String,
       preparsed: Option[Seq[Entry]] = None): Unit = {
     def ids(dir: java.io.File, what: String): Seq[Long] = {

@@ -123,6 +123,15 @@ object StreamReplay {
     if (ps.isEmpty) return
     val bids = ps.map(_.batchId)
     if (bids.min != 0L || bids.distinct.length.toLong != bids.max + 1) return
+    // the contiguity guard above cannot see a missing TAIL: a trailing
+    // batch planned after the settle target was reached (e.g. a final
+    // chunk whose rows all dedup away and add no sink rows) would leave
+    // 0..k-1 contiguous while its input rows are missing from the sum —
+    // a false loud on a correct run. The checkpoint's own sources log
+    // knows what was planned; if it planned a batch the history lacks,
+    // the history is incomplete — skip (ingestion stays guarded by the
+    // file-set audit)
+    if (IngestAudit.maxSourcesBatchId(ckpt).exists(_ > bids.max)) return
     val ingested = ps.map(p =>
       Option(p.sources).toSeq.flatten.map(_.numInputRows).sum).sum
     val staged = s.read.parquet(stage.toString).count()

@@ -45,7 +45,8 @@ object ObjectStoreProof {
     val mf = fs.open(new org.apache.hadoop.fs.Path(outPath, s"$gen/_MANIFEST"))
     val manifest = try scala.io.Source.fromInputStream(mf, "UTF-8")
       .getLines().toVector finally mf.close()
-    val tags = OsmValidate.attemptTagsOfManifest(manifest.drop(1).filter(_.nonEmpty))
+    val tags = OsmValidate.attemptTagsOfManifest(
+      OsmPbf.manifestEntries(manifest, s"$gen/_MANIFEST"))
     require(tags.values.forall(_.size == 1),
       s"[$tag] multiple attempts published for one partition: " +
         tags.filter(_._2.size > 1))

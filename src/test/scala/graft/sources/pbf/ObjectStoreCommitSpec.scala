@@ -30,7 +30,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class ObjectStoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private var spark: SparkSession = _
-  private val fixture = "/root/reference/osmpbf/tests/test.osm.pbf"
   private var scratch: java.nio.file.Path = _
 
   override def beforeAll(): Unit = {
@@ -120,7 +119,8 @@ class ObjectStoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     val manifest = java.nio.file.Files.readAllLines(
       new java.io.File(gen, "_MANIFEST").toPath)
     val tagsByPartition = OsmValidate.attemptTagsOfManifest(
-      manifest.toArray(Array.empty[String]).toSeq.drop(1).filter(_.nonEmpty))
+      OsmPbf.manifestEntries(
+        manifest.toArray(Array.empty[String]).toSeq, "_MANIFEST"))
     assert(tagsByPartition.values.forall(_.size == 1),
       s"multiple attempts published for one partition: $tagsByPartition")
   }
@@ -217,5 +217,55 @@ class ObjectStoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbfB", output = out))
     assert(OsmPbf.readCommitted(spark, out).count() === nB)
     assert(fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")))
+  }
+
+  test("mode switch on one output path: each commit retires the other protocol's gate") {
+    HostileObjectStoreFs.reset()
+    val (pbf, n) = synth("ms", 3)
+    val out = freshOut("m1")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outPath = fs.makeQualified(new org.apache.hadoop.fs.Path(out))
+    OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out,
+      commitMode = PbfConfig.CommitPointer))
+    assert(OsmPbf.currentGenToken(fs, outPath).nonEmpty)
+    // re-run the SAME output with the default rename commit (an operator
+    // dropping --commit-mode): the root becomes the committed truth, so
+    // the stale pointer must not keep readCommitted on the old
+    // generation, and the orphaned generation dirs must be reclaimed
+    OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out))
+    assert(OsmPbf.currentGenToken(fs, outPath).isEmpty,
+      "rename commit left a stale _CURRENT pointer behind")
+    assert(!Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, "_gen-*")))
+      .getOrElse(Array.empty).exists(_.isDirectory),
+      "rename commit left orphaned generation dirs behind")
+    assert(OsmPbf.readCommitted(spark, out).count() === n)
+    // and the reverse switch: a pointer re-run supersedes the root
+    // type= dirs, so the root's _SUCCESS gate must be retired — a
+    // committer-gated root reader refuses instead of reading stale
+    OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out,
+      commitMode = PbfConfig.CommitPointer))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")),
+      "pointer commit left the superseded root's _SUCCESS marker live")
+    assert(OsmPbf.readCommitted(spark, out).count() === n)
+  }
+
+  test("a committed EMPTY output is readable through readCommitted in both modes") {
+    HostileObjectStoreFs.reset()
+    // header-only PBF: zero data blobs commit zero files — committed
+    // means readable, so the gated reader must return an empty frame
+    // with the engine schema, not crash on parquet schema inference
+    val p = s"$scratch/empty.osm.pbf"
+    PbfWriter.synthesize(p, blocks = 0, nodesPerBlock = 0)
+    val outP = freshOut("e1")
+    val counts = OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$p",
+      output = outP, commitMode = PbfConfig.CommitPointer))
+    assert(counts.values.sum === 0L)
+    val backP = OsmPbf.readCommitted(spark, outP)
+    assert(backP.count() === 0L)
+    assert(backP.schema.fieldNames.toSeq.contains("type"))
+    val outR = freshOut("e2")
+    OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$p", output = outR))
+    assert(OsmPbf.readCommitted(spark, outR).count() === 0L)
   }
 }
