@@ -99,16 +99,6 @@ object OsmPbf {
     }
   }
 
-  /** Committed-generation read for transcode outputs, either protocol:
-    * a pointer-committed output (`_CURRENT` present) resolves the live
-    * generation and loads EXACTLY the manifest's files (zombie-attempt
-    * files sitting in the generation dir are never read; the hive
-    * `type=` partition column comes back via `basePath`); a
-    * rename-committed output is read whole, GATED on `_SUCCESS` — the
-    * marker that excludes the between-swaps window. An ungated
-    * `spark.read.parquet(out)` stays available for rename-mode outputs,
-    * same as any committer-based pipeline; this entry point is the
-    * gated discipline. */
   /** Relative file paths of a generation `_MANIFEST` — THE one
     * interpreter of the manifest format (readCommitted, the object-store
     * proof, and the commit spec all parse through it), header-checked so
@@ -119,6 +109,16 @@ object OsmPbf {
     lines.drop(1).filter(_.nonEmpty)
   }
 
+  /** Committed-generation read for transcode outputs, either protocol:
+    * a pointer-committed output (`_CURRENT` present) resolves the live
+    * generation and loads EXACTLY the manifest's files (zombie-attempt
+    * files sitting in the generation dir are never read; the hive
+    * `type=` partition column comes back via `basePath`); a
+    * rename-committed output is read whole, GATED on `_SUCCESS` — the
+    * marker that excludes the between-swaps window. An ungated
+    * `spark.read.parquet(out)` stays available for rename-mode outputs,
+    * same as any committer-based pipeline; this entry point is the
+    * gated discipline. */
   def readCommitted(spark: SparkSession, out: String): DataFrame = {
     val rawOut = new Path(out.stripSuffix("/"))
     val fs = rawOut.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -146,9 +146,18 @@ object OsmPbf {
         require(fs.exists(new Path(outPath, "_SUCCESS")),
           s"no _CURRENT pointer and no _SUCCESS marker under $outPath — " +
             "refusing an ungated read of a possibly mid-commit output")
-        val any = Option(fs.globStatus(new Path(outPath, "type=*/*.parquet")))
-          .exists(_.nonEmpty)
-        if (!any) emptyCommitted else spark.read.parquet(outPath.toString)
+        // attempt the read FIRST and treat only a failed schema
+        // inference as "committed empty" — an up-front directory listing
+        // would convert a lagging-listing store's transiently-hidden
+        // files into a silent 0-row result, and costs a listing RPC on
+        // every healthy read
+        try spark.read.parquet(outPath.toString)
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if Option(e.getMessage).exists(
+                _.toLowerCase.contains("unable to infer schema")) =>
+            emptyCommitted
+        }
     }
   }
 
@@ -320,18 +329,21 @@ object OsmPbf {
     val pointerMode = config.commitMode == PbfConfig.CommitPointer
     val genToken = s"_gen-${java.util.UUID.randomUUID().toString.take(12)}"
     val staging = new Path(outPath, if (pointerMode) genToken else "_staging")
-    if (pointerMode) {
-      // GC stale generations from PREVIOUS runs (everything except the
-      // one `_CURRENT` names) — deferred to run START rather than done at
-      // the previous commit, so readers of the last-committed generation
-      // keep a full inter-run grace window (the pointer flip never races
-      // a reader that resolved it moments earlier; production would widen
-      // this to a TTL)
+    // GC stale generations from PREVIOUS runs (everything except the one
+    // `_CURRENT` names) — deferred to run START rather than done at the
+    // superseding commit, so readers of the last-committed generation
+    // keep a full inter-run grace window (a commit never races a reader
+    // that resolved the pointer moments earlier; production would widen
+    // this to a TTL). Runs in BOTH modes: a rename commit retires the
+    // pointer but leaves its generation for this grace window, so the
+    // next run of either protocol is what reclaims it.
+    locally {
       val current = currentGenToken(ofs, outPath)
       Option(ofs.globStatus(new Path(outPath, "_gen-*"))).getOrElse(Array.empty)
         .filter(st => st.isDirectory && !current.contains(st.getPath.getName))
         .foreach(st => ofs.delete(st.getPath, true))
-    } else if (ofs.exists(staging)) ofs.delete(staging, true)
+    }
+    if (!pointerMode && ofs.exists(staging)) ofs.delete(staging, true)
     types.foreach(t => ofs.mkdirs(new Path(staging, s"type=$t")))
     val writeSub = staging.getName
 
@@ -522,14 +534,26 @@ object OsmPbf {
               s"transcode commit: winning attempt's generation file missing: $rel")
         }
         // a previously RENAME-committed output leaves a `_SUCCESS` marker
-        // at the root; once the pointer flips, the root type= dirs are
-        // superseded, so a committer-gated root reader must refuse rather
-        // than silently read them — remove the marker BEFORE the flip (a
-        // crash between leaves neither gate live: loud, never stale)
+        // AND live root type= dirs; once the pointer flips both are
+        // superseded, so remove them BEFORE the flip — the marker so a
+        // committer-gated root reader refuses rather than silently reads
+        // stale, the dirs so a fully UNGATED `spark.read.parquet(out)`
+        // (explicitly supported while the output was rename-committed)
+        // cannot silently keep serving the old rows forever. Reader
+        // semantics match the rename swap, which likewise deletes the
+        // live root dirs mid-commit; a crash inside this window destroys
+        // the previous generation exactly as a mid-swap rename crash
+        // does, and every gate stays loud, never stale.
         val staleSuccess = new Path(outPath, "_SUCCESS")
         if (ofs.exists(staleSuccess) && !ofs.delete(staleSuccess, false))
           throw new java.io.IOException(
             s"transcode commit: failed to remove stale $staleSuccess")
+        types.foreach { t =>
+          val staleRoot = new Path(outPath, s"type=$t")
+          if (ofs.exists(staleRoot) && !ofs.delete(staleRoot, true))
+            throw new java.io.IOException(
+              s"transcode commit: failed to remove superseded $staleRoot")
+        }
         val po = ofs.create(new Path(outPath, "_CURRENT"), true)
         try po.write(genToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally po.close()
@@ -585,11 +609,12 @@ object OsmPbf {
           s"transcode commit: failed to remove stale $stalePtr")
       ofs.create(successMarker, true).close() // all three swaps complete
       ofs.delete(staging, true)
-      // the orphaned generation dirs are `_`-prefixed (invisible to root
-      // parquet reads) and now unreachable — reclaim them; a failed
-      // delete only leaks space, never correctness
-      Option(ofs.globStatus(new Path(outPath, "_gen-*"))).getOrElse(Array.empty)
-        .filter(_.isDirectory).foreach(st => ofs.delete(st.getPath, true))
+      // the retired pointer's generation dir is deliberately NOT
+      // reclaimed here: a reader that resolved `_CURRENT` moments before
+      // this commit still holds lazy references into it, and the pointer
+      // protocol's grace discipline (GC at the NEXT run's start, either
+      // mode) applies to it the same as to any superseded generation.
+      // It is `_`-prefixed, so root parquet reads never see it.
       types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap
     } finally {
       running = false

@@ -173,15 +173,22 @@ object IngestAudit {
   def maxSourcesBatchId(ckptDir: String): Option[Long] = {
     val srcRoot = new java.io.File(ckptDir, "sources")
     if (!srcRoot.isDirectory) return None
-    Option(srcRoot.listFiles()).getOrElse(Array.empty)
-      .filter(_.isDirectory).headOption.flatMap { srcDir =>
-        val ids = Option(srcDir.listFiles()).getOrElse(Array.empty)
-          .filter(f => f.isFile && !f.getName.startsWith(".") &&
-            !f.getName.endsWith(".crc") && !f.getName.endsWith(".tmp"))
-          .flatMap(f =>
-            scala.util.Try(f.getName.stripSuffix(".compact").toLong).toOption)
-        if (ids.isEmpty) None else Some(ids.max)
-      }
+    val srcDirs = Option(srcRoot.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    // same loud single-source guard as entries(): with several sources a
+    // headOption over an unordered listing would silently report
+    // whichever dir lists first, under-counting the planned tail
+    require(srcDirs.length <= 1,
+      s"ingest audit: expected a single source under $srcRoot, " +
+        s"found ${srcDirs.map(_.getName).toSeq.sorted}")
+    srcDirs.headOption.flatMap { srcDir =>
+      val ids = Option(srcDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && !f.getName.startsWith(".") &&
+          !f.getName.endsWith(".crc") && !f.getName.endsWith(".tmp"))
+        .flatMap(f =>
+          scala.util.Try(f.getName.stripSuffix(".compact").toLong).toOption)
+      if (ids.isEmpty) None else Some(ids.max)
+    }
   }
 
   def auditBatchLedger(ckptDir: String,

@@ -128,10 +128,20 @@ object StreamReplay {
     // chunk whose rows all dedup away and add no sink rows) would leave
     // 0..k-1 contiguous while its input rows are missing from the sum —
     // a false loud on a correct run. The checkpoint's own sources log
-    // knows what was planned; if it planned a batch the history lacks,
-    // the history is incomplete — skip (ingestion stays guarded by the
-    // file-set audit)
-    if (IngestAudit.maxSourcesBatchId(ckpt).exists(_ > bids.max)) return
+    // knows what was planned — but in ITS OWN id space: sources batch
+    // file ids are the file source's logOffsets, which advance only on
+    // batches that ingest new files, while progress batchIds count every
+    // batch (no-data/timer batches included), so comparing the two
+    // spaces goes inert once any zero-new-file batch is observed. The
+    // last observed progress entry carries the source's endOffset in the
+    // SAME logOffset space: the history is complete iff it reached the
+    // log's maximum. Unparsable offset → completeness unprovable → skip
+    // (ingestion stays guarded by the file-set audit).
+    val observedMaxOffset: Option[Long] = Option(ps.maxBy(_.batchId).sources)
+      .toSeq.flatten.headOption.flatMap(s => Option(s.endOffset))
+      .flatMap(o => "-?\\d+".r.findFirstIn(o)).map(_.toLong)
+    val plannedMax = IngestAudit.maxSourcesBatchId(ckpt)
+    if (plannedMax.exists(p => !observedMaxOffset.exists(_ >= p))) return
     val ingested = ps.map(p =>
       Option(p.sources).toSeq.flatten.map(_.numInputRows).sum).sum
     val staged = s.read.parquet(stage.toString).count()

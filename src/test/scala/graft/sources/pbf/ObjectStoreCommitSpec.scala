@@ -232,21 +232,33 @@ class ObjectStoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     // re-run the SAME output with the default rename commit (an operator
     // dropping --commit-mode): the root becomes the committed truth, so
     // the stale pointer must not keep readCommitted on the old
-    // generation, and the orphaned generation dirs must be reclaimed
+    // generation. The retired generation DIR deliberately survives (the
+    // protocol's reader grace window — GC happens at the NEXT run's
+    // start, either mode), invisible to root reads via its _ prefix.
     OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out))
     assert(OsmPbf.currentGenToken(fs, outPath).isEmpty,
       "rename commit left a stale _CURRENT pointer behind")
-    assert(!Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, "_gen-*")))
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, "_gen-*")))
       .getOrElse(Array.empty).exists(_.isDirectory),
-      "rename commit left orphaned generation dirs behind")
+      "the retired generation should survive the commit for reader grace")
     assert(OsmPbf.readCommitted(spark, out).count() === n)
     // and the reverse switch: a pointer re-run supersedes the root
-    // type= dirs, so the root's _SUCCESS gate must be retired — a
-    // committer-gated root reader refuses instead of reading stale
+    // type= dirs, so BOTH root gates must be retired — the _SUCCESS
+    // marker (committer-gated readers refuse instead of reading stale)
+    // and the dirs themselves (a fully ungated root read cannot keep
+    // serving the old rows); and this run's start GC reclaims the
+    // generation the rename commit retired.
     OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out,
       commitMode = PbfConfig.CommitPointer))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")),
       "pointer commit left the superseded root's _SUCCESS marker live")
+    assert(!Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, "type=*")))
+      .getOrElse(Array.empty).exists(_.isDirectory),
+      "pointer commit left the superseded root type= dirs readable")
+    val gens = Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, "_gen-*")))
+      .getOrElse(Array.empty).filter(_.isDirectory).map(_.getPath.getName).toSet
+    assert(gens === Set(OsmPbf.currentGenToken(fs, outPath).get),
+      s"start GC should leave exactly the live generation, got $gens")
     assert(OsmPbf.readCommitted(spark, out).count() === n)
   }
 
