@@ -143,20 +143,51 @@ object OsmPbf {
         if (files.isEmpty) emptyCommitted
         else spark.read.option("basePath", gen.toString).parquet(files: _*)
       case None =>
-        require(fs.exists(new Path(outPath, "_SUCCESS")),
+        val marker = new Path(outPath, "_SUCCESS")
+        require(fs.exists(marker),
           s"no _CURRENT pointer and no _SUCCESS marker under $outPath — " +
             "refusing an ungated read of a possibly mid-commit output")
-        // attempt the read FIRST and treat only a failed schema
-        // inference as "committed empty" — an up-front directory listing
-        // would convert a lagging-listing store's transiently-hidden
-        // files into a silent 0-row result, and costs a listing RPC on
-        // every healthy read
-        try spark.read.parquet(outPath.toString)
-        catch {
-          case e: org.apache.spark.sql.AnalysisException
-              if Option(e.getMessage).exists(
-                _.toLowerCase.contains("unable to infer schema")) =>
-            emptyCommitted
+        // the marker carries the committed part-file count (this
+        // engine's rename commit writes it) — a point-lookup signal
+        // that stays consistent where the LIST a parquet read relies on
+        // can lag, so "committed empty", "nothing listable yet", and
+        // "partially listed" are all distinguishable. Version-stable
+        // empty-inference classification via the error condition.
+        def inferFailed(e: org.apache.spark.sql.AnalysisException): Boolean =
+          Option(e.getCondition).exists(_.startsWith("UNABLE_TO_INFER_SCHEMA")) ||
+            Option(e.getMessage).exists(
+              _.toLowerCase.contains("unable to infer schema"))
+        val recorded: Option[Long] = {
+          val in = fs.open(marker)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim finally in.close()
+          scala.util.Try(txt.toLong).toOption
+        }
+        recorded match {
+          case Some(0L) => emptyCommitted
+          case Some(nFiles) =>
+            val df =
+              try spark.read.parquet(outPath.toString)
+              catch {
+                case e: org.apache.spark.sql.AnalysisException if inferFailed(e) =>
+                  throw new java.io.IOException(
+                    s"$nFiles committed part files under $outPath but parquet " +
+                      "discovery found none — lagging listing or lost files", e)
+              }
+            val seen = df.inputFiles.length
+            if (seen < nFiles)
+              throw new java.io.IOException(
+                s"committed $nFiles part files under $outPath but discovery " +
+                  s"lists only $seen — lagging listing or lost files")
+            df
+          case None =>
+            // a marker without a count (foreign committer): attempt the
+            // read and treat only a failed schema inference as empty
+            try spark.read.parquet(outPath.toString)
+            catch {
+              case e: org.apache.spark.sql.AnalysisException if inferFailed(e) =>
+                emptyCommitted
+            }
         }
     }
   }
@@ -342,6 +373,18 @@ object OsmPbf {
       Option(ofs.globStatus(new Path(outPath, "_gen-*"))).getOrElse(Array.empty)
         .filter(st => st.isDirectory && !current.contains(st.getPath.getName))
         .foreach(st => ofs.delete(st.getPath, true))
+      // a live `_CURRENT` also marks any rename-mode root remnants
+      // (type= dirs, `_SUCCESS`) as superseded — a crash between a
+      // pointer commit's PUT and its post-flip retirement can leave
+      // them; sweep them here with the same start-of-run timing
+      if (current.nonEmpty) {
+        val m = new Path(outPath, "_SUCCESS")
+        if (ofs.exists(m)) ofs.delete(m, false)
+        types.foreach { t =>
+          val d = new Path(outPath, s"type=$t")
+          if (ofs.exists(d)) ofs.delete(d, true)
+        }
+      }
     }
     if (!pointerMode && ofs.exists(staging)) ofs.delete(staging, true)
     types.foreach(t => ofs.mkdirs(new Path(staging, s"type=$t")))
@@ -494,8 +537,11 @@ object OsmPbf {
         // files, then ONE `_CURRENT` pointer PUT — a single-object
         // overwrite, which every object store makes atomic. A crash
         // anywhere before the pointer PUT leaves the previous generation
-        // fully live; after it, the new one; no reader can observe a mix
-        // and no rename-atomicity is assumed anywhere. Zombie attempts
+        // fully live — whether that generation is pointer-committed or a
+        // rename-committed root (its marker and dirs are retired only
+        // AFTER the flip, below); after it, the new one; no
+        // readCommitted reader can observe a mix and no rename-atomicity
+        // is assumed anywhere. Zombie attempts
         // can drop files into the generation dir at ANY point, but
         // readCommitted loads only manifest-named files, so they are
         // never read — logged here, reclaimed with the generation by a
@@ -533,30 +579,34 @@ object OsmPbf {
             throw new java.io.IOException(
               s"transcode commit: winning attempt's generation file missing: $rel")
         }
-        // a previously RENAME-committed output leaves a `_SUCCESS` marker
-        // AND live root type= dirs; once the pointer flips both are
-        // superseded, so remove them BEFORE the flip — the marker so a
-        // committer-gated root reader refuses rather than silently reads
-        // stale, the dirs so a fully UNGATED `spark.read.parquet(out)`
-        // (explicitly supported while the output was rename-committed)
-        // cannot silently keep serving the old rows forever. Reader
-        // semantics match the rename swap, which likewise deletes the
-        // live root dirs mid-commit; a crash inside this window destroys
-        // the previous generation exactly as a mid-swap rename crash
-        // does, and every gate stays loud, never stale.
-        val staleSuccess = new Path(outPath, "_SUCCESS")
-        if (ofs.exists(staleSuccess) && !ofs.delete(staleSuccess, false))
-          throw new java.io.IOException(
-            s"transcode commit: failed to remove stale $staleSuccess")
-        types.foreach { t =>
-          val staleRoot = new Path(outPath, s"type=$t")
-          if (ofs.exists(staleRoot) && !ofs.delete(staleRoot, true))
-            throw new java.io.IOException(
-              s"transcode commit: failed to remove superseded $staleRoot")
-        }
         val po = ofs.create(new Path(outPath, "_CURRENT"), true)
         try po.write(genToken.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally po.close()
+        // POST-flip retirement of a previously RENAME-committed root:
+        // its `_SUCCESS` marker and type= dirs are superseded the moment
+        // the pointer PUT lands, and must not stay silently readable —
+        // the marker feeds committer-gated root readers, the dirs a
+        // fully ungated `spark.read.parquet(out)` (explicitly supported
+        // while the output was rename-mode). Retiring AFTER the flip
+        // keeps the protocol's crash guarantee intact: a crash anywhere
+        // BEFORE the PUT leaves the previous generation fully live
+        // (marker, dirs, and all); a crash between the PUT and this
+        // cleanup leaves stale-but-complete root remnants that the next
+        // run's start GC sweeps (`_CURRENT` being live marks them
+        // superseded). Failures here are logged, not thrown — the
+        // commit is already durable.
+        try {
+          val staleSuccess = new Path(outPath, "_SUCCESS")
+          if (ofs.exists(staleSuccess)) ofs.delete(staleSuccess, false)
+          types.foreach { t =>
+            val staleRoot = new Path(outPath, s"type=$t")
+            if (ofs.exists(staleRoot)) ofs.delete(staleRoot, true)
+          }
+        } catch { case e: java.io.IOException =>
+          System.err.println("[graft.transcode] post-flip retirement of " +
+            s"the superseded rename-mode root failed ($e) — the next " +
+            "run's start GC sweeps it")
+        }
         return types.zipWithIndex.map { case (t, i) => t -> perTask.map(_._1(i)).sum }.toMap
       }
       val publish = new Path(staging, "_publish")
@@ -607,7 +657,15 @@ object OsmPbf {
       if (ofs.exists(stalePtr) && !ofs.delete(stalePtr, false))
         throw new java.io.IOException(
           s"transcode commit: failed to remove stale $stalePtr")
-      ofs.create(successMarker, true).close() // all three swaps complete
+      // all three swaps complete. The marker carries the committed
+      // part-file COUNT: a consistent point-lookup signal that lets
+      // readCommitted tell "committed empty" from "files not yet
+      // listable" and detect a partial listing — an object store's LIST
+      // can lag its PUTs, so a read attempt alone cannot
+      val sm = ofs.create(successMarker, true)
+      try sm.write(expected.size.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally sm.close()
       ofs.delete(staging, true)
       // the retired pointer's generation dir is deliberately NOT
       // reclaimed here: a reader that resolved `_CURRENT` moments before

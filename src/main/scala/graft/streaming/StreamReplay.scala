@@ -138,7 +138,7 @@ object StreamReplay {
     // log's maximum. Unparsable offset → completeness unprovable → skip
     // (ingestion stays guarded by the file-set audit).
     val observedMaxOffset: Option[Long] = Option(ps.maxBy(_.batchId).sources)
-      .toSeq.flatten.headOption.flatMap(s => Option(s.endOffset))
+      .toSeq.flatten.headOption.flatMap(sp => Option(sp.endOffset))
       .flatMap(o => "-?\\d+".r.findFirstIn(o)).map(_.toLong)
     val plannedMax = IngestAudit.maxSourcesBatchId(ckpt)
     if (plannedMax.exists(p => !observedMaxOffset.exists(_ >= p))) return

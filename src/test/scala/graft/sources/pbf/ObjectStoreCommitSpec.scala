@@ -262,6 +262,31 @@ class ObjectStoreCommitSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(OsmPbf.readCommitted(spark, out).count() === n)
   }
 
+  test("a pointer re-run dying at the _CURRENT PUT leaves the rename-committed previous generation FULLY live") {
+    HostileObjectStoreFs.reset()
+    val (pbf, n) = synth("sw", 3)
+    val out = freshOut("m2")
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outPath = fs.makeQualified(new org.apache.hadoop.fs.Path(out))
+    OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out))
+    // the protocol's crash guarantee across the MODE SWITCH: retirement
+    // of the rename root happens only after the flip, so a commit dying
+    // AT the pointer PUT must leave the old generation intact — marker,
+    // dirs, and gated read
+    HostileObjectStoreFs.failPointerPutOnce.set(true)
+    intercept[Exception] {
+      OsmPbf.transcode(spark, PbfConfig(input = s"grafts3://$pbf", output = out,
+        commitMode = PbfConfig.CommitPointer))
+    }
+    assert(fs.exists(new org.apache.hadoop.fs.Path(outPath, "_SUCCESS")),
+      "the failed pointer commit destroyed the previous generation's marker")
+    assert(Option(fs.globStatus(new org.apache.hadoop.fs.Path(outPath, "type=*")))
+      .getOrElse(Array.empty).count(_.isDirectory) === 3,
+      "the failed pointer commit destroyed previous-generation root dirs")
+    assert(OsmPbf.readCommitted(spark, out).count() === n)
+  }
+
   test("a committed EMPTY output is readable through readCommitted in both modes") {
     HostileObjectStoreFs.reset()
     // header-only PBF: zero data blobs commit zero files — committed
