@@ -253,7 +253,14 @@ object DedupQueries {
     * specified and oracle-frozen in round 1); d09's wider family is
     * defined nibble-indexed from the start. */
   private[graft] def simhashes(s: SparkSession, dir: String, bits: Int = 16): DataFrame = {
+    // same pre-amplification spread as [[shingles]]: the md5 vote work is
+    // (tokens × digests) CPU-heavy while the input is one compact parquet
+    // file (1-2 scan tasks) — without the spread the whole hash pass runs
+    // on one core (measured: d09 4.8s → 0.6s solo at 32 cores). Hashed on
+    // doc_id, so the groupBy's partial aggregate still collapses fully
+    // per partition; a numbered repartition is exempt from AQE coalescing.
     val tok = Tables.documents(s, dir)
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(toks)).as("tok"))
     val (rows, votes) =
       if (bits <= 16)
