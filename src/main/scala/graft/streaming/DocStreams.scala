@@ -73,6 +73,14 @@ object DocStreams {
       md5(concat_ws("|", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*)))
     docs
       .filter(hasSignature)
+      // pre-amplification spread (the shingles/simhashes move): a replay
+      // micro-batch scans ONE staged file (one task), so without this the
+      // whole batch's 16-hash MinHash pass runs on one core — measured as
+      // ~0.5s/batch of addBatch on st16/st18. A plain exchange before the
+      // stateful operator's own (band,h) exchange; flags are a pure
+      // function of the delivered doc SET, so placement cannot change
+      // them. Hash on doc_id (deterministic under task retry).
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tk.as("tk"))
       .select(col("doc_id"), sh.as("sh"))
       .select(col("doc_id") +: mins: _*)

@@ -40,11 +40,13 @@ object ReplayFloorProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val entries = Seq(
+    // optional third arg: comma-separated entry names (any replay-backed
+    // entry) — the r19 optimization round probes beyond the original four
+    val entries = args.lift(2).map(_.split(",").toSeq.map(_.trim)).getOrElse(Seq(
       "st18_neardup_ingest_ttl",   // TTL'd TWS gate: settle-poll protocol
       "st19_gate_state_reader",    // gate + statestore extract
       "st09_exactly_once_sink",    // foreachBatch idempotent parquet sink
-      "st10_interval_join_outer")  // stream-stream outer join
+      "st10_interval_join_outer")) // stream-stream outer join
 
     // warmup: one untimed pass of the cheapest entry compiles the replay
     // harness + streaming codegen paths
