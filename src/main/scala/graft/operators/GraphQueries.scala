@@ -39,8 +39,17 @@ object GraphQueries {
   def pagerank(verts: DataFrame, edges: DataFrame,
       iters: Int = 8, damping: Double = 0.85,
       redistributeDangling: Boolean = false): DataFrame = {
-    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val ed = graft.Checkpoints.stage(edges.join(odeg, Seq("src")))
+    // The dangling variant references edges a THIRD time in a SEPARATE
+    // eager checkpoint job (the anti-join), which re-executes the full
+    // upstream edge build (for g02b the kNN join) — stage edges once
+    // there (measured g02b 2.85 -> 2.54s solo). The alpha-only variant's
+    // two references both live inside the single ed-staging job, where
+    // AQE exchange reuse already dedups the build — an unconditional
+    // stage measured SLOWER there (g02 1.98 -> 2.4s: pure extra
+    // materialization), so it is conditional.
+    val e0 = if (redistributeDangling) graft.Checkpoints.stage(edges) else edges
+    val odeg = e0.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ed = graft.Checkpoints.stage(e0.join(odeg, Seq("src")))
     val nv = verts.agg(count(lit(1)).as("n_v"))
     val base = graft.Checkpoints.stage(verts.crossJoin(broadcast(nv)))
     // dangling = vertices with no out-edge; their rank mass is what the
@@ -48,8 +57,10 @@ object GraphQueries {
     val dang =
       if (redistributeDangling)
         Some(graft.Checkpoints.stage(verts.join(
-          edges.select(col("src").as("vx")).distinct(), Seq("vx"), "left_anti")))
+          e0.select(col("src").as("vx")).distinct(), Seq("vx"), "left_anti")))
       else None
+    if (redistributeDangling) // ed/dang staged: e0 is ballast now
+      graft.CacheOps.unpersistLocalCheckpoint(e0)
     var ranks = base.select(col("vx"), col("n_v"),
       expr(s"$RankScale div n_v").as("rq"))
     // superseded iterates are unpersisted as soon as their successor is

@@ -711,21 +711,30 @@ object SimilarityQueries {
     // out-edge into a wedge whose "closing" edge is that edge itself —
     // one phantom triangle per (loop, incident edge). The kNN edge
     // builds can't emit loops, but this is the public any-edge-list seam.
-    val edges = rawEdges
+    // edges is referenced FOUR times below (deg's two union legs, the
+    // orientation join, the edge count) and oriented three times (both
+    // wedge legs + the closing side): un-staged, each reference re-plans
+    // and re-executes the full upstream edge build (the kNN join — 72
+    // parquet scans in the before plan, plans/r19/g01_*_before.txt).
+    // Stage both (Checkpoints.stage: localCheckpoint locally, reliable
+    // checkpoint on opted-in deployments — the PageRank iterate
+    // discipline, which already stages edge-sized state at scale).
+    // Measured: g01 1.99 -> 0.95s solo.
+    val edges = graft.Checkpoints.stage(rawEdges
       .filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
-      .distinct()
+      .distinct())
     val deg = edges.select(col("a").as("vx")).unionAll(edges.select(col("b").as("vx")))
       .groupBy(col("vx")).agg(count(lit(1)).as("deg"))
     val aFirst = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
-    val oriented = edges
+    val oriented = graft.Checkpoints.stage(edges
       .join(deg.select(col("vx").as("a"), col("deg").as("da")), Seq("a"))
       .join(deg.select(col("vx").as("b"), col("deg").as("db")), Seq("b"))
       .select(
         when(aFirst, col("a")).otherwise(col("b")).as("src"),
         when(aFirst, col("b")).otherwise(col("a")).as("dst"),
-        when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+        when(aFirst, col("db")).otherwise(col("da")).as("ddeg")))
     val e1 = oriented.select(col("src").as("u"), col("dst").as("x"), col("ddeg").as("dx"))
     val e2 = oriented.select(col("src").as("u2"), col("dst").as("y"), col("ddeg").as("dy"))
     val wedges = e1.join(e2, col("u") === col("u2") &&
