@@ -810,7 +810,10 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("n2").as("qn2"),
         col("sig").as("qsig"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
+    // pre-amplification spread (the knnGraphRecall move) — the 64-term
+    // signature + per-pair dot otherwise run on the single scan task
+    val scored = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosf", rank6(cosine(col("qv"), col("v"), col("qn2"), col("n2"))))
       .withColumn("ham", expr("bit_count(sig ^ qsig)"))
     val wf = Window.partitionBy(col("qid")).orderBy(col("cosf").desc, col("vec_id"))
