@@ -764,7 +764,7 @@ object EventStreams {
       .agg(count(lit(1)).as("dn"),
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("dc"))
     val prior = latestVersion(targetDir, below = batchId) match {
-      case Some(p) => s.read.parquet(p)
+      case Some(p) => s.read.schema(SnapshotSchema).parquet(p)
       case None => emptySnapshot(s)
     }
     mergedSnapshot(prior, chg)
@@ -906,7 +906,7 @@ object EventStreams {
             (s.table(vName), true)
           case None =>
             // unknown layout: correctness over the Exchange saving
-            (s.read.parquet(p), false)
+            (s.read.schema(SnapshotSchema).parquet(p), false)
         }
       case None => (emptySnapshot(s), false)
     }
@@ -1057,7 +1057,7 @@ object EventStreams {
       .values.flatten.map(_.toString).toSeq
     val priorTouched =
       if (touchedFiles.isEmpty) emptySnapshot(s)
-      else s.read.parquet(touchedFiles: _*)
+      else s.read.schema(SnapshotSchema).parquet(touchedFiles: _*)
     // stage the merged touched buckets as a bucketed write (rows can
     // only hash into touched buckets, so only those get files), then
     // assemble the version dir: new files + byte-copied untouched files
@@ -1348,16 +1348,25 @@ object EventStreams {
         (coalesce(col("cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
           .as("cents"))
 
+  /** The snapshot store's pinned on-disk schema — every version dir is
+    * written with exactly these columns by [[mergedSnapshot]]'s select.
+    * Prior-version reads pass it explicitly: `spark.read.parquet` without
+    * a schema re-INFERS per read (driver-side listing + footer job,
+    * ~80-120ms each — the Tables.schemaCache lesson), and the apply loop
+    * reads a prior snapshot EVERY batch. */
+  private[streaming] val SnapshotSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_events",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cents",
+        org.apache.spark.sql.types.LongType)))
+
   private def emptySnapshot(s: SparkSession): DataFrame =
     s.createDataFrame(
       java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("n_events",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("cents",
-          org.apache.spark.sql.types.LongType))))
+      SnapshotSchema)
 
   /** Latest COMMITTED (`_SUCCESS`-marked) version dir under `targetDir`
     * with id strictly below `below`; None before the first commit.
@@ -1409,7 +1418,7 @@ object EventStreams {
     if (fs.exists(new org.apache.hadoop.fs.Path(vDir, "_SUCCESS")))
       return // committed: skip (batchId alone — the idempotence guard)
     val prior = latestVersion(targetDir, below = batchId) match {
-      case Some(p) => s.read.parquet(p)
+      case Some(p) => s.read.schema(SnapshotSchema).parquet(p)
       case None => emptySnapshot(s)
     }
     prior.join(broadcast(tombstones.select(col("user_id")).distinct()),
@@ -1475,8 +1484,8 @@ object EventStreams {
                 Seq("user_id" -> "bigint", "n_events" -> "bigint",
                   "cents" -> "bigint")
           }
-          if (usable) s.table(name) else s.read.parquet(dir)
-        case None => s.read.parquet(dir)
+          if (usable) s.table(name) else s.read.schema(SnapshotSchema).parquet(dir)
+        case None => s.read.schema(SnapshotSchema).parquet(dir)
       }
     }
     val old = snapshot(fromV).select(col("user_id"),

@@ -1420,7 +1420,7 @@ object StreamReplay {
         .getOrElse(sys.error(s"no committed version under $target"))
       EventStreams.applyChangeset( // at-least-once retry, hostile payload
         graft.Tables.events(s, dir), lastId, target)
-      s.read.parquet(EventStreams.latestVersion(target).get)
+      s.read.schema(EventStreams.SnapshotSchema).parquet(EventStreams.latestVersion(target).get)
         .orderBy(col("user_id"))
         .localCheckpoint()
     } finally {
@@ -1459,7 +1459,7 @@ object StreamReplay {
             .select(col("user_id"), col("value")),
           i, target)
       }
-      s.read.parquet(EventStreams.latestVersion(target, below = asOf + 1).get)
+      s.read.schema(EventStreams.SnapshotSchema).parquet(EventStreams.latestVersion(target, below = asOf + 1).get)
         .orderBy(col("user_id"))
         .localCheckpoint()
     } finally {
@@ -1496,7 +1496,7 @@ object StreamReplay {
       }
       EventStreams.applyChangesetBucketedPruned( // hostile retry
         graft.Tables.events(s, dir), 3L, target, prefix, buckets = B)
-      s.read.parquet(EventStreams.latestVersion(target).get)
+      s.read.schema(EventStreams.SnapshotSchema).parquet(EventStreams.latestVersion(target).get)
         .orderBy(col("user_id"))
         .localCheckpoint()
     } finally {
