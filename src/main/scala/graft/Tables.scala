@@ -43,7 +43,9 @@ object Tables {
     * conf-sensitivity note on [[schemaCache]]. */
   private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
 
-  private def cached(s: SparkSession, path: String): DataFrame = {
+  /** private[graft]: the replay stagers re-read the same immutable table
+    * paths every invocation and would otherwise re-infer per read. */
+  private[graft] def cached(s: SparkSession, path: String): DataFrame = {
     val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
     s.read.schema(sch).parquet(path)
   }

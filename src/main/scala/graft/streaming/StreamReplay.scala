@@ -118,7 +118,8 @@ object StreamReplay {
     * batch) and their OUTPUT by the DuckDB hash gate. */
   private def reconcileStagedRows(s: SparkSession,
       query: org.apache.spark.sql.streaming.StreamingQuery,
-      ckpt: String, stage: Path): Unit = {
+      ckpt: String, stage: Path,
+      stagedSchema: StructType): Unit = {
     val ps = query.recentProgress
     if (ps.isEmpty) return
     val bids = ps.map(_.batchId)
@@ -144,7 +145,9 @@ object StreamReplay {
     if (plannedMax.exists(p => !observedMaxOffset.exists(_ >= p))) return
     val ingested = ps.map(p =>
       Option(p.sources).toSeq.flatten.map(_.numInputRows).sum).sum
-    val staged = s.read.parquet(stage.toString).count()
+    // explicit schema: the count is footer-metadata-only, but a
+    // schemaless read pays a full inference pass first (~80-120ms)
+    val staged = s.read.schema(stagedSchema).parquet(stage.toString).count()
     IngestAudit.reconcileRowTotal(ckpt, staged, ingested,
       "the progress history's source input rows")
   }
@@ -270,7 +273,10 @@ object StreamReplay {
   private def stageChunks(s: SparkSession, base: Path, stage: Path,
       srcPath: String, chunks: Int, key: String, what: String): Seq[Path] = {
     val tmp = Files.createTempDirectory(base, "chunkwrite")
-    s.read.parquet(srcPath)
+    // cached-schema read (Tables.cached): the source path is immutable
+    // within a process and every chunked replay re-stages it — a raw
+    // read would re-infer the schema per entry invocation
+    graft.Tables.cached(s, srcPath)
       .repartitionByRange(chunks, col(key))
       .write.mode("overwrite").parquet(tmp.toString)
     val parts = tmp.toFile.listFiles()
@@ -446,7 +452,7 @@ object StreamReplay {
         // files, each once — the engine-layer guard that converts the
         // seen-files-log corruption class from silent duplicates to loud
         IngestAudit.audit(ckpt, stage)
-        if (!multiScan) reconcileStagedRows(s, query, ckpt, stage)
+        if (!multiScan) reconcileStagedRows(s, query, ckpt, stage, fileSchema)
         val batches = Option(query.lastProgress).map(_.batchId + 1).getOrElse(0L)
         // recentProgress retains (by default) far more batches than any
         // replay here runs, so these sums cover the whole query's
@@ -962,8 +968,9 @@ object StreamReplay {
           Files.copy(f.toPath, stage.resolve(f"real-$i%05d.parquet"))
         }
       pinMtimes(staged)
+      val stagedSchema = s.read.parquet(staged.head.toString).schema
       val raw = s.readStream
-        .schema(s.read.parquet(staged.head.toString).schema)
+        .schema(stagedSchema)
         .option("maxFilesPerTrigger", if (chunks > 1) "1" else staged.size.toString)
         .parquet(stage.toString)
       val writer = transform(raw)
@@ -1109,7 +1116,7 @@ object StreamReplay {
         // progress event itself was read) and -1 (no loop:
         // processAllAvailable ran to quiescence) are both complete.
         if (settleSignalOut != 1.0 && settleSignalOut != 2.0)
-          reconcileStagedRows(s, query, ckpt, stage)
+          reconcileStagedRows(s, query, ckpt, stage, stagedSchema)
         val fProc = System.nanoTime()
         progressSink.foreach(_ ++= query.recentProgress)
         val floorBatches = progressSums(query.recentProgress)
