@@ -183,9 +183,15 @@ object SimilarityQueries {
       val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))
       joined.withColumn("rk", row_number().over(w)).drop("cn2")
     }
-    // one Lloyd step: assign to nearest seed, average per cell
+    // one Lloyd step: assign to nearest seed, average per cell.
+    // The refined-centroid table is k rows, but its SUBTREE is the whole
+    // seed-assignment + Lloyd pipeline (corpus window + two aggs): staged,
+    // the final ranking's plan shrinks from two nested corpus passes to
+    // scan + one tiny broadcast — cheaper to cut than to replan/re-reuse
+    // (A/B'd this round; the corpus-sized frames stay UN-staged, see the
+    // ivfKnn scaladoc).
     val assigned0 = ranked(e, seeds).filter(col("rk") === 1)
-    ranked(e, lloydRefine(assigned0))
+    ranked(e, graft.Checkpoints.stage(lloydRefine(assigned0)))
   }
 
   /** The shared quantized Lloyd step: per-cell dimension means from
@@ -539,7 +545,11 @@ object SimilarityQueries {
     val e = embs(s, dir)
     val seeds = e.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val refined = lloydRefine(hierAssign(e, seeds, nCoarse).select(col("cid"), col("v")))
+    // staged for the same reason as ivfRanked's refined table: 16 rows
+    // whose subtree is a full corpus assignment + Lloyd step, otherwise
+    // embedded (and re-broadcast) inside the second assignment's plan
+    val refined = graft.Checkpoints.stage(
+      lloydRefine(hierAssign(e, seeds, nCoarse).select(col("cid"), col("v"))))
     knnWithinCells(hierAssign(e, refined, nCoarse)
       .select(col("cid").as("cell"), col("vec_id"), col("v"), col("n2")), k)
   }
