@@ -188,3 +188,22 @@ object Checkpoints {
     } else df.localCheckpoint()
   }
 }
+
+/** Overlap two INDEPENDENT eager materializations (guide §2.6: actions
+  * are only sequential because the driver calls them sequentially).
+  * Entries whose plans take two localCheckpoint cuts with no data
+  * dependency between them (d08's pair sets, the recall audits' truth
+  * vs graph sides) submit both jobs at once so the second backfills the
+  * first's straggler tail. Exceptions propagate like the sequential
+  * form (first failure wins, the other side is awaited then dropped).
+  */
+object Par {
+  def both[A, B](fa: => A, fb: => B): (A, B) = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.DurationInt
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val f1 = Future(fa)
+    val f2 = Future(fb)
+    (Await.result(f1, 1.hour), Await.result(f2, 1.hour))
+  }
+}

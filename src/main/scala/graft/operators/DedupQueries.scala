@@ -444,9 +444,11 @@ object DedupQueries {
     // corpus×shingle-sized but strictly smaller than re-running the scan
     // + split + explode per pipeline.
     val sh = shingles(Tables.documents(s, dir)).localCheckpoint()
-    val exact = jaccardPairsFrom(sh).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val cand = minhashPairsFrom(sh).localCheckpoint()
+    // the two pair builds are independent jobs over the cut shingle
+    // table — materialize them concurrently (guide §2.6)
+    val (exact, cand) = graft.Par.both(
+      jaccardPairsFrom(sh).select(col("doc_a"), col("doc_b")).localCheckpoint(),
+      minhashPairsFrom(sh).localCheckpoint())
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
       .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))

@@ -614,14 +614,18 @@ object SimilarityQueries {
     // (measured: s07 6.5s → ~1.3s solo at 32 cores). Hash on vec_id is
     // deterministic under retry; result order is rank6-exact either way.
     val eSpread = e.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
-    val truth = eSpread.join(broadcast(q), col("vec_id") =!= col("qid"))
+    val truthPlan = eSpread.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosr", cosine(col("qv"), col("v"), col("qn2"), col("n2")))
       .withColumn("cos", rank6(col("cosr")))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
       .select(col("qid"), col("vec_id").as("neighbor"))
-      .localCheckpoint() // referenced twice (count + semi-join)
-    val approx = graph.select(col("qid"), col("neighbor"))
-      .filter(pmod(col("qid"), lit(queryMod)) === 0).localCheckpoint()
+    // both cuts are referenced twice below (count + semi-join) and are
+    // INDEPENDENT jobs — materialize them concurrently (guide §2.6) so
+    // the graph build backfills the truth pass's tail
+    val (truth, approx) = graft.Par.both(
+      truthPlan.localCheckpoint(),
+      graph.select(col("qid"), col("neighbor"))
+        .filter(pmod(col("qid"), lit(queryMod)) === 0).localCheckpoint())
     val hit = truth.join(approx, Seq("qid", "neighbor"), "left_semi")
     truth.agg(count(lit(1)).as("n_true"))
       .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
