@@ -292,6 +292,27 @@ object Bench {
       name -> runs(name).size
     }.toMap
 
+    // NOOP-SINK solo timing, one rep per non-streaming entry (r19 verdict
+    // ask #3, guide §1.4): count() lets the optimizer prune final
+    // projections, so entries whose cost lives in the projected columns
+    // (t06, x01–x03, c13 …) read cheaper under the bench action than the
+    // engine's real work. ADDITIVE field only — the count()-based numbers
+    // above stay the primary, round-comparable series. Streaming (st*)
+    // entries are skipped: their cost is the replay executed eagerly
+    // inside fn() itself, and the returned frame is an already-settled
+    // localCheckpoint where noop ≡ count modulo a tiny display projection
+    // — one noop rep each would add ~2 min of pure replay re-runs for a
+    // field that cannot differ.
+    val noopTimes: Map[String, Double] = ordered.collect {
+      case (name, fn) if !name.startsWith("st") =>
+        val t0 = System.nanoTime()
+        val sec = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case _: Throwable => -1.0 }
+        name -> sec
+    }.toMap
+
     calib += "solo_post" -> Calibration.sample()
 
     // Second transcode window: the query phase above put ~10 minutes
@@ -414,6 +435,21 @@ object Bench {
       .map { case (k, v) =>
         "\"" + k + "\":" + v.map { case (st, sy) => s"[$st,$sy]" }.mkString("[", ",", "]")
       }.mkString("{", ",", "}")
+    val noopQs = noopTimes.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    // compact window-drift aggregates for the PARSED stdout line (r19
+    // verdict ask #8): the full per-entry steal/sys series lives in
+    // BENCH_DETAIL (queries_solo_cpu_steal_sys_pct) — 105 per-entry pairs
+    // would blow the driver's 2000-char tail that the final line must fit
+    // inside WITH the per-query map, so the line carries the median/max
+    // solo-rep system-CPU% instead: a judge separates uniform window
+    // drift (median high) from a per-entry regression (median clean)
+    // mechanically, and drills into BENCH_DETAIL for the per-entry view.
+    val soloSysSamples = soloCpu.values.flatten.map(_._2).filter(_ >= 0).toSeq.sorted
+    val driftShort =
+      if (soloSysSamples.isEmpty) ""
+      else s""","solo_sys_pct_median":${soloSysSamples(soloSysSamples.size / 2)}""" +
+        s""","solo_sys_pct_max":${soloSysSamples.last}"""
     // per-entry settle telemetry (last solo rep): signal 0=progress
     // accounting, 1=throttled sink count, 2=deadline count
     val settleQs = soloSettle.toSeq.sortBy(_._1)
@@ -458,8 +494,9 @@ object Bench {
     val calibShort = s""","calibration_median_ops_per_s":$calibMedian""" + calibCompare
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"sf":"$sfDir",
-         |"timing":"total=concurrent sweep (clean-window gated: a rep whose system CPU exceeds the threshold is re-run up to the retry cap, see sweep_retries/sweep_sys_threshold_pct; per-sweep wall + steal/system CPU pct in sweep_totals_sec/sweep_steal_pct/sweep_sys_pct, per-solo-rep CPU in queries_solo_cpu_steal_sys_pct) over the n_bench_queries operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only; the set grows when a round adds operators — total_common_prev carries the like-for-like comparison); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
+         |"timing":"total=concurrent sweep (clean-window gated: a rep whose system CPU exceeds the threshold is re-run up to the retry cap, see sweep_retries/sweep_sys_threshold_pct; per-sweep wall + steal/system CPU pct in sweep_totals_sec/sweep_steal_pct/sweep_sys_pct, per-solo-rep CPU in queries_solo_cpu_steal_sys_pct) over the n_bench_queries operator set (the st..b/st..c replay-protocol gate variants run the same operators under different staging and are correctness-gate-only; the set grows when a round adds operators — total_common_prev carries the like-for-like comparison); queries=solo per-query min over adaptive reps (2 base, re-run while the two fastest runs disagree >2x, cap 5); spread=[min,max] of all solo reps; queries_noop_sec=ONE noop-sink rep per non-streaming entry (additive r20 field, guide 1.4: count() prunes final projections, the noop computes every column; st* entries skipped — their replay executes eagerly inside the entry fn, so noop==count there); transcode=best over adaptive reps on a 17.8M-element planet-mix corpus, up to TWO windows (probe runs FIRST in the fresh JVM: >=5 reps, continue while the two fastest disagree >1.5x, cap 25 reps/180s; if the best never reaches the 10M capability floor the probe re-samples AFTER the ~10-min query phase, cap 12 reps/120s, overall best kept; median, per-run rates, and per-run steal/system CPU pct recorded — this box has long windows of 30-76 pct system + 6-25 pct steal CPU where user CPU collapses; rates from such runs measure the hypervisor, not the engine)",
          |"queries_solo_sec":$fullQs,"queries_solo_spread_sec":$spreadQs,"queries_solo_reps":$repQs,
+         |"queries_noop_sec":$noopQs,
          |"queries_solo_cpu_steal_sys_pct":$soloCpuQs,
          |"queries_settle":$settleQs,
          |"failed":$failed$extra$transcodeDetail$sweepMeta$calibMeta$diff$commonTotals}""".stripMargin.replace("\n", "")
@@ -474,19 +511,21 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$calibShort$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$shortQs,"sf":"$sfDir"$extra$calibShort$driftShort$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}"""
     // The driver records only the LAST 2000 chars of combined output, and
     // when it runs through sbt the `[success]` trailer lands AFTER
     // whatever we print — through round 14 the full per-query line
-    // (~2.4 KB at 160+ queries) was itself clipped at the FRONT of the
-    // tail, so the driver's BENCH_r*.json carried "parsed": null every
-    // round (the r14 verdict's ask #5). Three-way fix: (1) the full
-    // summary line is written VERBATIM to BENCH_SUMMARY.json — the
-    // machine-diffable artifact of record alongside BENCH_DETAIL.json;
-    // (2) the full line still prints for humans; (3) the FINAL printed
-    // line is a compact (<400 B) headline JSON that fits whole inside
-    // the tail even with the sbt trailer after it, so any tail parser
-    // that scans for a complete JSON line finds one.
+    // (~2.4 KB at 160+ queries, before keys were shortened) was clipped
+    // at the FRONT of the tail, so the driver's BENCH_r*.json carried
+    // "parsed": null every round (the r14 verdict's ask #5). Current
+    // contract (r19 verdict ask #2): (1) the full summary line is written
+    // VERBATIM to BENCH_SUMMARY.json — the machine-diffable artifact of
+    // record alongside BENCH_DETAIL.json; (2) a compact headline pointer
+    // line prints FIRST for top-down readers; (3) the FINAL printed line
+    // is fullLine itself — with short query keys it is ~1.7 KB, inside
+    // the 2000-char tail even with an sbt trailer — so the driver's
+    // last-line parse gets the inline per-query map (PERF per-query
+    // comparison + scaling table populated again).
     try {
       val w = new java.io.PrintWriter(new java.io.File("BENCH_SUMMARY.json"),
         java.nio.charset.StandardCharsets.UTF_8)
@@ -497,7 +536,16 @@ object Bench {
     // print
     spark.sparkContext.setLogLevel("ERROR")
     spark.stop()
-    println(fullLine)
+    // PRINT ORDER IS THE CONTRACT (r19 verdict ask #2): the driver parses
+    // the LAST stdout line, so the line carrying the INLINE per-query map
+    // must print last — r15–r19 printed a compact pointer line after it
+    // ("queries":"BENCH_SUMMARY.json"), which left the driver's per-query
+    // comparison empty (PERF_r19: n_common=0, geomean null). The pointer
+    // line now prints FIRST (still present for humans/tools reading top
+    // down); fullLine (~1.7 KB at 105 entries — inside the 2000-char tail
+    // even with an sbt trailer) prints LAST and is also written verbatim
+    // to BENCH_SUMMARY.json above.
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":"BENCH_SUMMARY.json","sf":"$sfDir"$extra$calibShort$commonTotals,"full_names_and_diff":"BENCH_DETAIL.json"}""")
+    println(fullLine)
   }
 }

@@ -44,9 +44,18 @@ object Tables {
   private[graft] def clearSchemaCache(): Unit = schemaCache.clear()
 
   /** private[graft]: the replay stagers re-read the same immutable table
-    * paths every invocation and would otherwise re-infer per read. */
+    * paths every invocation and would otherwise re-infer per read.
+    * The cache key carries the root's (mtime, length) so the immutability
+    * assumption is ENFORCED, not just documented (r19 advisor): a path
+    * rewritten in-process (new part files → the dir's mtime changes)
+    * re-infers instead of silently reading with the stale schema. One
+    * stat() per read — noise next to the ~80-120ms inference it skips.
+    * (A nested rewrite that leaves the root dir's own mtime unchanged is
+    * out of contract — none of this repo's writers produce one.) */
   private[graft] def cached(s: SparkSession, path: String): DataFrame = {
-    val sch = schemaCache.computeIfAbsent(path, p => s.read.parquet(p).schema)
+    val f = new java.io.File(path)
+    val key = s"$path@${f.lastModified}:${f.length}"
+    val sch = schemaCache.computeIfAbsent(key, _ => s.read.parquet(path).schema)
     s.read.schema(sch).parquet(path)
   }
 

@@ -195,15 +195,24 @@ object Checkpoints {
   * dependency between them (d08's pair sets, the recall audits' truth
   * vs graph sides) submit both jobs at once so the second backfills the
   * first's straggler tail. Exceptions propagate like the sequential
-  * form (first failure wins, the other side is awaited then dropped).
+  * form: BOTH sides are awaited to completion first (a failed fa must
+  * not leave fb's Spark job running concurrently with the caller's
+  * error-path cleanup), then the first failure in argument order is
+  * rethrown and the other side's result (or failure) is dropped. No
+  * timeout: a slow-but-correct job at larger scale must behave like the
+  * sequential form, not die at an arbitrary wall cap (the r19 advisor's
+  * ask on both counts).
   */
 object Par {
   def both[A, B](fa: => A, fb: => B): (A, B) = {
     import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.DurationInt
+    import scala.concurrent.duration.Duration
+    import scala.util.Try
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val f1 = Future(fa)
-    val f2 = Future(fb)
-    (Await.result(f1, 1.hour), Await.result(f2, 1.hour))
+    val f1 = Future(Try(fa))
+    val f2 = Future(Try(fb))
+    val r1 = Await.result(f1, Duration.Inf)
+    val r2 = Await.result(f2, Duration.Inf)
+    (r1.get, r2.get)
   }
 }

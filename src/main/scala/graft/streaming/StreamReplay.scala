@@ -347,9 +347,18 @@ object StreamReplay {
 
     // the one driver-side scalar: max real event time, via a distributed
     // aggregate (NOT a table collect); null on an empty table → epoch 0,
-    // matching the old harness's maxOption.getOrElse(0L)
-    val maxTs = Option(graft.Tables.events(s, dir).agg(max(col("ts")))
-      .head().getTimestamp(0)).map(_.getTime).getOrElse(0L)
+    // matching the old harness's maxOption.getOrElse(0L).
+    // Computed ONLY when the tick protocol needs it (r20, guide §1.2
+    // "don't compute things you throw away"): tick-less replays (st02/
+    // st05/st06/st08/st17 and the foreachBatch soaks) were paying a full
+    // events-table aggregate job per invocation for a scalar none of
+    // their callers read — every `.maxTs` consumer in main and test code
+    // runs with ticks=true (verified r20; new tick-less callers must not
+    // read maxTs, it is 0 there).
+    val maxTs =
+      if (!ticks) 0L
+      else Option(graft.Tables.events(s, dir).agg(max(col("ts")))
+        .head().getTimestamp(0)).map(_.getTime).getOrElse(0L)
 
     val base = graft.Scratch.tempDir("graftreplay")
     val stage = Files.createDirectory(base.resolve("in"))

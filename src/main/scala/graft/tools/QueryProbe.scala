@@ -37,10 +37,18 @@ object QueryProbe {
       else { nameArgs.foreach(n => require(graft.SparkEntry.queries.contains(n),
         s"unknown query $n")); nameArgs.toSeq }
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // warm dir derived, not hardcoded (r19 advisor): honor the bench's
+    // own env knob, fall back to the probed sfDir when the small-sf
+    // default is absent — a silently-failed warm would charge codegen
+    // compile cost to the first timed rep
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .orElse(Some("/root/testdata/sf0.001")
+        .filter(d => new java.io.File(d).isDirectory))
+      .getOrElse(sfDir)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       spark.sparkContext.setJobDescription(s"probe: $name")
-      try fn(spark, "/root/testdata/sf0.001")
+      try fn(spark, warmDir)
         .write.format("noop").mode("overwrite").save() // warm
       catch { case e: Throwable =>
         System.err.println(s"[probe] warm $name failed: ${e.getMessage}") }
