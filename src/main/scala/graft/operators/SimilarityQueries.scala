@@ -760,11 +760,21 @@ object SimilarityQueries {
     val ne = edges.agg(count(lit(1)).as("n_edges"))
     val stats = deg.agg(count(lit(1)).as("n_vertices"),
       sum((col("deg") * (col("deg") - 1) / 2).cast("long")).as("n_wedges"))
-    stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
+    val census = stats.crossJoin(broadcast(ne)).crossJoin(broadcast(tri))
       .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") === 0, lit(0.0))
           .otherwise(floor(lit(3.0) * col("n_triangles") / col("n_wedges") * 1e4 + 0.5) / 1e4)
           .as("gcc"))
+      // ONE-ROW result: materialize it eagerly so the edge-corpus-sized
+      // edges/oriented checkpoints can be released NOW instead of living
+      // as block-manager ballast for the rest of the session (the
+      // pagerank ed/base/dang discipline — SOAK_r13/r14b measured 2.9 to
+      // 11.3 s session-wide cost of accumulated dead blocks; the r19
+      // advisor flagged this entry as the one stager without a release).
+      .localCheckpoint()
+    graft.CacheOps.unpersistLocalCheckpoint(edges)
+    graft.CacheOps.unpersistLocalCheckpoint(oriented)
+    census
   }
 
   /** e03: Matryoshka truncation audit — recall@5 of the first-16-dims

@@ -139,12 +139,21 @@ object TextQueries {
     * 8-gram md5s (winnowing's keep-the-minimum idea collapsed to one
     * window). Content-defined: stable under doc reordering, shifts only
     * when the text itself changes.
+    *
+    * Computed by the native [[graft.functions.MinGramMd5Expr]] (r20):
+    * the HOF form (`array_min(transform(sequence(...), i ->
+    * md5(substring(text, i, 8))))`) was CodegenFallback and allocated a
+    * substring + digest + 32-char hex string per gram, then the whole
+    * L-string array per row — 3.7 s solo at sf0.1 under the noop sink
+    * (invisible to count(), which pruned the column). The expression is
+    * value-identical by construction (see its scaladoc; pinned by
+    * MinGramMd5Spec against the HOF form), so the oracle is unchanged.
     */
   val t06_rolling_fingerprint: Q = (s, dir) => {
+    graft.functions.TextFunctions.register(s)
     Tables.documents(s, dir)
-      .withColumn("grams", expr(
-        "transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8)))"))
-      .select(col("doc_id"), array_min(col("grams")).as("fp"))
+      .select(col("doc_id"),
+        call_function("graft_min_gram_md5", col("text"), lit(8)).as("fp"))
       .orderBy(col("doc_id"))
   }
 
