@@ -77,13 +77,26 @@ object ScaleQueries {
     * to thousands. */
   val x01_approx_distinct: Q = (s, dir) => {
     def bound(exact: Column): Column = greatest(lit(1L), floor(exact * 0.05).cast("long"))
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        approx_count_distinct(col("l_suppkey"), 0.02).as("supp_approx"),
-        countDistinct(col("l_suppkey")).as("n_supp_exact"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("part_approx"),
-        countDistinct(col("l_partkey")).as("n_part_exact"))
+    // TWO distinct-pair pipelines instead of one agg with two
+    // countDistincts (r20): the single agg planned an Expand ×3 of every
+    // lineitem row (1.8M rows through one exchange at sf0.1 — 3.0 s solo
+    // under the noop sink). Per key: map-side partial distinct on
+    // (flag, key) collapses the scan to the distinct pairs, the exchange
+    // carries only those, and the final 3-row agg computes BOTH the
+    // exact count (count over distinct pairs ≡ countDistinct; keys are
+    // filtered non-null to keep that identity data-independent) and the
+    // HLL estimate (duplicate-insensitive: identical sketch state and
+    // estimate over the deduped set). Output values are bit-identical.
+    def side(key: String, approxName: String, exactName: String): DataFrame =
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col(key))
+        .filter(col(key).isNotNull)
+        .distinct()
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col(key), 0.02).as(approxName),
+          count(lit(1)).as(exactName))
+    side("l_suppkey", "supp_approx", "n_supp_exact")
+      .join(side("l_partkey", "part_approx", "n_part_exact"), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n_supp_exact"), col("n_part_exact"),
         (abs(col("supp_approx") - col("n_supp_exact")) <= bound(col("n_supp_exact")))
           .as("supp_within_bound"),
