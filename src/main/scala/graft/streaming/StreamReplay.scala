@@ -71,6 +71,27 @@ object StreamReplay {
       }
     }
 
+  /** Replay-session shuffle/state partition count. Gate-scale default
+    * **4** (r20, measured): a replay micro-batch carries 10²–10⁴ rows,
+    * so the per-batch cost is dominated by the PER-PARTITION state-store
+    * commit envelope (store load/flush/checkpoint files × partitions ×
+    * batches), not by data parallelism — clean-window GateKnobAB runs
+    * (/tmp committed to OPTIMIZATION_r20.md §knobs): st03 3.83→2.74 s,
+    * st18 addBatch 3.47→2.64, st10 wall ~−40% at 4 vs the previous 8;
+    * 2–3 partitions measured within noise of 4 (curve flat below 4, and
+    * 4 keeps real parallelism in the batch). The previous 8 was itself a
+    * gate-scale scoping, not Spark's 200 default; this stays
+    * PARAMETERIZED, not a constant tuned to this box: deployments size
+    * it to state volume via `-Dgraft.replay.partitions` /
+    * `GRAFT_REPLAY_PARTITIONS`, and measurement probes can still
+    * override per-run through `graft.replay.conf` (applied last).
+    * Results are partition-count-invariant by design (min-owner rule,
+    * ordered outputs — the oracle gate re-verified under 4). */
+  private[streaming] def replayShufflePartitions: String =
+    sys.props.get("graft.replay.partitions")
+      .orElse(sys.env.get("GRAFT_REPLAY_PARTITIONS"))
+      .getOrElse("4")
+
   /** Short provider name → provider class (None = keep Spark's default
     * HDFS-backed provider). Shared by the sys-prop path and the explicit
     * `stateStore` parameter of [[replayRaw]]. */
@@ -324,11 +345,12 @@ object StreamReplay {
     // an isolated session (shared context, own SQLConf/catalog):
     // stateful streaming cost is dominated by per-partition state-store
     // commits (shuffle.partitions × batches), so the replay scopes a
-    // small partition count — and a tmpfs scratch/checkpoint where
-    // available — to its own session state instead of mutating the
-    // caller's conf under concurrently running queries
+    // small partition count ([[replayShufflePartitions]]) — and a tmpfs
+    // scratch/checkpoint where available — to its own session state
+    // instead of mutating the caller's conf under concurrently running
+    // queries
     val s: SparkSession = outer.newSession()
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // None = inherit the process-level override (-Dgraft.stateStore /
     // GRAFT_STATE_STORE); an explicit name resolves through the same
@@ -943,17 +965,17 @@ object StreamReplay {
       trigger: Option[org.apache.spark.sql.streaming.Trigger] = None): DataFrame = {
     val f0 = System.nanoTime() // floor itemization — see lastFloor
     val s: SparkSession = outer.newSession()
-    // 8 partitions and snapshot (non-changelog) RocksDB checkpointing,
-    // MEASURED r17 against the floor probe rather than assumed: changelog
-    // checkpointing moved st18/st19 by -3% (inside run noise — addBatch
-    // is TWS execution, not snapshot upload, at this state size) and 4
-    // partitions measured slightly WORSE (less batch parallelism, same
-    // per-batch envelope). Both knobs keep their shipped values below
-    // (8 partitions is the replay's own scoping, NOT Spark's 200-partition
-    // default; changelog checkpointing stays at Spark's default off); at 100 TB
-    // state sizes changelog checkpointing is still the right production
-    // setting — the null result here is about gate-scale replay cost.
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    // Partition count: [[replayShufflePartitions]] (r20 re-measure —
+    // the r17 "4 slightly worse" null was taken under commits dominated
+    // by per-file chmod forks; with the fork-free FS the per-partition
+    // commit envelope dominates and 4 wins ~20-25% on st18, knob
+    // artifacts in OPTIMIZATION_r20.md). Snapshot (non-changelog)
+    // RocksDB checkpointing KEPT: changelog re-A/B'd r20 and still
+    // within noise at this state size (st18 addBatch 3.47 vs 3.27 in
+    // one window, indistinguishable in the next); at 100 TB state sizes
+    // changelog checkpointing is still the right production setting —
+    // the null is about gate-scale replay cost.
+    s.conf.set("spark.sql.shuffle.partitions", replayShufflePartitions)
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     applyReplayConfOverrides(s)
