@@ -143,6 +143,23 @@ object CacheOps {
         lr.rdd.unpersist(blocking = false); ()
       case _ => ()
     }
+
+  /** Materialize a BOUNDED final frame eagerly and release the upstream
+    * staged frames it was derived from (r20): entries that cut corpus-
+    * sized intermediates (shingle/signature/token tables) and return a
+    * tiny audit row/histogram were leaking every cut for the rest of the
+    * session — one bench run re-invokes entries 3–6×, and the r20
+    * intermediate bench caught d08 at 17 s under the late noop pass vs
+    * 1.4 s in a fresh JVM (same code): pure accumulated-dead-block cost,
+    * the SOAK_r13/r14b ballast effect showing up INSIDE a bench session.
+    * Use ONLY for bounded results (audit rows, histograms, top-k) —
+    * for corpus-sized outputs the eager cut would double-materialize. */
+  def sealAndRelease(result: org.apache.spark.sql.DataFrame,
+      stages: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame = {
+    val out = result.localCheckpoint()
+    stages.foreach(unpersistLocalCheckpoint)
+    out
+  }
 }
 
 /** Per-round staging for ITERATIVE operators (PageRank, connected

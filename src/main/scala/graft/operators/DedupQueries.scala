@@ -450,12 +450,17 @@ object DedupQueries {
       jaccardPairsFrom(sh).select(col("doc_a"), col("doc_b")).localCheckpoint(),
       minhashPairsFrom(sh).localCheckpoint())
     val hit = exact.join(cand, Seq("doc_a", "doc_b"), "left_semi")
-    exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
-        when(col("n_exact") === 0, lit(0.0)).otherwise(
-          floor(col("n_hit") / col("n_exact") * 10000 + 0.5) / 10000).as("recall"))
+    // one audit row out: seal it and release the three cuts (shingle
+    // table + both pair sets) — see CacheOps.sealAndRelease; this entry
+    // was the r20 ballast smoking gun (17 s late-session vs 1.4 s fresh)
+    graft.CacheOps.sealAndRelease(
+      exact.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+          when(col("n_exact") === 0, lit(0.0)).otherwise(
+            floor(col("n_hit") / col("n_exact") * 10000 + 0.5) / 10000).as("recall")),
+      sh, exact, cand)
   }
 
   /** d06: SimHash near-dup PAIRS — docs whose 16-bit signatures differ in
@@ -483,8 +488,9 @@ object DedupQueries {
     // deliberate: nibble bands have only 16 values × 4 bands = 64 buckets,
     // so pair generation must stream against the bucket, not explode from
     // 64 giant grouped rows.
-    bandedHammingHistogram(simhashes(s, dir).localCheckpoint(),
-      bands = 4, bandBits = 4, maxHamming = 3)
+    val sig = simhashes(s, dir).localCheckpoint()
+    graft.CacheOps.sealAndRelease( // ≤4-row histogram: seal, drop the signature cut
+      bandedHammingHistogram(sig, bands = 4, bandBits = 4, maxHamming = 3), sig)
   }
 
   /** d09: 64-bit SimHash near-dup pairs — the production-width signature
@@ -496,9 +502,11 @@ object DedupQueries {
     * collides orders of magnitude less on big corpora, so the surviving
     * pairs are true near-dups rather than small-vocabulary accidents.
     */
-  val d09_simhash64_pairs: Q = (s, dir) =>
-    bandedHammingHistogram(simhashes(s, dir, bits = 64).localCheckpoint(),
-      bands = 4, bandBits = 16, maxHamming = 3)
+  val d09_simhash64_pairs: Q = (s, dir) => {
+    val sig = simhashes(s, dir, bits = 64).localCheckpoint()
+    graft.CacheOps.sealAndRelease(
+      bandedHammingHistogram(sig, bands = 4, bandBits = 16, maxHamming = 3), sig)
+  }
 
   /** d13: d09 with a per-(band, value) BUCKET CAP — the simhash-family
     * analog of d12's posting cap, shipped on the round-9 soak's finding
@@ -518,9 +526,12 @@ object DedupQueries {
   val d13_simhash64_capped: Q = (s, dir) => simhash64Capped(s, dir)
 
   def simhash64Capped(s: SparkSession, dir: String,
-      cap: Int = DefaultBandBucketCap): org.apache.spark.sql.DataFrame =
-    bandedHammingHistogram(simhashes(s, dir, bits = 64).localCheckpoint(),
-      bands = 4, bandBits = 16, maxHamming = 3, maxBucket = Some(cap))
+      cap: Int = DefaultBandBucketCap): org.apache.spark.sql.DataFrame = {
+    val sig = simhashes(s, dir, bits = 64).localCheckpoint()
+    graft.CacheOps.sealAndRelease(
+      bandedHammingHistogram(sig, bands = 4, bandBits = 16, maxHamming = 3,
+        maxBucket = Some(cap)), sig)
+  }
 
   /** Default bucket cap for d13: C(256,2) ≈ 33k pairs max per bucket —
     * generous for a true near-dup family, linear-bounding for the

@@ -163,14 +163,18 @@ object ScaleQueries {
     val nBound = tk.agg(
       (floor(count(lit(1)) * 3.5 / 16384) + 1).cast("long").as("bound"))
     val cutoff = top20.agg(min(col("exact_count")).as("cutoff"))
-    top20.join(sketch, Seq("tok"), "left")
-      .crossJoin(broadcast(nBound)).crossJoin(broadcast(cutoff))
-      .select(col("tok").as("token"), col("exact_count"),
-        ((col("est_count").isNotNull &&
-          abs(col("est_count") - col("exact_count")) <= col("bound")) ||
-          col("exact_count") <= col("cutoff") + lit(2) * col("bound"))
-          .as("within_bound"))
-      .orderBy(col("exact_count").desc, col("token"))
+    // 20-row audit out: seal + release the exploded-token corpus cut and
+    // the top-20 cut (CacheOps.sealAndRelease, the d08 ballast lesson)
+    graft.CacheOps.sealAndRelease(
+      top20.join(sketch, Seq("tok"), "left")
+        .crossJoin(broadcast(nBound)).crossJoin(broadcast(cutoff))
+        .select(col("tok").as("token"), col("exact_count"),
+          ((col("est_count").isNotNull &&
+            abs(col("est_count") - col("exact_count")) <= col("bound")) ||
+            col("exact_count") <= col("cutoff") + lit(2) * col("bound"))
+            .as("within_bound"))
+        .orderBy(col("exact_count").desc, col("token")),
+      tk, top20)
   }
 
   /** x04: SKETCH MERGE across shards — the deployment shape x01's
@@ -206,12 +210,15 @@ object ScaleQueries {
         count(lit(1)).as("n_shards"))
     val exact = tk.groupBy(col("lang"))
       .agg(countDistinct(col("tok")).as("n_tokens_exact"))
-    exact.join(broadcast(merged), Seq("lang"))
-      .select(col("lang"), col("n_tokens_exact"), col("n_shards"),
-        (abs(col("est") - col("n_tokens_exact")) <=
-          greatest(lit(1L), floor(col("n_tokens_exact") * 0.05).cast("long")))
-          .as("within_bound"))
-      .orderBy(col("lang"))
+    // per-lang audit rows out: seal + release the token-corpus cut
+    graft.CacheOps.sealAndRelease(
+      exact.join(broadcast(merged), Seq("lang"))
+        .select(col("lang"), col("n_tokens_exact"), col("n_shards"),
+          (abs(col("est") - col("n_tokens_exact")) <=
+            greatest(lit(1L), floor(col("n_tokens_exact") * 0.05).cast("long")))
+            .as("within_bound"))
+        .orderBy(col("lang")),
+      tk)
   }
 
   val all: Map[String, Q] = Map(

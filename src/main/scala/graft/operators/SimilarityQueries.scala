@@ -643,12 +643,16 @@ object SimilarityQueries {
       graph.select(col("qid"), col("neighbor"))
         .filter(pmod(col("qid"), lit(queryMod)) === 0).localCheckpoint())
     val hit = truth.join(approx, Seq("qid", "neighbor"), "left_semi")
-    truth.agg(count(lit(1)).as("n_true"))
-      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
-      .select(col("n_true"), col("n_approx"), col("n_hit"),
-        when(col("n_true") === 0, lit(0.0)).otherwise(
-          floor(col("n_hit") / col("n_true") * 10000 + 0.5) / 10000).as("recall"))
+    // one audit row out: seal + release both cuts (CacheOps.sealAndRelease
+    // — the d08 ballast lesson applied to the recall audits)
+    graft.CacheOps.sealAndRelease(
+      truth.agg(count(lit(1)).as("n_true"))
+        .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_true"), col("n_approx"), col("n_hit"),
+          when(col("n_true") === 0, lit(0.0)).otherwise(
+            floor(col("n_hit") / col("n_true") * 10000 + 0.5) / 10000).as("recall")),
+      truth, approx)
   }
 
   /** Two-level nearest-centroid assignment of (vec_id, v, n2) points to
