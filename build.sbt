@@ -45,6 +45,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hadoopConfiguration, so one flag covers bench/verify/tests/tools.
   "-Dspark.hadoop.fs.file.impl=graft.fs.FastLocalFileSystem",
   "-Dspark.hadoop.fs.AbstractFileSystem.file.impl=graft.fs.FastLocalFs",
+  // committer v2 (one rename per task file instead of two): measured
+  // -16% on st17's per-batch snapshot rewrites (SOAK_r20_gateknobs);
+  // safe here because every durable store in this repo layers its OWN
+  // _SUCCESS-marker commit protocol over the committer (latestVersion
+  // reads only marked dirs; the idempotent sink overwrites whole
+  // partitions on retry) - the v2 caveat (task output visible before
+  // job commit) never reaches a reader. Standard at-scale setting
+  // wherever renames are expensive (object stores).
+  "-Dspark.hadoop.mapreduce.fileoutputcommitter.algorithm.version=2",
   // ROOT-locale number formatting: the tools build JSON artifacts with
   // f"%.2f" interpolation, which follows the default FORMAT locale — a
   // comma-decimal locale (de_DE) would render "1,23" and corrupt every
